@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
+
+/** Central table loader for the driver-generated parquet fixtures.
+  *
+  * Every declared query loads via this object, never a bare
+  * `spark.read.parquet`, because two fixture quirks must be handled
+  * uniformly (see FIXTURES.md §3):
+  *
+  *  - `events.ts` is parquet timestamp[ns]; Spark 4.1.2 refuses the read
+  *    unless `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces the
+  *    column as epoch-nanos LongType. We convert to a microsecond timestamp
+  *    (`ts div 1000`, exact integer division) and cast to TIMESTAMP_NTZ so it
+  *    compares bit-for-bit with DuckDB's native µs read of the same file.
+  *  - `o_orderdate` / `l_shipdate` arrive as TIMESTAMP_NTZ already and are
+  *    left untouched.
+  *
+  * At 100 TB these reads parallelize by parquet row-group; no driver-side
+  * work happens here — the ns→µs conversion is a codegen'd projection.
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // Runtime SQL conf: settable per-session even though the harness
+      // builds its own SparkSession.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = apply(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "region")
+  def events(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+
+  /** Exact, order-independent money/quantity aggregation: decimal addition is
+    * exact, so Spark's and DuckDB's different partial-aggregation orders give
+    * bit-identical sums (SURVEY.md §5.3).
+    *
+    * Arithmetic on money columns must happen IN decimal, not on doubles with
+    * a final cast: Spark converts double→decimal via the shortest string
+    * representation while DuckDB converts the exact binary value, so per-row
+    * roundings of compound double products disagree at the last digit
+    * (observed on sum_charge at sf0.01). The fixture money columns are exact
+    * 2-dp values, so a per-column DECIMAL(12,2)/(4,2) cast is lossless and
+    * identical in both engines; all downstream products/sums are then exact.
+    */
+  val Money: DecimalType = DecimalType(38, 4)
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(Money)).cast(Money)
+  /** Lossless decimal view of a 2-dp money column (prices < 1e10). */
+  def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(12, 2))
+  /** Lossless decimal view of a 2-dp rate column (discount/tax, < 100). */
+  def rate2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(4, 2))
+  /** Exact decimal literal 1.00 for (1 - discount)-style factors. */
+  val oneD: org.apache.spark.sql.Column =
+    lit(new java.math.BigDecimal("1.00"))
+}
