@@ -12,6 +12,9 @@ object SparkEntry {
 
   private val categories: Seq[(Seq[(String, (SparkSession, String) => DataFrame)], Seq[(String, String)])] =
     Seq(
+      (ops.Sources.queries, ops.Sources.oracles),
+      (ops.Basics.queries, ops.Basics.oracles),
+      (ops.Joins.queries, ops.Joins.oracles),
       (ops.Aggregates.queries, ops.Aggregates.oracles)
     )
 

@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dec2, rate2, oneD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.B (projection/filter/predicates), §2.F (sort/limit) and
+  * §2.G (set operations).
+  *
+  * Scale notes (100 TB): all predicates here are codegen-able Catalyst
+  * expressions that push into the Parquet scan (no UDFs). Sorts carry a total
+  * order for determinism; `limit_topk_global` compiles to
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows, never
+  * a full sort). Set ops are hash-based distinct/shuffle ops whose keys are
+  * the projected columns only — project before the set op, never after.
+  */
+object Basics {
+
+  private def custSliceA(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+  private def custSliceB(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_name"))
+
+  private val sliceASql = "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'"
+  private val sliceBSql = "SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000.0"
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // ---- §2.B projection / filter ----
+    "proj_select_rename_compute" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber").as("line_no"),
+          (dec2(col("l_extendedprice")) * (oneD - rate2(col("l_discount"))))
+            .cast(DecimalType(18, 4)).as("revenue"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — order by
+        // every output column for a total order over row multisets.
+        .orderBy(col("l_orderkey").asc, col("line_no").asc, col("revenue").asc)
+    },
+
+    "filter_conjunctive" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter((col("l_discount") > 0.05 && col("l_quantity") < 10.0) ||
+          !(col("l_returnflag") === "A"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_returnflag").asc, col("l_quantity").asc)
+    },
+
+    "filter_in_between_null" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(10.0, 20.0) &&
+          !col("l_quantity").isNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(nullif(col("l_linestatus"), lit("F")), lit("was_F"))
+            .as("status_or"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("status_or").asc)
+    },
+
+    "filter_like_regex" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").like("PROMO%") &&
+          col("p_brand").rlike("Brand#\\d$"))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+        .orderBy(col("p_partkey").asc)
+    },
+
+    "distinct_rows" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+    },
+
+    // ---- §2.F sorts / limits ----
+    "sort_multi_col" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+    },
+
+    "limit_topk_global" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+        .limit(25)
+    },
+
+    // ---- §2.G set operations ----
+    "set_union_all" -> { (s, d) =>
+      custSliceA(s, d).union(custSliceB(s, d))
+        .orderBy(col("c_custkey").asc, col("c_name").asc)
+    },
+
+    "set_union_distinct" -> { (s, d) =>
+      custSliceA(s, d).union(custSliceB(s, d)).distinct()
+        .orderBy(col("c_custkey").asc, col("c_name").asc)
+    },
+
+    "set_intersect" -> { (s, d) =>
+      custSliceA(s, d).intersect(custSliceB(s, d))
+        .orderBy(col("c_custkey").asc, col("c_name").asc)
+    },
+
+    "set_except" -> { (s, d) =>
+      custSliceA(s, d).except(custSliceB(s, d))
+        .orderBy(col("c_custkey").asc, col("c_name").asc)
+    },
+
+    "set_intersect_all" -> { (s, d) =>
+      custSliceA(s, d).intersectAll(custSliceB(s, d))
+        .orderBy(col("c_custkey").asc, col("c_name").asc)
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "proj_select_rename_compute" ->
+      """SELECT l_orderkey, l_linenumber AS line_no,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, line_no ASC NULLS FIRST, revenue ASC NULLS FIRST""".stripMargin,
+
+    "filter_conjunctive" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE (l_discount > 0.05 AND l_quantity < 10.0) OR NOT (l_returnflag = 'A')
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |         l_returnflag ASC NULLS FIRST, l_quantity ASC NULLS FIRST""".stripMargin,
+
+    "filter_in_between_null" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       coalesce(nullif(l_linestatus, 'F'), 'was_F') AS status_or
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_quantity BETWEEN 10.0 AND 20.0
+        |  AND l_quantity IS NOT NULL
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST, status_or ASC NULLS FIRST""".stripMargin,
+
+    "filter_like_regex" ->
+      """SELECT p_partkey, p_brand, p_type
+        |FROM part
+        |WHERE p_type LIKE 'PROMO%' AND regexp_matches(p_brand, 'Brand#\d$')
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+
+    "distinct_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "sort_multi_col" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "limit_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+        |LIMIT 25""".stripMargin,
+
+    "set_union_all" ->
+      s"""SELECT * FROM ($sliceASql UNION ALL $sliceBSql) t
+         |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin,
+
+    "set_union_distinct" ->
+      s"""SELECT * FROM ($sliceASql UNION $sliceBSql) t
+         |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin,
+
+    "set_intersect" ->
+      s"""SELECT * FROM ($sliceASql INTERSECT $sliceBSql) t
+         |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin,
+
+    "set_except" ->
+      s"""SELECT * FROM ($sliceASql EXCEPT $sliceBSql) t
+         |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin,
+
+    "set_intersect_all" ->
+      s"""SELECT * FROM ($sliceASql INTERSECT ALL $sliceBSql) t
+         |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin
+  )
+}

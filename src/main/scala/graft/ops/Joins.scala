@@ -1,0 +1,237 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — join operators.
+  *
+  * Scale notes (100 TB):
+  *  - Equi-joins declare only the logical join; Catalyst's JoinSelection picks
+  *    broadcast-hash for dims under `autoBroadcastJoinThreshold` and
+  *    sort-merge for fact⋈fact. We force the physical only where the
+  *    inventory demands it (`broadcast()` / `hint("merge")`).
+  *  - `join_theta_range` is a banded non-equi join. At scale the BNLJ is only
+  *    viable because the build side (supplier) is broadcastable; a
+  *    fact⋈fact band join would instead bucketize acctbal into
+  *    floor(bal/width) keys and equi-join on adjacent buckets — documented
+  *    here as the scale path, not needed at these dims.
+  *  - `join_interval` equi-joins would-be-range pairs through a derived
+  *    bucket key (date_trunc hour) so the range condition only runs within a
+  *    bucket — the standard interval-join decomposition.
+  *  - `join_asof` uses the union/window formulation: shuffle both sides once
+  *    by (user), sort by ts, row_number — no per-probe scan, no driver loop.
+  */
+object Joins {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "join_inner_equi" -> { (s, d) =>
+      Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"))
+        .orderBy(col("o_orderkey").asc)
+    },
+
+    "join_broadcast" -> { (s, d) =>
+      Tables.lineitem(s, d).join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"), "inner")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand").asc)
+    },
+
+    "join_sortmerge" -> { (s, d) =>
+      Tables.lineitem(s, d).hint("merge").join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus").asc)
+    },
+
+    "join_left_outer" -> { (s, d) =>
+      Tables.customer(s, d).join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey").asc)
+    },
+
+    "join_right_outer" -> { (s, d) =>
+      Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "right_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    },
+
+    "join_full_outer" -> { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_custkey") < 600)
+      val o = Tables.orders(s, d)
+        .filter(col("o_custkey") >= 400 && col("o_custkey") < 800)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    },
+
+    "join_left_semi" -> { (s, d) =>
+      Tables.customer(s, d).join(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey").asc)
+    },
+
+    "join_left_anti" -> { (s, d) =>
+      Tables.customer(s, d).join(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey").asc)
+    },
+
+    "join_cross" -> { (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+        .orderBy(col("r_regionkey").asc, col("n_nationkey").asc)
+    },
+
+    "join_theta_range" -> { (s, d) =>
+      Tables.supplier(s, d).join(Tables.customer(s, d),
+          col("s_acctbal") > col("c_acctbal") - 10.0 &&
+            col("s_acctbal") < col("c_acctbal"))
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy(col("s_suppkey").asc, col("c_custkey").asc)
+    },
+
+    "join_interval" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val buckets = ev.select(date_trunc("hour", col("ts")).as("h")).distinct()
+      ev.as("e").join(buckets.as("b"),
+          col("e.ts") >= col("b.h") &&
+            col("e.ts") < col("b.h") + expr("INTERVAL 30 MINUTES"))
+        .groupBy(col("b.h").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("h").asc)
+    },
+
+    "join_asof" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("user_id")).distinct()
+        .withColumn("p_ts", explode(array(
+          lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+          lit("2024-01-20 00:00:00").cast("timestamp_ntz"))))
+      val w = Window.partitionBy(col("p.user_id"), col("p_ts"))
+        .orderBy(col("e.ts").desc_nulls_last, col("e.event_id").desc_nulls_last)
+      probes.as("p").join(ev.as("e"),
+          col("p.user_id") === col("e.user_id") && col("e.ts") <= col("p_ts"),
+          "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p.user_id").as("user_id"), col("p_ts"),
+          col("e.event_id").as("event_id"), col("e.ts").as("ts"))
+        .orderBy(col("user_id").asc, col("p_ts").asc)
+    },
+
+    "join_self" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.ts") > col("a.ts") &&
+            col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("a.user_id").as("user_id"),
+          col("a.event_id").as("eid_a"), col("b.event_id").as("eid_b"))
+        .orderBy(col("eid_a").asc, col("eid_b").asc)
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "join_inner_equi" ->
+      """SELECT o_orderkey, c_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+
+    "join_sortmerge" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "join_right_outer" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM (SELECT * FROM customer WHERE c_custkey < 600) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey >= 400 AND o_custkey < 800) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT s_suppkey, c_custkey
+        |FROM supplier JOIN customer
+        |  ON s_acctbal > c_acctbal - 10.0 AND s_acctbal < c_acctbal
+        |ORDER BY s_suppkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "join_interval" ->
+      """WITH b AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events)
+        |SELECT b.h AS h, count(*) AS n_events
+        |FROM events e JOIN b ON e.ts >= b.h AND e.ts < b.h + INTERVAL 30 MINUTE
+        |GROUP BY b.h
+        |ORDER BY h ASC NULLS FIRST""".stripMargin,
+
+    "join_asof" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id, p_ts
+        |  FROM events, (VALUES (TIMESTAMP '2024-01-10 00:00:00'),
+        |                       (TIMESTAMP '2024-01-20 00:00:00')) v(p_ts)
+        |), j AS (
+        |  SELECT p.user_id, p.p_ts, e.event_id, e.ts,
+        |         row_number() OVER (PARTITION BY p.user_id, p.p_ts
+        |                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
+        |  FROM probes p LEFT JOIN events e ON e.user_id = p.user_id AND e.ts <= p.p_ts
+        |)
+        |SELECT user_id, p_ts, event_id, ts FROM j WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, p_ts ASC NULLS FIRST""".stripMargin,
+
+    "join_self" ->
+      """SELECT a.user_id AS user_id, a.event_id AS eid_a, b.event_id AS eid_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY eid_a ASC NULLS FIRST, eid_b ASC NULLS FIRST""".stripMargin
+  )
+}
