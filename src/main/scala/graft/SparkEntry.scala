@@ -15,7 +15,8 @@ object SparkEntry {
       (ops.Sources.queries, ops.Sources.oracles),
       (ops.Basics.queries, ops.Basics.oracles),
       (ops.Joins.queries, ops.Joins.oracles),
-      (ops.Aggregates.queries, ops.Aggregates.oracles)
+      (ops.Aggregates.queries, ops.Aggregates.oracles),
+      (ops.Windows.queries, ops.Windows.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -41,6 +41,100 @@ object Aggregates {
           sum(dec2(col("l_extendedprice")) * (oneD - rate2(col("l_discount"))) * (oneD + rate2(col("l_tax")))).cast(DecimalType(38, 6)).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "agg_having" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey").asc)
+    },
+
+    "agg_count_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type").asc)
+    },
+
+    // HLL sketches differ across engines — no oracle; driver records a
+    // rows-only check, ScalaTest bounds it against the exact count.
+    "agg_approx_distinct" -> { (s, d) =>
+      Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(approx_count_distinct(col("s_suppkey"), 0.02).as("approx_suppliers"))
+        .orderBy(col("s_nationkey").asc)
+    },
+
+    "agg_grouping_sets" -> { (s, d) =>
+      val v = Tables.lineitem(s, d)
+      v.createOrReplaceTempView("graft_li_gsets")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+          |FROM graft_li_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_flag ASC, g_status ASC,
+          |         l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    "agg_rollup" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    "agg_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    "agg_collect_sorted" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"))
+        .orderBy(col("o_custkey").asc)
+    },
+
+    "agg_first_last_minmax_by" -> { (s, d) =>
+      // argmax with deterministic tie-break: max over struct orders by
+      // (price, name) lexicographically — ties on price resolve by name.
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(max(struct(col("p_retailprice"), col("p_name"))).as("mx"),
+          min(struct(col("p_retailprice"), col("p_name"))).as("mn"))
+        .select(col("p_brand"),
+          col("mx.p_retailprice").as("max_price"), col("mx.p_name").as("max_name"),
+          col("mn.p_retailprice").as("min_price"), col("mn.p_name").as("min_name"))
+        .orderBy(col("p_brand").asc)
+    },
+
+    "agg_stddev_var" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_pop(col("l_quantity")), 6).as("vp_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc)
+    },
+
+    "agg_percentile" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("o_orderstatus").asc)
     }
   )
 
@@ -63,6 +157,82 @@ object Aggregates {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 15
+        |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag ASC, g_status ASC,
+        |         l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey, list(o_orderpriority ORDER BY o_orderpriority ASC) AS prios
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin,
+
+    "agg_first_last_minmax_by" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_retailprice, p_name,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_name DESC) AS rx,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_name ASC) AS r02
+        |  FROM part)
+        |SELECT mx.p_brand,
+        |       mx.p_retailprice AS max_price, mx.p_name AS max_name,
+        |       mn.p_retailprice AS min_price, mn.p_name AS min_name
+        |FROM (SELECT * FROM r WHERE rx = 1) mx
+        |JOIN (SELECT * FROM r WHERE r02 = 1) mn USING (p_brand)
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+
+    "agg_stddev_var" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       round(var_pop(l_quantity), 6) AS vp_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
   )
 }

@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.dec2
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.E — window functions.
+  *
+  * Scale notes (100 TB): every window here partitions by a grouping key
+  * (customer/user/brand) so the sort is per-partition after one hash shuffle —
+  * never a global sort. Skewed partitions (a user with millions of events)
+  * would need the two-level trick (pre-aggregate or salt + re-window); the
+  * fixture keys are uniform so the plain form is the right plan.
+  *
+  * Determinism: every ORDER BY inside a window carries a unique tie-break key
+  * (orderkey/event_id) so row_number/ntile/frames are total; running sums use
+  * exact decimal; moving averages divide two exact quantities in double
+  * (identical IEEE ops in both engines).
+  */
+object Windows {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "win_row_number_topk" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey").asc, col("rn").asc)
+    },
+
+    "win_rank_dense" -> { (s, d) =>
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy(col("p_brand").asc, col("p_retailprice").desc, col("p_partkey").asc)
+    },
+
+    "win_ntile_percent" -> { (s, d) =>
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey").asc)
+    },
+
+    "win_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          // exact µs arithmetic: Spark long-cast truncates sub-second parts
+          // while DuckDB's epoch()::BIGINT rounds — integers avoid both.
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))).as("gap_us"),
+          lead(col("event_id"), 1).over(w).as("next_event"))
+        .orderBy(col("user_id").asc, col("event_id").asc)
+    },
+
+    "win_running_sum_rows" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(38, 2)).as("run_total"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    },
+
+    "win_moving_avg_rows" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (sum(dec2(col("value"))).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")).as("mov_avg"))
+        .orderBy(col("user_id").asc, col("event_id").asc)
+    },
+
+    "win_range_frame" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_last30"),
+          sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(38, 2)).as("sum_last30"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    },
+
+    "win_first_last_value" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "win_row_number_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "win_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |       rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+        |       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+        |FROM part
+        |ORDER BY p_brand ASC NULLS FIRST, p_retailprice DESC NULLS LAST, p_partkey ASC NULLS FIRST""".stripMargin,
+
+    "win_ntile_percent" ->
+      """SELECT c_custkey, c_acctbal,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT user_id, event_id,
+        |       epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+        |       lead(event_id, 1) OVER w AS next_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+
+    "win_running_sum_rows" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_total
+        |FROM orders
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "win_moving_avg_rows" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) /
+        |       CAST(count(*) OVER w AS DOUBLE) AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       count(*) OVER w AS n_last30,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS sum_last30
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "win_first_last_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       last_value(o_orderkey) OVER w AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+  )
+}
