@@ -16,7 +16,8 @@ object SparkEntry {
       (ops.Basics.queries, ops.Basics.oracles),
       (ops.Joins.queries, ops.Joins.oracles),
       (ops.Aggregates.queries, ops.Aggregates.oracles),
-      (ops.Windows.queries, ops.Windows.oracles)
+      (ops.Windows.queries, ops.Windows.oracles),
+      (ops.Scalars.queries, ops.Scalars.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

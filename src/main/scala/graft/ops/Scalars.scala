@@ -1,0 +1,257 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.H — scalar function surface: string / date / timestamp /
+  * math / conditional / array / map / JSON.
+  *
+  * Scale notes (100 TB): every expression here is a built-in Catalyst
+  * expression inside whole-stage codegen — no UDFs, so these run at scan
+  * speed and never break the codegen span. Cross-engine rules: integer or
+  * exact-decimal arithmetic wherever possible; transcendentals (ln) rounded
+  * to 6 dp; sub-second timestamps handled in exact integer microseconds.
+  */
+object Scalars {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "str_basic" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up_name"),
+          lower(col("c_mktsegment")).as("lo_seg"),
+          trim(concat(lit("  "), col("c_name"), lit(" "))).as("trimmed"),
+          substring(col("c_name"), 1, 8).as("prefix8"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"))
+        .orderBy(col("c_custkey").asc)
+    },
+
+    "str_split_regexp" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          split(col("p_name"), " ").as("name_tokens"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"))
+        .orderBy(col("p_partkey").asc)
+    },
+
+    "str_replace_pad" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+          translate(col("c_name"), "#0", "-_").as("translated"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"))
+        .orderBy(col("c_custkey").asc)
+    },
+
+    "date_extract_trunc" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow1"), // 1=Sunday .. 7=Saturday
+          quarter(col("o_orderdate")).as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .orderBy(col("o_orderkey").asc)
+    },
+
+    "date_arith" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"),
+          add_months(col("o_orderdate"), 3).as("plus3mo"),
+          last_day(col("o_orderdate")).as("eom"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("ship_lag_days").asc)
+    },
+
+    "ts_unix_convert" -> { (s, d) =>
+      val ts = col("ts").cast("timestamp")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          unix_micros(ts).as("epoch_us"),
+          (unix_micros(ts) / lit(1000000L)).cast("long").as("epoch_s"),
+          timestamp_micros(unix_micros(ts)).cast("timestamp_ntz").as("ts_rt"))
+        .orderBy(col("event_id").asc)
+    },
+
+    "math_basic" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_disc"),
+          ceil(col("l_extendedprice")).as("ceil_price"),
+          floor(col("l_extendedprice")).as("floor_price"),
+          pmod(col("l_partkey"), lit(7)).as("mod7"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          sqrt(col("l_quantity") * col("l_quantity")).as("sqrt_sq"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("abs_disc").asc, col("qty_sq").asc, col("ln_price").asc)
+    },
+
+    "cond_case_coalesce" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000.0, "high")
+            .when(col("o_totalprice") > 150000.0, "mid")
+            .otherwise("low").as("tier"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_c"),
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("is_urgent"))
+        .orderBy(col("o_orderkey").asc)
+    },
+
+    "arr_explode_contains" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)),
+          size(col("embedding")).as("dim"),
+          array_contains(col("embedding"), element_at(col("embedding"), 1)).as("has_first"))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("val"),
+          col("dim"), col("has_first"))
+        .orderBy(col("vec_id").asc, col("pos").asc)
+    },
+
+    "arr_transform_filter" -> { (s, d) =>
+      val emb4d = expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2)").as("doubled"),
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+          round(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"), 6).as("ssum"))
+        .orderBy(col("vec_id").asc)
+    },
+
+    "map_ops" -> { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(map_from_entries(collect_list(struct(col("n_name"), col("n_nationkey")))).as("m"))
+        .select(col("n_regionkey"),
+          size(col("m")).as("map_size"),
+          sort_array(map_keys(col("m"))).as("keys_sorted"),
+          element_at(col("m"), "NATION_3").as("lookup_n3"))
+        .orderBy(col("n_regionkey").asc)
+    },
+
+    "json_get_parse" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_int"))
+        .orderBy(col("event_id").asc)
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "str_basic" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS up_name,
+        |       lower(c_mktsegment) AS lo_seg,
+        |       trim('  ' || c_name || ' ') AS trimmed,
+        |       substring(c_name, 1, 8) AS prefix8,
+        |       length(c_name) AS name_len,
+        |       concat_ws('|', c_mktsegment, c_name) AS seg_name
+        |FROM customer
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "str_split_regexp" ->
+      """SELECT p_partkey,
+        |       string_split(p_name, ' ') AS name_tokens,
+        |       regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num
+        |FROM part
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+
+    "str_replace_pad" ->
+      """SELECT c_custkey,
+        |       replace(c_name, 'Customer', 'Cust') AS short_name,
+        |       translate(c_name, '#0', '-_') AS translated,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+        |FROM customer
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "date_extract_trunc" ->
+      """SELECT o_orderkey,
+        |       year(o_orderdate) AS yr,
+        |       month(o_orderdate) AS mo,
+        |       dayofmonth(o_orderdate) AS dom,
+        |       dayofweek(o_orderdate) + 1 AS dow1,
+        |       quarter(o_orderdate) AS qtr,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "date_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS ship_lag_days,
+        |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |         ship_lag_days ASC NULLS FIRST""".stripMargin,
+
+    "ts_unix_convert" ->
+      """SELECT event_id,
+        |       epoch_us(ts) AS epoch_us,
+        |       epoch_us(ts) // 1000000 AS epoch_s,
+        |       make_timestamp(epoch_us(ts)) AS ts_rt
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+
+    "math_basic" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS abs_disc,
+        |       ceil(l_extendedprice) AS ceil_price,
+        |       floor(l_extendedprice) AS floor_price,
+        |       l_partkey % 7 AS mod7,
+        |       pow(l_quantity, 2) AS qty_sq,
+        |       round(ln(l_extendedprice), 6) AS ln_price,
+        |       sqrt(l_quantity * l_quantity) AS sqrt_sq
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |         abs_disc ASC NULLS FIRST, qty_sq ASC NULLS FIRST, ln_price ASC NULLS FIRST""".stripMargin,
+
+    "cond_case_coalesce" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000.0 THEN 'high'
+        |            WHEN o_totalprice > 150000.0 THEN 'mid'
+        |            ELSE 'low' END AS tier,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_c,
+        |       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+        |FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "arr_explode_contains" ->
+      """SELECT vec_id, i AS pos, embedding[i] AS val,
+        |       len(embedding) AS dim,
+        |       list_contains(embedding, embedding[1]) AS has_first
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 5)) AS i) t
+        |ORDER BY vec_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,
+
+    "arr_transform_filter" ->
+      """SELECT vec_id,
+        |       list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2) AS doubled,
+        |       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> a + x), 6) AS ssum
+        |FROM embeddings
+        |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+
+    "map_ops" ->
+      """SELECT n_regionkey,
+        |       count(*) AS map_size,
+        |       list(n_name ORDER BY n_name ASC) AS keys_sorted,
+        |       max(CASE WHEN n_name = 'NATION_3' THEN n_nationkey END) AS lookup_n3
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin,
+
+    "json_get_parse" ->
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin
+  )
+}
