@@ -17,7 +17,8 @@ object SparkEntry {
       (ops.Joins.queries, ops.Joins.oracles),
       (ops.Aggregates.queries, ops.Aggregates.oracles),
       (ops.Windows.queries, ops.Windows.oracles),
-      (ops.Scalars.queries, ops.Scalars.oracles)
+      (ops.Scalars.queries, ops.Scalars.oracles),
+      (ops.LlmOps.queries, ops.LlmOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

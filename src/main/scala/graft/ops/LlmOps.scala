@@ -1,0 +1,446 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.J — LLM-training-data pipeline operators: deduplication
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+  * (brute-force and LSH-bucketed ANN), embedding math, text analysis
+  * (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * Scale notes (100 TB):
+  *  - Exact dedup is a hash shuffle on the digest — linear, no driver state.
+  *  - MinHash-LSH replaces the O(n²) pair space with band-bucket equi-joins:
+  *    candidates = self-join on (band_idx, band_hash), then exact-Jaccard
+  *    verify on candidates only. Band parameters (32 bands × 2 rows) give
+  *    P(miss) = (1 - s²)³² < 1e-14 at s ≥ 0.8 — recall is deterministic-in-
+  *    practice while candidate volume stays ~linear for low-similarity
+  *    corpora. This is THE scale path; brute-force Jaccard below exists as
+  *    the small-data oracle twin.
+  *  - Brute-force cosine top-k is quadratic and kept only as the baseline;
+  *    `llm_sim_ann_lsh` shows the random-hyperplane bucketing that bounds
+  *    the pair space at scale.
+  *  - All text kernels are Catalyst higher-order functions — distributed,
+  *    no UDF serialization, no driver loops.
+  */
+object LlmOps {
+
+  /** Distinct word 3-gram shingles of lower(text); empty when < 3 tokens. */
+  private val shinglesExpr =
+    """array_distinct(CASE WHEN size(split(lower(text), ' ')) >= 3
+      |  THEN transform(sequence(0, size(split(lower(text), ' ')) - 3),
+      |       i -> concat_ws(' ', split(lower(text), ' ')[i],
+      |                           split(lower(text), ' ')[i+1],
+      |                           split(lower(text), ' ')[i+2]))
+      |  ELSE array() END)""".stripMargin.replace("\n", " ")
+
+  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), expr(shinglesExpr).as("sh"))
+
+  /** doc pairs (a < b) with exact 3-gram Jaccard. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+  }
+
+  /** Embeddings as double vectors with precomputed sum of squares. */
+  private def embDouble(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("ssq",
+        expr("aggregate(emb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
+
+  /** Cosine over precomputed (emb, ssq) pair columns — identical operation
+    * order to DuckDB's list_cosine_similarity after double promotion
+    * (parity verified, SURVEY.md §5.3). */
+  private val cosExpr: Column =
+    (expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)") /
+      (sqrt(col("ssq_a")) * sqrt(col("ssq_b"))))
+
+  private def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    val e = embDouble(s, d)
+    val a = e.select(col("vec_id").as("va"), col("label").as("label_a"),
+      col("emb").as("emb_a"), col("ssq").as("ssq_a"))
+    val b = e.select(col("vec_id").as("vb"), col("label").as("label_b"),
+      col("emb").as("emb_b"), col("ssq").as("ssq_b"))
+    a.join(b, col("va") < col("vb")).withColumn("cos_sim", round(cosExpr, 6))
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "llm_dedup_exact" -> { (s, d) =>
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("h", sha2(lower(trim(col("text"))), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("h"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    "llm_dedup_minhash" -> { (s, d) =>
+      // signature: 64 minhashes; banded 32×2 for candidates; exact verify.
+      val sh = docsWithShingles(s, d).filter(size(col("sh")) > 0)
+      val sig = sh.withColumn("sig",
+        expr("transform(sequence(0, 63), i -> array_min(transform(sh, t -> xxhash64(t, i))))"))
+      val bands = sig.select(col("doc_id"), col("sh"),
+          posexplode(expr("transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 2 + 1, 2)))")))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+        .distinct()
+      cand.withColumn("jac",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    "llm_dedup_ngram_jaccard" -> { (s, d) =>
+      // brute-force twin of the LSH path: exact 3-gram Jaccard, all pairs.
+      jaccardPairs(docsWithShingles(s, d))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // SimHash: 64-bit signature from unigram hashes; near-dup candidates by
+    // 16-bit band collision, confirmed by Hamming distance <= 6. xxhash64 has
+    // no DuckDB twin — validated by LlmOpsSpec instead (rows-only here).
+    "llm_dedup_simhash" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("array_distinct(split(lower(text), ' '))").as("toks"))
+        .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+            |  acc + CASE WHEN aggregate(hs, 0, (c, h) ->
+            |    c + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+            |  THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"""
+            .stripMargin.replace("\n", " ")))
+      val banded = docs.select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    "llm_sim_topk" -> { (s, d) =>
+      cosinePairs(s, d)
+        .select(col("va"), col("vb"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("va").asc, col("vb").asc)
+        .limit(10)
+    },
+
+    "llm_sim_threshold_join" -> { (s, d) =>
+      cosinePairs(s, d)
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("va"), col("vb"), col("cos_sim"),
+          (col("label_a") === col("label_b")).as("same_label"))
+        .orderBy(col("va").asc, col("vb").asc)
+    },
+
+    // ANN via random-hyperplane LSH: 8 sign bits from pseudo-random
+    // hyperplanes (hash-derived, deterministic), candidates share a bucket.
+    // Recall < 1 by construction → rows-only check + LlmOpsSpec subset test.
+    "llm_sim_ann_lsh" -> { (s, d) =>
+      val planes = expr(
+        """transform(sequence(0, 7), p -> aggregate(
+          |  zip_with(emb, transform(sequence(0, 63), j ->
+          |    CAST(pmod(xxhash64(p * 64 + j), 2000) - 1000 AS DOUBLE) / 1000.0),
+          |    (x, r) -> x * r), CAST(0 AS DOUBLE), (a, x) -> a + x))"""
+          .stripMargin.replace("\n", " "))
+      val e = embDouble(s, d)
+        .withColumn("dots", planes)
+        .withColumn("bucket", expr(
+          "aggregate(sequence(0, 7), 0, (acc, p) -> acc * 2 + CASE WHEN dots[p] > 0 THEN 1 ELSE 0 END)"))
+      val a = e.select(col("bucket"), col("vec_id").as("va"),
+        col("emb").as("emb_a"), col("ssq").as("ssq_a"))
+      val b = e.select(col("bucket"), col("vec_id").as("vb"),
+        col("emb").as("emb_b"), col("ssq").as("ssq_b"))
+      a.join(b, Seq("bucket")).filter(col("va") < col("vb"))
+        .withColumn("cos_sim", round(cosExpr, 6))
+        .filter(col("cos_sim") >= 0.3)
+        .select(col("va"), col("vb"), col("cos_sim"))
+        .orderBy(col("va").asc, col("vb").asc)
+    },
+
+    "llm_embed_normalize" -> { (s, d) =>
+      embDouble(s, d)
+        .select(col("vec_id"),
+          expr("transform(emb, x -> round(x / sqrt(ssq), 6))").as("unit_vec"),
+          round(sqrt(col("ssq")), 6).as("l2_norm"))
+        .orderBy(col("vec_id").asc)
+    },
+
+    "llm_text_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_tokens")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang").asc)
+    },
+
+    "llm_tokenize_tf" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("term").asc)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("term"), col("cnt"))
+        .orderBy(col("lang").asc, col("rn").asc)
+    },
+
+    "llm_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("term"), col("score"))
+        .orderBy(col("doc_id").asc, col("rn").asc)
+    },
+
+    "llm_lang_id" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))")
+            .cast("double") / size(col("toks")).cast("double"))
+        .select(col("doc_id"), col("lang"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          when(col("stop_ratio") > 0.05, "en").otherwise("xx").as("lang_guess"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    "llm_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("ttr",
+          expr("size(array_distinct(toks))").cast("double") / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'))")
+            .cast("double") / col("n_toks"))
+        .select(col("doc_id"),
+          round(least(lit(1.0), col("n_toks") / 50.0) * 0.4 +
+            col("ttr") * 0.3 + col("stop_ratio") * 0.3, 6).as("quality"),
+          round(col("ttr"), 6).as("ttr"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    "llm_token_count_bpe" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"),
+          (col("n_chars").cast("double") /
+            size(split(col("text"), " ")).cast("double")).as("chars_per_token"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    "llm_fingerprint" -> { (s, d) =>
+      // polynomial rolling hash over characters — exact integer arithmetic,
+      // reproducible in any engine (mod 1e9+7 keeps the fold in i64 range).
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("""aggregate(transform(split(text, ''), c -> ascii(c)),
+            | CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007)"""
+            .stripMargin.replace("\n", " ")).as("fingerprint"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    "llm_multimodal_join" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val ev = Tables.events(s, d)
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .join(ev, col("doc_id") === col("event_id"))
+        .withColumn("packed", struct(col("lang"), col("label"), col("event_type")))
+        .select(col("doc_id"), col("packed.lang").as("lang"),
+          col("packed.label").as("label"),
+          col("packed.event_type").as("event_type"),
+          col("n_chars"), size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id").asc)
+    }
+  )
+
+  private val duckShingles =
+    """list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+      | i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1] || ' ' || string_split(lower(text), ' ')[i+2]))"""
+      .stripMargin.replace("\n", "")
+
+  private val duckJaccardPairs =
+    s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE AS j
+       |      FROM t a JOIN t b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val duckCosPairs =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label_a, b.label AS label_b,
+      |             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+      |      FROM e a JOIN e b ON a.vec_id < b.vec_id)""".stripMargin
+
+  val oracles: Seq[(String, String)] = Seq(
+    "llm_dedup_exact" ->
+      """SELECT doc_id, lang, h FROM (
+        |  SELECT doc_id, lang, sha256(lower(trim(text))) AS h,
+        |         row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+        |                            ORDER BY doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // LSH with 32 bands × 2 rows has P(miss) < 1e-14 for the s >= 0.8 pairs
+    // present in the fixture (no pairs live in [0.2, 0.8) — verified), so the
+    // exhaustive-pairs oracle is exact for this data.
+    "llm_dedup_minhash" ->
+      s"""$duckJaccardPairs
+         |SELECT doc_a, doc_b, round(j, 6) AS jac FROM p WHERE j >= 0.5
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    "llm_dedup_ngram_jaccard" ->
+      s"""$duckJaccardPairs
+         |SELECT doc_a, doc_b, round(j, 6) AS jac FROM p WHERE j >= 0.5
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    "llm_sim_topk" ->
+      s"""$duckCosPairs
+         |SELECT va, vb, cos_sim FROM p
+         |ORDER BY cos_sim DESC NULLS LAST, va ASC, vb ASC
+         |LIMIT 10""".stripMargin,
+
+    "llm_sim_threshold_join" ->
+      s"""$duckCosPairs
+         |SELECT va, vb, cos_sim, label_a = label_b AS same_label FROM p
+         |WHERE cos_sim >= 0.4
+         |ORDER BY va ASC NULLS FIRST, vb ASC NULLS FIRST""".stripMargin,
+
+    "llm_embed_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |             list_reduce(list_transform(emb, x -> x * x), (a, x) -> a + x) AS ssq
+        |      FROM e)
+        |SELECT vec_id,
+        |       list_transform(emb, x -> round(x / sqrt(ssq), 6)) AS unit_vec,
+        |       round(sqrt(ssq), 6) AS l2_norm
+        |FROM n
+        |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+        |       max(len(string_split(text, ' '))) AS max_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+
+    "llm_tokenize_tf" ->
+      """WITH terms AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tc AS (SELECT lang, term, count(*) AS cnt FROM terms GROUP BY lang, term),
+        |r AS (SELECT lang, term, cnt,
+        |             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rn
+        |      FROM tc)
+        |SELECT lang, rn, term, cnt FROM r WHERE rn <= 20
+        |ORDER BY lang ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "llm_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |             round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+        |      FROM s)
+        |SELECT doc_id, rn, term, score FROM r WHERE rn <= 5
+        |ORDER BY doc_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "llm_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))::DOUBLE /
+        |  len(string_split(lower(text), ' '))::DOUBLE AS stop_ratio
+        |FROM documents)
+        |SELECT doc_id, lang, round(stop_ratio, 6) AS stop_ratio,
+        |       CASE WHEN stop_ratio > 0.05 THEN 'en' ELSE 'xx' END AS lang_guess
+        |FROM t
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split(lower(text), ' ') AS toks,
+        |  len(string_split(lower(text), ' '))::DOUBLE AS n_toks
+        |FROM documents)
+        |SELECT doc_id,
+        |       round(least(1.0, n_toks / 50.0) * 0.4 +
+        |             (len(list_distinct(toks))::DOUBLE / n_toks) * 0.3 +
+        |             (len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'))::DOUBLE / n_toks) * 0.3,
+        |             6) AS quality,
+        |       round(len(list_distinct(toks))::DOUBLE / n_toks, 6) AS ttr
+        |FROM t
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_token_count_bpe" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+        |       CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS chars_per_token
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce([0] || list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+        |                   (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_multimodal_join" ->
+      """SELECT doc_id, lang, label, event_type, n_chars, len(embedding) AS dim
+        |FROM documents
+        |JOIN embeddings ON doc_id = vec_id
+        |JOIN events ON doc_id = event_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  )
+}
