@@ -18,7 +18,9 @@ object SparkEntry {
       (ops.Aggregates.queries, ops.Aggregates.oracles),
       (ops.Windows.queries, ops.Windows.oracles),
       (ops.Scalars.queries, ops.Scalars.oracles),
-      (ops.LlmOps.queries, ops.LlmOps.oracles)
+      (ops.LlmOps.queries, ops.LlmOps.oracles),
+      (ops.Udfs.queries, ops.Udfs.oracles),
+      (ops.StreamBatch.queries, ops.StreamBatch.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.I — batch-equivalent forms of the streaming aggregations.
+  *
+  * Structured Streaming's core guarantee is batch-stream equivalence: the
+  * same `window()` / `session_window()` / dedup transform over a static
+  * DataFrame produces exactly what the streaming query emits after all
+  * watermarks close. These queries pin that batch semantics against the
+  * DuckDB oracle; `graft.streaming.StreamingSpec` replays the same
+  * transforms through MemoryStream and asserts equality with these results.
+  *
+  * Scale notes (100 TB): tumbling windows aggregate with map-side partials
+  * (key = (bucket, type)); session windows shuffle once by user and
+  * sort-merge sessions per key — both are the plans the streaming engine
+  * uses incrementally with state stores.
+  */
+object StreamBatch {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "stream_tumbling_agg_batch" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy(col("win_start").asc, col("event_type").asc)
+    },
+
+    "stream_session_agg_batch" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id").asc, col("session_start").asc)
+    },
+
+    "stream_dedup_batch" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id").asc, col("event_type").asc)
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "stream_tumbling_agg_batch" ->
+      """SELECT time_bucket(INTERVAL '1 minute', ts) AS win_start, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value
+        |FROM events
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    // Session semantics: a gap of exactly the 30-minute timeout starts a NEW
+    // session (Spark session windows are [start, last+gap) half-open).
+    "stream_session_agg_batch" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM y
+        |GROUP BY user_id, sid
+        |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin,
+
+    "stream_dedup_batch" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
+  )
+}
