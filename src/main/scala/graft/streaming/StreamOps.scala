@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming operator library (SURVEY.md §2.I).
+  *
+  * Every transform takes and returns a DataFrame so it composes identically
+  * over a static frame (batch-equivalence — pinned by the `stream_*_batch`
+  * oracle queries) and over `readStream`/MemoryStream input (pinned by
+  * StreamingSpec).
+  *
+  * Scale notes (100 TB stream): state is bounded by the watermark — every
+  * stateful op here requires one, so the state store evicts closed windows
+  * instead of growing forever. Keys partition the state store (user_id /
+  * event_type), so a 1000-executor cluster shards state horizontally.
+  * Sinks are idempotent: partitioned Parquet + checkpointed offsets give
+  * exactly-once end-to-end.
+  */
+object StreamOps {
+
+  /** Bytes/events per tumbling window per key. */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** 5-minute windows sliding every minute. */
+  def slidingAgg(events: DataFrame, window_ : String = "5 minutes",
+      slide: String = "1 minute", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Per-user sessions with a gap timeout. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  /** Drop duplicate event_ids within the watermark horizon. */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Enrich the stream with a static dimension table (broadcast join — the
+    * static side never re-shuffles the stream). */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
+  /** Stream-stream join: clicks ⋈ views by user within ±5 minutes, both
+    * sides watermarked so join state is evictable. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 5 MINUTES"))
+  }
+
+  case class UserCount(user_id: Long, n_events: Long, last_value: Double)
+
+  /** Arbitrary stateful processing: running per-user counters across
+    * micro-batches via flatMapGroupsWithState (update mode). */
+  def runningUserCounts(events: DataFrame): Dataset[UserCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "CAST(value AS DOUBLE) AS value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserCount, UserCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(user, 0L, 0.0))
+          var n = prev.n_events
+          var last = prev.last_value
+          rows.foreach { r => n += 1; last = r._2 }
+          val next = UserCount(user, n, last)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Exactly-once partitioned Parquet sink: append mode + checkpointed
+    * offsets; re-starting from the checkpoint never re-writes a committed
+    * batch. */
+  def startParquetSink(df: DataFrame, outPath: String, checkpoint: String,
+      partitionCols: Seq[String] = Seq.empty): StreamingQuery = {
+    val w = df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions (SURVEY.md §4): the scale-critical physical
+  * properties — pushdown, pruning, broadcast, top-k — must be visible in the
+  * optimized plan, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("src_scan_pruned reads only the two projected columns") {
+    val plan = physicalPlan("src_scan_pruned")
+    assert(plan.contains("ReadSchema"))
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"))
+  }
+
+  test("src_scan_partition_filter pushes the shipdate predicate to parquet") {
+    val plan = physicalPlan("src_scan_partition_filter")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(physicalPlan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sortmerge honors the merge hint") {
+    assert(physicalPlan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("limit_topk_global compiles to TakeOrderedAndProject (no full sort)") {
+    assert(physicalPlan("limit_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_groupby_pricing uses two-phase hash aggregation") {
+    val plan = physicalPlan("agg_groupby_pricing")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_"), "map-side partial aggregation missing")
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    // AQE finalizes the plan lazily — execute first, then inspect.
+    val df = SparkEntry.queries("agg_groupby_pricing")(spark, sf)
+    df.collect()
+    // in the finalized AQE plan, codegen stages appear as "*(n)" markers
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"),
+      s"no whole-stage codegen span in:\n$plan")
+  }
+
+  test("sortWithinPartitions plans a local (non-global) sort") {
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .sortWithinPartitions(col("l_orderkey"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort") && !plan.contains("Exchange rangepartitioning"),
+      s"expected partition-local sort without a range-exchange:\n$plan")
+  }
+
+  test("dimension join without hints auto-broadcasts under the threshold") {
+    val df = Tables.lineitem(spark, sf)
+      .join(Tables.nation(spark, sf), col("l_suppkey") % 25 === col("n_nationkey"))
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}

