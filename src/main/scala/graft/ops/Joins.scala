@@ -106,11 +106,17 @@ object Joins {
     },
 
     "join_interval" -> { (s, d) =>
+      // Interval-join decomposition: the candidate bucket for a row is a
+      // FUNCTION of its timestamp (hour truncation), so the range pair-up
+      // becomes an equi-join on the derived key plus a residual range
+      // filter. This turns an O(rows × intervals) BNLJ into one hash
+      // shuffle — the standard interval-join plan at scale.
       val ev = Tables.events(s, d)
       val buckets = ev.select(date_trunc("hour", col("ts")).as("h")).distinct()
-      ev.as("e").join(buckets.as("b"),
-          col("e.ts") >= col("b.h") &&
-            col("e.ts") < col("b.h") + expr("INTERVAL 30 MINUTES"))
+      ev.as("e")
+        .withColumn("e_h", date_trunc("hour", col("ts")))
+        .join(buckets.as("b"), col("e_h") === col("b.h"))
+        .filter(col("e.ts") < col("b.h") + expr("INTERVAL 30 MINUTES"))
         .groupBy(col("b.h").as("h"))
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("h").asc)

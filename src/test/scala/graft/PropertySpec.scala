@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Algebraic-law property tests (SURVEY.md §5.2 layer 3). ScalaCheck
+  * generators drive the cases with fixed seeds (the scalatest-scalacheck
+  * bridge artifact is not on the offline classpath, so sampling is
+  * explicit — which also keeps runs deterministic). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default.withSize(40)
+    (0 until n * 3).iterator
+      .flatMap(i => g.apply(params, org.scalacheck.rng.Seed(i.toLong)))
+      .take(n).toSeq
+  }
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOf(for {
+      k <- Gen.choose(0L, 20L)
+      s <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (k, s, v))
+
+  test("union-all count additivity") {
+    import spark.implicits._
+    for (Seq(xs, ys) <- samples(rowsGen, 10).grouped(2)) {
+      val a = xs.toDF("k", "s", "v"); val b = ys.toDF("k", "s", "v")
+      assert(a.union(b).count() === xs.length + ys.length)
+    }
+  }
+
+  test("distinct is idempotent and bounded by input size") {
+    import spark.implicits._
+    for (xs <- samples(rowsGen, 5)) {
+      val d = xs.toDF("k", "s", "v").distinct()
+      assert(d.count() === d.distinct().count())
+      assert(d.count() <= xs.length)
+    }
+  }
+
+  test("inner join is a subset of the cross join") {
+    import spark.implicits._
+    for (Seq(xs, ys) <- samples(rowsGen, 6).grouped(2)) {
+      val a = xs.toDF("k", "s", "v"); val b = ys.toDF("k2", "s2", "v2")
+      val joined = a.join(b, col("k") === col("k2")).count()
+      assert(joined <= xs.length.toLong * ys.length.toLong)
+    }
+  }
+
+  test("row_number is a bijection within each partition key") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (xs <- samples(rowsGen, 5) if xs.nonEmpty) {
+      val w = Window.partitionBy("k").orderBy(col("v").asc, col("s").asc)
+      val rn = xs.toDF("k", "s", "v").withColumn("rn", row_number().over(w))
+      val byKey = rn.groupBy("k").agg(count(lit(1)).as("n"),
+        min(col("rn")).as("lo"), max(col("rn")).as("hi"),
+        countDistinct(col("rn")).as("nd")).collect()
+      byKey.foreach { r =>
+        assert(r.getAs[Long]("lo") === 1L)
+        assert(r.getAs[Long]("hi") === r.getAs[Long]("n"))
+        assert(r.getAs[Long]("nd") === r.getAs[Long]("n"))
+      }
+    }
+  }
+
+  test("decimal aggregation is partition-order independent") {
+    import spark.implicits._
+    for (xs <- samples(rowsGen, 5) if xs.nonEmpty) {
+      val df = xs.toDF("k", "s", "v")
+      val s1 = df.repartition(1).agg(Tables.dsum(col("v"))).head.getDecimal(0)
+      val s7 = df.repartition(7).agg(Tables.dsum(col("v"))).head.getDecimal(0)
+      assert(s1 === s7)
+    }
+  }
+
+  test("minhash signature similarity approximates exact Jaccard") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf((1 to 30).map(i => s"w$i"))
+    val docGen = Gen.listOfN(40, wordGen).map(_.mkString(" "))
+    for (Seq(t1, t2) <- samples(docGen, 8).grouped(2)) {
+      val df = Seq((0L, t1), (1L, t2)).toDF("doc_id", "text")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(sequence(0, size(toks) - 3),
+            | i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
+            .stripMargin.replace("\n", " ")).as("sh"))
+        .withColumn("sig", expr(
+          "transform(sequence(0, 63), i -> array_min(transform(sh, t -> xxhash64(t, i))))"))
+      val rows = df.select("sh", "sig").collect()
+      val sh = rows.map(_.getSeq[String](0).toSet)
+      val sig = rows.map(_.getSeq[Long](1))
+      val exact =
+        if (sh(0).isEmpty && sh(1).isEmpty) 1.0
+        else sh(0).intersect(sh(1)).size.toDouble / sh(0).union(sh(1)).size
+      val est = sig(0).zip(sig(1)).count { case (a, b) => a == b } / 64.0
+      // 64 permutations: stddev ≈ sqrt(j(1-j)/64) <= 0.0625 → generous bound
+      assert(math.abs(est - exact) <= 0.3,
+        s"minhash estimate $est vs exact $exact")
+    }
+  }
+}
