@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit tests for the native vector kernels: algebraic properties, parity
+  * between direct kernel calls and SQL-registered expressions (i.e. the
+  * interpreted and codegen paths agree), and parity with the HOF forms the
+  * kernels replaced. */
+class VectorKernelsSpec extends SparkSpec {
+
+  private def longs(xs: Long*) = new GenericArrayData(xs.toArray)
+  private def strs(xs: String*) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray)
+
+  test("sortedIntersectCountLong: merge semantics") {
+    assert(VectorKernels.sortedIntersectCountLong(longs(1, 3, 5), longs(2, 3, 5, 9)) === 2)
+    assert(VectorKernels.sortedIntersectCountLong(longs(), longs(1)) === 0)
+    assert(VectorKernels.sortedIntersectCountLong(longs(1, 2), longs(1, 2)) === 2)
+  }
+
+  test("sortedIntersectCount (strings) matches long variant through hashing") {
+    val a = strs("apple", "mango", "zebra")
+    val b = strs("apple", "zebra")
+    assert(VectorKernels.sortedIntersectCount(a, b) === 2)
+    val ha = VectorKernels.shingleHashes(a)
+    val hb = VectorKernels.shingleHashes(b)
+    assert(VectorKernels.sortedIntersectCountLong(ha, hb) === 2)
+  }
+
+  test("shingleHashes returns sorted distinct-preserving hashes") {
+    val h = VectorKernels.shingleHashes(strs("c", "a", "b"))
+    val arr = h.toLongArray()
+    assert(arr.length === 3)
+    assert(arr.sorted.toSeq === arr.toSeq)
+  }
+
+  test("minhash64 is permutation-invariant and monotone under union") {
+    val h1 = VectorKernels.minhash64(longs(7, 3, 9)).toLongArray()
+    val h2 = VectorKernels.minhash64(longs(9, 7, 3)).toLongArray()
+    assert(h1.toSeq === h2.toSeq) // set semantics: order-independent
+    val h3 = VectorKernels.minhash64(longs(7, 3, 9, 11)).toLongArray()
+    h1.zip(h3).foreach { case (a, b) => assert(b <= a) } // mins only decrease
+  }
+
+  test("simhash64: identical inputs collide, sign structure holds") {
+    val s1 = VectorKernels.simhash64(longs(1, 2, 3))
+    val s2 = VectorKernels.simhash64(longs(3, 2, 1))
+    assert(s1 === s2)
+    val single = VectorKernels.simhash64(longs(0x0F0FL))
+    assert(single === 0x0F0FL) // one input: sign bits == its bits
+  }
+
+  test("registered SQL expressions agree with direct kernel calls") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val row = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .selectExpr("graft_dot(a, b) AS d").head()
+    assert(row.getDouble(0) === 1.0 * 4 + 2 * 5 + 3 * 6)
+
+    val mh = Seq(Tuple1(Seq("x y z", "y z w"))).toDF("sh")
+      .selectExpr("graft_minhash_str(sh) AS sig",
+        "graft_minhash(graft_shingle_hashes(sh)) AS sig2").head()
+    assert(mh.getSeq[Long](0) === mh.getSeq[Long](1))
+  }
+
+  test("graft_dot matches the HOF aggregate(zip_with(...)) bit-for-bit") {
+    VectorFunctions.register(spark)
+    val df = graft.Tables.embeddings(spark, sf)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .selectExpr(
+        "graft_dot(e, e) AS native",
+        "aggregate(zip_with(e, e, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x) AS hof")
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("kernels stay inside whole-stage codegen") {
+    VectorFunctions.register(spark)
+    val df = graft.Tables.embeddings(spark, sf)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .selectExpr("graft_dot(e, e) AS d")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"),
+      s"graft_dot fell out of codegen:\n$plan")
+  }
+}

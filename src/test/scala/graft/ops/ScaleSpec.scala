@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Tests for the scale utilities: salted joins must be result-identical to
+  * plain joins; bucketed tables must join without an exchange. */
+class ScaleSpec extends SparkSpec {
+
+  test("saltedJoin returns exactly the plain join result under heavy skew") {
+    import spark.implicits._
+    // 90% of probe rows hit one hot key
+    val probe = (1 to 1000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i))
+      .toDF("k", "v")
+    val build = (0L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = probe.join(build, "k")
+      .select("k", "v", "name").collect().map(_.toSeq.toList).sortBy(_.toString)
+    val salted = Scale.saltedJoin(probe, build, "k", salt = 8)
+      .select("k", "v", "name").collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("bucketed tables sort-merge join without a shuffle exchange") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = (1 to 1000).map(i => (i.toLong % 100, i)).toDF("k", "v")
+      val right = (1 to 500).map(i => (i.toLong % 100, s"r$i")).toDF("k", "name")
+      Scale.writeBucketed(left, "graft_bl", "k", buckets = 4)
+      Scale.writeBucketed(right, "graft_br", "k", buckets = 4)
+      val joined = spark.table("graft_bl").join(spark.table("graft_br"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() ===
+        left.join(right, "k").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bl")
+      spark.sql("DROP TABLE IF EXISTS graft_br")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("coalescePartitionedWrite bounds files per dt partition") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"2024-01-${"%02d".format(i % 5 + 1)}", i))
+      .toDF("dt", "v")
+    val out = java.nio.file.Files.createTempDirectory("graft_cpw").toString
+    Scale.coalescePartitionedWrite(df, Seq(col("dt")), filesPerPartition = 1)
+      .write.partitionBy("dt").mode("overwrite").parquet(out)
+    val partDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("dt="))
+    assert(partDirs.length === 5)
+    partDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName} has ${files.length} files")
+    }
+  }
+}
