@@ -128,6 +128,21 @@ class FlowLogSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("dt=")))
   }
 
+  test("raw text-file read path: spark.read.text + parse (SURVEY §2.A source row)") {
+    val dir = java.nio.file.Files.createTempDirectory("flowlog_txt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/flows.txt"),
+      Seq(
+        "2 1 eni-a 10.0.0.1 10.0.0.2 443 80 6 1 100 1704067140 1704067200 ACCEPT OK",
+        "2 1 eni-b 10.0.0.3 10.0.0.4 22 4242 6 2 200 1704067140 1704067200 REJECT OK",
+        "short bad line").mkString("\n"))
+    val parsed = FlowLog.parseFlowLogs(
+      spark.read.text(dir).withColumnRenamed("value", "message"))
+    assert(parsed.count() === 3)
+    assert(parsed.filter(col("parse_error").isNull).count() === 2)
+    assert(parsed.filter(col("action") === "REJECT").head()
+      .getAs[String]("interface_id") === "eni-b")
+  }
+
   test("top talkers ranks by bytes") {
     val parsed = FlowLog.parseFlowLogs(decoded())
     val top = FlowLog.topTalkers(parsed, 2).collect()
