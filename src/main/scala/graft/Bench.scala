@@ -16,7 +16,15 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // outside the timed region: drop cache/checkpoint blocks so earlier
+      // queries' leftovers don't GC-tax later ones (measured up to 8x
+      // inflation on the last heavy query of the run without this).
+      // System.gc() lets the ContextCleaner reclaim localCheckpoint RDD
+      // blocks, which clearCache() alone does not reach.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -3,7 +3,7 @@ package graft.flowlog
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.zip.GZIPInputStream
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -138,6 +138,30 @@ object FlowLog {
       .withColumn("parse_error",
         when(col("_ok"), lit(null).cast(StringType)).otherwise(col(messageCol)))
       .drop("_alltoks", "_ok", "_toks")
+  }
+
+  /** Typed v2 record for the Dataset core (SURVEY.md §1.2): use where
+    * compile-time safety matters (library consumers, Aggregators); the
+    * DataFrame surface remains primary for Catalyst optimization. */
+  case class FlowLogRecord(
+      version: Option[Int], account_id: Option[String],
+      interface_id: Option[String], srcaddr: Option[String],
+      dstaddr: Option[String], srcport: Option[Int], dstport: Option[Int],
+      protocol: Option[Int], packets: Option[Long], bytes: Option[Long],
+      start_ts: Option[java.sql.Timestamp], end_ts: Option[java.sql.Timestamp],
+      action: Option[String], log_status: Option[String],
+      parse_error: Option[String])
+
+  /** Typed view of parsed flow logs. */
+  def toTyped(parsed: DataFrame): Dataset[FlowLogRecord] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.select(
+      col("version"), col("account_id"), col("interface_id"),
+      col("srcaddr"), col("dstaddr"), col("srcport"), col("dstport"),
+      col("protocol"), col("packets"), col("bytes"),
+      col("start_ts"), col("end_ts"), col("action"), col("log_status"),
+      col("parse_error")).as[FlowLogRecord]
   }
 
   /** Derive hive-partition columns from the flow start time. */

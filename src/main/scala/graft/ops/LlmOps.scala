@@ -242,6 +242,17 @@ object LlmOps {
         .orderBy(col("va").asc, col("vb").asc)
     },
 
+    // Embedding-cosine near-dup dedup: drop any vector that has a
+    // near-duplicate (cos >= 0.4) with a smaller id — the embedding-space
+    // analogue of llm_dedup_exact's keep-lowest-id rule.
+    "llm_dedup_embcos" -> { (s, d) =>
+      val dupIds = cosinePairs(s, d).filter(col("cos_sim") >= 0.4)
+        .select(col("vb").as("vec_id")).distinct()
+      embDouble(s, d).select(col("vec_id"), col("label"))
+        .join(dupIds, Seq("vec_id"), "left_anti")
+        .orderBy(col("vec_id").asc)
+    },
+
     "llm_embed_normalize" -> { (s, d) =>
       embDouble(s, d)
         .select(col("vec_id"),
@@ -410,6 +421,13 @@ object LlmOps {
          |SELECT va, vb, cos_sim, label_a = label_b AS same_label FROM p
          |WHERE cos_sim >= 0.4
          |ORDER BY va ASC NULLS FIRST, vb ASC NULLS FIRST""".stripMargin,
+
+    "llm_dedup_embcos" ->
+      s"""$duckCosPairs,
+         |dup AS (SELECT DISTINCT vb AS vec_id FROM p WHERE cos_sim >= 0.4)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vec_id = e.vec_id)
+         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
 
     "llm_embed_normalize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -32,6 +32,14 @@ object StreamBatch {
         .orderBy(col("win_start").asc, col("event_type").asc)
     },
 
+    "stream_sliding_agg_batch" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "5 minutes", "1 minute").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start").asc, col("event_type").asc)
+    },
+
     "stream_session_agg_batch" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
@@ -58,6 +66,15 @@ object StreamBatch {
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value
         |FROM events
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    // Sliding windows: each event belongs to the 5 minute-aligned windows
+    // whose start lies in (ts - 5min, ts] — enumerated via a 0..4 offset.
+    "stream_sliding_agg_batch" ->
+      """SELECT time_bucket(INTERVAL '1 minute', ts) - (k * INTERVAL 1 MINUTE) AS win_start,
+        |       event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest(range(0, 5)) AS k) o
         |GROUP BY win_start, event_type
         |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
 

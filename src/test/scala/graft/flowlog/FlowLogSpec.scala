@@ -128,6 +128,16 @@ class FlowLogSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("dt=")))
   }
 
+  test("typed Dataset core: parsed rows round-trip through FlowLogRecord") {
+    val typed = FlowLog.toTyped(FlowLog.parseFlowLogs(decoded())).collect()
+    assert(typed.length === 6)
+    val accept = typed.find(_.srcport.contains(443)).get
+    assert(accept.action === Some("ACCEPT"))
+    assert(accept.bytes === Some(8400L))
+    val nodata = typed.filter(_.log_status.contains("NODATA"))
+    assert(nodata.nonEmpty && nodata.forall(_.srcaddr.isEmpty))
+  }
+
   test("raw text-file read path: spark.read.text + parse (SURVEY §2.A source row)") {
     val dir = java.nio.file.Files.createTempDirectory("flowlog_txt").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/flows.txt"),

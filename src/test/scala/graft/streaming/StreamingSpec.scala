@@ -84,6 +84,16 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in window/slide overlapping panes") {
+    val rows = runStream(OutputMode.Complete(), "sliding")(
+      df => StreamOps.slidingAgg(df, window_ = "5 minutes", slide = "1 minute"))
+    // event 3 at 00:01:10 belongs to the 5 panes starting 23:57..00:01
+    val e3 = rows.filter(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[Timestamp]("win_start").getTime <= t("2024-01-01 00:01:10").getTime &&
+      r.getAs[Timestamp]("win_start").getTime > t("2024-01-01 00:01:10").getTime - 5 * 60 * 1000)
+    assert(e3.length === 5)
+  }
+
   test("session windows: gap merge and close") {
     val rows = runStream(OutputMode.Complete(), "sessions")(
       df => StreamOps.sessionAgg(df, gap = "30 minutes"))
