@@ -60,6 +60,20 @@ class PlanSpec extends SparkSpec {
       s"expected partition-local sort without a range-exchange:\n$plan")
   }
 
+  test("partitioned layout prunes partitions on dt filter") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("plan_pp").toString
+    Tables.orders(spark, sf)
+      .withColumn("dt", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .write.partitionBy("dt").mode("overwrite").parquet(out)
+    val read = spark.read.parquet(out).filter(col("dt") === "1995-01-02")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"dt filter not applied as a partition filter:\n$plan")
+    // and the data filter must NOT appear as a row-level PushedFilter
+    assert(!plan.replaceAll("(?s)PartitionFilters.*", "").contains("EqualTo(dt"))
+  }
+
   test("dimension join without hints auto-broadcasts under the threshold") {
     val df = Tables.lineitem(spark, sf)
       .join(Tables.nation(spark, sf), col("l_suppkey") % 25 === col("n_nationkey"))

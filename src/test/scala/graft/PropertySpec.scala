@@ -76,6 +76,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("streaming tumbling agg equals batch agg on generated event streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val evGen: Gen[List[(Long, Long, String, Double)]] = Gen.listOfN(30, for {
+      id <- Gen.choose(0L, 1000000L)
+      sec <- Gen.choose(0L, 600L)
+      ty <- Gen.oneOf("click", "view")
+      v <- Gen.choose(0.0, 10.0)
+    } yield (id, sec, ty, v))
+    for ((xs, i) <- samples(evGen, 3).zipWithIndex) {
+      val rows = xs.zipWithIndex.map { case ((_, sec, ty, v), j) =>
+        graft.streaming.Ev(j.toLong,
+          java.sql.Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(
+            1704067200L + sec, 0, java.time.ZoneOffset.UTC)), 1L, ty, v)
+      }
+      val mem = MemoryStream[graft.streaming.Ev]
+      val name = s"prop_equiv_$i"
+      val q = mem.toDF()
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        mem.addData(rows.take(15)); q.processAllAvailable()
+        mem.addData(rows.drop(15)); q.processAllAvailable()
+        val streamed = spark.table(name).collect()
+          .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+        val static = rows.toDF()
+          .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+        assert(streamed === static)
+      } finally q.stop()
+    }
+  }
+
   test("minhash signature similarity approximates exact Jaccard") {
     import spark.implicits._
     val wordGen = Gen.oneOf((1 to 30).map(i => s"w$i"))
