@@ -20,7 +20,8 @@ object SparkEntry {
       (ops.Scalars.queries, ops.Scalars.oracles),
       (ops.LlmOps.queries, ops.LlmOps.oracles),
       (ops.Udfs.queries, ops.Udfs.oracles),
-      (ops.StreamBatch.queries, ops.StreamBatch.oracles)
+      (ops.StreamBatch.queries, ops.StreamBatch.oracles),
+      (ops.Reshape.queries, ops.Reshape.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
