@@ -194,6 +194,28 @@ object FlowLog {
       .agg(count(lit(1)).as("n_rejects"), sum(col("bytes")).as("reject_bytes"))
       .orderBy(col("interface_id").asc, col("hour").asc)
 
+  /** Pair each flow with its reverse direction (A:p1→B:p2 with B:p2→A:p1)
+    * inside the same capture window — the standard bidirectional-session
+    * reconstruction. Equi-join on the 5-tuple mirror (hash join at scale);
+    * the lexicographic guard keeps one row per pair. */
+  def pairBidirectional(parsed: DataFrame): DataFrame = {
+    val f = parsed.filter(col("parse_error").isNull && col("srcaddr").isNotNull)
+    f.as("a").join(f.as("b"),
+        col("a.srcaddr") === col("b.dstaddr") &&
+          col("a.dstaddr") === col("b.srcaddr") &&
+          col("a.srcport") === col("b.dstport") &&
+          col("a.dstport") === col("b.srcport") &&
+          col("a.protocol") === col("b.protocol") &&
+          col("a.start_ts") === col("b.start_ts") &&
+          (col("a.srcaddr") < col("b.srcaddr") ||
+            (col("a.srcaddr") === col("b.srcaddr") && col("a.srcport") < col("b.srcport"))))
+      .select(
+        col("a.srcaddr").as("addr_fwd"), col("a.srcport").as("port_fwd"),
+        col("b.srcaddr").as("addr_rev"), col("b.srcport").as("port_rev"),
+        col("a.bytes").as("bytes_fwd"), col("b.bytes").as("bytes_rev"),
+        col("a.action").as("action_fwd"), col("b.action").as("action_rev"))
+  }
+
   /** Port-scan heuristic: sources probing many distinct dst ports. */
   def portScanSuspects(parsed: DataFrame, minPorts: Int = 10): DataFrame =
     parsed

@@ -99,6 +99,42 @@ object StreamOps {
       }
   }
 
+  /** Spark 4 transformWithState flavor of the running counter: typed
+    * ValueState through a StatefulProcessor. Requires the RocksDB state
+    * store provider (set `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDBStateStoreProvider on the session). */
+  class UserCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserCount] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var state: ValueState[UserCount] = _
+    override def init(outputMode: streaming.OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserCount]("count",
+        Encoders.product[UserCount], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val prev = Option(state.get()).getOrElse(UserCount(key, 0L, 0.0))
+      var n = prev.n_events
+      var last = prev.last_value
+      rows.foreach { r => n += 1; last = r._2 }
+      val next = UserCount(key, n, last)
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** transformWithState running counters (Spark 4 arbitrary-state API). */
+  def runningUserCountsTws(events: DataFrame): Dataset[UserCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "CAST(value AS DOUBLE) AS value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Exactly-once partitioned Parquet sink: append mode + checkpointed
     * offsets; re-starting from the checkpoint never re-writes a committed
     * batch. */

@@ -74,6 +74,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.replaceAll("(?s)PartitionFilters.*", "").contains("EqualTo(dt"))
   }
 
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("plan_dpp").toString
+    Tables.orders(spark, sf)
+      .withColumn("dt", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("dt").mode("overwrite").parquet(out)
+    import spark.implicits._
+    // dim must be file-backed: a LocalRelation folds the filter away and
+    // the DPP rule never sees a filtered build side.
+    val dimPath = java.nio.file.Files.createTempDirectory("plan_dpp_dim").toString
+    Seq(("1995-01", "keep"), ("1995-02", "keep"), ("1999-09", "drop"))
+      .toDF("dt", "tag").write.mode("overwrite").parquet(dimPath)
+    val joined = spark.read.parquet(out)
+      .join(spark.read.parquet(dimPath).filter(col("tag") === "keep"), "dt")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+  }
+
   test("dimension join without hints auto-broadcasts under the threshold") {
     val df = Tables.lineitem(spark, sf)
       .join(Tables.nation(spark, sf), col("l_suppkey") % 25 === col("n_nationkey"))

@@ -169,6 +169,20 @@ class FlowLogSpec extends SparkSpec {
     assert(rep.head.getAs[Long]("reject_bytes") === 120L)
   }
 
+  test("bidirectional pairing matches a flow with its reverse") {
+    val pairs = FlowLog.pairBidirectional(FlowLog.parseFlowLogs(decoded())).collect()
+    // fixture: 361 (v2) and 366 (v5) are both 10.0.1.5:443 → 10.0.2.9:49152;
+    // 362 is the reverse — so the reverse pairs with each forward flow.
+    assert(pairs.length === 2)
+    pairs.foreach { p =>
+      assert(p.getAs[String]("addr_fwd") === "10.0.1.5")
+      assert(p.getAs[String]("addr_rev") === "10.0.2.9")
+      assert(p.getAs[Long]("bytes_fwd") === 8400L)
+      assert(p.getAs[Long]("bytes_rev") === 120L)
+      assert(p.getAs[String]("action_rev") === "REJECT")
+    }
+  }
+
   test("port scan suspects: distinct-port threshold") {
     import spark.implicits._
     val lines = (1 to 15).map(p =>

@@ -171,6 +171,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps running counts (Spark 4 API, RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.runningUserCountsTws(mem.toDF()).writeStream
+      .format("memory").queryName("tws_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+      val last = spark.table("tws_test").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.map(_.getAs[Long]("n_events")).max }
+      assert(last === Map(1L -> 4L, 2L -> 2L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("exactly-once parquet sink: checkpoint restart does not duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
