@@ -134,6 +134,31 @@ object Scalars {
         .orderBy(col("n_regionkey").asc)
     },
 
+    "str_misc" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          repeat(lit("ab"), 3).as("rep"),
+          instr(col("c_name"), "#").as("hash_pos"),
+          ascii(col("c_mktsegment")).as("first_code"),
+          expr("char(65 + CAST(c_custkey % 26 AS INT))").as("letter"),
+          expr("left(c_name, 4)").as("l4"),
+          expr("right(c_name, 3)").as("r3"))
+        .orderBy(col("c_custkey").asc)
+    },
+
+    "math_bitwise" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey").bitwiseAND(lit(255L))).as("band"),
+          (col("l_partkey").bitwiseOR(col("l_suppkey"))).as("bor"),
+          (col("l_partkey").bitwiseXOR(col("l_suppkey"))).as("bxor"),
+          shiftleft(col("l_linenumber"), 2).as("shl"),
+          shiftright(col("l_partkey"), 3).as("shr"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("band").asc, col("bxor").asc)
+    },
+
     "json_get_parse" -> { (s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -246,6 +271,29 @@ object Scalars {
         |FROM nation
         |GROUP BY n_regionkey
         |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin,
+
+    "str_misc" ->
+      """SELECT c_custkey,
+        |       reverse(c_mktsegment) AS rev_seg,
+        |       repeat('ab', 3) AS rep,
+        |       strpos(c_name, '#') AS hash_pos,
+        |       ascii(c_mktsegment) AS first_code,
+        |       chr(65 + (c_custkey % 26)::INT) AS letter,
+        |       left(c_name, 4) AS l4,
+        |       right(c_name, 3) AS r3
+        |FROM customer
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "math_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_partkey & 255 AS band,
+        |       l_partkey | l_suppkey AS bor,
+        |       xor(l_partkey, l_suppkey) AS bxor,
+        |       l_linenumber << 2 AS shl,
+        |       l_partkey >> 3 AS shr
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |         band ASC NULLS FIRST, bxor ASC NULLS FIRST""".stripMargin,
 
     "json_get_parse" ->
       """SELECT event_id,
