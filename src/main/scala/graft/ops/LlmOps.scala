@@ -12,18 +12,20 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB):
   *  - Exact dedup is a hash shuffle on the digest — linear, no driver state.
-  *  - MinHash-LSH replaces the O(n²) pair space with band-bucket equi-joins:
-  *    candidates = self-join on (band_idx, band_hash), then exact-Jaccard
-  *    verify on candidates only. Band parameters (32 bands × 2 rows) give
-  *    P(miss) = (1 - s²)³² < 1e-14 at s ≥ 0.8 — recall is deterministic-in-
-  *    practice while candidate volume stays ~linear for low-similarity
-  *    corpora. This is THE scale path; brute-force Jaccard below exists as
-  *    the small-data oracle twin.
+  *  - MinHash-LSH replaces the O(n²) pair space with band buckets: one
+  *    shuffle groups (band_idx, band_hash) → id lists, pairs explode within
+  *    a bucket, then exact-Jaccard verify on candidates only. Band
+  *    parameters (32 bands × 2 rows) give P(miss) = (1 - s²)³² < 1e-14 at
+  *    s ≥ 0.8 — recall is deterministic-in-practice while candidate volume
+  *    stays ~linear for low-similarity corpora. This is THE scale path;
+  *    brute-force Jaccard below exists as the small-data oracle twin.
   *  - Brute-force cosine top-k is quadratic and kept only as the baseline;
-  *    `llm_sim_ann_lsh` shows the random-hyperplane bucketing that bounds
-  *    the pair space at scale.
-  *  - All text kernels are Catalyst higher-order functions — distributed,
-  *    no UDF serialization, no driver loops.
+  *    `llm_sim_ann_lsh` (random hyperplanes) and `llm_sim_ann_ivf`
+  *    (inverted lists) bound the pair space at scale.
+  *  - Hot kernels (dot product, minhash, simhash, set intersection) are
+  *    native codegen expressions in graft.functions; everything else is
+  *    Catalyst higher-order functions — distributed, no UDF serialization,
+  *    no driver loops over data.
   */
 object LlmOps {
 
