@@ -113,6 +113,25 @@ object Scalars {
         .orderBy(col("vec_id").asc, col("pos").asc)
     },
 
+    "arr_explode_outer" -> { (s, d) =>
+      // null-preserving generator: rows whose filtered array is empty
+      // survive with a null value (explode would drop them).
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          explode_outer(expr("filter(embedding, x -> x > 0.25)")).as("val"))
+        .orderBy(col("vec_id").asc, col("val").asc_nulls_first)
+    },
+
+    "arr_zip_inline" -> { (s, d) =>
+      // inline(arrays_zip(...)): struct-array generator — consecutive
+      // element pairs of the embedding prefix.
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), inline(arrays_zip(
+          slice(col("embedding"), 1, 3).as("x"),
+          slice(col("embedding"), 2, 3).as("y"))))
+        .orderBy(col("vec_id").asc, col("x").asc, col("y").asc)
+    },
+
     "arr_transform_filter" -> { (s, d) =>
       val emb4d = expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
       Tables.embeddings(s, d)
@@ -254,6 +273,18 @@ object Scalars {
         |       list_contains(embedding, embedding[1]) AS has_first
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 5)) AS i) t
         |ORDER BY vec_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,
+
+    "arr_explode_outer" ->
+      """WITH f AS (SELECT vec_id, list_filter(embedding, x -> x > 0.25) AS l FROM embeddings)
+        |SELECT vec_id,
+        |       unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS FLOAT)] ELSE l END) AS val
+        |FROM f
+        |ORDER BY vec_id ASC NULLS FIRST, val ASC NULLS FIRST""".stripMargin,
+
+    "arr_zip_inline" ->
+      """SELECT vec_id, embedding[i] AS x, embedding[i + 1] AS y
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 4)) AS i) t
+        |ORDER BY vec_id ASC NULLS FIRST, x ASC NULLS FIRST, y ASC NULLS FIRST""".stripMargin,
 
     "arr_transform_filter" ->
       """SELECT vec_id,
