@@ -169,6 +169,21 @@ class FlowLogSpec extends SparkSpec {
     assert(rep.head.getAs[Long]("reject_bytes") === 120L)
   }
 
+  test("from_csv space-separated parse agrees with the split parser on v2 lines") {
+    import spark.implicits._
+    val line = "2 1 eni-a 10.0.0.1 10.0.0.2 443 80 6 7 700 1704067140 1704067200 ACCEPT OK"
+    val viaCsv = Seq(line).toDF("message")
+      .select(from_csv(col("message"),
+        org.apache.spark.sql.types.StructType(FlowLog.v2Fields.map(
+          org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType))),
+        Map("sep" -> " ")).as("r"))
+      .select(col("r.*")).head()
+    val viaSplit = FlowLog.parseFlowLogs(Seq(line).toDF("message")).head()
+    assert(viaCsv.getAs[String]("srcaddr") === viaSplit.getAs[String]("srcaddr"))
+    assert(viaCsv.getAs[String]("bytes") === viaSplit.getAs[Long]("bytes").toString)
+    assert(viaCsv.getAs[String]("action") === viaSplit.getAs[String]("action"))
+  }
+
   test("bidirectional pairing matches a flow with its reverse") {
     val pairs = FlowLog.pairBidirectional(FlowLog.parseFlowLogs(decoded())).collect()
     // fixture: 361 (v2) and 366 (v5) are both 10.0.1.5:443 → 10.0.2.9:49152;
