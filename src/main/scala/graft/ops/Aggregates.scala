@@ -128,6 +128,24 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc)
     },
 
+    "agg_corr_covar" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc)
+    },
+
+    // t-digest/GK sketches differ across engines — rows-only; bounds pinned
+    // against the exact percentile in AggregatesSpec.
+    "agg_approx_percentile" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"))
+        .orderBy(col("o_orderstatus").asc)
+    },
+
     "agg_percentile" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
@@ -222,6 +240,15 @@ object Aggregates {
       """SELECT l_returnflag,
         |       round(stddev_samp(l_quantity), 6) AS sd_qty,
         |       round(var_pop(l_quantity), 6) AS vp_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "agg_corr_covar" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
         |       count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag

@@ -95,6 +95,16 @@ object Windows {
         .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
     },
 
+    "win_nth_value" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_best"))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    },
+
     "win_first_last_value" -> { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -165,6 +175,14 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "win_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |       nth_value(o_orderkey, 2) OVER w AS second_best
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
 
     "win_first_last_value" ->
