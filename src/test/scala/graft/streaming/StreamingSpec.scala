@@ -212,6 +212,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 6) // 4 + 2, no duplicates
   }
 
+  test("foreachBatch merge sink upserts by key keeping the latest version") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.startMergeSink(
+      mem.toDF().select(col("user_id"), col("event_id"), col("value")),
+      out, ckpt, key = "user_id", version = "event_id")
+    try {
+      mem.addData(Seq(
+        Ev(1, t("2024-01-01 00:00:01"), 10, "click", 1.0),
+        Ev(2, t("2024-01-01 00:00:02"), 20, "click", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        Ev(3, t("2024-01-01 00:00:03"), 10, "click", 9.0),  // upsert user 10
+        Ev(4, t("2024-01-01 00:00:04"), 30, "click", 4.0))) // new user 30
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+      assert(rows === Map(10L -> (3L, 9.0), 20L -> (2L, 2.0), 30L -> (4L, 4.0)))
+    } finally q.stop()
+  }
+
   test("batch-stream equivalence: streamed tumbling agg equals the oracle-pinned batch query shape") {
     import spark.implicits._
     val streamed = runStream(OutputMode.Complete(), "equiv")(
