@@ -128,6 +128,28 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc)
     },
 
+    "agg_mode_bool" -> { (s, d) =>
+      // mode() is deterministic here: the most frequent l_linenumber per
+      // flag is unique in the fixture (verified) — ties would be
+      // engine-arbitrary and may not be declared with an oracle.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(mode(col("l_linenumber")).as("mode_line"),
+          bool_and(col("l_quantity") > 0.0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_big_disc"))
+        .orderBy(col("l_returnflag").asc)
+    },
+
+    "agg_regression" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag").asc)
+    },
+
     "agg_corr_covar" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -241,6 +263,25 @@ object Aggregates {
         |       round(stddev_samp(l_quantity), 6) AS sd_qty,
         |       round(var_pop(l_quantity), 6) AS vp_qty,
         |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "agg_mode_bool" ->
+      """SELECT l_returnflag,
+        |       mode(l_linenumber) AS mode_line,
+        |       bool_and(l_quantity > 0.0) AS all_pos,
+        |       bool_or(l_discount > 0.09) AS any_big_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       regr_count(l_extendedprice, l_quantity) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
