@@ -61,6 +61,18 @@ object Tables {
   val Money: DecimalType = DecimalType(38, 4)
   def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(Money)).cast(Money)
+  /** `dsum` projected to DOUBLE for declared-query output.
+    *
+    * The driver's comparator reads Spark output with pandas (decimal →
+    * object) and the oracle with duckdb .df() (decimal → float64), so a
+    * decimal OUTPUT column can never hash-match even when values are equal
+    * (round-1 VERDICT #1). The aggregation itself stays exact decimal —
+    * order-independent across partial-agg schedules — and only the final
+    * projection casts to double. Both engines convert the same exact decimal
+    * to the same nearest-double, so the cast is cross-engine deterministic.
+    * Oracle twin: CAST(sum(CAST(x AS DECIMAL(38,4))) AS DOUBLE). */
+  def dsumD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(Money)).cast("double")
   /** Lossless decimal view of a 2-dp money column (prices < 1e10). */
   def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast(DecimalType(12, 2))

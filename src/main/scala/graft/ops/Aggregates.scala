@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.Tables.dsum
+import graft.Tables.dsumD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -24,7 +24,7 @@ object Aggregates {
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         sum(col("l_orderkey")).as("sum_okey"),
-        dsum(col("l_extendedprice")).as("sum_price"))
+        dsumD(col("l_extendedprice")).as("sum_price"))
     },
 
     "agg_groupby_pricing" -> { (s, d) =>
@@ -35,10 +35,10 @@ object Aggregates {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) * (oneD - rate2(col("l_discount")))).cast(Money).as("sum_disc_price"),
-          sum(dec2(col("l_extendedprice")) * (oneD - rate2(col("l_discount"))) * (oneD + rate2(col("l_tax")))).cast(DecimalType(38, 6)).as("sum_charge"),
+          dsumD(col("l_quantity")).as("sum_qty"),
+          dsumD(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (oneD - rate2(col("l_discount")))).cast(Money).cast("double").as("sum_disc_price"),
+          sum(dec2(col("l_extendedprice")) * (oneD - rate2(col("l_discount"))) * (oneD + rate2(col("l_tax")))).cast(DecimalType(38, 6)).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -47,7 +47,7 @@ object Aggregates {
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
-          dsum(col("o_totalprice")).as("sum_price"))
+          dsumD(col("o_totalprice")).as("sum_price"))
         .filter(col("n_orders") >= 15)
         .orderBy(col("o_custkey").asc)
     },
@@ -74,9 +74,10 @@ object Aggregates {
       v.createOrReplaceTempView("graft_li_gsets")
       s.sql(
         """SELECT l_returnflag, l_linestatus,
-          |       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+          |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
           |       count(*) AS n,
-          |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
           |FROM graft_li_gsets
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
           |ORDER BY g_flag ASC, g_status ASC,
@@ -88,21 +89,24 @@ object Aggregates {
         .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
         .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"), dsumD(col("c_acctbal")).as("sum_bal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
     "agg_cube" -> { (s, d) =>
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), dsumD(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     "agg_collect_sorted" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"))
+        // list output joined to one string: the driver's pandas comparator
+        // cannot sort/hash ndarray cells (round-1 comparator error).
+        .agg(array_join(sort_array(collect_list(col("o_orderpriority"))), "|")
+          .as("prios"))
         .orderBy(col("o_custkey").asc)
     },
 
@@ -183,16 +187,16 @@ object Aggregates {
       """SELECT count(*) AS n_rows,
         |       min(l_quantity) AS min_qty,
         |       max(l_quantity) AS max_qty,
-        |       sum(l_orderkey) AS sum_okey,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
         |FROM lineitem""".stripMargin,
 
     "agg_groupby_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -201,7 +205,7 @@ object Aggregates {
 
     "agg_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY o_custkey
         |HAVING count(*) >= 15
@@ -215,9 +219,10 @@ object Aggregates {
 
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
-        |       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
         |       count(*) AS n,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY g_flag ASC, g_status ASC,
@@ -225,7 +230,7 @@ object Aggregates {
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_bal
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -234,13 +239,13 @@ object Aggregates {
 
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "agg_collect_sorted" ->
-      """SELECT o_custkey, list(o_orderpriority ORDER BY o_orderpriority ASC) AS prios
+      """SELECT o_custkey, string_agg(o_orderpriority, '|' ORDER BY o_orderpriority ASC) AS prios
         |FROM orders
         |GROUP BY o_custkey
         |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin,
@@ -281,7 +286,7 @@ object Aggregates {
         |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
         |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-        |       regr_count(l_extendedprice, l_quantity) AS n
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,

@@ -35,8 +35,9 @@ object Basics {
         .select(
           col("l_orderkey"),
           col("l_linenumber").as("line_no"),
+          // exact decimal arithmetic, DOUBLE final projection (Tables.dsumD doc)
           (dec2(col("l_extendedprice")) * (oneD - rate2(col("l_discount"))))
-            .cast(DecimalType(18, 4)).as("revenue"))
+            .cast(DecimalType(18, 4)).cast("double").as("revenue"))
         // (l_orderkey, l_linenumber) is NOT unique in the fixture — order by
         // every output column for a total order over row multisets.
         .orderBy(col("l_orderkey").asc, col("line_no").asc, col("revenue").asc)
@@ -123,7 +124,7 @@ object Basics {
   val oracles: Seq[(String, String)] = Seq(
     "proj_select_rename_compute" ->
       """SELECT l_orderkey, l_linenumber AS line_no,
-        |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+        |       CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |ORDER BY l_orderkey ASC NULLS FIRST, line_no ASC NULLS FIRST, revenue ASC NULLS FIRST""".stripMargin,
 

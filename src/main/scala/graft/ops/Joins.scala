@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.Tables.dsum
+import graft.Tables.dsumD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,7 +39,7 @@ object Joins {
           col("l_partkey") === col("p_partkey"), "inner")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_items"),
-          dsum(col("l_extendedprice")).as("sum_price"))
+          dsumD(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("p_brand").asc)
     },
 
@@ -47,7 +47,7 @@ object Joins {
       Tables.lineitem(s, d).hint("merge").join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"), "inner")
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n_items"), dsumD(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderstatus").asc)
     },
 
@@ -160,14 +160,14 @@ object Joins {
 
     "join_broadcast" ->
       """SELECT p_brand, count(*) AS n_items,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
 
     "join_sortmerge" ->
       """SELECT o_orderstatus, count(*) AS n_items,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,

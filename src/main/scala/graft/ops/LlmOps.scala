@@ -308,11 +308,16 @@ object LlmOps {
     },
 
     "llm_embed_normalize" -> { (s, d) =>
+      // Emitted as one row per vector element rather than a raw double array:
+      // ndarray cells break the driver's pandas comparator, and stringified
+      // doubles would hit engine-specific float formatting. posexplode keeps
+      // the compare in exact float64 and is itself a §2.K generator shape.
       embDouble(s, d)
-        .select(col("vec_id"),
-          expr("transform(emb, x -> round(x / sqrt(ssq), 6))").as("unit_vec"),
-          round(sqrt(col("ssq")), 6).as("l2_norm"))
-        .orderBy(col("vec_id").asc)
+        .select(col("vec_id"), round(sqrt(col("ssq")), 6).as("l2_norm"),
+          posexplode(expr("transform(emb, x -> round(x / sqrt(ssq), 6))")))
+        .select(col("vec_id"), col("l2_norm"),
+          (col("pos") + 1).cast("long").as("pos"), col("col").as("uval"))
+        .orderBy(col("vec_id").asc, col("pos").asc)
     },
 
     "llm_text_stats" -> { (s, d) =>
@@ -323,7 +328,7 @@ object LlmOps {
           sum(col("n_chars")).as("sum_chars"),
           (sum(col("n_tokens")).cast("double") /
             count(lit(1)).cast("double")).as("avg_tokens"),
-          max(col("n_tokens")).as("max_tokens"))
+          max(col("n_tokens")).cast("long").as("max_tokens"))
         .orderBy(col("lang").asc)
     },
 
@@ -333,7 +338,7 @@ object LlmOps {
       Tables.documents(s, d)
         .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
         .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 20)
         .select(col("lang"), col("rn"), col("term"), col("cnt"))
         .orderBy(col("lang").asc, col("rn").asc)
@@ -353,7 +358,7 @@ object LlmOps {
       tf.join(df, Seq("term")).crossJoin(broadcast(n))
         .withColumn("score", round(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")), 6))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("rn"), col("term"), col("score"))
         .orderBy(col("doc_id").asc, col("rn").asc)
@@ -390,9 +395,9 @@ object LlmOps {
     "llm_token_count_bpe" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(split(col("text"), " ")).as("ws_tokens"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
           size(regexp_extract_all(lower(col("text")),
-            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"),
           (col("n_chars").cast("double") /
             size(split(col("text"), " ")).cast("double")).as("chars_per_token"))
         .orderBy(col("doc_id").asc)
@@ -419,7 +424,7 @@ object LlmOps {
         .select(col("doc_id"), col("packed.lang").as("lang"),
           col("packed.label").as("label"),
           col("packed.event_type").as("event_type"),
-          col("n_chars"), size(col("embedding")).as("dim"))
+          col("n_chars"), size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("doc_id").asc)
     }
   )
@@ -487,15 +492,18 @@ object LlmOps {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,
         |             list_reduce(list_transform(emb, x -> x * x), (a, x) -> a + x) AS ssq
-        |      FROM e)
+        |      FROM e),
+        |idx AS (SELECT unnest(range(1, (SELECT max(len(emb)) + 1 FROM n))) AS i)
         |SELECT vec_id,
-        |       list_transform(emb, x -> round(x / sqrt(ssq), 6)) AS unit_vec,
-        |       round(sqrt(ssq), 6) AS l2_norm
-        |FROM n
-        |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+        |       round(sqrt(ssq), 6) AS l2_norm,
+        |       CAST(i AS BIGINT) AS pos,
+        |       round(emb[i] / sqrt(ssq), 6) AS uval
+        |FROM n CROSS JOIN idx
+        |WHERE i <= len(emb)
+        |ORDER BY vec_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,
 
     "llm_text_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
         |       max(len(string_split(text, ' '))) AS max_tokens
         |FROM documents

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.Tables.dsum
+import graft.Tables.dsumD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,15 +35,15 @@ object Sources {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz"))
         .agg(count(lit(1)).as("n_rows"),
-          dsum(col("l_extendedprice")).as("sum_price"))
+          dsumD(col("l_extendedprice")).as("sum_price"))
     }
   )
 
   val oracles: Seq[(String, String)] = Seq(
     "src_scan_parquet" ->
       """SELECT count(*) AS n_rows,
-        |       sum(l_linenumber) AS sum_linenumber,
-        |       sum(l_partkey) AS sum_partkey
+        |       CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber,
+        |       CAST(sum(l_partkey) AS BIGINT) AS sum_partkey
         |FROM lineitem""".stripMargin,
 
     "src_scan_pruned" ->
@@ -53,7 +53,7 @@ object Sources {
 
     "src_scan_partition_filter" ->
       """SELECT count(*) AS n_rows,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
   )

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.Tables.dsum
+import graft.Tables.dsumD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,7 +26,7 @@ object StreamBatch {
     "stream_tumbling_agg_batch" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dsumD(col("value")).as("sum_value"))
         .select(col("w.start").as("win_start"), col("event_type"), col("n"),
           col("sum_value"))
         .orderBy(col("win_start").asc, col("event_type").asc)
@@ -64,7 +64,7 @@ object StreamBatch {
     "stream_tumbling_agg_batch" ->
       """SELECT time_bucket(INTERVAL '1 minute', ts) AS win_start, event_type,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY win_start, event_type
         |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,

@@ -27,7 +27,9 @@ object Windows {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        // .cast("long"): DuckDB window ranks are BIGINT; Spark's are INT and
+        // the driver compares pandas dtypes strictly (round-1 VERDICT #1).
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey").asc, col("rn").asc)
@@ -37,17 +39,56 @@ object Windows {
       val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
       Tables.part(s, d)
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
-          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
         .orderBy(col("p_brand").asc, col("p_retailprice").desc, col("p_partkey").asc)
     },
 
     "win_ntile_percent" -> { (s, d) =>
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+      // Distributed two-pass global ranking (round-1 VERDICT #6): a bare
+      // Window.orderBy(...) funnels the whole table through ONE task — a
+      // scale-killer on a large table. Instead: range-partition on the sort
+      // key, row_number within each partition, then add the exact cumulative
+      // row-count offset of the preceding partitions (a K-row broadcast).
+      // Correct wherever the range boundaries land, because offsets come from
+      // actual partition sizes; the sort key is unique (c_custkey tie-break)
+      // so global rank == global row_number, percent_rank = (rn-1)/(n-1),
+      // cume_dist = rn/n, and ntile(4) is a closed-form bucket of rn.
+      val k = 32
+      val keys = Seq(col("c_acctbal").asc, col("c_custkey").asc)
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .repartitionByRange(k, keys: _*)
+        .withColumn("pid", spark_partition_id())
+      val sizes = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      // K-row frame: the un-partitioned window below runs over ≤ k rows.
+      val offs = sizes
+        .withColumn("off", coalesce(
+          sum(col("cnt")).over(Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      val total = sizes.agg(sum(col("cnt")).as("n_total"))
+      val wp = Window.partitionBy(col("pid")).orderBy(keys: _*)
+      val tiles = 4L
+      val ranked = base
+        .withColumn("rn_local", row_number().over(wp).cast("long"))
+        .join(broadcast(offs), Seq("pid"))
+        .crossJoin(broadcast(total))
+        .withColumn("rn", col("rn_local") + col("off"))
+      // ntile(t) over n rows: the first n%t buckets get floor(n/t)+1 rows.
+      // floor(): Spark's `/` on integral columns is DOUBLE division (exact
+      // below 2^52, i.e. any realistic row count).
+      val size = floor(col("n_total") / tiles).cast("long")
+      val rem = (col("n_total") % tiles).cast("long")
+      val cut = rem * (size + 1L)
+      ranked.select(col("c_custkey"), col("c_acctbal"),
+          when(col("rn") <= cut,
+            floor((col("rn") - 1L) / (size + 1L)) + 1L)
+            .otherwise(rem + floor((col("rn") - 1L - cut) / size) + 1L)
+            .cast("long").as("quartile"),
+          ((col("rn") - 1L).cast("double") /
+            (col("n_total") - 1L).cast("double")).as("pr"),
+          (col("rn").cast("double") / col("n_total").cast("double")).as("cd"))
         .orderBy(col("c_custkey").asc)
     },
 
@@ -69,7 +110,8 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(38, 2)).as("run_total"))
+          sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(38, 2))
+            .cast("double").as("run_total"))
         .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
     },
 
@@ -91,7 +133,8 @@ object Windows {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
           count(lit(1)).over(w).as("n_last30"),
-          sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(38, 2)).as("sum_last30"))
+          sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(38, 2))
+            .cast("double").as("sum_last30"))
         .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
     },
 
@@ -136,7 +179,7 @@ object Windows {
 
     "win_ntile_percent" ->
       """SELECT c_custkey, c_acctbal,
-        |       ntile(4) OVER w AS quartile,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         |       percent_rank() OVER w AS pr,
         |       cume_dist() OVER w AS cd
         |FROM customer
@@ -155,7 +198,7 @@ object Windows {
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_total
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
         |FROM orders
         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
 
@@ -171,7 +214,7 @@ object Windows {
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         |       count(*) OVER w AS n_last30,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS sum_last30
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_last30
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)

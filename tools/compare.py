@@ -1,47 +1,67 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 DuckDB-oracle compare.
+"""Local replica of the driver's t2 DuckDB-oracle compare — pandas-faithful.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
 
-Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB against views
-over <sfDir>/*.parquet, loads the Spark-written parquet for the same query,
-sorts columns by name on both sides, and compares shape + values exactly.
-Prints one line per query: OK / MISMATCH / ERROR, with the first differing
-cell on mismatch.
+Round-1 lesson (VERDICT.md "What's wrong" #3): the old gate read the
+Spark-written parquet back THROUGH DuckDB, which coerces decimals / HUGEINT /
+lists into the same Python types on both sides — masking exactly the dtype
+divergences the driver's pandas comparator catches (21 false-greens).
+
+This version replicates the driver's path:
+  - Spark side : pandas.read_parquet (pyarrow)  — decimals stay object,
+    int32 stays int32, lists stay ndarray cells.
+  - Oracle side: duckdb .df()                   — HUGEINT/DECIMAL → float64.
+  - Columns sorted by name on both sides; dtypes must be IDENTICAL before the
+    value compare; rows sorted with pandas sort_values (which, like the
+    driver, dies on ndarray cells → reported as ERROR, matching the driver's
+    comparator-error verdict).
 """
-import sys, json, glob, math
+import sys, json, glob
 import duckdb
+import pandas as pd
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    # Normalize a cell for comparison: floats to exact repr, decimals to str,
-    # lists/arrays to tuples, timestamps via isoformat.
-    if v is None:
-        return None
-    t = type(v).__name__
-    if t in ("ndarray", "list", "tuple"):
-        return tuple(norm(x) for x in v)
-    if t == "Decimal":
-        return str(v)
-    if t in ("Timestamp", "datetime"):
-        try:
-            return v.isoformat()
-        except Exception:
-            return str(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+
+def canon_dtype(dt):
+    # datetime64[us] vs datetime64[ns] is a storage detail both readers pick
+    # per-file; treat all datetime64 resolutions as one dtype.
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"
+    return s
+
+
+def frames_equal(a: pd.DataFrame, b: pd.DataFrame):
+    """Exact value compare after row sort. Returns (ok, first_diff_msg)."""
+    cols = list(a.columns)
+    a = a.sort_values(by=cols).reset_index(drop=True)
+    b = b.sort_values(by=cols).reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c], b[c]
+        if str(av.dtype) == "float64":
+            same = (av.isna() & bv.isna()) | (av == bv)
+        elif str(av.dtype).startswith("datetime64"):
+            same = (av.isna() & bv.isna()) | (av == bv)
+        else:
+            an, bn = av.isna(), bv.isna()
+            same = (an & bn) | ((~an) & (~bn) & (av == bv))
+        if not bool(same.all()):
+            i = int(np.argmin(same.values))
+            return False, f"col {c} row {i}: spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
+    return True, None
+
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracle):
@@ -49,49 +69,52 @@ def main():
             continue
         sql = oracle[name]
         try:
-            exp = con.execute(sql).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            exp = con.execute(sql).df()
             files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
             if not files:
                 print(f"FAIL  {name}: no spark output parquet")
                 n_bad += 1
                 continue
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            got_cols = [d[0] for d in con.description]
+            got = pd.concat([pd.read_parquet(f) for f in files],
+                            ignore_index=True)
         except Exception as e:
-            print(f"ERROR {name}: {e}")
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
             n_bad += 1
             continue
-        # sort columns by name (the driver's rule)
-        ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
-        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
-        if sorted(exp_cols) != sorted(got_cols):
-            print(f"FAIL  {name}: columns differ spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+        exp = exp[sorted(exp.columns)]
+        got = got[sorted(got.columns)] if set(got.columns) == set(exp.columns) else got
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL  {name}: columns differ spark={sorted(got.columns)} "
+                  f"oracle={sorted(exp.columns)}")
             n_bad += 1
             continue
+        got = got[sorted(got.columns)]
         if len(exp) != len(got):
             print(f"FAIL  {name}: rows spark={len(got)} oracle={len(exp)}")
             n_bad += 1
             continue
-        bad = None
-        for r in range(len(exp)):
-            erow = tuple(norm(exp[r][i]) for i in ei)
-            grow = tuple(norm(got[r][i]) for i in gi)
-            if erow != grow:
-                bad = (r, erow, grow)
-                break
-        if bad:
-            r, erow, grow = bad
-            cols = sorted(exp_cols)
-            diffs = [(cols[i], erow[i], grow[i]) for i in range(len(cols)) if erow[i] != grow[i]]
-            print(f"FAIL  {name}: row {r} differs {diffs[:3]}")
+        gd = [canon_dtype(d) for d in got.dtypes]
+        ed = [canon_dtype(d) for d in exp.dtypes]
+        if gd != ed:
+            diffs = [(c, g, e) for c, g, e in zip(got.columns, gd, ed) if g != e]
+            print(f"FAIL  {name}: dtypes differ (spark,oracle): {diffs}")
+            n_bad += 1
+            continue
+        try:
+            ok, msg = frames_equal(got, exp)
+        except Exception as e:
+            print(f"ERROR {name}: comparator: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        if not ok:
+            print(f"FAIL  {name}: {msg}")
             n_bad += 1
         else:
             print(f"OK    {name} ({len(exp)} rows)")
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
     sys.exit(1 if n_bad else 0)
+
 
 if __name__ == "__main__":
     main()
