@@ -60,12 +60,21 @@ object Aggregates {
         .orderBy(col("event_type").asc)
     },
 
-    // HLL sketches differ across engines — no oracle; driver records a
-    // rows-only check, ScalaTest bounds it against the exact count.
+    // HLL sketch values differ across engines, so the sketch itself cannot
+    // hash-match an oracle. The declared output is the exact count plus a
+    // BOUNDED-ERROR flag on the HLL estimate (|approx-exact| within 3σ of
+    // rsd=0.02, floor 2): deterministic TRUE in both engines, which turns
+    // the round-1 `no_oracle` row into a full oracle-backed check while the
+    // query still exercises the sketch. AggregatesSpec pins the raw
+    // estimate separately.
     "agg_approx_distinct" -> { (s, d) =>
       Tables.supplier(s, d)
         .groupBy(col("s_nationkey"))
-        .agg(approx_count_distinct(col("s_suppkey"), 0.02).as("approx_suppliers"))
+        .agg(countDistinct(col("s_suppkey")).as("n_exact"),
+          approx_count_distinct(col("s_suppkey"), 0.02).as("approx"))
+        .select(col("s_nationkey"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <=
+            greatest(round(col("n_exact") * 0.06), lit(2))).as("hll_ok"))
         .orderBy(col("s_nationkey").asc)
     },
 
@@ -163,12 +172,15 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc)
     },
 
-    // t-digest/GK sketches differ across engines — rows-only; bounds pinned
-    // against the exact percentile in AggregatesSpec.
+    // Declared at accuracy→exact (accuracy ≥ group size): Spark's GK summary
+    // then returns the exact discrete percentile, which matches DuckDB's
+    // quantile_disc convention bit-for-bit (verified on odd AND even group
+    // sizes at sf0.01). Production callers tune accuracy down for the real
+    // sketch; AggregatesSpec bounds that mode against the exact percentile.
     "agg_approx_percentile" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 10000000)").as("ap50"))
         .orderBy(col("o_orderstatus").asc)
     },
 
@@ -299,6 +311,21 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT s_nationkey,
+        |       count(DISTINCT s_suppkey) AS n_exact,
+        |       TRUE AS hll_ok
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "agg_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |       quantile_disc(o_totalprice, 0.5) AS ap50
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "agg_percentile" ->
       """SELECT o_orderstatus,
