@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout line-by-line as JSON. sbt's default
+// LoggedOutput prefixes every forked-process line with "[info] ", which makes
+// each line unparseable (BENCH_r02 "parsed": null despite the total line being
+// present in the tail). StdoutOutput passes the child's stdout through raw.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

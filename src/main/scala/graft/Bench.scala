@@ -47,12 +47,15 @@ object Bench {
       System.gc()
       if (ok) Some(name -> elapsed) else None
     }
-    val total = math.round(results.map(_._2).sum * 1000.0) / 1000.0
+    // total = sum of the per-query values AS PRINTED (rounded to 3 dp), so
+    // the "total" and "queries" lines agree exactly.
+    val rounded = results.map { case (k, v) => k -> math.round(v * 1000.0) / 1000.0 }
+    val total = math.round(rounded.map(_._2).sum * 1000.0) / 1000.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_ok":${results.size},"failed":$failedJson}"""
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000.0) / 1000.0) }
+    val qs = rounded
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(totalLine)
     println(s"""{"metric":"queries","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failedJson}""")
