@@ -26,8 +26,13 @@ object Bench {
     // JVM/codegen warmup so the first timed query doesn't absorb session
     // bring-up (job scheduling, codegen compiler, shuffle machinery).
     spark.range(1000).selectExpr("sum(id)").collect()
+    // optional args: query names to bench (local iteration); the driver
+    // passes none and gets the full set.
+    val only = args.toSet
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
+      .flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

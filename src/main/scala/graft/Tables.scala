@@ -70,7 +70,15 @@ object Tables {
     * order-independent across partial-agg schedules — and only the final
     * projection casts to double. Both engines convert the same exact decimal
     * to the same nearest-double, so the cast is cross-engine deterministic.
-    * Oracle twin: CAST(sum(CAST(x AS DECIMAL(38,4))) AS DOUBLE). */
+    * Oracle twin: CAST(sum(CAST(x AS DECIMAL(38,4))) AS DOUBLE).
+    *
+    * SCALE BOUND: cross-engine determinism requires the UNSCALED sum
+    * (value × 10^4) to stay below 2^53. Beyond that DuckDB's
+    * HUGEINT→double-then-/10^4 path double-rounds while BigDecimal
+    * .doubleValue rounds once, and the doubles can differ in the last ulp.
+    * 2^53/10^4 ≈ 9×10^11 in money units — far above any fixture SF, but a
+    * real 100 TB global sum of large prices could cross it; split such sums
+    * by group or compare in decimal. */
   def dsumD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(Money)).cast("double")
   /** Lossless decimal view of a 2-dp money column (prices < 1e10). */

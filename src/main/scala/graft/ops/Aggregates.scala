@@ -177,6 +177,10 @@ object Aggregates {
     // quantile_disc convention bit-for-bit (verified on odd AND even group
     // sizes at sf0.01). Production callers tune accuracy down for the real
     // sketch; AggregatesSpec bounds that mode against the exact percentile.
+    // SCALE BOUND: exactness holds only while every o_orderstatus group has
+    // < 10,000,000 rows (~sf100 for the largest group). Past that the GK
+    // summary silently becomes approximate again and the quantile_disc
+    // oracle would mismatch — raise accuracy with SF or expect FAIL.
     "agg_approx_percentile" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))

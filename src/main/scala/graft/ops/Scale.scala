@@ -20,8 +20,13 @@ object Scale {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
+    // Salt from row CONTENT, not monotonically_increasing_id(): a task retry
+    // renumbers ids, which would scatter the retried partition's rows across
+    // different salts than the first attempt (correct results, but join-side
+    // row placement — and any downstream file layout — becomes retry-
+    // unstable). xxhash64 over all probe columns is deterministic per row.
     val saltedProbe = probe.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+      pmod(xxhash64(probe.columns.map(probe(_)): _*), lit(salt)).cast("int"))
     val saltedBuild = build.withColumn("_salt",
       explode(expr(s"sequence(0, ${salt - 1})")))
     saltedProbe.join(saltedBuild,
@@ -45,6 +50,8 @@ object Scale {
     * small-files fix for dt=/hr= layouts). */
   def coalescePartitionedWrite(df: DataFrame, partitionCols: Seq[Column],
       filesPerPartition: Int = 1): DataFrame =
+    // Content-derived sub-key (same retry-stability argument as saltedJoin):
+    // identical input rows always land in the same output file.
     df.repartition(partitionCols :+
-      (pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition))): _*)
+      (pmod(xxhash64(df.columns.map(df(_)): _*), lit(filesPerPartition))): _*)
 }

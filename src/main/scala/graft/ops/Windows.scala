@@ -86,8 +86,11 @@ object Windows {
             floor((col("rn") - 1L) / (size + 1L)) + 1L)
             .otherwise(rem + floor((col("rn") - 1L - cut) / size) + 1L)
             .cast("long").as("quartile"),
-          ((col("rn") - 1L).cast("double") /
-            (col("n_total") - 1L).cast("double")).as("pr"),
+          // n_total=1 guard: SQL percent_rank() is 0.0 for a single row,
+          // where (rn-1)/(n-1) would be 0/0 = NaN.
+          when(col("n_total") === 1L, lit(0.0))
+            .otherwise((col("rn") - 1L).cast("double") /
+              (col("n_total") - 1L).cast("double")).as("pr"),
           (col("rn").cast("double") / col("n_total").cast("double")).as("cd"))
         .orderBy(col("c_custkey").asc)
     },

@@ -98,4 +98,19 @@ class PlanSpec extends SparkSpec {
       .join(Tables.nation(spark, sf), col("l_suppkey") % 25 === col("n_nationkey"))
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("llm_sim_threshold_join enumerates pairs via a cid equi-join, not an O(n²) BNLJ") {
+    // The only nested-loop joins allowed are the bounded codebook shapes
+    // (vectors × ≤16-row broadcast centroids; 16 × 16 centroid pairs). The
+    // va < vb pair enumeration of the round-1 quadratic form must be GONE
+    // from every BNLJ/cartesian condition: pairs now come from the
+    // admissible-cell hash join on ci/cj (round-1 VERDICT #5).
+    val plan = physicalPlan("llm_sim_threshold_join")
+    val nestedLines = plan.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct")).toSeq
+    assert(nestedLines.forall(l => !(l.contains("va") && l.contains("vb"))),
+      s"pair enumeration still nested-loop:\n${nestedLines.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"no hash/merge join for candidate pairs in:\n$plan")
+  }
 }

@@ -28,10 +28,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon_dtype(dt):
     # datetime64[us] vs datetime64[ns] is a storage detail both readers pick
-    # per-file; treat all datetime64 resolutions as one dtype.
+    # per-file; collapse the RESOLUTION token only. tz-awareness is a real
+    # semantic difference ('datetime64[ns, UTC]' vs naive) and must stay
+    # distinct, or a tz divergence would pass here and fail at the driver.
     s = str(dt)
     if s.startswith("datetime64"):
-        return "datetime64"
+        inner = s[s.index("[") + 1:s.rindex("]")] if "[" in s else ""
+        tz = inner.split(",", 1)[1].strip() if "," in inner else ""
+        return f"datetime64[{tz}]" if tz else "datetime64"
     return s
 
 
