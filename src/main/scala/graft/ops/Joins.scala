@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *    inventory demands it (`broadcast()` / `hint("merge")`).
   *  - `join_theta_range` is a banded non-equi join. At scale the BNLJ is only
   *    viable because the build side (supplier) is broadcastable; a
-  *    fact⋈fact band join would instead bucketize acctbal into
-  *    floor(bal/width) keys and equi-join on adjacent buckets — documented
-  *    here as the scale path, not needed at these dims.
+  *    fact⋈fact form bucketizes acctbal into floor(bal/width) keys and
+  *    equi-joins on adjacent buckets — `join_range_banded` IS that scale
+  *    plan (Scale.bandedRangeJoin), declared with the identical oracle so
+  *    the decomposition's losslessness is driver-checked.
   *  - `join_interval` equi-joins would-be-range pairs through a derived
   *    bucket key (date_trunc hour) so the range condition only runs within a
   *    bucket — the standard interval-join decomposition.
@@ -101,6 +102,17 @@ object Joins {
       Tables.supplier(s, d).join(Tables.customer(s, d),
           col("s_acctbal") > col("c_acctbal") - 10.0 &&
             col("s_acctbal") < col("c_acctbal"))
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy(col("s_suppkey").asc, col("c_custkey").asc)
+    },
+
+    // The same band semantics as join_theta_range through the fact ⋈ fact
+    // scale plan (Scale.bandedRangeJoin): bucket-key equi-join + residual
+    // filter instead of a BNLJ. Identical oracle — the decomposition is
+    // required to be lossless, and the driver compare proves it.
+    "join_range_banded" -> { (s, d) =>
+      Scale.bandedRangeJoin(Tables.supplier(s, d), Tables.customer(s, d),
+          "s_acctbal", "c_acctbal", 10.0)
         .select(col("s_suppkey"), col("c_custkey"))
         .orderBy(col("s_suppkey").asc, col("c_custkey").asc)
     },
@@ -226,6 +238,12 @@ object Joins {
         |ORDER BY r_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""".stripMargin,
 
     "join_theta_range" ->
+      """SELECT s_suppkey, c_custkey
+        |FROM supplier JOIN customer
+        |  ON s_acctbal > c_acctbal - 10.0 AND s_acctbal < c_acctbal
+        |ORDER BY s_suppkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "join_range_banded" ->
       """SELECT s_suppkey, c_custkey
         |FROM supplier JOIN customer
         |  ON s_acctbal > c_acctbal - 10.0 AND s_acctbal < c_acctbal

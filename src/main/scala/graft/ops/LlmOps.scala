@@ -167,7 +167,7 @@ object LlmOps {
     *
     * `e` must be a materialized (localCheckpoint) embDouble — the codebook
     * loop and both pair sides re-reference it. */
-  private def prunedCosinePairs(e: DataFrame, tau: Double): DataFrame = {
+  private[ops] def prunedCosinePairs(e: DataFrame, tau: Double): DataFrame = {
     // iters=0: the hash-seeded sample codebook. Recall is exact for ANY
     // codebook (the prune is a proof, not a heuristic), so Lloyd rounds buy
     // only tighter cells; at fixture scale their 2 extra shuffle rounds cost

@@ -35,6 +35,31 @@ object Scale {
       .drop(saltedBuild(key)).drop("_salt")
   }
 
+  /** Fact ⋈ fact banded range join: pairs where
+    * `left.x ∈ (right.y − width, right.y)` — without a BNLJ between two
+    * large sides. The right row keeps its single bucket floor(y/w); the left
+    * row replicates into the only two buckets its band can overlap
+    * (floor(x/w) and floor(x/w)+1 — since x < y < x+w implies
+    * floor(y/w) ∈ {floor(x/w), floor(x/w)+1}). The pair-up becomes an
+    * equi-join on the bucket key plus the residual strict range filter, and
+    * each qualifying pair matches exactly once (the right side's bucket is
+    * unique), so no dedup pass is needed. Replication factor is a constant
+    * 2× of the left side — at 100 TB this is one hash shuffle on the bucket
+    * key, the standard interval/band decomposition.
+    *
+    * Column names must be disjoint between the two sides. */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String, width: Double): DataFrame = {
+    val lb = left.withColumn("_bucket",
+      explode(array(floor(col(leftCol) / width).cast("long"),
+        floor(col(leftCol) / width).cast("long") + 1L)))
+    val rb = right.withColumn("_bucket", floor(col(rightCol) / width).cast("long"))
+    lb.join(rb,
+        lb("_bucket") === rb("_bucket") &&
+          lb(leftCol) > rb(rightCol) - width && lb(leftCol) < rb(rightCol))
+      .drop("_bucket")
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins are
     * exchange-free (bucket-local sort-merge). Spark's bucketed tables need
     * the table catalog — saveAsTable, not a bare parquet path. */

@@ -99,6 +99,12 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("join_range_banded pairs via a bucket equi-join, not a BNLJ") {
+    val plan = physicalPlan("join_range_banded")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded range join fell back to nested loops:\n$plan")
+  }
+
   test("llm_sim_threshold_join enumerates pairs via a cid equi-join, not an O(n²) BNLJ") {
     // The only nested-loop joins allowed are the bounded codebook shapes
     // (vectors × ≤16-row broadcast centroids; 16 × 16 centroid pairs). The

@@ -64,6 +64,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === ivf)
   }
 
+  test("prunedCosinePairs has exact recall on adversarial random vectors") {
+    // The fixture hash-match proves exact recall on ONE distribution; this
+    // drives the triangle-inequality prune on a seeded random mix of tight
+    // clusters (pruning fires) and uniform spread (pruning can't), at two
+    // thresholds, and demands set-identity with the brute-force pairs.
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(20260812L)
+    val dim = 16
+    def noisy(c: Array[Double], eps: Double) =
+      c.map(x => x + (rnd.nextDouble() - 0.5) * eps)
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val clustered = (0 until 150).map(i => noisy(centers(i % 5), 0.1))
+    val spread = Array.fill(150)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val vecs = (clustered ++ spread).zipWithIndex
+      .map { case (v, i) => (i.toLong, s"l${i % 3}", v) }
+    val e = vecs.toDF("vec_id", "label", "emb")
+      .withColumn("ssq", expr("graft_dot(emb, emb)"))
+      .localCheckpoint(true)
+    val a = e.select(col("vec_id").as("va"), col("emb").as("emb_a"), col("ssq").as("ssq_a"))
+    val b = e.select(col("vec_id").as("vb"), col("emb").as("emb_b"), col("ssq").as("ssq_b"))
+    for (tau <- Seq(0.4, 0.8)) {
+      val brute = a.join(b, col("va") < col("vb"))
+        .withColumn("cos_sim", round(
+          expr("graft_dot(emb_a, emb_b)") / (sqrt(col("ssq_a")) * sqrt(col("ssq_b"))), 6))
+        .filter(col("cos_sim") >= tau)
+        .select("va", "vb", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pruned = LlmOps.prunedCosinePairs(e, tau)
+        .select("va", "vb", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(brute.nonEmpty, s"degenerate fixture at tau=$tau: no brute pairs")
+      assert(pruned === brute, s"recall/soundness violated at tau=$tau: " +
+        s"missing=${(brute -- pruned).take(5)} extra=${(pruned -- brute).take(5)}")
+    }
+  }
+
   test("approx_count_distinct stays within the declared error bound") {
     // The declared query emits (n_exact, hll_ok); hll_ok must be TRUE
     // everywhere (that is what the DuckDB oracle pins), and the raw HLL
