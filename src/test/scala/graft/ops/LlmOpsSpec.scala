@@ -99,6 +99,18 @@ class LlmOpsSpec extends SparkSpec {
       assert(pruned === brute, s"recall/soundness violated at tau=$tau: " +
         s"missing=${(brute -- pruned).take(5)} extra=${(pruned -- brute).take(5)}")
     }
+    // exact two-phase top-k must equal the brute-force ranking (ordered)
+    for (k <- Seq(5, 25)) {
+      val bruteTop = a.join(b, col("va") < col("vb"))
+        .withColumn("cos_sim", round(
+          expr("graft_dot(emb_a, emb_b)") / (sqrt(col("ssq_a")) * sqrt(col("ssq_b"))), 6))
+        .orderBy(col("cos_sim").desc, col("va").asc, col("vb").asc).limit(k)
+        .select("va", "vb", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      val fast = LlmOps.exactTopKPairs(e, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      assert(fast === bruteTop, s"top-$k diverged from brute force")
+    }
   }
 
   test("approx_count_distinct stays within the declared error bound") {
