@@ -168,6 +168,24 @@ object Scalars {
         .orderBy(col("n_regionkey").asc)
     },
 
+    // transform_keys / transform_values over a built map; output projected
+    // to sorted entry strings (nested map outputs break the driver's pandas
+    // comparator, round-1 VERDICT #2).
+    "map_transform" -> { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(map_from_entries(collect_list(
+          struct(col("n_name"), col("n_nationkey")))).as("m"))
+        .select(col("n_regionkey"),
+          expr("""array_join(transform(array_sort(map_entries(
+            | transform_values(m, (k, v) -> v * 10))),
+            | e -> concat(e.key, ':', e.value)), '|')"""
+            .stripMargin.replace("\n", " ")).as("scaled"),
+          expr("array_join(array_sort(map_keys(transform_keys(m, (k, v) -> lower(k)))), '|')")
+            .as("lower_keys"))
+        .orderBy(col("n_regionkey").asc)
+    },
+
     "str_misc" -> { (s, d) =>
       Tables.customer(s, d)
         .select(col("c_custkey"),
@@ -311,6 +329,17 @@ object Scalars {
         |       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> a + x), 6) AS ssum
         |FROM embeddings
         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+
+    // Same RESULT computed relationally — DuckDB needs no map type to pin
+    // the semantics of the Spark-side map transforms.
+    "map_transform" ->
+      """SELECT n_regionkey,
+        |       string_agg(n_name || ':' || CAST(n_nationkey * 10 AS VARCHAR), '|'
+        |                  ORDER BY n_name ASC) AS scaled,
+        |       string_agg(lower(n_name), '|' ORDER BY lower(n_name) ASC) AS lower_keys
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin,
 
     "map_ops" ->
       """SELECT n_regionkey,
