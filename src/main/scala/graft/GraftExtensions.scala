@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => functions.ShingleHashes(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_long"), info("graft_sorted_intersect_long"),
       exprs => functions.SortedIntersectCountLong(exprs.head, exprs(1))))
+    // Optimizer rule: free length guard ahead of un-thresholded
+    // levenshtein predicates (see the rule's scaladoc for the soundness
+    // argument). Runtime sessions use LevenshteinGuardRule.install.
+    ext.injectOptimizerRule(_ => plans.LevenshteinGuardRule)
   }
 }

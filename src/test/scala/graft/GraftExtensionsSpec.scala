@@ -31,6 +31,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(arr.numElements() === 64)
   }
 
+  test("LevenshteinGuardRule prepends the length guard and preserves results") {
+    val s = SparkSpec.session
+    import org.apache.spark.sql.functions.expr
+    import s.implicits._
+    // file-backed on purpose: a LocalRelation filter is constant-folded
+    // away before any optimizer rule can be observed in the plan.
+    val tmp = java.nio.file.Files.createTempDirectory("lev_rule").toString
+    Seq(("kitten", "sitting"), ("abc", "abcd"), ("a", "zzzzzzzzzz"),
+      ("same", "same"), (null, "x")).toDF("x", "y")
+      .write.mode("overwrite").parquet(tmp)
+    val df = s.read.parquet(tmp)
+    def q() = df.filter(expr("levenshtein(x, y) <= 3")).select("x", "y")
+    val before = q().collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    val prev = s.experimental.extraOptimizations
+    try {
+      plans.LevenshteinGuardRule.install(s)
+      plans.LevenshteinGuardRule.install(s) // idempotent
+      assert(s.experimental.extraOptimizations.count(_ == plans.LevenshteinGuardRule) === 1)
+      val opt = q().queryExecution.optimizedPlan.toString
+      assert(opt.contains("length") && opt.contains("abs"),
+        s"length guard not injected:\n$opt")
+      // fixpoint-idempotent: exactly one guard per predicate
+      assert(opt.linesIterator.count(_.contains("levenshtein")) === 1)
+      val after = q().collect().map(_.toSeq.toList).sortBy(_.toString).toList
+      assert(after === before)
+    } finally {
+      s.experimental.extraOptimizations = prev
+    }
+  }
+
   test("builders are also reachable via the session registry (runtime path)") {
     val s = SparkSpec.session // shared session, registry-based registration
     functions.VectorFunctions.register(s)
