@@ -105,6 +105,12 @@ class PlanSpec extends SparkSpec {
       s"banded range join fell back to nested loops:\n$plan")
   }
 
+  test("llm_dedup_fuzzy_lev blocks on a length-bucket equi-join, not a BNLJ") {
+    val plan = physicalPlan("llm_dedup_fuzzy_lev")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy dedup fell back to nested loops:\n$plan")
+  }
+
   test("llm_sim_threshold_join enumerates pairs via a cid equi-join, not an O(n²) BNLJ") {
     // The only nested-loop joins allowed are the bounded codebook shapes
     // (vectors × ≤16-row broadcast centroids; 16 × 16 centroid pairs). The
