@@ -352,6 +352,36 @@ object LlmOps {
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
+    // Asymmetric shingle CONTAINMENT |A∩B| / |A| — detects subset
+    // duplication (a doc wholly embedded in a longer one), which symmetric
+    // Jaccard under-scores. Directional pairs, lossless one-sided length
+    // prune: c >= 0.7 requires |B| >= |A∩B| >= 0.7·|A|. Same bounded
+    // oracle-twin corpus as the other brute-force dedup twins; the LSH
+    // band path is the full-corpus candidate generator at scale.
+    "llm_dedup_containment" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val sh = docsWithShingles(s, d).filter(col("doc_id") < 500)
+        .withColumn("hs", expr("graft_shingle_hashes(sh)"))
+        .withColumn("n_sh", size(col("sh")))
+      val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b"))
+      a.join(b, col("doc_a") =!= col("doc_b") &&
+          col("n_b").cast("double") >= col("n_a").cast("double") * 0.7)
+        .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
+        // identity-aggregate barrier, same reason as llm_dedup_ngram_jaccard:
+        // keep the expensive merge-intersect out of the join condition.
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+        .agg(max(col("common")).as("common"))
+        .withColumn("containment",
+          col("common").cast("double") / col("n_a").cast("double"))
+        .filter(col("containment") >= 0.7)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
     // SimHash: 64-bit signature from unigram hashes; near-dup candidates by
     // 16-bit band collision, confirmed by Hamming distance <= 6. xxhash64 has
     // no DuckDB twin — validated by LlmOpsSpec instead (rows-only here).
@@ -649,6 +679,16 @@ object LlmOps {
     "llm_dedup_ngram_jaccard" ->
       s"""${duckJaccardPairs("WHERE doc_id < 500")}
          |SELECT doc_a, doc_b, round(j, 6) AS jac FROM p WHERE j >= 0.5
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    // Unpruned semantic predicate: hash-matching it proves the Spark side's
+    // one-sided length prune lossless.
+    "llm_dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE doc_id < 500),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)::DOUBLE AS c
+         |      FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+         |SELECT doc_a, doc_b, round(c, 6) AS containment FROM p WHERE c >= 0.7
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
     // Unblocked semantic predicate on purpose: hash-matching it proves the

@@ -23,6 +23,27 @@ class PropertySpec extends SparkSpec {
       v <- Gen.choose(-100.0, 100.0)
     } yield (k, s, v))
 
+  test("bandedRangeJoin equals the plain range join on random data") {
+    import spark.implicits._
+    // negative values + band-straddling pairs exercised by construction;
+    // the decomposition must be lossless and duplicate-free for ANY data.
+    val pairGen: Gen[(List[Double], List[Double])] = for {
+      xs <- Gen.listOfN(60, Gen.choose(-200.0, 200.0))
+      ys <- Gen.listOfN(60, Gen.choose(-200.0, 200.0))
+    } yield (xs, ys)
+    for ((xs, ys) <- samples(pairGen, 4)) {
+      val l = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("lid", "x")
+      val r = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }.toDF("rid", "y")
+      val w = 25.0
+      val plain = l.join(r, col("x") > col("y") - w && col("x") < col("y"))
+        .select("lid", "rid").collect().map(t => (t.getLong(0), t.getLong(1))).sorted
+      val banded = ops.Scale.bandedRangeJoin(l, r, "x", "y", w)
+        .select("lid", "rid").collect().map(t => (t.getLong(0), t.getLong(1))).sorted
+      assert(banded.toSeq === plain.toSeq)
+      assert(banded.length === banded.distinct.length, "duplicate pairs from banding")
+    }
+  }
+
   test("union-all count additivity") {
     import spark.implicits._
     for (Seq(xs, ys) <- samples(rowsGen, 10).grouped(2)) {
