@@ -31,15 +31,27 @@ object Bench {
     // agg_approx_distinct and llm_dedup_embcos). Warm them untimed at the
     // smallest SF — same shapes, negligible data.
     spark.range(1000).selectExpr("sum(id)").collect()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     Seq("agg_approx_distinct", "llm_dedup_embcos", "llm_sim_topk").foreach { q =>
-      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () } // warmup must never fail the bench
+      try SparkEntry.queries(q)(spark, warmDir).count()
+      catch { case e: Throwable =>
+        // never fail the bench, but a silent no-op here makes the run
+        // incomparable to the committed baseline — say so.
+        System.err.println(s"[bench] WARMUP $q failed (numbers will include " +
+          s"codegen compilation): ${e.getMessage}")
+      }
     }
     spark.catalog.clearCache()
     System.gc()
     // optional args: query names to bench (local iteration); the driver
-    // passes none and gets the full set.
+    // passes none and gets the full set. A typo'd name must not produce an
+    // empty "passing" run.
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))

@@ -140,8 +140,9 @@ object LlmOps {
   }
 
   /** EXACT cosine-threshold pairs via IVF cells + triangle-inequality cell
-    * pruning — the scale-safe production form of [[cosinePairs]] (round-1
-    * VERDICT #5). Sign-LSH banding cannot give provable recall at a low
+    * pruning — the scale-safe production form of the brute-force all-pairs
+    * cosine join (which now survives only as the DuckDB oracle SQL and the
+    * LlmOpsSpec adversarial twin; round-1 VERDICT #5). Sign-LSH banding cannot give provable recall at a low
     * threshold (τ=0.4 ⇒ per-plane collision prob 0.63 — bands either miss
     * pairs or out-enumerate brute force), so the scale path uses geometry
     * instead of hashing:
@@ -163,8 +164,11 @@ object LlmOps {
     * callers use llm_sim_ann_lsh / llm_sim_ann_ivf instead.
     *
     * τ slack: the declared queries filter round(cos,6) ≥ τ, so the prune
-    * bound uses τ−1e-6 (covers rounding-up at the boundary) plus 1e-9 for
-    * double/acos evaluation error.
+    * bound uses τ−1e-6 (covers rounding-up at the boundary) plus 1e-6 of
+    * ANGLE slack for evaluation error — acos is ill-conditioned near
+    * cos≈1 (the least(1.0, …) clamp alone can absorb ~1e-8 of true angle),
+    * so the budget is set 100× above the worst observed conditioning
+    * error, while admitting only a vanishing sliver of extra candidates.
     *
     * `e` must be a materialized (localCheckpoint) embDouble — the codebook
     * loop and both pair sides re-reference it. */
@@ -240,8 +244,10 @@ object LlmOps {
     val admissible = geo.crossJoin(broadcast(t0))
       .filter(cos(greatest(lit(0.0), col("theta_ij") - col("r_i") - col("r_j")))
         >= col("t0") - eps)
+      // +1e-6 angle slack for acos conditioning near cos≈1, mirroring
+      // prunedCosinePairs' budget.
       .withColumn("max_angle",
-        acos(least(lit(1.0), greatest(lit(-1.0), col("t0") - eps))))
+        acos(least(lit(1.0), greatest(lit(-1.0), col("t0") - eps))) + lit(1e-6))
       .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle"))
     cellPairCandidates(assigned, admissible)
       .select(col("va"), col("vb"), col("cos_sim"))
@@ -256,7 +262,7 @@ object LlmOps {
     // more than the pruning they add. Production at real scale: iters=2.
     val centroids = ivfCodebook(e, nlist = 16, iters = 0)
     val assigned = assignToCentroid(e, centroids).localCheckpoint(true)
-    val maxAngle = math.acos(tau - 1e-6) + 1e-9
+    val maxAngle = math.acos(tau - 1e-6) + 1e-6
     val admissible = cellPairGeometry(centroids, assigned)
       .filter(col("theta_ij") <= col("r_i") + col("r_j") + lit(maxAngle))
       .withColumn("max_angle", lit(maxAngle))
@@ -411,7 +417,7 @@ object LlmOps {
     // see exactTopKPairs for the bound argument.
     // Fuzzy edit-distance dedup: pairs with levenshtein(lower(text)) <= 50,
     // blocked LOSSLESSLY by length bands — lev(a,b) >= |len(a) − len(b)|
-    // unconditionally, so a bucket join on floor(n_chars/64) with ±1
+    // unconditionally, so a bucket join on floor(length/64) with ±1
     // replication plus the |Δlen| <= 50 residual provably loses no
     // qualifying pair (proof-not-heuristic, like prunedCosinePairs; the
     // driver compare against the unblocked oracle IS the losslessness
@@ -421,16 +427,20 @@ object LlmOps {
     "llm_dedup_fuzzy_lev" -> { (s, d) =>
       val t = 50
       val w = 64.0
+      // lengths come from the SAME string the DP runs on (lower(text)), not
+      // the stored n_chars column — lower() is not length-preserving in all
+      // of unicode and the blocking proof must hold by construction.
       val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
-        .select(col("doc_id"), lower(col("text")).as("t"), col("n_chars"))
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .withColumn("n_t", length(col("t")))
       val a = docs.select(col("doc_id").as("doc_a"), col("t").as("t_a"),
-          col("n_chars").as("len_a"))
+          col("n_t").as("len_a"))
         .withColumn("_bkt", explode(array(
           floor(col("len_a") / w).cast("long") - 1L,
           floor(col("len_a") / w).cast("long"),
           floor(col("len_a") / w).cast("long") + 1L)))
       val b = docs.select(col("doc_id").as("doc_b"), col("t").as("t_b"),
-          col("n_chars").as("len_b"))
+          col("n_t").as("len_b"))
         .withColumn("_bkt", floor(col("len_b") / w).cast("long"))
       a.join(b, Seq("_bkt"))
         .filter(col("doc_a") < col("doc_b") &&

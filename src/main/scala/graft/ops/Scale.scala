@@ -20,13 +20,15 @@ object Scale {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
-    // Salt from row CONTENT, not monotonically_increasing_id(): a task retry
-    // renumbers ids, which would scatter the retried partition's rows across
-    // different salts than the first attempt (correct results, but join-side
-    // row placement — and any downstream file layout — becomes retry-
-    // unstable). xxhash64 over all probe columns is deterministic per row.
+    // Salt from the row ID, not row content: content-derived salts collapse
+    // byte-identical probe rows onto ONE salt — precisely the hot-duplicate
+    // case salting exists for. Task-retry id renumbering only moves rows
+    // between salt replicas, which is unobservable in a join result (a
+    // multiset with no placement guarantees), so retry stability is not a
+    // concern here — unlike coalescePartitionedWrite below, where layout IS
+    // the output and the salt is content-derived for that reason.
     val saltedProbe = probe.withColumn("_salt",
-      pmod(xxhash64(probe.columns.map(probe(_)): _*), lit(salt)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val saltedBuild = build.withColumn("_salt",
       explode(expr(s"sequence(0, ${salt - 1})")))
     saltedProbe.join(saltedBuild,
@@ -41,11 +43,19 @@ object Scale {
     * row replicates into the only two buckets its band can overlap
     * (floor(x/w) and floor(x/w)+1 — since x < y < x+w implies
     * floor(y/w) ∈ {floor(x/w), floor(x/w)+1}). The pair-up becomes an
-    * equi-join on the bucket key plus the residual strict range filter, and
-    * each qualifying pair matches exactly once (the right side's bucket is
-    * unique), so no dedup pass is needed. Replication factor is a constant
-    * 2× of the left side — at 100 TB this is one hash shuffle on the bucket
-    * key, the standard interval/band decomposition.
+    * equi-join on the bucket key plus the residual strict range filter
+    * (evaluated on the RAW values — exact), and each qualifying pair
+    * matches exactly once (the right side's bucket is unique), so no dedup
+    * pass is needed. Replication factor is a constant 2× of the left side —
+    * at 100 TB this is one hash shuffle on the bucket key, the standard
+    * interval/band decomposition.
+    *
+    * PRECONDITION for the two-bucket cover: the quantization error of
+    * v/width must stay well below one bucket, i.e. |v|/width ≲ 2⁵⁰ —
+    * true for any decimal-scaled key (prices, epochs, 2-dp balances). For
+    * |v|/width approaching 2⁵³ the floor can be off by a whole bucket and
+    * boundary pairs could miss; rescale the key or widen the replication
+    * before using raw astronomical doubles.
     *
     * Column names must be disjoint between the two sides. */
   def bandedRangeJoin(left: DataFrame, right: DataFrame,
@@ -75,8 +85,12 @@ object Scale {
     * small-files fix for dt=/hr= layouts). */
   def coalescePartitionedWrite(df: DataFrame, partitionCols: Seq[Column],
       filesPerPartition: Int = 1): DataFrame =
-    // Content-derived sub-key (same retry-stability argument as saltedJoin):
-    // identical input rows always land in the same output file.
+    // Content-derived sub-key: a task retry must reproduce the same file
+    // layout (layout IS the observable output of a write), which
+    // monotonically_increasing_id cannot guarantee. Identical rows land in
+    // the same file — the file-COUNT bound still holds, only balance
+    // degrades, and only for fully-duplicate partitions. Requires
+    // xxhash64-able column types (no MapType).
     df.repartition(partitionCols :+
       (pmod(xxhash64(df.columns.map(df(_)): _*), lit(filesPerPartition))): _*)
 }

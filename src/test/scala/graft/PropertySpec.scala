@@ -26,7 +26,9 @@ class PropertySpec extends SparkSpec {
   test("bandedRangeJoin equals the plain range join on random data") {
     import spark.implicits._
     // negative values + band-straddling pairs exercised by construction;
-    // the decomposition must be lossless and duplicate-free for ANY data.
+    // the decomposition must be lossless and duplicate-free across the
+    // documented domain (|v|/width far below 2^50 — see the scaladoc
+    // precondition; raw-double keys at astronomical magnitudes are out).
     val pairGen: Gen[(List[Double], List[Double])] = for {
       xs <- Gen.listOfN(60, Gen.choose(-200.0, 200.0))
       ys <- Gen.listOfN(60, Gen.choose(-200.0, 200.0))
