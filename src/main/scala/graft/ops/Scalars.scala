@@ -168,6 +168,18 @@ object Scalars {
         .orderBy(col("n_regionkey").asc)
     },
 
+    // exists / forall quantifier HOFs over token arrays (codegen'd lambda
+    // predicates — no UDF).
+    "arr_exists_forall" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(col("doc_id"),
+          expr("exists(toks, x -> x = 'spark')").as("has_spark"),
+          expr("forall(toks, x -> length(x) <= 10)").as("all_short"),
+          expr("size(filter(toks, x -> length(x) >= 6))").cast("long").as("n_long"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // transform_keys / transform_values over a built map; output projected
     // to sorted entry strings (nested map outputs break the driver's pandas
     // comparator, round-1 VERDICT #2).
@@ -329,6 +341,15 @@ object Scalars {
         |       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> a + x), 6) AS ssum
         |FROM embeddings
         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+
+    "arr_exists_forall" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       list_contains(toks, 'spark') AS has_spark,
+        |       len(list_filter(toks, x -> length(x) > 10)) = 0 AS all_short,
+        |       CAST(len(list_filter(toks, x -> length(x) >= 6)) AS BIGINT) AS n_long
+        |FROM t
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     // Same RESULT computed relationally — DuckDB needs no map type to pin
     // the semantics of the Spark-side map transforms.
