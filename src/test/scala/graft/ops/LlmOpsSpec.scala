@@ -64,6 +64,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === ivf)
   }
 
+  test("minhash LSH finds all high-Jaccard pairs on a synthetic controlled-overlap corpus") {
+    // The band math (32 bands x 2 rows: P(miss) = (1 - s^2)^32 < 1e-14 at
+    // s >= 0.8) is only fixture-verified by the oracle compare; this drives
+    // it on generated docs where the qualifying pair set is known by
+    // construction: near-dup pairs built by small perturbation (Jaccard
+    // well above 0.8) must ALL surface; unrelated docs (shared-shingle-free
+    // vocabularies) must not pair.
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242L)
+    def doc(vocab: String, n: Int) =
+      (0 until n).map(i => s"${vocab}w${rnd.nextInt(40)}").mkString(" ")
+    val bases = (0 until 20).map(i => (i, doc(s"v${i}_", 60)))
+    val nearDups = bases.map { case (i, t) =>
+      // perturb 2 of ~58 distinct tokens -> shingle Jaccard >> 0.8
+      val toks = t.split(" "); toks(5) = "zq"; toks(17) = "zr"
+      (100 + i, toks.mkString(" "))
+    }
+    val rows = (bases ++ nearDups).map { case (id, t) =>
+      (id.toLong, t, "en", "synth", t.length)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("minhash_prop").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LlmOps.queries.toMap.apply("llm_dedup_minhash")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = bases.map { case (i, _) => (i.toLong, (100 + i).toLong) }.toSet
+    assert(expected.subsetOf(got),
+      s"LSH missed engineered near-dup pairs: ${(expected -- got).take(5)}")
+    // no pair may bridge disjoint vocabularies
+    got.foreach { case (a, b) =>
+      assert(a % 100 == b % 100, s"false pair across vocabularies: ($a, $b)")
+    }
+  }
+
   test("prunedCosinePairs has exact recall on adversarial random vectors") {
     // The fixture hash-match proves exact recall on ONE distribution; this
     // drives the triangle-inequality prune on a seeded random mix of tight
