@@ -198,7 +198,8 @@ object LlmOps {
     * unordered pair: distinct cells appear as exactly one (ci < cj) row,
     * same-cell pairs are kept once by va < vb, and least/greatest restore
     * the smaller-id-first convention (labels swap with it). */
-  private def cellPairCandidates(assigned: DataFrame, cellPairs: DataFrame): DataFrame = {
+  private def cellPairCandidates(assigned: DataFrame, cellPairs: DataFrame,
+      tau: Option[Double]): DataFrame = {
     val a = assigned.select(col("cid").as("ci"), col("vec_id").as("va"),
       col("label").as("label_a"), col("emb").as("emb_a"),
       col("ssq").as("ssq_a"), col("cang").as("cang_a"))
@@ -206,12 +207,29 @@ object LlmOps {
       col("label").as("label_b"), col("emb").as("emb_b"),
       col("ssq").as("ssq_b"), col("cang").as("cang_b"))
     val swap = col("va") > col("vb")
-    a.join(broadcast(cellPairs), Seq("ci"))
-      .join(b, Seq("cj"))
-      .filter(col("ci") < col("cj") || col("va") < col("vb"))
-      .filter(col("theta_ij") <= col("cang_a") + col("cang_b") + col("max_angle"))
-      .withColumn("cos_sim", round(cosExpr, 6))
-      .select(
+    val joined = a.join(broadcast(cellPairs), Seq("ci")).join(b, Seq("cj"))
+    // With a threshold, the cos predicate lands in the JOIN condition and
+    // Catalyst orders it BEFORE the cheap orientation check (observed in
+    // the physical plan — 2× the kernel work), so the dot product is
+    // guarded by the cheap predicates inside one CASE. Without a threshold
+    // (top-k ranking) cos never enters a filter: plain pushed-down guards +
+    // a single Project evaluation is already optimal, and the CASE form
+    // would re-evaluate the dot in filter AND project.
+    val guarded = tau match {
+      case Some(t) =>
+        joined
+          .withColumn("cos_sim",
+            when((col("ci") < col("cj") || col("va") < col("vb")) &&
+              col("theta_ij") <= col("cang_a") + col("cang_b") + col("max_angle"),
+              round(cosExpr, 6)))
+          .filter(col("cos_sim") >= t)
+      case None =>
+        joined
+          .filter(col("ci") < col("cj") || col("va") < col("vb"))
+          .filter(col("theta_ij") <= col("cang_a") + col("cang_b") + col("max_angle"))
+          .withColumn("cos_sim", round(cosExpr, 6))
+    }
+    guarded.select(
         when(swap, col("vb")).otherwise(col("va")).as("va"),
         when(swap, col("va")).otherwise(col("vb")).as("vb"),
         col("cos_sim"),
@@ -237,7 +255,8 @@ object LlmOps {
     val within = cellPairCandidates(assigned,
       geo.filter(col("ci") === col("cj"))
         .withColumn("max_angle", lit(math.Pi))
-        .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle")))
+        .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle")),
+      tau = None)
     val t0 = within
       .orderBy(col("cos_sim").desc, col("va").asc, col("vb").asc).limit(k)
       .agg(coalesce(when(count(lit(1)) === k, min(col("cos_sim"))), lit(-1.0)).as("t0"))
@@ -249,7 +268,7 @@ object LlmOps {
       .withColumn("max_angle",
         acos(least(lit(1.0), greatest(lit(-1.0), col("t0") - eps))) + lit(1e-6))
       .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle"))
-    cellPairCandidates(assigned, admissible)
+    cellPairCandidates(assigned, admissible, tau = None)
       .select(col("va"), col("vb"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("va").asc, col("vb").asc)
       .limit(k)
@@ -267,8 +286,7 @@ object LlmOps {
       .filter(col("theta_ij") <= col("r_i") + col("r_j") + lit(maxAngle))
       .withColumn("max_angle", lit(maxAngle))
       .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle"))
-    cellPairCandidates(assigned, admissible)
-      .filter(col("cos_sim") >= tau)
+    cellPairCandidates(assigned, admissible, tau = Some(tau))
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
