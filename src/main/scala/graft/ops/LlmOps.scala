@@ -6,9 +6,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.J — LLM-training-data pipeline operators: deduplication
-  * (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
-  * (brute-force and LSH-bucketed ANN), embedding math, text analysis
-  * (language ID, quality scoring, token counting, fingerprinting).
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / containment /
+  * edit-distance), similarity search (exact-recall IVF-pruned threshold
+  * join + top-k, LSH- and IVF-bucketed ANN), embedding math, text
+  * analysis (language ID, quality scoring, token counting,
+  * fingerprinting).
   *
   * Scale notes (100 TB):
   *  - Exact dedup is a hash shuffle on the digest — linear, no driver state.
@@ -71,7 +73,7 @@ object LlmOps {
 
   /** Embeddings as double vectors with precomputed sum of squares.
     * Registers the native codegen dot-product kernel (graft.functions) —
-    * the O(n²) pair queries are compute-bound on it. */
+    * candidate-pair verification is compute-bound on it. */
   private def embDouble(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
