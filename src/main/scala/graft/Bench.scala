@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Output protocol (round-1 VERDICT #4: the single giant
+/** Benchmark main. Output protocol (a single giant
   * JSON line was truncated mid-line by the driver's tail capture, leaving
   * "parsed": null):
   *

@@ -35,18 +35,40 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
-  /** 8 deterministic pseudo-random hyperplanes in [-1,1]^64 for the
-    * sign-bucket ANN (splitmix64-derived — no runtime randomness). */
-  val annPlanes: Seq[Seq[Double]] = {
+  /** `bits` deterministic pseudo-random hyperplanes in [-1,1]^64 for the
+    * sign-bucket ANN (splitmix64-derived — no runtime randomness; plane p
+    * is seeded by its index, so growing `bits` extends the set without
+    * changing the existing planes). */
+  def annPlanes(bits: Int): Seq[Seq[Double]] = {
     def splitmix64(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    Seq.tabulate(8, 64)((p, j) =>
+    Seq.tabulate(bits, 64)((p, j) =>
       (math.floorMod(splitmix64(p * 64L + j), 2000L) - 1000L).toDouble / 1000.0)
   }
+
+  /** Corpus-adaptive sign-LSH bit count: bits = ⌈log₂(n/8)⌉ holds the MEAN
+    * bucket occupancy n/2^bits at ≤ 8, so the within-bucket pair space
+    * stays ~linear in n instead of growing quadratically inside a fixed
+    * 2^8 bucket space. Floored at 8 bits (256 buckets — the minimum useful
+    * reducer fan-out; fewer bits only inflate candidates). Both fixture
+    * corpus sizes (500 and 2 000 vectors) derive 8, so fixture results are
+    * unchanged by the parameterization; a 100× corpus derives ~15. */
+  def annBits(n: Long): Int =
+    math.max(8, math.ceil(
+      math.log(math.max(n, 1L).toDouble / 8.0) / math.log(2.0)).toInt)
+
+  /** Corpus-adaptive IVF list count: nlist = ⌈n/128⌉ holds the mean cell
+    * size at ≤ 128, floored at 16 lists. For the EXACT cell-pruned
+    * similarity queries nlist affects efficiency only (recall is a
+    * geometric proof — see prunedCosinePairs), so it can scale freely;
+    * for the ANN form it bounds within-cell pair work to ~128·n. Both
+    * fixture corpus sizes (500 and 2 000) derive 16. */
+  def ivfNlist(n: Long): Int =
+    math.max(16, math.ceil(n.toDouble / 128.0).toInt)
 
   /** Distinct word 3-gram shingles of lower(text).
     *
@@ -90,6 +112,17 @@ object LlmOps {
     (expr("graft_dot(emb_a, emb_b)") /
       (sqrt(col("ssq_a")) * sqrt(col("ssq_b"))))
 
+  /** Sign-LSH bucket assignment: `bits` hyperplane sign bits packed into an
+    * int bucket id appended to `e`'s columns. The planes travel as one
+    * broadcast literal; per-row work is `bits` native dot products. */
+  private[ops] def signBuckets(e: DataFrame, bits: Int): DataFrame =
+    e.withColumn("pl", typedLit(annPlanes(bits)))
+      .withColumn("dots", expr(
+        s"transform(sequence(0, ${bits - 1}), p -> graft_dot(emb, element_at(pl, p + 1)))"))
+      .withColumn("bucket", expr(
+        s"aggregate(sequence(0, ${bits - 1}), 0, (acc, p) -> acc * 2 + CASE WHEN dots[p] > 0 THEN 1 ELSE 0 END)"))
+      .drop("pl", "dots")
+
   /** Nearest-centroid assignment: broadcast the codebook, squared-L2 argmin
     * (ssq - 2·dot + cssq; ssq is row-constant so the comparison key is
     * cssq - 2·dot), deterministic tie-break on cid. Also emits `cang`, the
@@ -119,8 +152,8 @@ object LlmOps {
     * smallest xxhash64(vec_id)) + `iters` Lloyd steps with exact-decimal
     * elementwise means, so the codebook is bit-reproducible across runs and
     * partitionings. `e` MUST be materialized (localCheckpoint) by the caller:
-    * the loop re-references it iters+1 times (round-1 VERDICT #8 — the
-    * un-checkpointed form re-scanned the parquet ~5× per query). */
+    * the loop re-references it iters+1 times, and an un-materialized input
+    * re-runs the parquet scan + projection once per reference. */
   private def ivfCodebook(e: DataFrame, nlist: Int, iters: Int): DataFrame = {
     var centroids = e
       .withColumn("h", xxhash64(col("vec_id")))
@@ -143,8 +176,8 @@ object LlmOps {
 
   /** EXACT cosine-threshold pairs via IVF cells + triangle-inequality cell
     * pruning — the scale-safe production form of the brute-force all-pairs
-    * cosine join (which now survives only as the DuckDB oracle SQL and the
-    * LlmOpsSpec adversarial twin; round-1 VERDICT #5). Sign-LSH banding cannot give provable recall at a low
+    * cosine join (which survives only as the DuckDB oracle SQL and the
+    * LlmOpsSpec adversarial twin). Sign-LSH banding cannot give provable recall at a low
     * threshold (τ=0.4 ⇒ per-plane collision prob 0.63 — bands either miss
     * pairs or out-enumerate brute force), so the scale path uses geometry
     * instead of hashing:
@@ -248,10 +281,13 @@ object LlmOps {
     * Any pair skipped in phase 2 has cos < t0 − ε, strictly below the final
     * k-th value even after 6-dp rounding — bit-identical to the exhaustive
     * oracle. Same-cell pairs always pass the bound (θii = 0 ⇒ ub = 1), so
-    * phase 2 supersets phase 1. `e` must be a materialized embDouble. */
-  private[ops] def exactTopKPairs(e: DataFrame, k: Int): DataFrame = {
+    * phase 2 supersets phase 1. `e` must be a materialized embDouble.
+    * nlist ≤ 0 derives from corpus size (ivfNlist; count on a materialized
+    * checkpoint is cheap) — it tunes efficiency only, never answers. */
+  private[ops] def exactTopKPairs(e: DataFrame, k: Int, nlist: Int = 0): DataFrame = {
     val eps = 1e-6 + 1e-9
-    val centroids = ivfCodebook(e, nlist = 16, iters = 0)
+    val nl = if (nlist > 0) nlist else ivfNlist(e.count())
+    val centroids = ivfCodebook(e, nlist = nl, iters = 0)
     val assigned = assignToCentroid(e, centroids).localCheckpoint(true)
     val geo = cellPairGeometry(centroids, assigned)
     val within = cellPairCandidates(assigned,
@@ -276,12 +312,15 @@ object LlmOps {
       .limit(k)
   }
 
-  private[ops] def prunedCosinePairs(e: DataFrame, tau: Double): DataFrame = {
+  private[ops] def prunedCosinePairs(e: DataFrame, tau: Double,
+      nlist: Int = 0): DataFrame = {
     // iters=0: the hash-seeded sample codebook. Recall is exact for ANY
     // codebook (the prune is a proof, not a heuristic), so Lloyd rounds buy
     // only tighter cells; at fixture scale their 2 extra shuffle rounds cost
     // more than the pruning they add. Production at real scale: iters=2.
-    val centroids = ivfCodebook(e, nlist = 16, iters = 0)
+    // nlist ≤ 0 derives from corpus size — efficiency-only, never answers.
+    val nl = if (nlist > 0) nlist else ivfNlist(e.count())
+    val centroids = ivfCodebook(e, nlist = nl, iters = 0)
     val assigned = assignToCentroid(e, centroids).localCheckpoint(true)
     val maxAngle = math.acos(tau - 1e-6) + 1e-6
     val admissible = cellPairGeometry(centroids, assigned)
@@ -290,6 +329,45 @@ object LlmOps {
       .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle"))
     cellPairCandidates(assigned, admissible, tau = Some(tau))
   }
+
+  /** Shingle-hash signature table — doc_id, hs (sorted FNV-64 shingle
+    * hashes: the compact set representation for both the signature and the
+    * exact merge-intersect verify), n (=|hs|), sig (64 minhashes) —
+    * materialized via localCheckpoint because every consumer references it
+    * from multiple plan branches (measured 4× faster than recompute;
+    * columnar persist() is slower than either for nested arrays). On a
+    * cluster the equivalent step writes signatures to Parquet before pair
+    * generation. */
+  private def minhashBase(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    docsWithShingles(s, d)
+      .select(col("doc_id"), expr("graft_shingle_hashes(sh)").as("hs"))
+      .withColumn("n", size(col("hs")))
+      .withColumn("sig", expr("graft_minhash(hs)"))
+      .localCheckpoint(true)
+  }
+
+  /** Unordered candidate pairs (doc_a < doc_b) from LSH band collisions over
+    * the minhash signature: 32 bands × 2 rows — P(miss) = (1 − s²)³² < 1e-14
+    * at s ≥ 0.8. One shuffle groups (band_idx, band_hash) → sorted id lists,
+    * pairs explode within a bucket (no self-join), distinct across bands.
+    * This is the full-corpus candidate generator shared by the Jaccard and
+    * containment dedup paths — candidate volume stays ~linear for
+    * low-similarity corpora. */
+  private def minhashBandCandidates(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 2 + 1, 2)))")))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          | transform(slice(ids, i + 2, size(ids)), b ->
+          |   named_struct('doc_a', a, 'doc_b', b))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "llm_dedup_exact" -> { (s, d) =>
@@ -303,37 +381,11 @@ object LlmOps {
     },
 
     "llm_dedup_minhash" -> { (s, d) =>
-      // Pairs come from per-bucket id lists (one shuffle, no self-join),
-      // exact-Jaccard verified via the native sorted-merge intersect
-      // kernel. Bands: 32×2 minhashes. The signature table feeds three
-      // plan branches, so it is materialized ONCE via localCheckpoint
-      // (measured 4× faster than recompute; columnar persist() is slower
-      // than either for nested arrays). On a cluster the equivalent step
-      // writes signatures to Parquet before pair generation.
-      graft.functions.VectorFunctions.register(s)
-      val base = docsWithShingles(s, d)
-        // hs = sorted FNV-64 hashes of the shingle set: the compact set
-        // representation for both the signature (min over hashes) and the
-        // exact-Jaccard merge (primitive longs — no string allocation).
-        .select(col("doc_id"), expr("graft_shingle_hashes(sh)").as("hs"))
-        .withColumn("n", size(col("hs")))
-        .withColumn("sig", expr("graft_minhash(hs)"))
-        .localCheckpoint(true)
-      val bands = base.select(col("doc_id"),
-          posexplode(expr("transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 2 + 1, 2)))")))
-        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-      val cand = bands
-        .groupBy(col("band_idx"), col("band_hash"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (a, i) ->
-            | transform(slice(ids, i + 2, size(ids)), b ->
-            |   named_struct('doc_a', a, 'doc_b', b))))"""
-            .stripMargin.replace("\n", " "))).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
-      cand
+      // Band-bucket candidates (see minhashBandCandidates), exact-Jaccard
+      // verified via the native sorted-merge intersect kernel on the
+      // checkpointed signature table.
+      val base = minhashBase(s, d)
+      minhashBandCandidates(base)
         .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
           col("n").as("n_a")), "doc_a")
         .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
@@ -408,6 +460,36 @@ object LlmOps {
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
+    // Full-corpus containment dedup: the MinHash band generator supplies
+    // candidates, the same asymmetric |A∩B|/|A| >= 0.7 verify decides —
+    // this is the scale path whose verify semantics the bounded
+    // brute-force twin above proves against DuckDB. Jaccard bands bound
+    // containment recall: c >= 0.7 with |B| <= 2|A| implies J >= 0.41 and
+    // near-dup corpora cluster far above it, but a SHORT doc embedded in a
+    // much longer one has low Jaccard and can be missed — recall < 1 by
+    // construction → rows-only check + LlmOpsSpec equality-on-fixture test.
+    "llm_dedup_containment_lsh" -> { (s, d) =>
+      val base = minhashBase(s, d)
+      // containment is directional: emit both orientations of each
+      // unordered band candidate before the verify.
+      val dir = minhashBandCandidates(base)
+        .select(explode(array(
+          struct(col("doc_a"), col("doc_b")),
+          struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      dir
+        .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+          col("n").as("n_a")), "doc_a")
+        .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
+        .withColumn("containment",
+          col("common").cast("double") / col("n_a").cast("double"))
+        .filter(col("containment") >= 0.7)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
     // SimHash: 64-bit signature from unigram hashes; near-dup candidates by
     // 16-bit band collision, confirmed by Hamming distance <= 6. xxhash64 has
     // no DuckDB twin — validated by LlmOpsSpec instead (rows-only here).
@@ -418,10 +500,14 @@ object LlmOps {
           expr("array_distinct(split(lower(text), ' '))").as("toks"))
         .withColumn("simhash",
           expr("graft_simhash(transform(toks, t -> xxhash64(t)))"))
+      // localCheckpoint: the banded signature table feeds BOTH sides of the
+      // self-join below — materializing it once halves the shingle/simhash
+      // computation (mirrors llm_dedup_minhash's signature checkpoint).
       val banded = docs.select(col("doc_id"), col("simhash"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
+        .localCheckpoint(true)
       banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -432,9 +518,6 @@ object LlmOps {
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
-    // Exact two-phase top-k through the cell geometry (round-1 VERDICT: the
-    // production form of top-k should exist, not just the O(n²) twin) —
-    // see exactTopKPairs for the bound argument.
     // Fuzzy edit-distance dedup: pairs with levenshtein(lower(text)) <= 50,
     // blocked LOSSLESSLY by length bands — lev(a,b) >= |len(a) − len(b)|
     // unconditionally, so a bucket join on floor(length/64) with ±1
@@ -475,9 +558,9 @@ object LlmOps {
       exactTopKPairs(embDouble(s, d).localCheckpoint(true), k = 10)
     },
 
-    // Production form (round-1 VERDICT #5): exact-recall IVF-cell candidate
-    // generation, not the O(n²) BNLJ — see prunedCosinePairs. Hash-matching
-    // the exhaustive-pairs oracle IS the recall proof.
+    // Exact-recall IVF-cell candidate generation, not an O(n²) BNLJ — see
+    // prunedCosinePairs. Hash-matching the exhaustive-pairs oracle IS the
+    // recall proof.
     "llm_sim_threshold_join" -> { (s, d) =>
       val e = embDouble(s, d).localCheckpoint(true)
       prunedCosinePairs(e, 0.4)
@@ -486,20 +569,17 @@ object LlmOps {
         .orderBy(col("va").asc, col("vb").asc)
     },
 
-    // ANN via random-hyperplane LSH: 8 sign bits from pseudo-random
-    // hyperplanes (hash-derived, deterministic), candidates share a bucket.
+    // ANN via random-hyperplane LSH: corpus-adaptive sign bits (annBits —
+    // 8 at fixture scale) from pseudo-random hyperplanes (hash-derived,
+    // deterministic), candidates share a bucket.
     // Recall < 1 by construction → rows-only check + LlmOpsSpec subset test.
     "llm_sim_ann_lsh" -> { (s, d) =>
-      // hyperplanes are CONSTANTS: materialized once as a literal (driver
-      // side, deterministic splitmix64), so the per-row work is 8 native
-      // dot products — not 512 hash computations per row.
-      val e = embDouble(s, d)
-        .withColumn("pl", typedLit(LlmOps.annPlanes))
-        .withColumn("dots",
-          expr("transform(sequence(0, 7), p -> graft_dot(emb, element_at(pl, p + 1)))"))
-        .withColumn("bucket", expr(
-          "aggregate(sequence(0, 7), 0, (acc, p) -> acc * 2 + CASE WHEN dots[p] > 0 THEN 1 ELSE 0 END)"))
-        .drop("pl")
+      // n from parquet metadata (count of the raw table — no projection);
+      // the hyperplanes are CONSTANTS: materialized once as a literal
+      // (driver side, deterministic splitmix64), so the per-row work is
+      // `bits` native dot products — not 64·bits hash computations per row.
+      val bits = annBits(Tables.embeddings(s, d).count())
+      val e = signBuckets(embDouble(s, d), bits)
       val a = e.select(col("bucket"), col("vec_id").as("va"),
         col("emb").as("emb_a"), col("ssq").as("ssq_a"))
       val b = e.select(col("bucket"), col("vec_id").as("vb"),
@@ -514,7 +594,7 @@ object LlmOps {
     // Embedding-cosine near-dup dedup: drop any vector that has a
     // near-duplicate (cos >= 0.4) with a smaller id — the embedding-space
     // analogue of llm_dedup_exact's keep-lowest-id rule. Candidates come
-    // from the exact-recall pruned cell join (round-1 VERDICT #5).
+    // from the exact-recall pruned cell join.
     "llm_dedup_embcos" -> { (s, d) =>
       val e = embDouble(s, d).localCheckpoint(true)
       val dupIds = prunedCosinePairs(e, 0.4)
@@ -526,17 +606,18 @@ object LlmOps {
 
     // ANN via IVF (inverted file): a deterministic k-means coarse quantizer
     // (hash-seeded, 2 Lloyd iterations, exact-decimal centroid means so the
-    // codebook is bit-reproducible) partitions vectors into nlist=16
-    // buckets; candidate pairs share a bucket. At 100 TB the codebook stays
-    // a broadcast literal and the bucket id becomes the shuffle/storage
-    // partition key — pair generation never crosses buckets. Recall < 1 by
-    // construction → rows-only check + LlmOpsSpec subset test.
+    // codebook is bit-reproducible) partitions vectors into corpus-adaptive
+    // nlist buckets (ivfNlist — 16 at fixture scale); candidate pairs share
+    // a bucket. At 100 TB the codebook stays a broadcast literal and the
+    // bucket id becomes the shuffle/storage partition key — pair generation
+    // never crosses buckets. Recall < 1 by construction → rows-only check +
+    // LlmOpsSpec subset test.
     "llm_sim_ann_ivf" -> { (s, d) =>
-      // localCheckpoint (round-1 VERDICT #8): the Lloyd loop + final
-      // assignment reference `e` three times; without materialization each
-      // reference re-ran the parquet scan + projection.
+      // localCheckpoint: the Lloyd loop + final assignment reference `e`
+      // three times; without materialization each reference re-runs the
+      // parquet scan + projection. (count() on the checkpoint is cheap.)
       val e = embDouble(s, d).localCheckpoint(true)
-      val centroids = ivfCodebook(e, nlist = 16, iters = 2)
+      val centroids = ivfCodebook(e, nlist = ivfNlist(e.count()), iters = 2)
       val buckets = assignToCentroid(e, centroids)
       val a = buckets.select(col("cid"), col("vec_id").as("va"),
         col("emb").as("emb_a"), col("ssq").as("ssq_a"))

@@ -25,7 +25,7 @@ object Scalars {
           substring(col("c_name"), 1, 8).as("prefix8"),
           // .cast("long") on int outputs throughout this file: DuckDB's
           // length/extract/strpos return BIGINT and the driver compares
-          // pandas dtypes strictly (round-1 VERDICT #1).
+          // pandas dtypes strictly.
           length(col("c_name")).cast("long").as("name_len"),
           concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"))
         .orderBy(col("c_custkey").asc)
@@ -182,7 +182,7 @@ object Scalars {
 
     // transform_keys / transform_values over a built map; output projected
     // to sorted entry strings (nested map outputs break the driver's pandas
-    // comparator, round-1 VERDICT #2).
+    // comparator).
     "map_transform" -> { (s, d) =>
       Tables.nation(s, d)
         .groupBy(col("n_regionkey"))

@@ -28,7 +28,7 @@ object Windows {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
         // .cast("long"): DuckDB window ranks are BIGINT; Spark's are INT and
-        // the driver compares pandas dtypes strictly (round-1 VERDICT #1).
+        // the driver compares pandas dtypes strictly.
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
@@ -45,7 +45,7 @@ object Windows {
     },
 
     "win_ntile_percent" -> { (s, d) =>
-      // Distributed two-pass global ranking (round-1 VERDICT #6): a bare
+      // Distributed two-pass global ranking: a bare
       // Window.orderBy(...) funnels the whole table through ONE task — a
       // scale-killer on a large table. Instead: range-partition on the sort
       // key, row_number within each partition, then add the exact cumulative

@@ -114,9 +114,9 @@ class PlanSpec extends SparkSpec {
   test("llm_sim_threshold_join enumerates pairs via a cid equi-join, not an O(n²) BNLJ") {
     // The only nested-loop joins allowed are the bounded codebook shapes
     // (vectors × ≤16-row broadcast centroids; 16 × 16 centroid pairs). The
-    // va < vb pair enumeration of the round-1 quadratic form must be GONE
+    // va < vb pair enumeration of a quadratic brute-force form must be GONE
     // from every BNLJ/cartesian condition: pairs now come from the
-    // admissible-cell hash join on ci/cj (round-1 VERDICT #5).
+    // admissible-cell hash join on ci/cj.
     val plan = physicalPlan("llm_sim_threshold_join")
     val nestedLines = plan.linesIterator.filter(l =>
       l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct")).toSeq

@@ -147,6 +147,57 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("containment LSH equals the brute-force containment dedup on the fixture corpus") {
+    // At sf0.001 the whole corpus is doc_id < 500, so the full-corpus LSH
+    // path and the bounded brute-force twin run over identical documents:
+    // soundness (both apply the same exact verify) plus fixture recall
+    // (near-dups here have Jaccard far above the band threshold) make the
+    // two result sets equal. A recall miss would surface as a missing row.
+    val lsh = SparkEntry_queries("llm_dedup_containment_lsh")
+      .collect().map(_.toSeq.toList).toSet
+    val brute = SparkEntry_queries("llm_dedup_containment")
+      .collect().map(_.toSeq.toList).toSet
+    assert(brute.nonEmpty, "degenerate fixture: no containment pairs")
+    assert(lsh === brute,
+      s"missing=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+  }
+
+  test("ANN bucket spaces scale with corpus size: occupancy stays bounded at 10x growth") {
+    // Formula bounds: mean sign-LSH bucket occupancy n/2^bits <= 8 and mean
+    // IVF cell size n/nlist <= 128 must hold across 4 decades, not just at
+    // fixture scale (where both formulas must still derive the round-3
+    // constants so fixture results are unchanged).
+    assert(LlmOps.annBits(500) === 8 && LlmOps.annBits(2000) === 8)
+    assert(LlmOps.ivfNlist(500) === 16 && LlmOps.ivfNlist(2000) === 16)
+    for (n <- Seq(500L, 5000L, 50000L, 500000L, 5000000L)) {
+      val bits = LlmOps.annBits(n)
+      val nlist = LlmOps.ivfNlist(n)
+      assert(n.toDouble / (1L << bits) <= 8.0,
+        s"n=$n bits=$bits mean occupancy ${n.toDouble / (1L << bits)}")
+      assert(n.toDouble / nlist <= 128.0,
+        s"n=$n nlist=$nlist mean cell size ${n.toDouble / nlist}")
+    }
+    // Empirical: on a seeded random corpus grown 10x, the adaptive bit
+    // count keeps the REALIZED max bucket occupancy flat instead of 10x.
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(20260812L)
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "emb")
+    def maxOcc(n: Int): Long = LlmOps
+      .signBuckets(corpus(n), LlmOps.annBits(n))
+      .groupBy(col("bucket")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    val small = maxOcc(500)
+    val big = maxOcc(5000)
+    // 500 -> 5000 grows bits 8 -> 10: mean occupancy stays ~2-5 per bucket.
+    // Allow generous skew headroom; the failure mode guarded against is the
+    // FIXED bucket space, where big would be ~10x small.
+    assert(big <= small * 3,
+      s"occupancy not bounded: max bucket $small -> $big at 10x corpus")
+  }
+
   test("approx_count_distinct stays within the declared error bound") {
     // The declared query emits (n_exact, hll_ok); hll_ok must be TRUE
     // everywhere (that is what the DuckDB oracle pins), and the raw HLL
