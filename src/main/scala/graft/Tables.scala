@@ -78,7 +78,8 @@ object Tables {
     * .doubleValue rounds once, and the doubles can differ in the last ulp.
     * 2^53/10^4 ≈ 9×10^11 in money units — far above any fixture SF, but a
     * real 100 TB global sum of large prices could cross it; split such sums
-    * by group or compare in decimal. */
+    * by group or fall back to the decimal-output [[dsum]], which stays exact
+    * at any magnitude (TablesSpec pins the bound with a 2^53+3 witness). */
   def dsumD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(Money)).cast("double")
   /** Lossless decimal view of a 2-dp money column (prices < 1e10). */

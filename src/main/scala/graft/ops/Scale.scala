@@ -14,9 +14,13 @@ object Scale {
     * scatter probe-side rows uniformly across the replicas, so one hot key
     * spreads over `salt` reducers instead of melting a single task.
     *
-    * Use when AQE's skew-join split can't help (e.g. the skew is in a
-    * stream-stream or stateful op, or statistics hide the hot key).
-    * The join result is identical to `probe.join(build, keys)`.
+    * DECISION RULE: for a plain batch equi-join, prefer AQE — its
+    * OptimizeSkewedJoin sees the hot partition in runtime shuffle stats and
+    * splits it with no query change (ScaleSpec "AQE alone splits a skewed
+    * shuffle join" demonstrates this on a 95%-hot-key fixture). Reach for
+    * saltedJoin only where AQE can't help: stream-stream or stateful ops
+    * (no AQE re-plan), or skew the map stats can't see. The join result is
+    * identical to `probe.join(build, keys)` either way.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salt: Int = 16): DataFrame = {

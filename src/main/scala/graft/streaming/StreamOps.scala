@@ -49,10 +49,25 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
-  /** Drop duplicate event_ids within the watermark horizon. */
+  /** Drop duplicate event_ids within the watermark horizon — the SCALE form
+    * of streaming dedup: a key's state is evicted once the watermark passes
+    * its event time + delay, so state is bounded by the watermark window.
+    * The trade: a duplicate arriving more than the delay after the original
+    * (with a fresh in-watermark timestamp) finds no state and RE-EMITS.
+    * StreamingSpec pins this against [[dedupGlobal]] on the same input. */
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Exact-forever dedup on event_id: plain dropDuplicates whose key set
+    * excludes the event-time column, so the state store retains EVERY seen
+    * key indefinitely (the watermark cannot evict) — duplicates are dropped
+    * across arbitrary time gaps, at the cost of state growing with distinct
+    * keys. At 100 TB prefer [[dedup]] unless the key domain is provably
+    * bounded (e.g. a dimension id space). */
+  def dedupGlobal(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
 
   /** Enrich the stream with a static dimension table (broadcast join — the
     * static side never re-shuffles the stream). */

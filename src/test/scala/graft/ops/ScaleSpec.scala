@@ -20,6 +20,51 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("AQE alone splits a skewed shuffle join — salting is for when AQE can't see the skew") {
+    // Demonstrates the decision rule in Scale.saltedJoin's scaladoc: for a
+    // plain batch equi-join, AQE's OptimizeSkewedJoin detects the hot
+    // partition from runtime map statistics and splits it — no salting
+    // needed. saltedJoin remains for the cases AQE cannot reach (stateful/
+    // stream-stream ops, or joins whose skew hides from shuffle stats).
+    import spark.implicits._
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture-sized thresholds: the hot partition (~1 MB) must dwarf the
+      // advisory size the same way a hot 10 GB partition dwarfs 64 MB.
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 95% of probe rows on one hot key, with a payload so the skew is
+      // visible in bytes (what the skew detector measures).
+      val probe = (1 to 60000)
+        .map(i => (if (i % 20 == 0) i.toLong % 7 else 42L, "x" * 64 + i))
+        .toDF("k", "v")
+      val build = (0L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = probe.join(build, "k")
+      // execute THIS Dataset's plan (count() would build a separate
+      // QueryExecution, leaving joined's adaptive plan un-finalized)
+      assert(joined.collect().length === 60000) // every probe row matches once
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the hot partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables sort-merge join without a shuffle exchange") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -121,6 +121,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark evicts state at the watermark; plain dropDuplicates never does") {
+    // The semantic boundary between the two dedup forms: after the
+    // watermark passes a key's event time + delay, WithinWatermark forgets
+    // the key (bounded state — a later duplicate re-emits), while plain
+    // dropDuplicates remembers it forever (unbounded state — still drops).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(name: String, xform: DataFrame => DataFrame): Long = {
+      val mem = MemoryStream[Ev]
+      val q = xform(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // original event_id=1 at 00:00:10 (state expiry 00:10:10)
+        mem.addData(Seq(Ev(1, t("2024-01-01 00:00:10"), 1, "click", 1.0)))
+        q.processAllAvailable()
+        // advancer: watermark -> 00:35 AFTER this batch, evicting id=1's
+        // WithinWatermark state (00:10:10 < 00:35)
+        mem.addData(Seq(Ev(5, t("2024-01-01 00:45:00"), 1, "view", 5.0)))
+        q.processAllAvailable()
+        // duplicate id=1 with a fresh in-watermark timestamp (00:40 > 00:35)
+        mem.addData(Seq(Ev(1, t("2024-01-01 00:40:00"), 1, "click", 9.0)))
+        q.processAllAvailable()
+        spark.table(name).count()
+      } finally q.stop()
+    }
+    val within = run("dedup_within", df => StreamOps.dedup(df))
+    val global = run("dedup_global", df => StreamOps.dedupGlobal(df))
+    assert(within === 3L,
+      "WithinWatermark must re-emit the duplicate after state eviction")
+    assert(global === 2L,
+      "plain dropDuplicates must drop the duplicate across any gap")
+  }
+
   test("stream-static join enriches with dimension rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
