@@ -52,28 +52,41 @@ object Bench {
       System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
       sys.exit(2)
     }
+    // SPARK_GRAFT_BENCH_REPEATS=N (default 1 — the driver's protocol): run
+    // each query N consecutive times and report the per-query MEDIAN. The
+    // committed BASELINE is recorded in this mode (N=3) because same-code
+    // single-run totals spread 52.9-75.9 s under machine load; the median
+    // keeps regression detection from chasing noise. Lower-middle median
+    // for even N — deterministic, no averaging across runs.
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
       .flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            failed ::= name
-            false
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // outside the timed region: drop cache/checkpoint blocks so earlier
-      // queries' leftovers don't GC-tax later ones (measured up to 8x
-      // inflation on the last heavy query of the run without this).
-      // System.gc() lets the ContextCleaner reclaim localCheckpoint RDD
-      // blocks, which clearCache() alone does not reach.
-      spark.catalog.clearCache()
-      System.gc()
-      if (ok) Some(name -> elapsed) else None
+      val times = (1 to repeats).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // outside the timed region: drop cache/checkpoint blocks so earlier
+        // queries' leftovers don't GC-tax later ones (measured up to 8x
+        // inflation on the last heavy query of the run without this).
+        // System.gc() lets the ContextCleaner reclaim localCheckpoint RDD
+        // blocks, which clearCache() alone does not reach.
+        spark.catalog.clearCache()
+        System.gc()
+        if (ok) Some(elapsed) else None
+      }
+      // any failed repeat marks the query failed — a median over a partial
+      // sample would silently compare a different protocol to the baseline.
+      if (times.size < repeats) { failed ::= name; None }
+      else Some(name -> times.sorted.apply((times.size - 1) / 2))
     }
     // total = sum of the per-query values AS PRINTED (rounded to 3 dp), so
     // the "total" and "queries" lines agree exactly.
