@@ -369,6 +369,24 @@ object LlmOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
+  /** Verified near-duplicate pairs (doc_a < doc_b, jac): band-bucket
+    * candidates (see minhashBandCandidates), exact-Jaccard verified via the
+    * native sorted-merge intersect kernel on the checkpointed signature
+    * table. Shared by the pair-listing query and the cluster builder. */
+  private def minhashDupPairs(s: SparkSession, d: String): DataFrame = {
+    val base = minhashBase(s, d)
+    minhashBandCandidates(base)
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
+      .withColumn("jac", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "llm_dedup_exact" -> { (s, d) =>
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
@@ -381,21 +399,55 @@ object LlmOps {
     },
 
     "llm_dedup_minhash" -> { (s, d) =>
-      // Band-bucket candidates (see minhashBandCandidates), exact-Jaccard
-      // verified via the native sorted-merge intersect kernel on the
-      // checkpointed signature table.
-      val base = minhashBase(s, d)
-      minhashBandCandidates(base)
-        .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
-          col("n").as("n_a")), "doc_a")
-        .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
-          col("n").as("n_b")), "doc_b")
-        .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
-        .withColumn("jac", col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")).cast("double"))
-        .filter(col("jac") >= 0.5)
+      minhashDupPairs(s, d)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // Connected-component dedup clusters over the verified near-dup pair
+    // graph: every document labeled with the smallest doc_id reachable
+    // through jac >= 0.5 pairs (singletons label themselves) plus the
+    // cluster size — the keep-one-representative-per-group step of a
+    // curation pipeline, where pair listings alone under-merge (A~B, B~C
+    // but A!~C must still collapse to ONE representative).
+    //
+    // Iterative min-label propagation: labels(v) := min(labels(v), min of
+    // neighbor labels) to a fixed point. Each round is one equi-join
+    // shuffle + a map-side-combined min aggregate; lineage is truncated
+    // per round by localCheckpoint. Rounds needed = graph diameter —
+    // near-dup components are unions of band cliques, so the diameter
+    // stays small at any corpus size (the large-star/small-star
+    // contraction would cap it at O(log n) rounds if a pathological chain
+    // ever appeared). The ONLY driver-side value per round is the single
+    // changed-row count that decides termination; row data never leaves
+    // the executors.
+    "llm_dedup_clusters" -> { (s, d) =>
+      val pairs = minhashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint(true)
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val nb = edges.join(labels, col("doc_b") === col("doc_id"))
+          .groupBy(col("doc_a")).agg(min(col("cluster_id")).as("nb_min"))
+          .withColumnRenamed("doc_a", "doc_id")
+        val next = labels.join(nb, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint(true)
+        changed = next.as("n")
+          .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+          .filter(col("n.cluster_id") < col("p.cluster_id")).count()
+        labels = next
+      }
+      labels
+        .withColumn("cluster_size", count(lit(1))
+          .over(Window.partitionBy(col("cluster_id"))).cast("long"))
+        .orderBy(col("doc_id").asc)
     },
 
     "llm_dedup_ngram_jaccard" -> { (s, d) =>
@@ -630,6 +682,65 @@ object LlmOps {
         .orderBy(col("va").asc, col("vb").asc)
     },
 
+    // Deterministic per-stratum hash sampling: membership is a pure
+    // function of the row key (first hex digit of md5(doc_id)), so the
+    // sample is reproducible across engines, runs, and partitionings —
+    // no RNG state, no sampleBy seed drift, and at 100 TB it is a
+    // pushdown-friendly filter, not a shuffle. Per-language rates:
+    // 'en' keeps 8/16, everything else 4/16 (hex digits compare
+    // lexicographically, so h < '8' IS the 8/16 bucket test).
+    "llm_sample_stratified" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .filter(when(col("lang") === "en", col("h") < "8")
+          .otherwise(col("h") < "4"))
+        .select(col("doc_id"), col("lang"), col("h"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // Concat-and-chunk sequence packing (the standard LLM pretraining
+    // shape): documents concatenate per language in doc_id order and are
+    // chunked into 4096-token context windows; each doc records the chunk
+    // its first token lands in and the offset within it. The running sum
+    // is a lang-partitioned window — languages spread across executors;
+    // if one language dominated, the two-pass range-partition ranking of
+    // win_ntile_percent is the drop-in distributed form.
+    "llm_pack_sequences" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / 4096L).cast("long").as("chunk_id"),
+          ((col("cum") - col("n_tok")) % 4096L).cast("long").as("chunk_offset"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // Per-vector int8 scalar quantization — the 4×-smaller storage form of
+    // an embedding table: q = floor((x − vmin)·255/(vmax − vmin)) clamped
+    // to [0, 255], codes exactly reconstructible from (vmin, vmax).
+    // Operation order mirrors the oracle SQL term-for-term so the binary64
+    // arithmetic is bit-identical; the degenerate-range guard lives INSIDE
+    // the transform lambda on scalar values (an outer CASE around a HOF
+    // defeats subexpression elimination — see docsWithShingles).
+    // posexplode keeps the compare engine-exact (as llm_embed_normalize).
+    "llm_embed_quantize" -> { (s, d) =>
+      embDouble(s, d)
+        .withColumn("vmin", array_min(col("emb")))
+        .withColumn("vmax", array_max(col("emb")))
+        .select(col("vec_id"),
+          round(col("vmin"), 6).as("lo"), round(col("vmax"), 6).as("hi"),
+          posexplode(expr(
+            """transform(emb, x -> CAST(least(255.0, greatest(0.0,
+              | CASE WHEN vmax = vmin THEN 0.0
+              |      ELSE floor((x - vmin) * 255.0 / (vmax - vmin)) END)) AS BIGINT))"""
+              .stripMargin.replace("\n", " "))))
+        .select(col("vec_id"), col("lo"), col("hi"),
+          (col("pos") + 1).cast("long").as("pos"), col("col").as("q"))
+        .orderBy(col("vec_id").asc, col("pos").asc)
+    },
+
     "llm_embed_normalize" -> { (s, d) =>
       // Emitted as one row per vector element rather than a raw double array:
       // ndarray cells break the driver's pandas comparator, and stringified
@@ -787,6 +898,27 @@ object LlmOps {
          |SELECT doc_a, doc_b, round(j, 6) AS jac FROM p WHERE j >= 0.5
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
+    // Transitive closure over the same pair predicate: min reachable id
+    // per doc through bidirectional jac >= 0.5 edges. UNION (not ALL)
+    // dedups the reach set so the recursion terminates on cycles.
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |            len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.5),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON reach.id = e.a),
+         |c AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM c
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "llm_dedup_ngram_jaccard" ->
       s"""${duckJaccardPairs("WHERE doc_id < 500")}
          |SELECT doc_a, doc_b, round(j, 6) AS jac FROM p WHERE j >= 0.5
@@ -830,6 +962,41 @@ object LlmOps {
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vec_id = e.vec_id)
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_sample_stratified" ->
+      """SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 1) AS h
+        |FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN substr(md5(doc_id::VARCHAR), 1, 1) < '8'
+        |           ELSE substr(md5(doc_id::VARCHAR), 1, 1) < '4' END
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, lang, n_tok,
+        |       CAST(floor((cum - n_tok) / 4096) AS BIGINT) AS chunk_id,
+        |       CAST((cum - n_tok) % 4096 AS BIGINT) AS chunk_offset
+        |FROM c
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb, list_min(emb) AS vmin, list_max(emb) AS vmax FROM e),
+        |idx AS (SELECT unnest(range(1, (SELECT max(len(emb)) + 1 FROM m))) AS i)
+        |SELECT vec_id,
+        |       round(vmin, 6) AS lo, round(vmax, 6) AS hi,
+        |       CAST(i AS BIGINT) AS pos,
+        |       CAST(least(255.0, greatest(0.0,
+        |         CASE WHEN vmax = vmin THEN 0.0
+        |              ELSE floor((emb[i] - vmin) * 255.0 / (vmax - vmin)) END)) AS BIGINT) AS q
+        |FROM m CROSS JOIN idx
+        |WHERE i <= len(emb)
+        |ORDER BY vec_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,
 
     "llm_embed_normalize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

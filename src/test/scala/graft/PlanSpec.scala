@@ -99,6 +99,53 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("CBO with ANALYZE statistics reorders a join chain to put the selective table first") {
+    // Cost-based join reorder needs catalog statistics — a bare parquet
+    // path has none. ANALYZE ... COMPUTE STATISTICS FOR ALL COLUMNS fills
+    // rowCount + column NDVs, and CostBasedJoinReorder may then rewrite
+    // the syntactic join order. Asserted observable: with CBO on, the
+    // optimized plan's leaf order differs from the syntactic
+    // big ⋈ big ⋈ tiny order (the tiny selective dim moves off the last
+    // position); with CBO off it does not.
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.lineitem(spark, sf).write.mode("overwrite").saveAsTable("cbo_lineitem")
+      Tables.orders(spark, sf).write.mode("overwrite").saveAsTable("cbo_orders")
+      Tables.region(spark, sf).limit(2).selectExpr("r_regionkey AS rk")
+        .write.mode("overwrite").saveAsTable("cbo_tiny")
+      Seq("cbo_lineitem", "cbo_orders", "cbo_tiny").foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      def leafOrder(): Seq[String] = {
+        val plan = spark.sql(
+          """SELECT count(*) FROM cbo_lineitem l
+            |JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+            |JOIN cbo_tiny t ON o.o_orderkey % 5 = t.rk""".stripMargin)
+          .queryExecution.optimizedPlan.toString
+        Seq("cbo_lineitem", "cbo_orders", "cbo_tiny")
+          .sortBy(t => plan.indexOf(t))
+      }
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val syntactic = leafOrder()
+      assert(syntactic === Seq("cbo_lineitem", "cbo_orders", "cbo_tiny"))
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val reordered = leafOrder()
+      assert(reordered !== syntactic,
+        s"CostBasedJoinReorder left the syntactic order: $reordered")
+    } finally {
+      Seq("cbo_lineitem", "cbo_orders", "cbo_tiny").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("join_range_banded pairs via a bucket equi-join, not a BNLJ") {
     val plan = physicalPlan("join_range_banded")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

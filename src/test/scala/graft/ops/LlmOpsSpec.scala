@@ -162,6 +162,23 @@ class LlmOpsSpec extends SparkSpec {
       s"missing=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
   }
 
+  test("dedup clusters: pair endpoints co-cluster and representatives are component minima") {
+    // The oracle compare proves equality with the recursive closure; this
+    // pins the two structural laws a consumer relies on directly.
+    val pairs = SparkEntry_queries("llm_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry_queries("llm_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid,
+        s"cluster $cid representative is not the member minimum")
+    }
+  }
+
   test("ANN bucket spaces scale with corpus size: occupancy stays bounded at 10x growth") {
     // Formula bounds: mean sign-LSH bucket occupancy n/2^bits <= 8 and mean
     // IVF cell size n/nlist <= 128 must hold across 4 decades, not just at
