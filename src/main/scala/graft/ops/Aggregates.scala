@@ -195,6 +195,20 @@ object Aggregates {
           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
         .orderBy(col("o_orderstatus").asc)
+    },
+
+    // Equi-width histogram of order totals: 10 bins of 50k with the
+    // overflow clamped into the top bin. The bin id is a plain projection,
+    // so this is one map-side-combined groupBy — the distributed histogram
+    // shape (no sort, no window). floor-division binning instead of
+    // width_bucket keeps the expression portable to the oracle engine.
+    "agg_histogram" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(least(lit(9.0), floor(col("o_totalprice") / 50000.0))
+          .cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          Tables.dsumD(col("o_totalprice")).as("sum_total"))
+        .orderBy(col("bin").asc)
     }
   )
 
@@ -337,6 +351,14 @@ object Aggregates {
         |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM orders
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(least(9.0, floor(o_totalprice / 50000.0)) AS BIGINT) AS bin,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bin ASC NULLS FIRST""".stripMargin
   )
 }

@@ -107,6 +107,26 @@ object Windows {
         .orderBy(col("user_id").asc, col("event_id").asc)
     },
 
+    // Batch sessionization — the batch twin of streaming session_window: a
+    // session breaks where the gap to the user's previous event exceeds 30
+    // minutes; session_id is the running count of breaks. Two stacked
+    // windows over ONE (user_id, ts) ordering — Catalyst plans them in a
+    // single WindowExec pass over a single shuffle+sort, the right shape
+    // at any scale (sessions never cross users).
+    "win_sessionize" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("gap_us", unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+        .withColumn("brk", when(col("gap_us").isNull ||
+          col("gap_us") > 30L * 60L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .orderBy(col("user_id").asc, col("event_id").asc)
+    },
+
     "win_running_sum_rows" -> { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -195,6 +215,21 @@ object Windows {
         |       lead(event_id, 1) OVER w AS next_event
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+
+    "win_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |b AS (SELECT user_id, event_id, ts,
+        |             CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM g)
+        |SELECT user_id, event_id,
+        |       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM b
         |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
 
     "win_running_sum_rows" ->

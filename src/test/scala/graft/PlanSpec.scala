@@ -146,6 +146,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter reduces the probe side of a selective fact ⋈ dim join") {
+    // Spark's InjectRuntimeFilter puts a bloom filter built from the
+    // filtered dim keys in front of the fact scan — at 100 TB this is the
+    // semi-join reduction that keeps a selective join from reading the
+    // whole fact shuffle. Size thresholds are production-tuned, so pin
+    // them down to fixture scale to observe the mechanism.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") || optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join_range_banded pairs via a bucket equi-join, not a BNLJ") {
     val plan = physicalPlan("join_range_banded")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
