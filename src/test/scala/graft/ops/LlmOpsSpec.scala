@@ -215,6 +215,39 @@ class LlmOpsSpec extends SparkSpec {
       s"occupancy not bounded: max bucket $small -> $big at 10x corpus")
   }
 
+  test("pack_sequences and embed_quantize hold their structural laws on the fixture") {
+    // Oracle compare proves engine equality; these pin the invariants a
+    // consumer builds on. Packing: every offset lands inside the 4096
+    // window, and (chunk_id, chunk_offset) advances monotonically in
+    // doc_id order within a language (concat-chunk has no gaps).
+    val packed = SparkEntry_queries("llm_pack_sequences").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.nonEmpty)
+    packed.foreach { case (_, id, _, _, off) =>
+      assert(off >= 0 && off < 4096, s"doc $id offset $off outside window")
+    }
+    packed.groupBy(_._1).foreach { case (lang, docs) =>
+      docs.sortBy(_._2).foldLeft(0L) { case (cum, (_, id, nTok, chunk, off)) =>
+        assert(chunk === cum / 4096 && off === cum % 4096,
+          s"$lang doc $id: chunk/offset diverged from the running sum")
+        cum + nTok
+      }
+    }
+    // Quantization: codes stay in [0, 255] and the reconstruction
+    // lo + q·(hi−lo)/255 lands within one quantization step of a value
+    // inside [lo, hi] — the contract that makes the codes usable.
+    val q = SparkEntry_queries("llm_embed_quantize").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(4)))
+    assert(q.nonEmpty)
+    q.foreach { case (lo, hi, code) =>
+      assert(code >= 0L && code <= 255L, s"code $code out of int8 range")
+      val step = (hi - lo) / 255.0
+      val recon = lo + code * step
+      assert(recon >= lo - step - 1e-6 && recon <= hi + step + 1e-6,
+        s"reconstruction $recon outside [$lo, $hi] ± step")
+    }
+  }
+
   test("approx_count_distinct stays within the declared error bound") {
     // The declared query emits (n_exact, hll_ok); hll_ok must be TRUE
     // everywhere (that is what the DuckDB oracle pins), and the raw HLL
