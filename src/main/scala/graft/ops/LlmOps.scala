@@ -387,6 +387,42 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Connected components by iterative min-label propagation:
+    * labels(v) := min(labels(v), min of neighbor labels) to a fixed point.
+    * `vertices` is one doc_id column; `edges` are unordered pairs
+    * (doc_a, doc_b) — both orientations are generated here. Each round is
+    * one equi-join shuffle + a map-side-combined min aggregate, lineage
+    * truncated per round by localCheckpoint. Rounds needed = graph
+    * diameter (worst case exercised on a chain in LlmOpsSpec; the
+    * large-star/small-star contraction would cap it at O(log n) rounds if
+    * production graphs ever grew deep). The ONLY driver-side value per
+    * round is the single changed-row count deciding termination; row data
+    * never leaves the executors. */
+  private[ops] def labelPropagate(vertices: DataFrame, edges0: DataFrame): DataFrame = {
+    val edges = edges0
+      .union(edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = vertices
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nb = edges.join(labels, col("doc_b") === col("doc_id"))
+        .groupBy(col("doc_a")).agg(min(col("cluster_id")).as("nb_min"))
+        .withColumnRenamed("doc_a", "doc_id")
+      val next = labels.join(nb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.cluster_id") < col("p.cluster_id")).count()
+      labels = next
+    }
+    labels
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "llm_dedup_exact" -> { (s, d) =>
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
@@ -409,42 +445,12 @@ object LlmOps {
     // through jac >= 0.5 pairs (singletons label themselves) plus the
     // cluster size — the keep-one-representative-per-group step of a
     // curation pipeline, where pair listings alone under-merge (A~B, B~C
-    // but A!~C must still collapse to ONE representative).
-    //
-    // Iterative min-label propagation: labels(v) := min(labels(v), min of
-    // neighbor labels) to a fixed point. Each round is one equi-join
-    // shuffle + a map-side-combined min aggregate; lineage is truncated
-    // per round by localCheckpoint. Rounds needed = graph diameter —
-    // near-dup components are unions of band cliques, so the diameter
-    // stays small at any corpus size (the large-star/small-star
-    // contraction would cap it at O(log n) rounds if a pathological chain
-    // ever appeared). The ONLY driver-side value per round is the single
-    // changed-row count that decides termination; row data never leaves
-    // the executors.
+    // but A!~C must still collapse to ONE representative). Algorithm and
+    // scale notes: labelPropagate above.
     "llm_dedup_clusters" -> { (s, d) =>
-      val pairs = minhashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint(true)
-      var labels = Tables.documents(s, d)
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        val nb = edges.join(labels, col("doc_b") === col("doc_id"))
-          .groupBy(col("doc_a")).agg(min(col("cluster_id")).as("nb_min"))
-          .withColumnRenamed("doc_a", "doc_id")
-        val next = labels.join(nb, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
-              .as("cluster_id"))
-          .localCheckpoint(true)
-        changed = next.as("n")
-          .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-          .filter(col("n.cluster_id") < col("p.cluster_id")).count()
-        labels = next
-      }
-      labels
+      labelPropagate(
+        Tables.documents(s, d).select(col("doc_id")),
+        minhashDupPairs(s, d).select(col("doc_a"), col("doc_b")))
         .withColumn("cluster_size", count(lit(1))
           .over(Window.partitionBy(col("cluster_id"))).cast("long"))
         .orderBy(col("doc_id").asc)

@@ -162,6 +162,26 @@ class LlmOpsSpec extends SparkSpec {
       s"missing=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
   }
 
+  test("label propagation converges on a worst-case chain and mixed component shapes") {
+    // The fixture graph is shallow (band cliques); this drives the loop on
+    // its worst case — a 60-node path (diameter 59, so ~60 rounds) plus a
+    // clique, an isolated vertex, and a cycle — and demands the exact
+    // component minima everywhere.
+    import spark.implicits._
+    val chain = (0L until 60L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val cycle = Seq((200L, 201L), (201L, 202L), (202L, 200L))
+    val vertices = ((0L until 60L) ++ (100L to 104L) ++ Seq(150L) ++ (200L to 202L))
+      .toDF("doc_id")
+    val edges = (chain ++ clique ++ cycle).toDF("doc_a", "doc_b")
+    val got = LlmOps.labelPropagate(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 60L).foreach(v => assert(got(v) === 0L, s"chain node $v"))
+    (100L to 104L).foreach(v => assert(got(v) === 100L, s"clique node $v"))
+    assert(got(150L) === 150L, "singleton")
+    (200L to 202L).foreach(v => assert(got(v) === 200L, s"cycle node $v"))
+  }
+
   test("dedup clusters: pair endpoints co-cluster and representatives are component minima") {
     // The oracle compare proves equality with the recursive closure; this
     // pins the two structural laws a consumer relies on directly.
