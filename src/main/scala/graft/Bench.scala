@@ -52,14 +52,16 @@ object Bench {
       System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
       sys.exit(2)
     }
-    // SPARK_GRAFT_BENCH_REPEATS=N (default 1 — the driver's protocol): run
-    // each query N consecutive times and report the per-query MEDIAN. The
-    // committed BASELINE is recorded in this mode (N=3) because same-code
-    // single-run totals spread 52.9-75.9 s under machine load; the median
-    // keeps regression detection from chasing noise. Lower-middle median
-    // for even N — deterministic, no averaging across runs.
+    // SPARK_GRAFT_BENCH_REPEATS=N (default 3): run each query N
+    // consecutive times and report the per-query MEDIAN. The committed
+    // BASELINE is recorded at N=3 and the default matches it, so the
+    // driver's per-round run compares like-for-like — same-code SINGLE-run
+    // totals spread 52.9-75.9 s under machine load, which both made
+    // regression detection chase noise and left the 2x bound exposed to a
+    // loaded-machine run. Set N=1 for quick local iteration. Lower-middle
+    // median for even N — deterministic, no averaging across runs.
     val repeats = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
