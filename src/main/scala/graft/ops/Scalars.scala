@@ -198,6 +198,41 @@ object Scalars {
         .orderBy(col("n_regionkey").asc)
     },
 
+    // Array set algebra (union / intersect / except, all distinct-value
+    // semantics) — projected to sorted joined strings for the comparator.
+    "arr_set_ops" -> { (s, d) =>
+      Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          split(col("n_name"), "_").as("a"),
+          split(lower(col("n_name")), "_").as("b"))
+        .select(col("n_nationkey"),
+          array_join(array_sort(array_union(col("a"), col("b"))), "|").as("u"),
+          array_join(array_sort(array_intersect(col("a"), col("b"))), "|").as("i"),
+          array_join(array_sort(array_except(col("a"), col("b"))), "|").as("x"))
+        .orderBy(col("n_nationkey").asc)
+    },
+
+    // map_filter + map_zip_with — the remaining §2.H map HOFs. Same output
+    // convention as map_transform: project maps to sorted entry strings
+    // (nested map outputs break the driver's pandas comparator).
+    "map_filter_zip" -> { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(map_from_entries(collect_list(
+          struct(col("n_name"), col("n_nationkey")))).as("m"))
+        .select(col("n_regionkey"),
+          expr("""array_join(transform(array_sort(map_entries(
+            | map_filter(m, (k, v) -> v % 2 = 0))),
+            | e -> concat(e.key, ':', e.value)), '|')"""
+            .stripMargin.replace("\n", " ")).as("evens"),
+          expr("""array_join(transform(array_sort(map_entries(
+            | map_zip_with(m, transform_values(m, (k, v) -> v * 10),
+            |   (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0)))),
+            | e -> concat(e.key, ':', e.value)), '|')"""
+            .stripMargin.replace("\n", " ")).as("zipped"))
+        .orderBy(col("n_regionkey").asc)
+    },
+
     "str_misc" -> { (s, d) =>
       Tables.customer(s, d)
         .select(col("c_custkey"),
@@ -367,6 +402,31 @@ object Scalars {
         |       count(*) AS map_size,
         |       string_agg(n_name, '|' ORDER BY n_name ASC) AS keys_sorted,
         |       max(CASE WHEN n_name = 'NATION_3' THEN n_nationkey END) AS lookup_n3
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin,
+
+    "arr_set_ops" ->
+      """WITH t AS (SELECT n_nationkey,
+        |             string_split(n_name, '_') AS a,
+        |             string_split(lower(n_name), '_') AS b
+        |           FROM nation)
+        |SELECT n_nationkey,
+        |       array_to_string(list_sort(list_distinct(a || b)), '|') AS u,
+        |       array_to_string(list_sort(list_distinct(list_intersect(a, b))), '|') AS i,
+        |       array_to_string(list_sort(list_distinct(
+        |         list_filter(a, x -> NOT list_contains(b, x)))), '|') AS x
+        |FROM t
+        |ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "map_filter_zip" ->
+      """SELECT n_regionkey,
+        |       coalesce(string_agg(
+        |         CASE WHEN n_nationkey % 2 = 0
+        |              THEN n_name || ':' || CAST(n_nationkey AS VARCHAR) END,
+        |         '|' ORDER BY n_name ASC), '') AS evens,
+        |       string_agg(n_name || ':' || CAST(n_nationkey + n_nationkey * 10 AS VARCHAR),
+        |                  '|' ORDER BY n_name ASC) AS zipped
         |FROM nation
         |GROUP BY n_regionkey
         |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin,
