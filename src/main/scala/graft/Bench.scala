@@ -60,8 +60,15 @@ object Bench {
     // regression detection chase noise and left the 2x bound exposed to a
     // loaded-machine run. Set N=1 for quick local iteration. Lower-middle
     // median for even N — deterministic, no averaging across runs.
-    val repeats = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
+    // a malformed value must fail loudly like an unknown query name does —
+    // not crash with a bare NumberFormatException before any JSON line.
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS") match {
+      case None => 3
+      case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+        System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_REPEATS: '$v'")
+        sys.exit(2)
+      }
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))

@@ -65,8 +65,8 @@ object Tables {
     *
     * The driver's comparator reads Spark output with pandas (decimal →
     * object) and the oracle with duckdb .df() (decimal → float64), so a
-    * decimal OUTPUT column can never hash-match even when values are equal
-    *. The aggregation itself stays exact decimal —
+    * decimal OUTPUT column can never hash-match even when values are
+    * equal. The aggregation itself stays exact decimal —
     * order-independent across partial-agg schedules — and only the final
     * projection casts to double. Both engines convert the same exact decimal
     * to the same nearest-double, so the cast is cross-engine deterministic.

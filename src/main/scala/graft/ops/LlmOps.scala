@@ -56,19 +56,33 @@ object LlmOps {
     * 2^8 bucket space. Floored at 8 bits (256 buckets — the minimum useful
     * reducer fan-out; fewer bits only inflate candidates). Both fixture
     * corpus sizes (500 and 2 000 vectors) derive 8, so fixture results are
-    * unchanged by the parameterization; a 100× corpus derives ~15. */
+    * unchanged by the parameterization; a 100× corpus derives ~15. Capped
+    * at 48 bits — signBuckets folds into a BIGINT, and 2^48 buckets
+    * already exceeds any achievable corpus by orders of magnitude. */
   def annBits(n: Long): Int =
-    math.max(8, math.ceil(
-      math.log(math.max(n, 1L).toDouble / 8.0) / math.log(2.0)).toInt)
+    math.min(48, math.max(8, math.ceil(
+      math.log(math.max(n, 1L).toDouble / 8.0) / math.log(2.0)).toInt))
 
-  /** Corpus-adaptive IVF list count: nlist = ⌈n/128⌉ holds the mean cell
-    * size at ≤ 128, floored at 16 lists. For the EXACT cell-pruned
-    * similarity queries nlist affects efficiency only (recall is a
-    * geometric proof — see prunedCosinePairs), so it can scale freely;
-    * for the ANN form it bounds within-cell pair work to ~128·n. Both
-    * fixture corpus sizes (500 and 2 000) derive 16. */
+  /** Corpus-adaptive IVF list count for the ANN bucket form: nlist =
+    * ⌈n/128⌉ holds the mean cell size at ≤ 128, floored at 16 lists.
+    * Safe to scale linearly ONLY there — the ANN path touches nlist just
+    * as a cid equi-join key. Both fixture corpus sizes (500 and 2 000)
+    * derive 16. The EXACT cell-pruned paths use [[ivfNlistExact]]. */
   def ivfNlist(n: Long): Int =
     math.max(16, math.ceil(n.toDouble / 128.0).toInt)
+
+  /** IVF list count for the EXACT cell-geometry paths (prunedCosinePairs /
+    * exactTopKPairs): nlist = ⌈√n⌉, clamped to [16, 4096]. These paths
+    * enumerate the nlist² cell-pair space (centroid cross-join +
+    * admissible-pair broadcast), so linear nlist would turn the geometry
+    * step itself quadratic in n; √n keeps cell-pair rows ≈ n while the
+    * mean cell size grows only as √n. The 4096 cap bounds the cross-join
+    * at ~16M skinny rows — past ~16M vectors a production deployment
+    * shards the codebook hierarchically (two-level IVF) instead. nlist
+    * tunes efficiency only; recall is a geometric proof either way. Both
+    * fixture sizes derive ≤ 45 lists. */
+  def ivfNlistExact(n: Long): Int =
+    math.min(4096, math.max(16, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt))
 
   /** Distinct word 3-gram shingles of lower(text).
     *
@@ -112,15 +126,18 @@ object LlmOps {
     (expr("graft_dot(emb_a, emb_b)") /
       (sqrt(col("ssq_a")) * sqrt(col("ssq_b"))))
 
-  /** Sign-LSH bucket assignment: `bits` hyperplane sign bits packed into an
-    * int bucket id appended to `e`'s columns. The planes travel as one
-    * broadcast literal; per-row work is `bits` native dot products. */
+  /** Sign-LSH bucket assignment: `bits` hyperplane sign bits packed into a
+    * bucket id appended to `e`'s columns. The planes travel as one
+    * broadcast literal; per-row work is `bits` native dot products. The
+    * accumulator is BIGINT so every bit up to annBits' cap of 48 survives
+    * the doubling fold (an int accumulator would shift the first planes
+    * out at bits ≥ 32 and silently alias buckets). */
   private[ops] def signBuckets(e: DataFrame, bits: Int): DataFrame =
     e.withColumn("pl", typedLit(annPlanes(bits)))
       .withColumn("dots", expr(
         s"transform(sequence(0, ${bits - 1}), p -> graft_dot(emb, element_at(pl, p + 1)))"))
       .withColumn("bucket", expr(
-        s"aggregate(sequence(0, ${bits - 1}), 0, (acc, p) -> acc * 2 + CASE WHEN dots[p] > 0 THEN 1 ELSE 0 END)"))
+        s"aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, p) -> acc * 2 + CASE WHEN dots[p] > 0 THEN 1 ELSE 0 END)"))
       .drop("pl", "dots")
 
   /** Nearest-centroid assignment: broadcast the codebook, squared-L2 argmin
@@ -286,7 +303,7 @@ object LlmOps {
     * checkpoint is cheap) — it tunes efficiency only, never answers. */
   private[ops] def exactTopKPairs(e: DataFrame, k: Int, nlist: Int = 0): DataFrame = {
     val eps = 1e-6 + 1e-9
-    val nl = if (nlist > 0) nlist else ivfNlist(e.count())
+    val nl = if (nlist > 0) nlist else ivfNlistExact(e.count())
     val centroids = ivfCodebook(e, nlist = nl, iters = 0)
     val assigned = assignToCentroid(e, centroids).localCheckpoint(true)
     val geo = cellPairGeometry(centroids, assigned)
@@ -319,7 +336,7 @@ object LlmOps {
     // only tighter cells; at fixture scale their 2 extra shuffle rounds cost
     // more than the pruning they add. Production at real scale: iters=2.
     // nlist ≤ 0 derives from corpus size — efficiency-only, never answers.
-    val nl = if (nlist > 0) nlist else ivfNlist(e.count())
+    val nl = if (nlist > 0) nlist else ivfNlistExact(e.count())
     val centroids = ivfCodebook(e, nlist = nl, iters = 0)
     val assigned = assignToCentroid(e, centroids).localCheckpoint(true)
     val maxAngle = math.acos(tau - 1e-6) + 1e-6
@@ -410,15 +427,17 @@ object LlmOps {
       val nb = edges.join(labels, col("doc_b") === col("doc_id"))
         .groupBy(col("doc_a")).agg(min(col("cluster_id")).as("nb_min"))
         .withColumnRenamed("doc_a", "doc_id")
+      // carry the previous label through the checkpoint so change
+      // detection is a filter over the already-materialized frame, not a
+      // second join+shuffle per round.
       val next = labels.join(nb, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("next_cid"),
+          col("cluster_id").as("prev_cid"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.cluster_id") < col("p.cluster_id")).count()
-      labels = next
+      changed = next.filter(col("next_cid") < col("prev_cid")).count()
+      labels = next.select(col("doc_id"), col("next_cid").as("cluster_id"))
     }
     labels
   }

@@ -59,15 +59,17 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Exact-forever dedup on event_id: plain dropDuplicates whose key set
-    * excludes the event-time column, so the state store retains EVERY seen
-    * key indefinitely (the watermark cannot evict) — duplicates are dropped
-    * across arbitrary time gaps, at the cost of state growing with distinct
-    * keys. At 100 TB prefer [[dedup]] unless the key domain is provably
-    * bounded (e.g. a dimension id space). */
-  def dedupGlobal(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+  /** Exact-forever dedup on event_id: plain dropDuplicates with NO
+    * watermark, so the state store retains EVERY seen key indefinitely and
+    * duplicates are dropped across arbitrary time gaps. Deliberately
+    * unwatermarked: with a watermark set, streaming dedup discards
+    * late-arriving rows BEFORE consulting state, which would silently drop
+    * a never-seen event that merely arrived late — the opposite of this
+    * operator's contract. The cost is state growing with distinct keys; at
+    * 100 TB prefer [[dedup]] unless the key domain is provably bounded
+    * (e.g. a dimension id space). */
+  def dedupGlobal(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
 
   /** Enrich the stream with a static dimension table (broadcast join — the
     * static side never re-shuffles the stream). */

@@ -213,7 +213,14 @@ class LlmOpsSpec extends SparkSpec {
         s"n=$n bits=$bits mean occupancy ${n.toDouble / (1L << bits)}")
       assert(n.toDouble / nlist <= 128.0,
         s"n=$n nlist=$nlist mean cell size ${n.toDouble / nlist}")
+      // exact-path sizing: the nlist² cell-pair space must stay ~linear
+      // in n (within the documented 4096-list cap), never quadratic.
+      val ne = LlmOps.ivfNlistExact(n).toLong
+      assert(ne * ne <= 4L * n || ne == 4096L,
+        s"n=$n exact nlist=$ne cell-pair space ${ne * ne} not ~linear")
     }
+    assert(LlmOps.annBits(Long.MaxValue) === 48, "bits cap")
+    assert(LlmOps.ivfNlistExact(Long.MaxValue) === 4096, "exact nlist cap")
     // Empirical: on a seeded random corpus grown 10x, the adaptive bit
     // count keeps the REALIZED max bucket occupancy flat instead of 10x.
     import spark.implicits._
