@@ -467,11 +467,18 @@ object LlmOps {
     // but A!~C must still collapse to ONE representative). Algorithm and
     // scale notes: labelPropagate above.
     "llm_dedup_clusters" -> { (s, d) =>
-      labelPropagate(
+      val labels = labelPropagate(
         Tables.documents(s, d).select(col("doc_id")),
         minhashDupPairs(s, d).select(col("doc_a"), col("doc_b")))
-        .withColumn("cluster_size", count(lit(1))
-          .over(Window.partitionBy(col("cluster_id"))).cast("long"))
+        .localCheckpoint(true)
+      // cluster_size via groupBy + equi-join, NOT a window over
+      // cluster_id: a mega-cluster would pin one window partition (no
+      // sort needed for a bare count anyway), while a skewed join key is
+      // exactly what AQE's skew split handles (plan-tested in ScaleSpec).
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("cluster_size"))
+      labels.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id").asc)
     },
 
