@@ -880,6 +880,33 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // Binary-column plumbing, driver-checked (not just unit-tested): the
+    // synthetic media table (graft.multimodal — documents' UTF-8 bytes AS
+    // the payload) aggregated by media type. The payload never shuffles —
+    // octet_length projects it to an int before the groupBy.
+    "mm_media_stats" -> { (s, d) =>
+      graft.multimodal.Multimodal
+        .syntheticMediaTable(Tables.documents(s, d)).toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("payload"))).cast("long").as("total_bytes"),
+          max(octet_length(col("payload"))).cast("long").as("max_bytes"))
+        .orderBy(col("media_type").asc)
+    },
+
+    // Frame sampling through the binary payload: every 4th 256-byte frame,
+    // verified by frame byte-counts (bounded slices explode — the payload
+    // itself never rides a wide transform).
+    "mm_frame_sample" -> { (s, d) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal
+          .syntheticMediaTable(Tables.documents(s, d)).toDF(),
+        frameBytes = 256, everyN = 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy(col("media_id").asc, col("frame_idx").asc)
+    },
+
     "llm_multimodal_join" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -1116,6 +1143,28 @@ object LlmOps {
         |                   (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
         |FROM documents
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "mm_media_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        |       count(*) AS n,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY media_type ASC NULLS FIRST""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |             octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT media_id, nb,
+        |             unnest(range(0, CAST(ceil(nb / 256.0) AS BIGINT))) AS i
+        |      FROM m)
+        |SELECT media_id, i AS frame_idx,
+        |       CAST(least(256, nb - i * 256) AS BIGINT) AS frame_bytes
+        |FROM f WHERE i % 4 = 0
+        |ORDER BY media_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin,
 
     "llm_multimodal_join" ->
       """SELECT doc_id, lang, label, event_type, n_chars, len(embedding) AS dim
