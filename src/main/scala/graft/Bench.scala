@@ -73,16 +73,25 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
       .flatMap { case (name, fn) =>
-      val times = (1 to repeats).flatMap { _ =>
+      // any failed repeat marks the query failed (a median over a partial
+      // sample would silently compare a different protocol to the
+      // baseline), so stop at the FIRST failure — re-running a
+      // deterministically-broken query repeats-1 more times only delays
+      // the feedback.
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var ok = true
+      var r = 0
+      while (ok && r < repeats) {
         val t0 = System.nanoTime()
-        val ok =
+        ok =
           try { fn(spark, sfDir).count(); true }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
               false
           }
-        val elapsed = (System.nanoTime() - t0) / 1e9
+        if (ok) times += (System.nanoTime() - t0) / 1e9
+        r += 1
         // outside the timed region: drop cache/checkpoint blocks so earlier
         // queries' leftovers don't GC-tax later ones (measured up to 8x
         // inflation on the last heavy query of the run without this).
@@ -90,11 +99,8 @@ object Bench {
         // blocks, which clearCache() alone does not reach.
         spark.catalog.clearCache()
         System.gc()
-        if (ok) Some(elapsed) else None
       }
-      // any failed repeat marks the query failed — a median over a partial
-      // sample would silently compare a different protocol to the baseline.
-      if (times.size < repeats) { failed ::= name; None }
+      if (!ok) { failed ::= name; None }
       else Some(name -> times.sorted.apply((times.size - 1) / 2))
     }
     // total = sum of the per-query values AS PRINTED (rounded to 3 dp), so

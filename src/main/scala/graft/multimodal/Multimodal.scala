@@ -113,8 +113,13 @@ object Multimodal {
     media
       .withColumn("n_frames",
         ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int"))
+      // greatest(..., 1) guard: sequence(0, -1) in Spark is the DESCENDING
+      // sequence [0, -1], not empty, so an empty payload (n_frames = 0)
+      // would emit a phantom frame 0; the residual i < n_frames predicate
+      // makes the empty case genuinely empty.
       .withColumn("frame_idx",
-        explode(expr(s"filter(sequence(0, n_frames - 1), i -> i % $everyN = 0)")))
+        explode(expr(s"filter(sequence(0, greatest(n_frames, 1) - 1)," +
+          s" i -> i % $everyN = 0 AND i < n_frames)")))
       .select(col("media_id"), col("media_type"), col("frame_idx"),
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
 }

@@ -299,8 +299,9 @@ object LlmOps {
     * k-th value even after 6-dp rounding — bit-identical to the exhaustive
     * oracle. Same-cell pairs always pass the bound (θii = 0 ⇒ ub = 1), so
     * phase 2 supersets phase 1. `e` must be a materialized embDouble.
-    * nlist ≤ 0 derives from corpus size (ivfNlist; count on a materialized
-    * checkpoint is cheap) — it tunes efficiency only, never answers. */
+    * nlist ≤ 0 derives from corpus size via ivfNlistExact (√n — count on
+    * a materialized checkpoint is cheap); it tunes efficiency only,
+    * never answers. */
   private[ops] def exactTopKPairs(e: DataFrame, k: Int, nlist: Int = 0): DataFrame = {
     val eps = 1e-6 + 1e-9
     val nl = if (nlist > 0) nlist else ivfNlistExact(e.count())
@@ -423,6 +424,7 @@ object LlmOps {
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val nb = edges.join(labels, col("doc_b") === col("doc_id"))
         .groupBy(col("doc_a")).agg(min(col("cluster_id")).as("nb_min"))
@@ -438,6 +440,13 @@ object LlmOps {
         .localCheckpoint(true)
       changed = next.filter(col("next_cid") < col("prev_cid")).count()
       labels = next.select(col("doc_id"), col("next_cid").as("cluster_id"))
+      rounds += 1
+      // localCheckpoint blocks of dropped rounds are reclaimed by the
+      // ContextCleaner, which only runs at a driver GC — on a deep graph
+      // (diameter-many rounds) nudge it periodically so live label-table
+      // copies stay bounded instead of accumulating one per round (same
+      // reason Bench calls System.gc() between queries).
+      if (rounds % 8 == 0) System.gc()
     }
     labels
   }
@@ -547,27 +556,36 @@ object LlmOps {
     // Full-corpus containment dedup: the MinHash band generator supplies
     // candidates, the same asymmetric |A∩B|/|A| >= 0.7 verify decides —
     // this is the scale path whose verify semantics the bounded
-    // brute-force twin above proves against DuckDB. Jaccard bands bound
-    // containment recall: c >= 0.7 with |B| <= 2|A| implies J >= 0.41 and
-    // near-dup corpora cluster far above it, but a SHORT doc embedded in a
-    // much longer one has low Jaccard and can be missed — recall < 1 by
-    // construction → rows-only check + LlmOpsSpec equality-on-fixture test.
+    // brute-force twin above proves against DuckDB. Recall bound, honest:
+    // c >= 0.7 with |B| <= 2|A| gives J >= 0.7/2.3 ≈ 0.30, where the
+    // 32×2-band miss probability (1 − J²)³² is still ≈ 4.5%; real near-dup
+    // corpora cluster far above that floor (fixture pairs all surface —
+    // the equality test below), but a SHORT doc embedded in a much longer
+    // one has low Jaccard and CAN be missed — recall < 1 by construction →
+    // rows-only check + LlmOpsSpec equality-on-fixture test. Production
+    // needing guaranteed containment recall re-bands on min(|A|,·)-scaled
+    // signatures; out of scope here.
     "llm_dedup_containment_lsh" -> { (s, d) =>
       val base = minhashBase(s, d)
-      // containment is directional: emit both orientations of each
-      // unordered band candidate before the verify.
-      val dir = minhashBandCandidates(base)
-        .select(explode(array(
-          struct(col("doc_a"), col("doc_b")),
-          struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      dir
+      // verify ONCE per unordered candidate (the intersect kernel is
+      // symmetric), then explode the two directional containments from
+      // the single `common` — half the kernel and join work of verifying
+      // each orientation separately.
+      minhashBandCandidates(base)
         .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
           col("n").as("n_a")), "doc_a")
-        .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+          col("n").as("n_b")), "doc_b")
         .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
-        .withColumn("containment",
-          col("common").cast("double") / col("n_a").cast("double"))
+        .select(explode(array(
+          struct(col("doc_a").as("doc_a"), col("doc_b").as("doc_b"),
+            (col("common").cast("double") / col("n_a").cast("double"))
+              .as("containment")),
+          struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+            (col("common").cast("double") / col("n_b").cast("double"))
+              .as("containment")))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.containment").as("containment"))
         .filter(col("containment") >= 0.7)
         .select(col("doc_a"), col("doc_b"),
           round(col("containment"), 6).as("containment"))

@@ -191,7 +191,9 @@ class PlanSpec extends SparkSpec {
 
   test("llm_sim_threshold_join enumerates pairs via a cid equi-join, not an O(n²) BNLJ") {
     // The only nested-loop joins allowed are the bounded codebook shapes
-    // (vectors × ≤16-row broadcast centroids; 16 × 16 centroid pairs). The
+    // (vectors × the ≤ ivfNlistExact(n)-row broadcast centroid table —
+    // ~45 rows at fixture scale, capped at 4096 — and its self cross
+    // join). The
     // va < vb pair enumeration of a quadratic brute-force form must be GONE
     // from every BNLJ/cartesian condition: pairs now come from the
     // admissible-cell hash join on ci/cj.
