@@ -405,18 +405,49 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
-  /** Connected components by iterative min-label propagation:
-    * labels(v) := min(labels(v), min of neighbor labels) to a fixed point.
-    * `vertices` is one doc_id column; `edges` are unordered pairs
-    * (doc_a, doc_b) — both orientations are generated here. Each round is
-    * one equi-join shuffle + a map-side-combined min aggregate, lineage
-    * truncated per round by localCheckpoint. Rounds needed = graph
-    * diameter (worst case exercised on a chain in LlmOpsSpec; the
-    * large-star/small-star contraction would cap it at O(log n) rounds if
-    * production graphs ever grew deep). The ONLY driver-side value per
-    * round is the single changed-row count deciding termination; row data
-    * never leaves the executors. */
-  private[ops] def labelPropagate(vertices: DataFrame, edges0: DataFrame): DataFrame = {
+  /** Unpersist the block-store copy behind an eager localCheckpoint'd frame
+    * (the checkpoint RDD is the frame's only plan leaf, possibly under a
+    * projection). Explicit retirement: the ContextCleaner otherwise reclaims
+    * dropped checkpoint blocks only when a driver GC happens to run, so an
+    * iterative algorithm would accumulate one live label-table copy per
+    * round in the block store. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Connected components by min-label propagation WITH pointer jumping
+    * (the shortcutting step of Shiloach–Vishkin): each round
+    *   L(v) := min( L(v),  min_{(v,u)∈E} L(u),  L(L(v)) )
+    * to a fixed point. The L(L(v)) shortcut lets a label travel twice as
+    * far each round, so rounds = O(log diameter) instead of diameter —
+    * on the worst-case chain the propagated distance doubles per round
+    * (1, 2, 4, 8, …), which LlmOpsSpec pins at rounds ≤ 2·⌈log₂ n⌉ + 2
+    * where plain neighbor-min needs diameter rounds. Correctness: every
+    * label is always the id of a vertex in the same component (induction —
+    * a neighbor's label and the label's own label both stay in-component),
+    * labels only decrease, and a fixed point means L(v) ≤ L(u) across every
+    * symmetrized edge, which forces L constant per component = the
+    * component minimum. `vertices` is one doc_id column; `edges0` are
+    * unordered pairs (doc_a, doc_b) — both orientations generated here.
+    *
+    * Each round is two equi-joins (neighbor labels, label-of-label) feeding
+    * ONE map-side-combined min aggregate; lineage is truncated per round by
+    * an eager localCheckpoint, and the retired round's checkpoint blocks
+    * are unpersisted explicitly right after the convergence count() —
+    * bounded memory with no reliance on GC timing. The ONLY driver-side
+    * value per round is the single changed-row count deciding termination;
+    * row data never leaves the executors. */
+  private[ops] def labelPropagate(vertices: DataFrame, edges0: DataFrame): DataFrame =
+    labelPropagateCounted(vertices, edges0)._1
+
+  /** [[labelPropagate]] plus the number of rounds executed (the final
+    * no-change round included) — exposed so the convergence-rate bound is
+    * testable, not just the fixed-point answer. */
+  private[ops] def labelPropagateCounted(vertices: DataFrame,
+      edges0: DataFrame): (DataFrame, Int) = {
     val edges = edges0
       .union(edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
@@ -426,29 +457,33 @@ object LlmOps {
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
-      val nb = edges.join(labels, col("doc_b") === col("doc_id"))
-        .groupBy(col("doc_a")).agg(min(col("cluster_id")).as("nb_min"))
-        .withColumnRenamed("doc_a", "doc_id")
+      val viaEdges = edges.join(labels, col("doc_b") === col("doc_id"))
+        .select(col("doc_a").as("doc_id"), col("cluster_id"))
+      // pointer jump: resolve each vertex's label THROUGH the label table
+      // again (cluster_id is always a vertex id, so the self-join hits).
+      // Skipped on the first round, where L = identity makes L(L(v)) = L(v)
+      // — the self-join would be a pure no-op shuffle.
+      val viaJump = labels.select(col("doc_id").as("src"), col("cluster_id").as("mid"))
+        .join(labels.select(col("doc_id").as("mid"), col("cluster_id")), Seq("mid"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val cand = (if (rounds == 0) viaEdges else viaEdges.union(viaJump))
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cand_min"))
       // carry the previous label through the checkpoint so change
       // detection is a filter over the already-materialized frame, not a
       // second join+shuffle per round.
-      val next = labels.join(nb, Seq("doc_id"), "left")
+      val next = labels.join(cand, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+          least(col("cluster_id"), coalesce(col("cand_min"), col("cluster_id")))
             .as("next_cid"),
           col("cluster_id").as("prev_cid"))
         .localCheckpoint(true)
       changed = next.filter(col("next_cid") < col("prev_cid")).count()
+      releaseCheckpoint(labels)
       labels = next.select(col("doc_id"), col("next_cid").as("cluster_id"))
       rounds += 1
-      // localCheckpoint blocks of dropped rounds are reclaimed by the
-      // ContextCleaner, which only runs at a driver GC — on a deep graph
-      // (diameter-many rounds) nudge it periodically so live label-table
-      // copies stay bounded instead of accumulating one per round (same
-      // reason Bench calls System.gc() between queries).
-      if (rounds % 8 == 0) System.gc()
     }
-    labels
+    releaseCheckpoint(edges)
+    (labels, rounds)
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -676,12 +711,15 @@ object LlmOps {
     // deterministic), candidates share a bucket.
     // Recall < 1 by construction → rows-only check + LlmOpsSpec subset test.
     "llm_sim_ann_lsh" -> { (s, d) =>
-      // n from parquet metadata (count of the raw table — no projection);
-      // the hyperplanes are CONSTANTS: materialized once as a literal
-      // (driver side, deterministic splitmix64), so the per-row work is
-      // `bits` native dot products — not 64·bits hash computations per row.
-      val bits = annBits(Tables.embeddings(s, d).count())
-      val e = signBuckets(embDouble(s, d), bits)
+      // localCheckpoint first: both join sides below re-reference the frame
+      // (one scan+projection instead of two), and n for the adaptive bit
+      // count comes from the already-materialized checkpoint — no separate
+      // count() job against the raw table. The hyperplanes are CONSTANTS:
+      // materialized once as a literal (driver side, deterministic
+      // splitmix64), so the per-row work is `bits` native dot products —
+      // not 64·bits hash computations per row.
+      val e0 = embDouble(s, d).localCheckpoint(true)
+      val e = signBuckets(e0, annBits(e0.count()))
       val a = e.select(col("bucket"), col("vec_id").as("va"),
         col("emb").as("emb_a"), col("ssq").as("ssq_a"))
       val b = e.select(col("bucket"), col("vec_id").as("vb"),

@@ -162,24 +162,31 @@ class LlmOpsSpec extends SparkSpec {
       s"missing=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
   }
 
-  test("label propagation converges on a worst-case chain and mixed component shapes") {
+  test("label propagation converges on a worst-case chain in O(log n) rounds") {
     // The fixture graph is shallow (band cliques); this drives the loop on
-    // its worst case — a 60-node path (diameter 59, so ~60 rounds) plus a
-    // clique, an isolated vertex, and a cycle — and demands the exact
-    // component minima everywhere.
+    // its worst case — a 60-node path (diameter 59) plus a clique, an
+    // isolated vertex, and a cycle — and demands the exact component minima
+    // everywhere PLUS the pointer-jumping convergence rate: plain
+    // neighbor-min label propagation needs diameter (~60) rounds on the
+    // chain, while the L(L(v)) shortcut doubles the propagated distance
+    // each round, so rounds must stay within 2·⌈log₂ n⌉ + 2.
     import spark.implicits._
-    val chain = (0L until 60L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val n = 60L
+    val chain = (0L until n).sliding(2).map(p => (p(0), p(1))).toSeq
     val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
     val cycle = Seq((200L, 201L), (201L, 202L), (202L, 200L))
-    val vertices = ((0L until 60L) ++ (100L to 104L) ++ Seq(150L) ++ (200L to 202L))
+    val vertices = ((0L until n) ++ (100L to 104L) ++ Seq(150L) ++ (200L to 202L))
       .toDF("doc_id")
     val edges = (chain ++ clique ++ cycle).toDF("doc_a", "doc_b")
-    val got = LlmOps.labelPropagate(vertices, edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (0L until 60L).foreach(v => assert(got(v) === 0L, s"chain node $v"))
+    val (labels, rounds) = LlmOps.labelPropagateCounted(vertices, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until n).foreach(v => assert(got(v) === 0L, s"chain node $v"))
     (100L to 104L).foreach(v => assert(got(v) === 100L, s"clique node $v"))
     assert(got(150L) === 150L, "singleton")
     (200L to 202L).foreach(v => assert(got(v) === 200L, s"cycle node $v"))
+    val bound = 2 * math.ceil(math.log(vertices.count().toDouble) / math.log(2)).toInt + 2
+    assert(rounds <= bound,
+      s"convergence not logarithmic: $rounds rounds on a diameter-59 chain (bound $bound)")
   }
 
   test("dedup clusters: pair endpoints co-cluster and representatives are component minima") {
