@@ -387,6 +387,44 @@ object LlmOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
+  /** LOSSLESS candidate pairs for asymmetric containment
+    * c(A→B) = |A∩B| / |A| ≥ tau, via prefix filtering (the
+    * AllPairs/PPJoin family): order each doc's shingle hashes by ascending
+    * global document frequency (rarest first, ties on the hash value) and
+    * index only the first ⌊(1−tau)·|A|⌋ + 1 of them. If c(A→B) ≥ tau then
+    * |A \ B| ≤ (1−tau)·|A| < prefix size, so BY PIGEONHOLE at least one
+    * prefix hash of A is also in B — joining A-prefixes against the full
+    * posting list over-approximates the qualifying directional pairs with
+    * zero recall loss (a proof, not a heuristic — the same design rule as
+    * prunedCosinePairs; the driver compare against the unpruned oracle IS
+    * the losslessness check). MinHash banding cannot give this guarantee:
+    * a short doc inside a much longer one has low Jaccard no matter how
+    * high its containment, while the pigeonhole argument scales with |A|
+    * alone. Rare-first ordering makes the indexed prefix hashes the most
+    * selective ones, so posting-list fan-out stays small; at 100 TB the
+    * posting table is ~linear in corpus shingle volume, h is the shuffle
+    * key, and a stop-shingle appears in many postings but almost no
+    * prefixes. Output: unordered candidate pairs (doc_a < doc_b),
+    * distinct. `base` must carry (doc_id, hs) with distinct sorted hashes
+    * and be materialized — the posting table is derived from it twice. */
+  private def containmentPrefixCandidates(base: DataFrame, tau: Double): DataFrame = {
+    val posting = base.select(col("doc_id"), explode(col("hs")).as("h"))
+      .localCheckpoint(true)
+    val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = posting.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)")
+        .as("ord"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(ord, 1, CAST(floor((1.0 - $tau) * size(ord)) AS INT) + 1)")).as("h"))
+    prefixes.select(col("doc_id").as("doc_a"), col("h"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+  }
+
   /** Verified near-duplicate pairs (doc_a < doc_b, jac): band-bucket
     * candidates (see minhashBandCandidates), exact-Jaccard verified via the
     * native sorted-merge intersect kernel on the checkpointed signature
@@ -588,25 +626,31 @@ object LlmOps {
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
-    // Full-corpus containment dedup: the MinHash band generator supplies
-    // candidates, the same asymmetric |A∩B|/|A| >= 0.7 verify decides —
-    // this is the scale path whose verify semantics the bounded
-    // brute-force twin above proves against DuckDB. Recall bound, honest:
-    // c >= 0.7 with |B| <= 2|A| gives J >= 0.7/2.3 ≈ 0.30, where the
-    // 32×2-band miss probability (1 − J²)³² is still ≈ 4.5%; real near-dup
-    // corpora cluster far above that floor (fixture pairs all surface —
-    // the equality test below), but a SHORT doc embedded in a much longer
-    // one has low Jaccard and CAN be missed — recall < 1 by construction →
-    // rows-only check + LlmOpsSpec equality-on-fixture test. Production
-    // needing guaranteed containment recall re-bands on min(|A|,·)-scaled
-    // signatures; out of scope here.
+    // Full-corpus containment dedup: prefix-filter candidates (see
+    // containmentPrefixCandidates — lossless by the pigeonhole proof, so
+    // this path is EXACT and oracle-backed), the same asymmetric
+    // |A∩B|/|A| >= 0.7 verify as the bounded brute-force twin above.
+    // Through round 4 this used the MinHash band generator, whose recall
+    // floor at the J≈0.30 worst case (a short doc inside a much longer
+    // one) was ≈95.5%; the prefix filter closes exactly that gap — low
+    // Jaccard does not weaken the pigeonhole argument, which scales with
+    // |A| alone. LlmOpsSpec plants short-in-long pairs (J < 0.3, c ≥ 0.7)
+    // and demands full recovery.
     "llm_dedup_containment_lsh" -> { (s, d) =>
-      val base = minhashBase(s, d)
+      // hs/n only — no minhash signatures needed once banding is gone.
+      // localCheckpoint: the candidate generator and both verify sides
+      // re-reference the frame; at cluster scale this is the signature
+      // table written to Parquet before the posting join.
+      graft.functions.VectorFunctions.register(s)
+      val base = docsWithShingles(s, d)
+        .select(col("doc_id"), expr("graft_shingle_hashes(sh)").as("hs"))
+        .withColumn("n", size(col("hs")))
+        .localCheckpoint(true)
       // verify ONCE per unordered candidate (the intersect kernel is
       // symmetric), then explode the two directional containments from
       // the single `common` — half the kernel and join work of verifying
       // each orientation separately.
-      minhashBandCandidates(base)
+      containmentPrefixCandidates(base, 0.7)
         .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
           col("n").as("n_a")), "doc_a")
         .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
@@ -1043,6 +1087,18 @@ object LlmOps {
     // one-sided length prune lossless.
     "llm_dedup_containment" ->
       s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents WHERE doc_id < 500),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)::DOUBLE AS c
+         |      FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+         |SELECT doc_a, doc_b, round(c, 6) AS containment FROM p WHERE c >= 0.7
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    // Full-corpus (no doc_id bound) unpruned containment: hash-matching it
+    // proves the prefix-filter candidate generation lossless — this query
+    // was rows-only through round 4, when its candidates came from MinHash
+    // bands with a ≈4.5% worst-case miss floor.
+    "llm_dedup_containment_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |             len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)::DOUBLE AS c
          |      FROM t a JOIN t b ON a.doc_id <> b.doc_id)

@@ -147,19 +147,54 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("containment LSH equals the brute-force containment dedup on the fixture corpus") {
-    // At sf0.001 the whole corpus is doc_id < 500, so the full-corpus LSH
-    // path and the bounded brute-force twin run over identical documents:
-    // soundness (both apply the same exact verify) plus fixture recall
-    // (near-dups here have Jaccard far above the band threshold) make the
-    // two result sets equal. A recall miss would surface as a missing row.
-    val lsh = SparkEntry_queries("llm_dedup_containment_lsh")
+  test("prefix-filter containment equals the brute-force containment dedup on the fixture corpus") {
+    // At sf0.001 the whole corpus is doc_id < 500, so the full-corpus
+    // prefix-filter path and the bounded brute-force twin run over
+    // identical documents; both must produce the identical result set
+    // (the prefix filter is lossless by pigeonhole, and both apply the
+    // same exact verify).
+    val pf = SparkEntry_queries("llm_dedup_containment_lsh")
       .collect().map(_.toSeq.toList).toSet
     val brute = SparkEntry_queries("llm_dedup_containment")
       .collect().map(_.toSeq.toList).toSet
     assert(brute.nonEmpty, "degenerate fixture: no containment pairs")
-    assert(lsh === brute,
-      s"missing=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+    assert(pf === brute,
+      s"missing=${(brute -- pf).take(5)} extra=${(pf -- brute).take(5)}")
+  }
+
+  test("prefix-filter containment recovers planted short-in-long pairs that minhash bands would miss") {
+    // The round-4 band generator had a recall floor exactly here: a short
+    // doc embedded verbatim in a much longer one has containment 1.0 but
+    // shingle Jaccard ~|A|/|B| << 0.3, where the 32x2 band miss
+    // probability is material. The prefix filter's pigeonhole guarantee
+    // does not depend on Jaccard, so EVERY planted pair must surface.
+    import spark.implicits._
+    val rnd = new scala.util.Random(777L)
+    def longDoc(v: Int) =
+      (0 until 200).map(_ => s"v${v}_w${rnd.nextInt(60)}").mkString(" ")
+    val longs = (0 until 15).map(i => (i.toLong, longDoc(i)))
+    // short doc = a contiguous 30-token slice of its long doc: its word
+    // 3-gram shingles are a strict subset -> containment(short->long) = 1.0,
+    // Jaccard ~ 28/198 ~ 0.14, far below any banding threshold.
+    val shorts = longs.map { case (i, t) =>
+      (100L + i, t.split(" ").slice(40, 70).mkString(" "))
+    }
+    val rows = (longs ++ shorts).map { case (id, t) =>
+      (id, t, "en", "synth", t.length)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("containment_prop").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LlmOps.queries.toMap.apply("llm_dedup_containment_lsh")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    longs.foreach { case (i, _) =>
+      assert(got.contains((100L + i, i)),
+        s"planted short-in-long pair (${100 + i}, $i) missed")
+    }
+    // soundness: no pair may bridge disjoint vocabularies
+    got.foreach { case (a, b) =>
+      assert(a % 100 == b % 100, s"false pair across vocabularies: ($a, $b)")
+    }
   }
 
   test("label propagation converges on a worst-case chain in O(log n) rounds") {
