@@ -246,6 +246,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 6) // 4 + 2, no duplicates
   }
 
+  test("dropDuplicatesWithinWatermark survives a kill/restart: no duplicate, no lost row") {
+    // The state-eviction test above proves the semantics within one run;
+    // this proves the dedup STATE itself is durable across a checkpoint
+    // restart — a duplicate of a pre-kill key must still be dropped by the
+    // RECOVERED state store, and a never-seen key in the same post-restart
+    // batch must still come through.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[Ev]
+    def start() = StreamOps.dedup(mem.toDF()).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    mem.addData(batch1) // ids 1-4, watermark after this batch: 00:02:05 - 10m
+    q1.processAllAvailable()
+    q1.stop() // kill mid-stream: ids 1-4 live in the dedup state store
+    val q2 = start()
+    try {
+      mem.addData(Seq(
+        Ev(1, t("2024-01-01 00:03:00"), 1, "click", 9.0),  // dup of pre-kill id
+        Ev(8, t("2024-01-01 00:03:30"), 2, "view", 8.0)))  // never seen
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toList === List(1L, 2L, 3L, 4L, 8L),
+        s"restart boundary corrupted the dedup output: ${ids.sorted.toList}")
+    } finally q2.stop()
+  }
+
   test("foreachBatch merge sink upserts by key keeping the latest version") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
