@@ -77,8 +77,10 @@ object LlmOps {
     * admissible-pair broadcast), so linear nlist would turn the geometry
     * step itself quadratic in n; √n keeps cell-pair rows ≈ n while the
     * mean cell size grows only as √n. The 4096 cap bounds the cross-join
-    * at ~16M skinny rows — past ~16M vectors a production deployment
-    * shards the codebook hierarchically (two-level IVF) instead. nlist
+    * at ~16M skinny rows — past ~16M vectors [[prunedCosinePairs]]
+    * switches to the two-level coarse→fine codebook
+    * ([[prunedCosinePairsTwoLevel]]), which supports up to 4096² cells
+    * without any stage exceeding the coarse-admissible fan-out. nlist
     * tunes efficiency only; recall is a geometric proof either way. Both
     * fixture sizes derive ≤ 45 lists. */
   def ivfNlistExact(n: Long): Int =
@@ -152,8 +154,14 @@ object LlmOps {
     * shuffle carries ONE row per vector instead of nlist rows, with no
     * per-partition sort. (emb/ssq/label are key-constant, so first() is
     * value-deterministic.) */
-  private def assignToCentroid(e: DataFrame, centroids: DataFrame): DataFrame =
-    e.crossJoin(broadcast(centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))))
+  private def assignToCentroid(e: DataFrame, centroids: DataFrame,
+      joinKeys: Seq[String] = Nil): DataFrame = {
+    val cent = broadcast(centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)")))
+    // joinKeys narrows the argmin to each row's OWN centroid subset (the
+    // two-level fine assignment joins on the coarse cell id); empty keys =
+    // the flat form, a full codebook fan-out.
+    val fanned = if (joinKeys.isEmpty) e.crossJoin(cent) else e.join(cent, joinKeys)
+    fanned
       .withColumn("cdot", expr("graft_dot(emb, cemb)"))
       .withColumn("score", col("cssq") - lit(2.0) * col("cdot"))
       .groupBy(col("vec_id"))
@@ -164,6 +172,7 @@ object LlmOps {
         col("m.cdot") / (sqrt(col("ssq")) * sqrt(col("m.cssq")))))))
       .select(col("vec_id"), col("label"), col("m.cid").as("cid"),
         col("emb"), col("ssq"), col("cang"))
+  }
 
   /** Deterministic IVF coarse quantizer: hash-seeded init (nlist vectors with
     * smallest xxhash64(vec_id)) + `iters` Lloyd steps with exact-decimal
@@ -301,7 +310,10 @@ object LlmOps {
     * phase 2 supersets phase 1. `e` must be a materialized embDouble.
     * nlist ≤ 0 derives from corpus size via ivfNlistExact (√n — count on
     * a materialized checkpoint is cheap); it tunes efficiency only,
-    * never answers. */
+    * never answers. Past the 4096-list cap the same coarse→fine sharding
+    * as [[prunedCosinePairsTwoLevel]] applies (prune coarse pairs against
+    * cos(max(0, θ−R_i−R_j)) ≥ t0−ε before enumerating fine pairs); the
+    * flat form here covers the √n geometry up to ~16M vectors. */
   private[ops] def exactTopKPairs(e: DataFrame, k: Int, nlist: Int = 0): DataFrame = {
     val eps = 1e-6 + 1e-9
     val nl = if (nlist > 0) nlist else ivfNlistExact(e.count())
@@ -331,14 +343,31 @@ object LlmOps {
   }
 
   private[ops] def prunedCosinePairs(e: DataFrame, tau: Double,
-      nlist: Int = 0): DataFrame = {
+      nlist: Int = 0): DataFrame =
+    if (nlist > 0) prunedCosinePairsFlat(e, tau, nlist)
+    else {
+      val n = e.count()
+      val nl = ivfNlistExact(n)
+      // Past the flat 4096-list cap (n ≳ 16.7M — the nlist² cell-pair
+      // cross-join would stop being ~linear in n) shard the codebook
+      // hierarchically: ⌈n^(1/4)⌉ coarse × ⌈n^(1/4)⌉ fine keeps the total
+      // cell count at the √n the geometry wants, while no single
+      // enumeration ever exceeds the coarse-admissible fan-out. Results
+      // are identical either way (both paths are exact for ANY codebook);
+      // LlmOpsSpec pins flat/two-level result equality on a 100k corpus.
+      if (nl >= 4096) {
+        val side = math.min(4096, math.ceil(math.pow(n.toDouble, 0.25)).toInt)
+        prunedCosinePairsTwoLevel(e, tau, ncoarse = side, nfine = side)
+      } else prunedCosinePairsFlat(e, tau, nl)
+    }
+
+  private def prunedCosinePairsFlat(e: DataFrame, tau: Double,
+      nlist: Int): DataFrame = {
     // iters=0: the hash-seeded sample codebook. Recall is exact for ANY
     // codebook (the prune is a proof, not a heuristic), so Lloyd rounds buy
     // only tighter cells; at fixture scale their 2 extra shuffle rounds cost
     // more than the pruning they add. Production at real scale: iters=2.
-    // nlist ≤ 0 derives from corpus size — efficiency-only, never answers.
-    val nl = if (nlist > 0) nlist else ivfNlistExact(e.count())
-    val centroids = ivfCodebook(e, nlist = nl, iters = 0)
+    val centroids = ivfCodebook(e, nlist = nlist, iters = 0)
     val assigned = assignToCentroid(e, centroids).localCheckpoint(true)
     val maxAngle = math.acos(tau - 1e-6) + 1e-6
     val admissible = cellPairGeometry(centroids, assigned)
@@ -346,6 +375,69 @@ object LlmOps {
       .withColumn("max_angle", lit(maxAngle))
       .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle"))
     cellPairCandidates(assigned, admissible, tau = Some(tau))
+  }
+
+  /** Two-level (coarse → fine) form of [[prunedCosinePairsFlat]], lifting
+    * the flat codebook's 4096-list cap. A coarse codebook of `ncoarse`
+    * cells partitions the corpus; within each coarse cell an independent
+    * hash-seeded fine codebook of `nfine` cells subdivides it, and the
+    * candidate geometry runs over the ncoarse·nfine fine cells — but the
+    * fine cell-pair space is enumerated ONLY inside coarse cell pairs that
+    * survive a first triangle-inequality prune on the coarse geometry, so
+    * no stage ever materializes a cross-join larger than
+    * max(ncoarse², admissible_coarse · nfine²). Exactness is the same
+    * proof applied twice: for a in fine cell u ⊂ coarse cell A,
+    * θ(a, C_A) ≤ R_A, so a coarse pair with θ(C_A,C_B) − R_A − R_B >
+    * maxAngle cannot contain a qualifying pair; surviving fine pairs then
+    * apply the identical per-cell and per-pair bounds as the flat path.
+    * Codebook quality still affects efficiency only, never answers —
+    * the result is row-identical to the flat form (LlmOpsSpec). */
+  private[ops] def prunedCosinePairsTwoLevel(e: DataFrame, tau: Double,
+      ncoarse: Int, nfine: Int): DataFrame = {
+    val maxAngle = math.acos(tau - 1e-6) + 1e-6
+    val coarse = ivfCodebook(e, nlist = ncoarse, iters = 0)
+    val cassigned = assignToCentroid(e, coarse).localCheckpoint(true)
+    // coarse-level prune: same inequality, radii from the coarse assignment
+    val admCoarse = cellPairGeometry(coarse, cassigned)
+      .filter(col("theta_ij") <= col("r_i") + col("r_j") + lit(maxAngle))
+      .select(col("ci").as("cci"), col("cj").as("ccj"))
+    // per-coarse-cell fine codebooks: hash-seeded sample WITHIN the cell
+    // (the flat init's orderBy+limit, as a window per coarse cell); the
+    // global fine id ccid·nfine + (fid−1) keeps ids of distinct coarse
+    // cells disjoint AND ordered by coarse id, so one (ci ≤ cj)
+    // orientation of an admissible coarse pair covers all its fine pairs.
+    val wInit = Window.partitionBy(col("ccid"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+    val fineCent = cassigned
+      .select(col("cid").as("ccid"), col("vec_id"), col("emb"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .withColumn("fid", row_number().over(wInit))
+      .filter(col("fid") <= nfine)
+      .select(col("ccid"),
+        (col("ccid").cast("long") * nfine + col("fid") - 1L).as("cid"),
+        col("emb").as("cemb"))
+    val fassigned = assignToCentroid(
+      cassigned.select(col("vec_id"), col("label"), col("cid").as("ccid"),
+        col("emb"), col("ssq")),
+      fineCent, joinKeys = Seq("ccid")).localCheckpoint(true)
+    // fine geometry, enumerated only inside admissible coarse pairs
+    val radii = fassigned.groupBy(col("cid")).agg(max(col("cang")).as("r"))
+    val fcent = fineCent.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+    val admissible = broadcast(admCoarse)
+      .join(fcent.select(col("ccid").as("cci"), col("cid").as("ci"),
+        col("cemb").as("cemb_i"), col("cssq").as("cssq_i")), Seq("cci"))
+      .join(fcent.select(col("ccid").as("ccj"), col("cid").as("cj"),
+        col("cemb").as("cemb_j"), col("cssq").as("cssq_j")), Seq("ccj"))
+      .filter(col("ci") <= col("cj"))
+      .withColumn("theta_ij", acos(least(lit(1.0), greatest(lit(-1.0),
+        expr("graft_dot(cemb_i, cemb_j)") /
+          (sqrt(col("cssq_i")) * sqrt(col("cssq_j")))))))
+      .join(radii.select(col("cid").as("ci"), col("r").as("r_i")), Seq("ci"))
+      .join(radii.select(col("cid").as("cj"), col("r").as("r_j")), Seq("cj"))
+      .filter(col("theta_ij") <= col("r_i") + col("r_j") + lit(maxAngle))
+      .withColumn("max_angle", lit(maxAngle))
+      .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle"))
+    cellPairCandidates(fassigned, admissible, tau = Some(tau))
   }
 
   /** Shingle-hash signature table — doc_id, hs (sorted FNV-64 shingle

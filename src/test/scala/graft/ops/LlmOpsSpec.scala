@@ -147,6 +147,51 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("two-level IVF equals the flat form on a 100k corpus (and both recover planted duplicates)") {
+    // The flat exact path caps nlist at 4096 because its geometry step
+    // cross-joins nlist² cell pairs; past that prunedCosinePairs switches
+    // to the coarse→fine two-level codebook. Both are exact by the same
+    // triangle-inequality proof for ANY codebook, so on the same corpus
+    // they must return the IDENTICAL pair set — driven here on 100k+
+    // vectors (1000× fixture scale) in 200 angular blobs with 150 planted
+    // near-duplicate pairs, flat nlist=1024 vs two-level 32×32.
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(51515L)
+    val dim = 8
+    val nBlobs = 200
+    val perBlob = 500
+    val centers = Array.fill(nBlobs)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // ±0.1 noise ⇒ blob angular radius ~6°: tight enough that the cell
+    // radii keep cross-blob cell pairs pruned (wider blobs inflate the
+    // admissible set toward all-pairs — the documented exact-join floor).
+    val blobVecs = (0 until nBlobs * perBlob).map { i =>
+      (i.toLong, centers(i % nBlobs).map(x => x + (rnd.nextDouble() - 0.5) * 0.2))
+    }
+    // planted near-duplicates: tiny perturbations of the first 150 vectors
+    val dups = (0 until 150).map { i =>
+      (200000L + i, blobVecs(i)._2.map(x => x * 1.001 + (rnd.nextDouble() - 0.5) * 1e-3))
+    }
+    val e = (blobVecs ++ dups)
+      .map { case (id, v) => (id, s"l${id % 3}", v) }
+      .toDF("vec_id", "label", "emb")
+      .withColumn("ssq", expr("graft_dot(emb, emb)"))
+      .localCheckpoint(true)
+    val tau = 0.999 // keeps ordinary within-blob pairs out; planted pairs in
+    def collectPairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("va", "vb", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val flat = collectPairs(LlmOps.prunedCosinePairs(e, tau, nlist = 1024))
+    val two = collectPairs(LlmOps.prunedCosinePairsTwoLevel(e, tau, 32, 32))
+    assert(flat.nonEmpty, "degenerate corpus: no qualifying pairs")
+    assert(two === flat, s"two-level diverged from flat: " +
+      s"missing=${(flat -- two).take(5)} extra=${(two -- flat).take(5)}")
+    val ids = flat.map(p => (p._1, p._2))
+    (0 until 150).foreach { i =>
+      assert(ids.contains((i.toLong, 200000L + i)), s"planted dup pair $i missed")
+    }
+  }
+
   test("prefix-filter containment equals the brute-force containment dedup on the fixture corpus") {
     // At sf0.001 the whole corpus is doc_id < 500, so the full-corpus
     // prefix-filter path and the bounded brute-force twin run over
