@@ -19,17 +19,18 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(all.size === SparkEntry.queries.size)
   }
 
-  test("every oracle key has a query; rows-only queries are the known four") {
+  test("every oracle key has a query; rows-only queries are the known three") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
     val rowsOnly = q -- o
     // xxhash64-based signatures (simhash, both ANN forms) have no DuckDB
-    // twin, and the containment LSH path's recall < 1 has no SQL
-    // equivalent; these four stay rows-only by design and are
-    // property-tested instead (PropertySpec / LlmOpsSpec).
+    // twin; these three stay rows-only by design and are property-tested
+    // instead (PropertySpec / LlmOpsSpec). llm_dedup_containment_lsh left
+    // this set in round 5 when its candidates became the lossless prefix
+    // filter (exact → full-corpus oracle).
     assert(rowsOnly === Set("llm_dedup_simhash", "llm_sim_ann_lsh",
-      "llm_sim_ann_ivf", "llm_dedup_containment_lsh"),
+      "llm_sim_ann_ivf"),
       s"unexpected oracle-less queries: ${rowsOnly.mkString(", ")}")
   }
 
