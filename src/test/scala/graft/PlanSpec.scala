@@ -189,6 +189,20 @@ class PlanSpec extends SparkSpec {
       s"fuzzy dedup fell back to nested loops:\n$plan")
   }
 
+  test("llm_dedup_containment_lsh generates candidates via posting-list equi-joins, not a BNLJ") {
+    // The prefix-filter path must stay pure hash-join: prefixes join
+    // postings on the shingle hash h, candidates join the signature table
+    // on doc ids. Any BNLJ/cartesian would mean the doc×doc pair space is
+    // being enumerated — the exact failure mode prefix filtering exists
+    // to avoid.
+    val plan = physicalPlan("llm_dedup_containment_lsh")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"containment candidates fell back to nested loops:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"no hash/merge join in containment plan:\n$plan")
+  }
+
   test("llm_sim_threshold_join enumerates pairs via a cid equi-join, not an O(n²) BNLJ") {
     // The only nested-loop joins allowed are the bounded codebook shapes
     // (vectors × the ≤ ivfNlistExact(n)-row broadcast centroid table —
