@@ -1050,6 +1050,53 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // Repetition quality signals (the Gopher/MassiveText filter family):
+    // fraction of tokens that are the single most common token, Simpson
+    // repetition (probability two tokens drawn without replacement are
+    // equal — an entropy-like diversity signal with NO transcendental
+    // function, so it stays exact rational arithmetic: Σc(c−1)/(n(n−1))),
+    // and the duplicate-trigram fraction (1 − distinct/total 3-grams).
+    // Every output is a ratio of exact integers → one double division →
+    // bit-identical across engines (ln-based entropy would accumulate
+    // engine-ordered ulp noise; Simpson is the deterministic twin).
+    // Per-token counts come from explode → groupBy (embarrassingly
+    // parallel per doc_id at 100 TB); the trigram distinct count is a pure
+    // codegen HOF projection. The greatest(n−3, 0) bound keeps the
+    // sequence() valid for sub-3-token docs — their d3 is garbage but the
+    // scalar CASE never reads it (the CASE wraps cheap projected columns,
+    // never the HOF itself — see docsWithShingles on why that ordering
+    // matters).
+    "llm_rep_signals" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("n", size(col("toks")).cast("long"))
+      val tc = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val st = tc.groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_c"),
+          sum(col("c") * (col("c") - lit(1L))).as("rep2"))
+      docs
+        // get() (null past the end), NOT toks[i]: ANSI array indexing
+        // throws on out-of-bounds, and sub-3-token docs index past size
+        // (their d3 is never read — the CASE below guards it — but the
+        // expression still evaluates).
+        .withColumn("d3", expr(
+          """size(array_distinct(transform(sequence(0, greatest(size(toks) - 3, 0)),
+            | i -> concat_ws(' ', get(toks, i), get(toks, i + 1), get(toks, i + 2)))))"""
+            .stripMargin.replace("\n", " ")).cast("long"))
+        .join(st, Seq("doc_id"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round(col("max_c").cast("double") / col("n").cast("double"), 6)
+            .as("top_token_frac"),
+          round(when(col("n") >= 2L, col("rep2").cast("double") /
+              (col("n") * (col("n") - 1L)).cast("double"))
+            .otherwise(0.0), 6).as("simpson_rep"),
+          round(when(col("n") >= 3L, lit(1.0) - col("d3").cast("double") /
+              (col("n") - 2L).cast("double"))
+            .otherwise(0.0), 6).as("dup_3gram_frac"))
+        .orderBy(col("doc_id").asc)
+    },
+
     "llm_token_count_bpe" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -1331,6 +1378,25 @@ object LlmOps {
         |             6) AS quality,
         |       round(len(list_distinct(toks))::DOUBLE / n_toks, 6) AS ttr
         |FROM t
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_rep_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+        |             len(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS d3
+        |      FROM t),
+        |terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tc AS (SELECT doc_id, term, count(*) AS c FROM terms GROUP BY 1, 2),
+        |st AS (SELECT doc_id, max(c) AS max_c, sum(c * (c - 1)) AS rep2
+        |       FROM tc GROUP BY 1)
+        |SELECT b.doc_id, n AS n_tokens,
+        |       round(max_c::DOUBLE / n::DOUBLE, 6) AS top_token_frac,
+        |       round(CASE WHEN n >= 2 THEN rep2::DOUBLE / (n * (n - 1))::DOUBLE
+        |                  ELSE 0.0 END, 6) AS simpson_rep,
+        |       round(CASE WHEN n >= 3 THEN 1.0 - d3::DOUBLE / (n - 2)::DOUBLE
+        |                  ELSE 0.0 END, 6) AS dup_3gram_frac
+        |FROM b JOIN st USING (doc_id)
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_token_count_bpe" ->

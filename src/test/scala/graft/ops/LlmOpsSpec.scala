@@ -362,6 +362,35 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("rep_signals: degenerate and hand-computable docs produce the exact filter values") {
+    // The oracle compare proves engine equality on the fixture; this pins
+    // the filter semantics on constructed docs where the values are known
+    // in closed form — the numbers a curation pipeline would threshold on.
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a a"),                // pure repetition
+      (1L, "w x y z"),                // all distinct
+      (2L, "p q p q p q"),           // alternating: trigrams 'p q p'/'q p q' repeat
+      (3L, "one two"))                // sub-trigram doc
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("rep_signals").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LlmOps.queries.toMap.apply("llm_rep_signals")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // "a a a a": top 4/4, simpson 12/12, trigrams: 2 total 1 distinct -> 1/2
+    assert(got(0L) === ((4L, 1.0, 1.0, 0.5)))
+    // all distinct: top 1/4, simpson 0, trigrams 2 total 2 distinct -> 0
+    assert(got(1L) === ((4L, 0.25, 0.0, 0.0)))
+    // p q p q p q: top 3/6, simpson (6+6)/30 = 0.4, trigrams 4 total 2
+    // distinct -> 0.5
+    assert(got(2L) === ((6L, 0.5, 0.4, 0.5)))
+    // 2 tokens: trigram/simpson guards -> 0.0, not NaN or a crash
+    assert(got(3L) === ((2L, 0.5, 0.0, 0.0)))
+  }
+
   test("approx_count_distinct stays within the declared error bound") {
     // The declared query emits (n_exact, hll_ok); hll_ok must be TRUE
     // everywhere (that is what the DuckDB oracle pins), and the raw HLL
