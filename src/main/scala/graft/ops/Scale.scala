@@ -84,6 +84,39 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Quantize a numeric column onto [0, 2^bits) for [[zOrderKey]]:
+    * rank-free linear bucketing against a known [lo, hi] domain (domain
+    * bounds are metadata a 100 TB pipeline already tracks; an unknown
+    * domain would need a quantile pass). Values are clamped, so out-of-
+    * range stragglers cluster at the edges instead of corrupting the
+    * interleave. */
+  def zQuantize(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    val buckets = (1L << bits) - 1
+    least(lit(buckets), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * buckets).cast("long")))
+  }
+
+  /** Morton (Z-order) interleave of already-quantized [0, 2^bits) columns:
+    * bit b of column i lands at output position b·n + i. Range-partitioning
+    * and sorting a table by this ONE key clusters rows that are close in
+    * EVERY dimension into the same output files, so a selective predicate
+    * on ANY single dimension (or a box on several) prunes to the few files
+    * whose z-range intersects it — where a lexicographic (row-major) sort
+    * serves only its leading column and a predicate on a trailing column
+    * touches every file. This is the layout primitive behind
+    * OPTIMIZE-ZORDER-style table maintenance; pair with
+    * [[coalescePartitionedWrite]] for the write itself. The interleave is
+    * a flat bitwiseOR tree of shiftlefts — pure codegen, no UDF.
+    * ScaleSpec measures the file-pruning asymmetry on a 2-d layout. */
+  def zOrderKey(bits: Int, cols: Column*): Column = {
+    require(cols.nonEmpty && bits * cols.size <= 63,
+      s"z-key of ${cols.size} cols x $bits bits must fit a signed long")
+    val n = cols.size
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bits).map(b => shiftleft(c.bitwiseAND(lit(1L << b)), b * (n - 1) + i))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Repartition by a time-derived key before a partitioned write so each
     * output partition receives a bounded number of files (the classic
     * small-files fix for dt=/hr= layouts). */

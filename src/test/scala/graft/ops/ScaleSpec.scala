@@ -20,6 +20,38 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("zOrderKey layout prunes box queries on ANY dimension; row-major serves only its leading column") {
+    // The layout claim, measured: 64k points uniform on a 2-d domain,
+    // laid out into 64 range-partitions (a stand-in for files) two ways —
+    // by the Morton key vs by lexicographic (x, y). A thin selective band
+    // on the TRAILING dimension y must touch every row-major partition
+    // (y is unsorted within each x-stripe) but only the few z-partitions
+    // whose curve range crosses the band. The z-layout also keeps the
+    // leading-dimension query bounded — balanced locality across
+    // dimensions is the whole point of the interleave.
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    val pts = (0 until 65536).map(_ => (rnd.nextDouble() * 1e6, rnd.nextDouble() * 1e6))
+      .toDF("x", "y")
+    val zkey = Scale.zOrderKey(16,
+      Scale.zQuantize(col("x"), 0, 1e6), Scale.zQuantize(col("y"), 0, 1e6))
+    val zLayout = pts.repartitionByRange(64, zkey).localCheckpoint(true)
+    val rowMajor = pts.repartitionByRange(64, col("x"), col("y")).localCheckpoint(true)
+    def touched(df: org.apache.spark.sql.DataFrame,
+        band: org.apache.spark.sql.Column): Long =
+      df.filter(band).select(spark_partition_id()).distinct().count()
+    val yBand = col("y") >= 500000.0 && col("y") < 531250.0 // 1/32 of the domain
+    val xBand = col("x") >= 500000.0 && col("x") < 531250.0
+    val zY = touched(zLayout, yBand)
+    val rowY = touched(rowMajor, yBand)
+    val zX = touched(zLayout, xBand)
+    assert(rowY >= 60, s"row-major should scan ~all 64 partitions for a y-band, got $rowY")
+    assert(zY <= 20, s"z-order should prune the y-band to ~a quad-tree row, got $zY")
+    assert(zX <= 20, s"z-order must keep the x-band bounded too, got $zX")
+    // sanity: both layouts hold the same rows
+    assert(zLayout.count() === 65536L && rowMajor.count() === 65536L)
+  }
+
   test("AQE alone splits a skewed shuffle join — salting is for when AQE can't see the skew") {
     // Demonstrates the decision rule in Scale.saltedJoin's scaladoc: for a
     // plain batch equi-join, AQE's OptimizeSkewedJoin detects the hot
