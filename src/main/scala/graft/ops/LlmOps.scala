@@ -310,13 +310,21 @@ object LlmOps {
     * phase 2 supersets phase 1. `e` must be a materialized embDouble.
     * nlist ≤ 0 derives from corpus size via ivfNlistExact (√n — count on
     * a materialized checkpoint is cheap); it tunes efficiency only,
-    * never answers. Past the 4096-list cap the same coarse→fine sharding
-    * as [[prunedCosinePairsTwoLevel]] applies (prune coarse pairs against
-    * cos(max(0, θ−R_i−R_j)) ≥ t0−ε before enumerating fine pairs); the
+    * never answers. Past the 4096-list cap the derived form switches to
+    * [[exactTopKPairsTwoLevel]] (the same coarse→fine sharding as the
+    * threshold join, with the t0 bound pruning coarse pairs first); the
     * flat form here covers the √n geometry up to ~16M vectors. */
   private[ops] def exactTopKPairs(e: DataFrame, k: Int, nlist: Int = 0): DataFrame = {
     val eps = 1e-6 + 1e-9
-    val nl = if (nlist > 0) nlist else ivfNlistExact(e.count())
+    val nl = if (nlist > 0) nlist else {
+      val n = e.count()
+      val derived = ivfNlistExact(n)
+      if (derived >= 4096) {
+        val side = math.min(4096, math.ceil(math.pow(n.toDouble, 0.25)).toInt)
+        return exactTopKPairsTwoLevel(e, k, ncoarse = side, nfine = side)
+      }
+      derived
+    }
     val centroids = ivfCodebook(e, nlist = nl, iters = 0)
     val assigned = assignToCentroid(e, centroids).localCheckpoint(true)
     val geo = cellPairGeometry(centroids, assigned)
@@ -392,15 +400,16 @@ object LlmOps {
     * apply the identical per-cell and per-pair bounds as the flat path.
     * Codebook quality still affects efficiency only, never answers —
     * the result is row-identical to the flat form (LlmOpsSpec). */
-  private[ops] def prunedCosinePairsTwoLevel(e: DataFrame, tau: Double,
-      ncoarse: Int, nfine: Int): DataFrame = {
-    val maxAngle = math.acos(tau - 1e-6) + 1e-6
+  /** The two-level cell structures shared by the threshold and top-k
+    * paths: unfiltered coarse pair geometry, the flattened fine codebook,
+    * the checkpointed fine assignment, and the fine radii. */
+  private case class TwoLevelCells(coarseGeo: DataFrame, fineCent: DataFrame,
+      fassigned: DataFrame, radii: DataFrame)
+
+  private def twoLevelCells(e: DataFrame, ncoarse: Int, nfine: Int): TwoLevelCells = {
     val coarse = ivfCodebook(e, nlist = ncoarse, iters = 0)
     val cassigned = assignToCentroid(e, coarse).localCheckpoint(true)
-    // coarse-level prune: same inequality, radii from the coarse assignment
-    val admCoarse = cellPairGeometry(coarse, cassigned)
-      .filter(col("theta_ij") <= col("r_i") + col("r_j") + lit(maxAngle))
-      .select(col("ci").as("cci"), col("cj").as("ccj"))
+    val coarseGeo = cellPairGeometry(coarse, cassigned)
     // per-coarse-cell fine codebooks: hash-seeded sample WITHIN the cell
     // (the flat init's orderBy+limit, as a window per coarse cell); the
     // global fine id ccid·nfine + (fid−1) keeps ids of distinct coarse
@@ -420,10 +429,17 @@ object LlmOps {
       cassigned.select(col("vec_id"), col("label"), col("cid").as("ccid"),
         col("emb"), col("ssq")),
       fineCent, joinKeys = Seq("ccid")).localCheckpoint(true)
-    // fine geometry, enumerated only inside admissible coarse pairs
     val radii = fassigned.groupBy(col("cid")).agg(max(col("cang")).as("r"))
-    val fcent = fineCent.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
-    val admissible = broadcast(admCoarse)
+    TwoLevelCells(coarseGeo, fineCent, fassigned, radii)
+  }
+
+  /** Fine cell-pair geometry (ci ≤ cj, theta_ij, r_i, r_j), enumerated
+    * ONLY inside the given admissible coarse pairs (cci ≤ ccj columns) —
+    * the stage that keeps the two-level enumeration bounded by the
+    * coarse-admissible fan-out instead of (ncoarse·nfine)². */
+  private def fineCellPairs(cells: TwoLevelCells, admCoarse: DataFrame): DataFrame = {
+    val fcent = cells.fineCent.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+    broadcast(admCoarse)
       .join(fcent.select(col("ccid").as("cci"), col("cid").as("ci"),
         col("cemb").as("cemb_i"), col("cssq").as("cssq_i")), Seq("cci"))
       .join(fcent.select(col("ccid").as("ccj"), col("cid").as("cj"),
@@ -432,12 +448,61 @@ object LlmOps {
       .withColumn("theta_ij", acos(least(lit(1.0), greatest(lit(-1.0),
         expr("graft_dot(cemb_i, cemb_j)") /
           (sqrt(col("cssq_i")) * sqrt(col("cssq_j")))))))
-      .join(radii.select(col("cid").as("ci"), col("r").as("r_i")), Seq("ci"))
-      .join(radii.select(col("cid").as("cj"), col("r").as("r_j")), Seq("cj"))
+      .join(cells.radii.select(col("cid").as("ci"), col("r").as("r_i")), Seq("ci"))
+      .join(cells.radii.select(col("cid").as("cj"), col("r").as("r_j")), Seq("cj"))
+      .select(col("ci"), col("cj"), col("theta_ij"), col("r_i"), col("r_j"))
+  }
+
+  private[ops] def prunedCosinePairsTwoLevel(e: DataFrame, tau: Double,
+      ncoarse: Int, nfine: Int): DataFrame = {
+    val maxAngle = math.acos(tau - 1e-6) + 1e-6
+    val cells = twoLevelCells(e, ncoarse, nfine)
+    // coarse-level prune: same inequality, radii from the coarse assignment
+    val admCoarse = cells.coarseGeo
+      .filter(col("theta_ij") <= col("r_i") + col("r_j") + lit(maxAngle))
+      .select(col("ci").as("cci"), col("cj").as("ccj"))
+    val admissible = fineCellPairs(cells, admCoarse)
       .filter(col("theta_ij") <= col("r_i") + col("r_j") + lit(maxAngle))
       .withColumn("max_angle", lit(maxAngle))
       .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle"))
-    cellPairCandidates(fassigned, admissible, tau = Some(tau))
+    cellPairCandidates(cells.fassigned, admissible, tau = Some(tau))
+  }
+
+  /** Two-level form of [[exactTopKPairs]]: phase 1 ranks within-FINE-cell
+    * pairs for the k-th-best lower bound t0, phase 2 prunes COARSE pairs
+    * against cos(max(0, θ − R_i − R_j)) ≥ t0 − ε before the fine pairs see
+    * the same bound — the identical two-phase proof as the flat form with
+    * the hierarchy's extra prune in front, so the ranking is bit-identical
+    * to flat (and to brute force) for any codebook. */
+  private[ops] def exactTopKPairsTwoLevel(e: DataFrame, k: Int,
+      ncoarse: Int, nfine: Int): DataFrame = {
+    val eps = 1e-6 + 1e-9
+    val cells = twoLevelCells(e, ncoarse, nfine)
+    // phase 1: same-fine-cell ranking (θii = 0; cells with a radius row
+    // are exactly the non-empty ones)
+    val within = cellPairCandidates(cells.fassigned,
+      cells.radii.select(col("cid").as("ci"), col("cid").as("cj"),
+        lit(0.0).as("theta_ij"), lit(math.Pi).as("max_angle")),
+      tau = None)
+    val t0 = within
+      .orderBy(col("cos_sim").desc, col("va").asc, col("vb").asc).limit(k)
+      .agg(coalesce(when(count(lit(1)) === k, min(col("cos_sim"))), lit(-1.0)).as("t0"))
+    val ubPass = cos(greatest(lit(0.0), col("theta_ij") - col("r_i") - col("r_j")))
+      .>=(col("t0") - eps)
+    val admCoarse = cells.coarseGeo.crossJoin(broadcast(t0))
+      .filter(ubPass)
+      .select(col("ci").as("cci"), col("cj").as("ccj"))
+    val admissible = fineCellPairs(cells, admCoarse).crossJoin(broadcast(t0))
+      .filter(ubPass)
+      // +1e-6 angle slack for acos conditioning near cos≈1, mirroring
+      // the flat form's budget.
+      .withColumn("max_angle",
+        acos(least(lit(1.0), greatest(lit(-1.0), col("t0") - eps))) + lit(1e-6))
+      .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle"))
+    cellPairCandidates(cells.fassigned, admissible, tau = None)
+      .select(col("va"), col("vb"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("va").asc, col("vb").asc)
+      .limit(k)
   }
 
   /** Shingle-hash signature table — doc_id, hs (sorted FNV-64 shingle

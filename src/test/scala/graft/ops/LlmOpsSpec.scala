@@ -190,6 +190,14 @@ class LlmOpsSpec extends SparkSpec {
     (0 until 150).foreach { i =>
       assert(ids.contains((i.toLong, 200000L + i)), s"planted dup pair $i missed")
     }
+    // top-k on the same corpus: the two-phase t0 bound must thread through
+    // the coarse prune without disturbing the ORDERED ranking.
+    val flatTop = LlmOps.exactTopKPairs(e, 20, nlist = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val twoTop = LlmOps.exactTopKPairsTwoLevel(e, 20, 32, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(flatTop.size === 20)
+    assert(twoTop === flatTop, s"two-level top-k diverged:\n$twoTop\nvs\n$flatTop")
   }
 
   test("prefix-filter containment equals the brute-force containment dedup on the fixture corpus") {
