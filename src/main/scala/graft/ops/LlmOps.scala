@@ -156,11 +156,18 @@ object LlmOps {
     * value-deterministic.) */
   private def assignToCentroid(e: DataFrame, centroids: DataFrame,
       joinKeys: Seq[String] = Nil): DataFrame = {
-    val cent = broadcast(centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)")))
+    val cent = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
     // joinKeys narrows the argmin to each row's OWN centroid subset (the
     // two-level fine assignment joins on the coarse cell id); empty keys =
-    // the flat form, a full codebook fan-out.
-    val fanned = if (joinKeys.isEmpty) e.crossJoin(cent) else e.join(cent, joinKeys)
+    // the flat form, a full codebook fan-out. Only the cross-join form
+    // pins a broadcast hint (a ≤ 4096-row codebook, and a local-shuffle
+    // BNLJ would be strictly worse); the keyed form lets AQE pick — at
+    // realistic sizes the fine codebook broadcasts anyway, while a
+    // hierarchy pushed toward its 4096² ceiling exceeds the 8 GB
+    // broadcast limit and must fall back to a shuffled equi-join on the
+    // coarse id, which a pinned hint would forbid.
+    val fanned =
+      if (joinKeys.isEmpty) e.crossJoin(broadcast(cent)) else e.join(cent, joinKeys)
     fanned
       .withColumn("cdot", expr("graft_dot(emb, cemb)"))
       .withColumn("score", col("cssq") - lit(2.0) * col("cdot"))
@@ -314,13 +321,14 @@ object LlmOps {
     * [[exactTopKPairsTwoLevel]] (the same coarse→fine sharding as the
     * threshold join, with the t0 bound pruning coarse pairs first); the
     * flat form here covers the √n geometry up to ~16M vectors. */
-  private[ops] def exactTopKPairs(e: DataFrame, k: Int, nlist: Int = 0): DataFrame = {
+  private[ops] def exactTopKPairs(e: DataFrame, k: Int, nlist: Int = 0,
+      flatCap: Int = 4096): DataFrame = {
     val eps = 1e-6 + 1e-9
     val nl = if (nlist > 0) nlist else {
       val n = e.count()
       val derived = ivfNlistExact(n)
-      if (derived >= 4096) {
-        val side = math.min(4096, math.ceil(math.pow(n.toDouble, 0.25)).toInt)
+      if (derived >= flatCap) {
+        val side = twoLevelSide(n)
         return exactTopKPairsTwoLevel(e, k, ncoarse = side, nfine = side)
       }
       derived
@@ -350,8 +358,14 @@ object LlmOps {
       .limit(k)
   }
 
+  /** The coarse/fine side length for the hierarchical codebook once the
+    * flat form is out of range: ⌈n^(1/4)⌉ per level keeps the total cell
+    * count at the √n the geometry wants. */
+  private[ops] def twoLevelSide(n: Long): Int =
+    math.min(4096, math.ceil(math.pow(math.max(n, 1L).toDouble, 0.25)).toInt)
+
   private[ops] def prunedCosinePairs(e: DataFrame, tau: Double,
-      nlist: Int = 0): DataFrame =
+      nlist: Int = 0, flatCap: Int = 4096): DataFrame =
     if (nlist > 0) prunedCosinePairsFlat(e, tau, nlist)
     else {
       val n = e.count()
@@ -362,9 +376,11 @@ object LlmOps {
       // cell count at the √n the geometry wants, while no single
       // enumeration ever exceeds the coarse-admissible fan-out. Results
       // are identical either way (both paths are exact for ANY codebook);
-      // LlmOpsSpec pins flat/two-level result equality on a 100k corpus.
-      if (nl >= 4096) {
-        val side = math.min(4096, math.ceil(math.pow(n.toDouble, 0.25)).toInt)
+      // LlmOpsSpec pins flat/two-level result equality on a 100k corpus —
+      // including THROUGH this dispatch, via the test-injectable flatCap
+      // (production callers never pass one; the default is the real cap).
+      if (nl >= flatCap) {
+        val side = twoLevelSide(n)
         prunedCosinePairsTwoLevel(e, tau, ncoarse = side, nfine = side)
       } else prunedCosinePairsFlat(e, tau, nl)
     }

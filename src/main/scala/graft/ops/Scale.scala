@@ -91,6 +91,7 @@ object Scale {
     * range stragglers cluster at the edges instead of corrupting the
     * interleave. */
   def zQuantize(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    require(hi > lo, s"zQuantize domain must be non-degenerate: [$lo, $hi]")
     val buckets = (1L << bits) - 1
     least(lit(buckets), greatest(lit(0L),
       floor((c.cast("double") - lit(lo)) / lit(hi - lo) * buckets).cast("long")))

@@ -198,6 +198,18 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
     assert(flatTop.size === 20)
     assert(twoTop === flatTop, s"two-level top-k diverged:\n$twoTop\nvs\n$flatTop")
+    // drive the REAL flat→two-level dispatch (count, derivation, argument
+    // order), not just the two-level bodies: an injected flatCap makes the
+    // derived nlist (≈√n = 318 here) hit the cap at test scale, so both
+    // entry points take the production switch with side = ⌈n^(1/4)⌉ = 18.
+    assert(LlmOps.twoLevelSide(100150L) === 18)
+    val switched = collectPairs(LlmOps.prunedCosinePairs(e, tau, flatCap = 16))
+    assert(switched === flat, s"dispatched two-level diverged from flat: " +
+      s"missing=${(flat -- switched).take(5)} extra=${(switched -- flat).take(5)}")
+    val switchedTop = LlmOps.exactTopKPairs(e, 20, flatCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(switchedTop === flatTop,
+      s"dispatched two-level top-k diverged:\n$switchedTop\nvs\n$flatTop")
   }
 
   test("prefix-filter containment equals the brute-force containment dedup on the fixture corpus") {
