@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   *    s ≥ 0.8 — recall is deterministic-in-practice while candidate volume
   *    stays ~linear for low-similarity corpora. This is THE scale path;
   *    brute-force Jaccard below exists as the small-data oracle twin.
+  *  - Asymmetric containment candidates come from a LOSSLESS prefix-filter
+  *    join (containmentPrefixCandidates), not banding — guaranteed recall
+  *    at any length ratio, with rare-first ordering bounding the posting
+  *    fan-out.
   *  - The cosine-threshold join, embedding dedup AND global top-k all route
   *    through an EXACT-recall IVF-cell candidate join (triangle-inequality
   *    pruning in angle space — see prunedCosinePairs / llm_sim_topk); no
