@@ -98,7 +98,13 @@ object LlmOps {
     * 25× slower at sf0.1). Docs with < 3 tokens are excluded by a plain
     * pre-filter instead (they can never reach any Jaccard threshold). */
   private def docsWithShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shinglesOf(Tables.documents(s, d))
+
+  /** [[docsWithShingles]] over an arbitrary (doc_id, text) frame — shared
+    * with the streaming near-dup filter, whose input is a micro-batch,
+    * not a table directory. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       // `toks` is a separate projection on purpose: referencing the split
       // through a column guarantees one evaluation per row (CollapseProject
       // keeps non-cheap multi-use aliases), where split() inlined in the
@@ -535,12 +541,26 @@ object LlmOps {
     * generation. */
   private def minhashBase(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    docsWithShingles(s, d)
+    signaturesOf(shinglesOf(Tables.documents(s, d))).localCheckpoint(true)
+  }
+
+  /** Signature frame (doc_id, hs, n, sig) over a shingled frame — the
+    * kernel shared by [[minhashBase]] and the streaming near-dup filter.
+    * Caller must have registered graft.functions.VectorFunctions. */
+  private[graft] def signaturesOf(shingled: DataFrame): DataFrame =
+    shingled
       .select(col("doc_id"), expr("graft_shingle_hashes(sh)").as("hs"))
       .withColumn("n", size(col("hs")))
       .withColumn("sig", expr("graft_minhash(hs)"))
-      .localCheckpoint(true)
-  }
+
+  /** One row per (doc_id, band_idx, band_hash): the 32×2 LSH banding of a
+    * signature frame, shared by the batch candidate generator and the
+    * streaming filter (whose join shape is batch ⋈ store, not the
+    * within-corpus self-pairing below). */
+  private[graft] def bandHashes(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 2 + 1, 2)))")))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
 
   /** Unordered candidate pairs (doc_a < doc_b) from LSH band collisions over
     * the minhash signature: 32 bands × 2 rows — P(miss) = (1 − s²)³² < 1e-14
@@ -550,9 +570,7 @@ object LlmOps {
     * containment dedup paths — candidate volume stays ~linear for
     * low-similarity corpora. */
   private def minhashBandCandidates(base: DataFrame): DataFrame =
-    base.select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 2 + 1, 2)))")))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    bandHashes(base)
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

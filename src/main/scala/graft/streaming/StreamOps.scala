@@ -189,6 +189,74 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming near-duplicate document filter — the incremental form of
+    * llm_dedup_minhash: each micro-batch of (doc_id, text, …) rows is
+    * minhash-signed and band-joined against a persistent signature STORE
+    * plus the batch itself; a doc is DROPPED when exact-Jaccard-verified
+    * at ≥ tau against any PREVIOUSLY SEEN doc (an earlier batch, or a
+    * lower doc_id in the same batch). Survivors land under
+    * `outPath/b<batchId>`; ALL of the batch's signatures (survivors and
+    * dropped — a future doc similar only to a dropped one must still be
+    * caught) append to the store under `storePath/b<batchId>`.
+    *
+    * Idempotence (foreachBatch is at-least-once + idempotent writes): both
+    * writes overwrite their own batch-scoped directory, and the store read
+    * filters batch_id < currentBatch so a half-written replay partition
+    * can never mask or duplicate its own originals.
+    *
+    * Scale notes: the per-batch work is bands(batch) ⋈ bands(store) — an
+    * equi-join on (band_idx, band_hash) whose probe side is ONE
+    * micro-batch; the store never self-joins. At 100 TB the store is a
+    * table partitioned/bucketed by band hash, exactly the signature table
+    * the batch path checkpoints (LlmOps.minhashBase), and this sink is
+    * the standard backfill-then-tail dedup deployment. Sub-3-token docs
+    * have no shingle signature and pass through unfiltered (they cannot
+    * near-dup under the 3-gram definition), mirroring the batch path. */
+  def startNearDupFilterSink(docs: DataFrame, outPath: String,
+      storePath: String, checkpoint: String, tau: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.VectorFunctions.register(spark)
+        val b = batch.persist()
+        try {
+          val sigs = graft.ops.LlmOps
+            .signaturesOf(graft.ops.LlmOps.shinglesOf(b))
+            .withColumn("batch_id", lit(id))
+            .persist()
+          val store =
+            try spark.read.parquet(s"$storePath/b*")
+              .filter(col("batch_id") < id)
+            catch { case _: Exception => spark.emptyDataFrame }
+          val all = if (store.columns.isEmpty) sigs else sigs.unionByName(store)
+          val nb = graft.ops.LlmOps.bandHashes(sigs)
+            .select(col("doc_id").as("new_id"), col("band_idx"), col("band_hash"))
+          val ab = graft.ops.LlmOps.bandHashes(all)
+            .select(col("doc_id").as("old_id"), col("band_idx"), col("band_hash"))
+          val dups = nb.join(ab, Seq("band_idx", "band_hash"))
+            .filter(col("new_id") =!= col("old_id"))
+            .select(col("new_id"), col("old_id")).distinct()
+            .join(sigs.select(col("doc_id").as("new_id"), col("hs").as("hs_a"),
+              col("n").as("n_a")), "new_id")
+            .join(all.select(col("doc_id").as("old_id"), col("hs").as("hs_b"),
+              col("n").as("n_b"), col("batch_id").as("old_batch")), "old_id")
+            // "previously seen": an earlier batch, or earlier in this one
+            .filter(col("old_batch") < id ||
+              (col("old_batch") === id && col("old_id") < col("new_id")))
+            .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
+            .filter(col("common").cast("double") /
+              (col("n_a") + col("n_b") - col("common")).cast("double") >= tau)
+            .select(col("new_id").as("doc_id")).distinct()
+          b.join(dups, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outPath/b$id")
+          sigs.write.mode("overwrite").parquet(s"$storePath/b$id")
+          sigs.unpersist()
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+
   /** Exactly-once partitioned Parquet sink: append mode + checkpointed
     * offsets; re-starting from the checkpoint never re-writes a committed
     * batch. */

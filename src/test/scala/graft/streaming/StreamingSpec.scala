@@ -277,6 +277,35 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming near-dup filter drops minhash near-duplicates across and within batches") {
+    // The incremental form of llm_dedup_minhash: a persistent signature
+    // store + per-batch band join. A doc near-duplicating an EARLIER
+    // BATCH's doc is dropped, an in-batch duplicate keeps only the lowest
+    // id, and unrelated docs pass through.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.startNearDupFilterSink(
+      docs, s"$dir/out", s"$dir/store", s"$dir/ckpt")
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "and then rests quietly under the old oak tree"
+    val other = "completely different content about spark catalyst optimizer " +
+      "internals and whole stage code generation pipelines for modern engines"
+    try {
+      mem.addData((1L, base), (2L, other)); q.processAllAvailable()
+      val near = base.replace("quietly", "noisily") // shingle jac ~0.73
+      val third = "rows columns pages buffers caches spill files and shuffle " +
+        "partitions make a distributed engine go fast at scale"
+      mem.addData((10L, near), (11L, third), (12L, third)); q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out/b*")
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toList
+      assert(out === List(1L, 2L, 11L),
+        s"expected 10 (cross-batch near-dup) and 12 (in-batch dup) dropped, got $out")
+    } finally q.stop()
+  }
+
   test("foreachBatch merge sink upserts by key keeping the latest version") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
