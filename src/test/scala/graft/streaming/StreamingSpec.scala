@@ -306,6 +306,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter: the signature store survives a kill/restart") {
+    // The store is the filter's long-term memory: after a kill, a restarted
+    // query must still drop a near-duplicate of a doc seen BEFORE the kill
+    // (signatures come from the parquet store, not query state).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamOps.startNearDupFilterSink(
+      mem.toDF().toDF("doc_id", "text"), s"$dir/out", s"$dir/store", s"$dir/ckpt")
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "and then rests quietly under the old oak tree"
+    val q1 = start()
+    mem.addData((1L, base)); q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      mem.addData((20L, base.replace("quietly", "noisily")), (21L, "a brand " +
+        "new document about partition pruning and column statistics for scans"))
+      q2.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out/b*")
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toList
+      assert(out === List(1L, 21L),
+        s"restart lost the signature store (20 must be dropped): $out")
+    } finally q2.stop()
+  }
+
   test("foreachBatch merge sink upserts by key keeping the latest version") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
