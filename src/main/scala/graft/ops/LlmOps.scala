@@ -100,6 +100,26 @@ object LlmOps {
   private def docsWithShingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(Tables.documents(s, d))
 
+  /** Heuristic quality score per document (length, type-token ratio,
+    * stopword density — the C4/Gopher-style cheap-signal family), shared
+    * by llm_quality_score (the per-doc report) and llm_quality_filter
+    * (the per-language rank cut). All-codegen HOF projections; `quality`
+    * is rounded to 6 places BEFORE any ranking so every engine ranks the
+    * same values. */
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_toks", size(col("toks")).cast("double"))
+      .withColumn("ttr",
+        expr("size(array_distinct(toks))").cast("double") / col("n_toks"))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'))")
+          .cast("double") / col("n_toks"))
+      .select(col("doc_id"), col("lang"),
+        round(least(lit(1.0), col("n_toks") / 50.0) * 0.4 +
+          col("ttr") * 0.3 + col("stop_ratio") * 0.3, 6).as("quality"),
+        round(col("ttr"), 6).as("ttr"))
+
   /** [[docsWithShingles]] over an arbitrary (doc_id, text) frame — shared
     * with the streaming near-dup filter, whose input is a micro-batch,
     * not a table directory. */
@@ -930,6 +950,83 @@ object LlmOps {
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
+    // Benchmark decontamination (the GPT-3 / Pile pipeline step): an eval
+    // set — here source 'src0' — defines a distinct 8-gram set; any
+    // training document sharing one of those 8-grams is contaminated and
+    // must be dropped (or have the passage trimmed) before pretraining.
+    // Scale shape: the eval side is tiny BY CONSTRUCTION (benchmarks are
+    // KBs–MBs while the corpus is TBs), so the gram membership test is a
+    // broadcast hash join against the exploded training grams — the 100 TB
+    // corpus never shuffles; the only shuffle is the per-doc overlap count
+    // on doc_id (map-side combined). Each branch filters `source` BEFORE
+    // shingling so the partition filter reaches its scan. Grams stay
+    // strings here to keep the oracle compare exact; at scale you'd
+    // broadcast xxhash64(gram) of the eval set instead (collision
+    // probability bounded by |eval|²/2⁶⁴, and a false positive only
+    // over-drops — contamination filters are allowed to be conservative).
+    "llm_decontaminate" -> { (s, d) =>
+      // same no-CASE/pre-filter/coalesce rules as docsWithShingles — the
+      // HOF must not sit under a conditional (subexpression elimination)
+      // and the output array must be non-nullable (inferred isnotnull
+      // constraints re-run inlined pipelines otherwise).
+      def grams8(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """coalesce(array_distinct(transform(sequence(0, size(toks) - 8),
+            | i -> concat_ws(' ', slice(toks, i + 1, 8)))), array())"""
+            .stripMargin.replace("\n", " "))).as("g"))
+      val docs = Tables.documents(s, d)
+      val evalG = grams8(docs.filter(col("source") === "src0"))
+        .select(col("g")).distinct()
+      val overlap = grams8(docs.filter(col("source") =!= "src0"))
+        .join(broadcast(evalG), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      docs.filter(col("source") =!= "src0")
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) > 0L).as("contaminated"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // Exact passage-level dedup (Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better", in its fixed-window form): every
+    // 16-token window of every document, kept WITH multiplicity; a window
+    // occurring in ≥ 2 distinct documents is duplicated text, and the
+    // per-document duplicated-window fraction is the drop/trim signal.
+    // This catches shared PASSAGES inside otherwise-distinct documents —
+    // the case document-level dedup (exact / minhash / simhash) cannot see.
+    // Scale shape: one shuffle of the window table on the window key for
+    // the distinct-doc count, one shuffle on doc_id for the per-doc
+    // rollup; count(DISTINCT doc_id) is Spark's two-level partial agg.
+    // Windows stay strings here for oracle exactness — at 100 TB the
+    // shuffle key is xxhash64(window) (16-token windows make collisions
+    // harmless: a collision merely marks one window duplicated).
+    "llm_passage_dedup" -> { (s, d) =>
+      // localCheckpoint: `win` feeds both the per-window doc count and the
+      // join probe side; without materialization each reference re-runs
+      // the explode over the corpus.
+      val win = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          """coalesce(transform(sequence(0, size(toks) - 16),
+            | i -> concat_ws(' ', slice(toks, i + 1, 16))), array())"""
+            .stripMargin.replace("\n", " "))).as("w"))
+        .localCheckpoint(true)
+      val perWin = win.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      win.join(perWin, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("nd") >= 2L, 1L).otherwise(0L)).as("n_dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          round(col("n_dup_windows").cast("double") /
+            col("n_windows").cast("double"), 6).as("dup_frac"))
+        .orderBy(col("doc_id").asc)
+    },
+
     "llm_sim_topk" -> { (s, d) =>
       exactTopKPairs(embDouble(s, d).localCheckpoint(true), k = 10)
     },
@@ -1022,6 +1119,24 @@ object LlmOps {
         .filter(when(col("lang") === "en", col("h") < "8")
           .otherwise(col("h") < "4"))
         .select(col("doc_id"), col("lang"), col("h"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // Deterministic train/val/test assignment: the split is a pure
+    // function of md5(doc_id) — engine-, partition-, and run-independent,
+    // so re-running the pipeline (or running it on a different engine)
+    // assigns every document to the same split, and materializing one
+    // split is a pushdown-friendly filter, never a shuffle (the same
+    // hash-membership principle as llm_sample_stratified). Two hex chars
+    // give 256 buckets: < 'cc' (204) ≈ 80% train, < 'e6' (230) ≈ 90%
+    // cumulative → ~10% val, remainder ≈ 10% test.
+    "llm_split_assign" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 2))
+        .select(col("doc_id"), col("lang"),
+          when(col("h") < "cc", "train")
+            .when(col("h") < "e6", "val")
+            .otherwise("test").as("split"))
         .orderBy(col("doc_id").asc)
     },
 
@@ -1138,18 +1253,28 @@ object LlmOps {
     },
 
     "llm_quality_score" -> { (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("toks", split(lower(col("text")), " "))
-        .withColumn("n_toks", size(col("toks")).cast("double"))
-        .withColumn("ttr",
-          expr("size(array_distinct(toks))").cast("double") / col("n_toks"))
-        .withColumn("stop_ratio",
-          expr("size(filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'))")
-            .cast("double") / col("n_toks"))
-        .select(col("doc_id"),
-          round(least(lit(1.0), col("n_toks") / 50.0) * 0.4 +
-            col("ttr") * 0.3 + col("stop_ratio") * 0.3, 6).as("quality"),
-          round(col("ttr"), 6).as("ttr"))
+      qualityScored(s, d)
+        .select(col("doc_id"), col("quality"), col("ttr"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // Quality-based curation cut: keep the top 90% of each language by
+    // quality rank — the thresholding step a curation pipeline runs on
+    // top of llm_quality_score (rank-based, not a fixed threshold, so the
+    // cut adapts per language). Rank is exact and deterministic
+    // ((quality DESC, doc_id ASC) tie-break); the per-lang count shares
+    // the rank window's lang shuffle. Languages spread across executors
+    // at 100 TB; if one language dominated, win_ntile_percent's two-pass
+    // range-partition ranking is the drop-in distributed form.
+    "llm_quality_filter" -> { (s, d) =>
+      val rankW = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      val langW = Window.partitionBy(col("lang"))
+      qualityScored(s, d)
+        .withColumn("rn", row_number().over(rankW).cast("long"))
+        .withColumn("n", count(lit(1)).over(langW))
+        .filter(col("rn") <= ceil(col("n") * 0.9))
+        .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy(col("doc_id").asc)
     },
 
@@ -1357,6 +1482,49 @@ object LlmOps {
         |WHERE levenshtein(a.t, b.t) <= 50
         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
+    // DuckDB's inclusive 1-based list slice t[i:i+7] is the 8-token gram
+    // starting at i; range() is end-exclusive so i runs 1 .. len(t)-7.
+    "llm_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |g AS (SELECT doc_id, source,
+        |             unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |               i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |      FROM tok WHERE len(t) >= 8),
+        |ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap FROM g JOIN ev USING (g)
+        |       WHERE source <> 'src0' GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |       coalesce(ov.n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_passage_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |w AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 14),
+        |        i -> array_to_string(t[i:i+15], ' '))) AS w
+        |      FROM tok WHERE len(t) >= 16),
+        |pw AS (SELECT w, count(DISTINCT doc_id) AS nd FROM w GROUP BY w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_windows,
+        |       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE /
+        |             count(*)::DOUBLE, 6) AS dup_frac
+        |FROM w JOIN pw USING (w)
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_split_assign" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "llm_sim_topk" ->
       s"""$duckCosPairs
          |SELECT va, vb, cos_sim FROM p
@@ -1481,6 +1649,26 @@ object LlmOps {
         |             6) AS quality,
         |       round(len(list_distinct(toks))::DOUBLE / n_toks, 6) AS ttr
         |FROM t
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  string_split(lower(text), ' ') AS toks,
+        |  len(string_split(lower(text), ' '))::DOUBLE AS n_toks
+        |FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |        round(least(1.0, n_toks / 50.0) * 0.4 +
+        |              (len(list_distinct(toks))::DOUBLE / n_toks) * 0.3 +
+        |              (len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'))::DOUBLE / n_toks) * 0.3,
+        |              6) AS quality
+        |      FROM t),
+        |r AS (SELECT doc_id, lang, quality,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY quality DESC, doc_id ASC) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM q)
+        |SELECT doc_id, lang, quality FROM r
+        |WHERE rn <= ceil(n * 0.9)
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_rep_signals" ->

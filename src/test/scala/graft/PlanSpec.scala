@@ -203,6 +203,24 @@ class PlanSpec extends SparkSpec {
       s"no hash/merge join in containment plan:\n$plan")
   }
 
+  test("llm_decontaminate probes the eval grams via a broadcast hash join") {
+    // The scale contract: the eval-benchmark gram set is the tiny side by
+    // construction, so the corpus-side gram stream must probe a broadcast
+    // — a shuffle of the exploded corpus grams on `g` would be the 100 TB
+    // bottleneck. The per-doc count and the final doc_id join may shuffle.
+    val plan = physicalPlan("llm_decontaminate")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"decontamination fell back to nested loops:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram membership test is not a broadcast hash join:\n$plan")
+  }
+
+  test("llm_passage_dedup counts and joins windows via hash shuffles, not a BNLJ") {
+    val plan = physicalPlan("llm_passage_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"passage dedup fell back to nested loops:\n$plan")
+  }
+
   test("llm_sim_threshold_join enumerates pairs via a cid equi-join, not an O(n²) BNLJ") {
     // The only nested-loop joins allowed are the bounded codebook shapes
     // (vectors × the ≤ ivfNlistExact(n)-row broadcast centroid table —

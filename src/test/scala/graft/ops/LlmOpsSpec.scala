@@ -438,4 +438,86 @@ class LlmOpsSpec extends SparkSpec {
     val again = SparkEntry_queries("llm_fingerprint").collect()
     assert(fp.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
   }
+
+  private def docTable(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val docs = rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("llmops_docs").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("decontaminate flags exactly the docs sharing an eval 8-gram") {
+    // The oracle compare proves engine equality on the fixture; this pins
+    // the semantics on a planted case: an eval passage copied verbatim
+    // into one training doc, absent from the others.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val tmp = docTable(Seq(
+      (0L, s"prefix $passage suffix", "src0"),              // eval doc
+      (1L, s"own words then $passage and more after that", "src1"), // contaminated
+      (2L, "completely unrelated training text with enough tokens here now", "src1"),
+      (3L, "short doc", "src2")))                            // < 8 tokens: clean
+    val got = LlmOps.queries.toMap.apply("llm_decontaminate")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(!got.contains(0L), "eval doc must not appear in the training output")
+    assert(got(1L)._2 && got(1L)._1 >= 1L, "planted contamination not flagged")
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L) === ((0L, false)))
+  }
+
+  test("passage_dedup: duplicated 16-token windows are counted exactly") {
+    val p1 = (1 to 16).map(i => s"t$i").mkString(" ")  // shared passage
+    val p2 = (1 to 16).map(i => s"u$i").mkString(" ")  // planted in doc 3
+    val tmp = docTable(Seq(
+      (0L, p1, "s"),                                   // identical to doc 1
+      (1L, p1, "s"),                                   // identical to doc 0
+      (2L, p2, "s"),                                   // its window recurs in doc 3
+      (3L, s"$p2 v1 v2 v3 v4", "s"),                   // 5 windows, 1 duplicated
+      (4L, (1 to 16).map(i => s"w$i").mkString(" "), "s"))) // unique
+    val got = LlmOps.queries.toMap.apply("llm_passage_dedup")(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) === ((1L, 1L, 1.0)))
+    assert(got(1L) === ((1L, 1L, 1.0)))
+    assert(got(2L) === ((1L, 1L, 1.0)))
+    assert(got(3L) === ((5L, 1L, 0.2)))
+    assert(got(4L) === ((1L, 0L, 0.0)))
+  }
+
+  test("quality_filter keeps exactly the top ceil(0.9·n) of each language") {
+    val scores = SparkEntry_queries("llm_quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byLang = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kept = SparkEntry_queries("llm_quality_filter").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(kept.nonEmpty)
+    // re-derive the cut per language from first principles
+    val expected = byLang.groupBy(_._2).flatMap { case (_, docs) =>
+      val ranked = docs.keys.toSeq.sortBy(id => (-scores(id), id))
+      ranked.take(math.ceil(ranked.size * 0.9).toInt)
+    }.toSet
+    assert(kept.map(_._1).toSet === expected)
+    kept.foreach { case (id, _, q) => assert(q === scores(id)) }
+  }
+
+  test("split_assign is total, deterministic, and near the 80/10/10 design ratios") {
+    val rows = SparkEntry_queries("llm_split_assign").collect()
+    val n = rows.length.toDouble
+    assert(n > 0)
+    val byId = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId.size === rows.length, "split must assign every doc exactly once")
+    val frac = rows.groupBy(_.getString(2)).map { case (k, v) => k -> v.length / n }
+    assert(frac.keySet.subsetOf(Set("train", "val", "test")))
+    // 204/256 = 79.7% train, 26/256 = 10.2% val; allow binomial noise at n=500.
+    assert(frac("train") > 0.72 && frac("train") < 0.87, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) < 0.17 && frac.getOrElse("test", 0.0) < 0.17)
+    // determinism: a second evaluation assigns identically.
+    val again = SparkEntry_queries("llm_split_assign").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again === byId)
+  }
 }
