@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => functions.ShingleHashes(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_long"), info("graft_sorted_intersect_long"),
       exprs => functions.SortedIntersectCountLong(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"), info("graft_winnow"),
+      exprs => functions.WinnowFp(exprs.head)))
     // Optimizer rule: free length guard ahead of un-thresholded
     // levenshtein predicates (see the rule's scaladoc for the soundness
     // argument). Runtime sessions use LevenshteinGuardRule.install.

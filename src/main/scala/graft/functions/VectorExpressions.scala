@@ -188,6 +188,57 @@ object VectorKernels {
     }
     c
   }
+
+  /** Winnowing fingerprints (k=3-token grams, w=4-gram windows) from a
+    * token array: the exact polynomial gram hash (a·31+codepoint mod
+    * 1e9+7, tokens joined by ' ') of llm_fingerprint's family, then the
+    * min of each window, distinct and ascending. Code-point iteration is
+    * char-for-char identical to the `split('')` + `ascii()` HOF form (and
+    * the DuckDB oracle) on all BMP text — the interpreted HOF dispatched
+    * a lambda per character, this is one fused primitive loop per row.
+    * Returns an empty array when fewer than k+w-1 tokens (callers
+    * pre-filter, mirroring docsWithShingles' rule). */
+  def winnowFingerprints(toks: ArrayData): ArrayData = {
+    val K = 3; val W = 4; val M = 1000000007L
+    val n = toks.numElements()
+    val g = n - K + 1
+    val wins = g - W + 1
+    if (wins <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val gh = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var a = 0L
+      var t = 0
+      while (t < K) {
+        if (t > 0) a = (a * 31 + 32L) % M // the ' ' joiner, ascii 32
+        val s = toks.getUTF8String(i + t).toString
+        var ci = 0
+        while (ci < s.length) {
+          val cp = s.codePointAt(ci)
+          a = (a * 31 + cp) % M
+          ci += Character.charCount(cp)
+        }
+        t += 1
+      }
+      gh(i) = a
+      i += 1
+    }
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < wins) {
+      var m = Long.MaxValue
+      var x = 0
+      while (x < W) { val v = gh(j + x); if (v < m) m = v; x += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** 64-long minhash signature of an array<long> of shingle hashes. */
@@ -266,6 +317,22 @@ case class ShingleHashes(child: Expression) extends org.apache.spark.sql.catalys
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Distinct ascending winnowing fingerprints of an array<string> of tokens
+  * (k=3-token grams, w=4-gram windows; see VectorKernels.winnowFingerprints
+  * for the exact-hash parity argument). */
+case class WinnowFp(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_winnow expects array<string>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(h: Any): Any = VectorKernels.winnowFingerprints(h.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.winnowFingerprints($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Merge-count intersection size of two sorted long arrays. */
 case class SortedIntersectCountLong(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
@@ -306,5 +373,7 @@ object VectorFunctions {
       "graft_shingle_hashes", exprs => ShingleHashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect_long", exprs => SortedIntersectCountLong(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_winnow", exprs => WinnowFp(exprs.head), "built-in")
   }
 }

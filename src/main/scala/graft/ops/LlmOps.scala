@@ -120,6 +120,33 @@ object LlmOps {
           col("ttr") * 0.3 + col("stop_ratio") * 0.3, 6).as("quality"),
         round(col("ttr"), 6).as("ttr"))
 
+  /** Tokenized docs eligible for winnowing: ≥ 6 tokens = at least one
+    * full 4-window of 3-grams (the same plain pre-filter rule as
+    * docsWithShingles: no CASE may wrap the gram kernel, and the HOF
+    * twin's [i] indexing is safe only because of this filter). */
+  private def winnowBase(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 6)
+
+  /** The pure-HOF twin of graft_winnow — same polynomial gram hash, same
+    * window mins, as built-in expressions only. Never in a query path
+    * (lambda-per-character, 1.47 s vs the kernel at sf0.1); it exists so
+    * LlmOpsSpec can pin kernel/HOF equality on real data, which together
+    * with the driver's DuckDB compare proves the native expression exact. */
+  private[graft] def winnowHofForm(docs: DataFrame): DataFrame =
+    winnowBase(docs)
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, size(toks) - 3),
+          | i -> aggregate(transform(split(concat_ws(' ', toks[i], toks[i+1], toks[i+2]), ''),
+          |                          c -> CAST(ascii(c) AS BIGINT)),
+          |                CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007))"""
+          .stripMargin.replace("\n", " ")).as("gh"))
+      .select(col("doc_id"), explode(expr(
+        """coalesce(array_distinct(transform(sequence(0, size(gh) - 4),
+          | j -> array_min(slice(gh, j + 1, 4)))), array())"""
+          .stripMargin.replace("\n", " "))).as("fp"))
+
   /** [[docsWithShingles]] over an arbitrary (doc_id, text) frame — shared
     * with the streaming near-dup filter, whose input is a micro-batch,
     * not a table directory. */
@@ -997,27 +1024,29 @@ object LlmOps {
     // per-document duplicated-window fraction is the drop/trim signal.
     // This catches shared PASSAGES inside otherwise-distinct documents —
     // the case document-level dedup (exact / minhash / simhash) cannot see.
-    // Scale shape: one shuffle of the window table on the window key for
-    // the distinct-doc count, one shuffle on doc_id for the per-doc
-    // rollup; count(DISTINCT doc_id) is Spark's two-level partial agg.
-    // Windows stay strings here for oracle exactness — at 100 TB the
-    // shuffle key is xxhash64(window) (16-token windows make collisions
-    // harmless: a collision merely marks one window duplicated).
+    // Scale shape: the per-window distinct-doc count is dense_rank + max
+    // over ONE window partitioned by `w` — a single shuffle of the window
+    // table, where the naive groupBy(w).agg(countDistinct) + join-back
+    // would shuffle the window strings twice and materialize the table
+    // for reuse. The per-doc rollup is the second (and last) shuffle, on
+    // doc_id. Windows stay strings here for oracle exactness — at 100 TB
+    // the shuffle key is xxhash64(window) (16-token windows make
+    // collisions harmless: a collision merely marks one window
+    // duplicated).
     "llm_passage_dedup" -> { (s, d) =>
-      // localCheckpoint: `win` feeds both the per-window doc count and the
-      // join probe side; without materialization each reference re-runs
-      // the explode over the corpus.
-      val win = Tables.documents(s, d)
+      val byW = Window.partitionBy(col("w")).orderBy(col("doc_id").asc)
+      val overW = Window.partitionBy(col("w"))
+      Tables.documents(s, d)
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= 16)
         .select(col("doc_id"), explode(expr(
           """coalesce(transform(sequence(0, size(toks) - 16),
             | i -> concat_ws(' ', slice(toks, i + 1, 16))), array())"""
             .stripMargin.replace("\n", " "))).as("w"))
-        .localCheckpoint(true)
-      val perWin = win.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-      win.join(perWin, Seq("w"))
+        // nd = count(DISTINCT doc_id) per window, as max(dense_rank):
+        // both window functions share the one exchange+sort on `w`.
+        .withColumn("dr", dense_rank().over(byW))
+        .withColumn("nd", max(col("dr")).over(overW))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_windows"),
           sum(when(col("nd") >= 2L, 1L).otherwise(0L)).as("n_dup_windows"))
@@ -1345,6 +1374,28 @@ object LlmOps {
             | CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007)"""
             .stripMargin.replace("\n", " ")).as("fingerprint"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    // scheme): hash every 3-token gram with the exact polynomial hash
+    // above, then keep the minimum of each 4-gram-wide window. The
+    // guarantee: any two documents sharing a run of ≥ 3+4-1 = 6 tokens
+    // share at least one fingerprint, while only ~1/4 of gram hashes are
+    // kept — the localized dedup sketch between whole-doc fingerprinting
+    // (llm_fingerprint) and full passage indexing (llm_passage_dedup).
+    // Scale shape: a pure per-row codegen projection — embarrassingly
+    // parallel, NO shuffle until the output sort; the downstream join on
+    // fp is the candidate generator for plagiarism/passage-borrow dedup.
+    // Exact BIGINT arithmetic throughout → bit-identical across engines.
+    // The kernel is the native graft_winnow expression: the interpreted
+    // HOF form ([[winnowHofForm]], kept for the parity test) dispatched a
+    // lambda per CHARACTER and benched 1.47 s at sf0.1 — the fused loop
+    // does the identical arithmetic per row inside whole-stage codegen.
+    "llm_winnow_fingerprint" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      winnowBase(Tables.documents(s, d))
+        .select(col("doc_id"), explode(expr("graft_winnow(toks)")).as("fp"))
+        .orderBy(col("doc_id").asc, col("fp").asc)
     },
 
     // Binary-column plumbing, driver-checked (not just unit-tested): the
@@ -1704,6 +1755,24 @@ object LlmOps {
         |                   (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
         |FROM documents
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Same polynomial gram hash as llm_fingerprint (list_reduce with the
+    // [0] seed), windows via DuckDB's inclusive list slice gh[j:j+3].
+    "llm_winnow_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, len(t) - 1), i ->
+        |          list_reduce([0] || list_transform(string_split(t[i] || ' ' || t[i+1] || ' ' || t[i+2], ''),
+        |                                            c -> ascii(c)::BIGINT),
+        |                      (a, x) -> (a * 31 + x) % 1000000007)) AS gh
+        |      FROM tok WHERE len(t) >= 6),
+        |f AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(range(1, len(gh) - 2),
+        |          j -> list_min(gh[j:j+3])))) AS fp
+        |      FROM g)
+        |SELECT doc_id, fp FROM f
+        |ORDER BY doc_id ASC NULLS FIRST, fp ASC NULLS FIRST""".stripMargin,
 
     "mm_media_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

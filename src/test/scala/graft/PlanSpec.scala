@@ -221,6 +221,15 @@ class PlanSpec extends SparkSpec {
       s"passage dedup fell back to nested loops:\n$plan")
   }
 
+  test("llm_winnow_fingerprint is a pure projection: no shuffle before the output sort") {
+    // Winnowing must stay embarrassingly parallel — the only exchange in
+    // the plan is the range partitioning of the final ORDER BY. A second
+    // exchange would mean the fingerprint computation itself shuffles.
+    val plan = physicalPlan("llm_winnow_fingerprint")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly the sort exchange, got $exchanges:\n$plan")
+  }
+
   test("llm_sim_threshold_join enumerates pairs via a cid equi-join, not an O(n²) BNLJ") {
     // The only nested-loop joins allowed are the bounded codebook shapes
     // (vectors × the ≤ ivfNlistExact(n)-row broadcast centroid table —

@@ -76,6 +76,24 @@ class VectorKernelsSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("winnowFingerprints: guarantee, compression, and degenerate inputs") {
+    def fps(s: String) =
+      VectorKernels.winnowFingerprints(strs(s.split(" ").toSeq: _*))
+        .toLongArray().toSeq
+    // fewer than 6 tokens -> empty, never a crash
+    assert(fps("a b c d e") === Seq.empty)
+    // output is distinct ascending
+    val f = fps("a b a b a b a b a b")
+    assert(f === f.distinct.sorted)
+    // shared >= 6-token run -> shared fingerprint (the winnowing guarantee)
+    val run = "alpha beta gamma delta epsilon zeta"
+    val shared = fps(s"x1 x2 $run y1") intersect fps(s"z1 $run w1 w2")
+    assert(shared.nonEmpty)
+    // compression: fewer fingerprints than grams
+    val nine = "m1 m2 m3 m4 m5 m6 m7 m8 m9"
+    assert(fps(nine).size < 7)
+  }
+
   test("kernels stay inside whole-stage codegen") {
     VectorFunctions.register(spark)
     val df = graft.Tables.embeddings(spark, sf)

@@ -487,6 +487,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(4L) === ((1L, 0L, 0.0)))
   }
 
+  test("winnowing: docs sharing a >= 6-token run share a fingerprint, disjoint docs share none") {
+    // The winnowing guarantee (k=3-token grams, w=4-gram windows): any
+    // shared token run of length >= k+w-1 = 6 yields at least one shared
+    // selected fingerprint. Disjoint-vocabulary docs share nothing.
+    val run = "alpha beta gamma delta epsilon zeta" // exactly 6 tokens
+    val tmp = docTable(Seq(
+      (0L, s"p1 p2 p3 $run q1 q2", "s"),
+      (1L, s"r1 $run s1 s2 s3 s4 s5", "s"),
+      (2L, "m1 m2 m3 m4 m5 m6 m7 m8 m9", "s")))
+    val fps = LlmOps.queries.toMap.apply("llm_winnow_fingerprint")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((byDoc(0L) intersect byDoc(1L)).nonEmpty,
+      "planted 6-token shared run produced no shared fingerprint")
+    assert((byDoc(0L) intersect byDoc(2L)).isEmpty)
+    assert((byDoc(1L) intersect byDoc(2L)).isEmpty)
+    // compression: fewer fingerprints than grams (the point of winnowing)
+    assert(byDoc(2L).size < 9 - 2, "winnowing selected every gram hash")
+  }
+
+  test("winnowing kernel matches the pure-HOF form row-for-row on the fixture") {
+    // graft_winnow's fused loop must do identical arithmetic to the
+    // built-in-expression twin (which the DuckDB oracle mirrors) — any
+    // divergence in hashing, window mins, or distinct/sort order shows
+    // up as a row diff here.
+    val kernel = SparkEntry_queries("llm_winnow_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val hof = LlmOps.winnowHofForm(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(kernel.nonEmpty)
+    assert(kernel === hof)
+  }
+
   test("quality_filter keeps exactly the top ceil(0.9·n) of each language") {
     val scores = SparkEntry_queries("llm_quality_score").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
