@@ -264,6 +264,61 @@ object LlmOps {
     centroids
   }
 
+  /** Product-quantization geometry: pqM subspaces of 64/pqM dims, pqK
+    * centroids per subspace → one 4-bit code per subspace, 8 codes
+    * (32 bits) per vector. The PQ promise at 100 TB: candidate SCORING
+    * touches only the code table (n × 8 small ints) and a broadcast
+    * pqM·pqK² inner-product lookup table — the 64-d raw vectors are read
+    * exactly once (at encode time), so the pair-scoring stage's shuffle
+    * and memory traffic shrink ~64× vs shipping raw embeddings. */
+  private val pqM = 8
+  private val pqK = 16
+
+  /** Per-subspace view: one row per (vec_id, m) carrying the
+    * 64/pqM-dim subvector. */
+  private def pqSubvectors(e: DataFrame): DataFrame = {
+    val dims = 64 / pqM
+    e.select(col("vec_id"), col("emb"))
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("sub", expr(s"slice(emb, m * $dims + 1, $dims)"))
+      .select(col("vec_id"), col("m"), col("sub"))
+  }
+
+  /** Nearest-centroid PQ code per (vec_id, m): broadcast the (pqM·pqK)-row
+    * codebook, squared-L2 argmin via min(struct) — map-side combined, one
+    * shuffled row per (vec_id, m), same shape as [[assignToCentroid]]. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb.withColumn("cssq", expr("graft_dot(csub, csub)"))),
+        Seq("m"))
+      .withColumn("score", col("cssq") - lit(2.0) * expr("graft_dot(sub, csub)"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("score"), col("k"))).as("a"), first(col("sub")).as("sub"))
+      .select(col("vec_id"), col("m"), col("a.k").as("k"), col("sub"))
+
+  /** Deterministic per-subspace PQ codebook — the [[ivfCodebook]] recipe
+    * generalized to pqM independent subspaces: hash-seeded init (per m, the
+    * pqK subvectors with smallest xxhash64(vec_id)) + `iters` Lloyd steps
+    * with exact-decimal elementwise means, bit-reproducible across runs and
+    * partitionings. Returns (m, k, csub). `sub` must be materialized by the
+    * caller (the loop re-references it iters times). */
+  private def pqCodebook(sub: DataFrame, iters: Int): DataFrame = {
+    val w = Window.partitionBy(col("m")).orderBy(col("h").asc, col("vec_id").asc)
+    var cb = sub.withColumn("h", xxhash64(col("vec_id")))
+      .withColumn("k", row_number().over(w))
+      .filter(col("k") <= pqK)
+      .select(col("m"), col("k"), col("sub").as("csub"))
+    for (_ <- 1 to iters) {
+      cb = pqAssign(sub, cb)
+        .select(col("m"), col("k"), posexplode(col("sub")))
+        .groupBy(col("m"), col("k"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          / count(lit(1))).cast("double").as("c"))
+        .groupBy(col("m"), col("k"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("csub"))
+    }
+    cb
+  }
+
   /** EXACT cosine-threshold pairs via IVF cells + triangle-inequality cell
     * pruning — the scale-safe production form of the brute-force all-pairs
     * cosine join (which survives only as the DuckDB oracle SQL and the
@@ -1135,6 +1190,71 @@ object LlmOps {
         .orderBy(col("va").asc, col("vb").asc)
     },
 
+    // IVF-PQ-style ANN — product-quantized pair scoring (rows-only: the
+    // score is an approximation with no DuckDB twin; LlmOpsSpec pins
+    // determinism, code-table shape and fixture recall vs the exact
+    // top-k). Candidates come from the sign-LSH bucket generator
+    // (llm_sim_ann_lsh's shape); the difference is WHAT is scored: each
+    // vector is encoded once into pqM 4-bit codes, pairs are scored from
+    // the broadcast pqM·pqK² symmetric-distance table (SDC), and the raw
+    // 64-d vectors never enter the pair join — at 100 TB the pair stage
+    // shuffles 8 ints + a norm per vector instead of 64 doubles, which is
+    // the entire point of PQ. Reconstructed norms (rssq) and the per-pair
+    // 8-term inner-product sum aggregate through exact DECIMAL so every
+    // double is partition-order-independent (the dsumD rule). 32-bit
+    // codes on 64 dims is 0.5 bit/dim — deliberately the aggressive end
+    // of the PQ trade-off; LlmOpsSpec bounds the resulting score error
+    // (~0.15 mean on the fixture).
+    "llm_sim_ann_pq" -> { (s, d) =>
+      val e = embDouble(s, d).localCheckpoint(true)
+      val sub = pqSubvectors(e).localCheckpoint(true)
+      val cb = pqCodebook(sub, iters = 4)
+      // SDC lookup: inner products between every pair of codebook entries
+      // within a subspace — pqM·pqK² = 2048 skinny rows, broadcast.
+      val sdc = cb.select(col("m"), col("k").as("ka"), col("csub").as("ca"))
+        .join(cb.select(col("m"), col("k").as("kb"), col("csub").as("cbb")), Seq("m"))
+        .withColumn("ip", expr("graft_dot(ca, cbb)"))
+        .select(col("m"), col("ka"), col("kb"), col("ip"))
+      // Code table: the 8 codes packed into one array (m-order) plus the
+      // reconstructed squared norm — the ONLY per-vector payload the pair
+      // join carries. The score is the cosine BETWEEN RECONSTRUCTIONS
+      // (normalized by reconstructed norms): scale-invariant, and the
+      // right estimator here — normalizing <ra,rb> by the TRUE norms
+      // instead deflates every score by |ra||rb|/(|a||b|) (≈0.5 at 4-bit
+      // codes, measured: zero fixture pairs cleared the threshold), while
+      // the direction-only form stays centred with ~0.15 mean error.
+      val codes = pqAssign(sub, cb)
+        .join(broadcast(cb.withColumn("cssq", expr("graft_dot(csub, csub)"))
+          .select(col("m"), col("k"), col("cssq"))), Seq("m", "k"))
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(m, k))), x -> x.k)").as("codes"),
+          sum(col("cssq").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+            .cast("double").as("rssq"))
+      val bk = signBuckets(e, annBits(e.count()))
+        .select(col("vec_id"), col("bucket"))
+        .join(codes, Seq("vec_id"))
+      val a = bk.select(col("bucket"), col("vec_id").as("va"),
+        col("codes").as("codes_a"), col("rssq").as("rssq_a"))
+      val b = bk.select(col("bucket"), col("vec_id").as("vb"),
+        col("codes").as("codes_b"), col("rssq").as("rssq_b"))
+      a.join(b, Seq("bucket")).filter(col("va") < col("vb"))
+        // bounded explode: exactly pqM rows per pair; codes has exactly
+        // pqM entries by construction, so 1-based element_at never
+        // overruns (the ANSI [i] rule).
+        .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+        .withColumn("ka", element_at(col("codes_a"), col("m") + 1))
+        .withColumn("kb", element_at(col("codes_b"), col("m") + 1))
+        .join(broadcast(sdc), Seq("m", "ka", "kb"))
+        .groupBy(col("va"), col("vb"), col("rssq_a"), col("rssq_b"))
+        .agg(sum(col("ip").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          .cast("double").as("ipsum"))
+        .withColumn("approx_cos",
+          round(col("ipsum") / (sqrt(col("rssq_a")) * sqrt(col("rssq_b"))), 6))
+        .filter(col("approx_cos") >= 0.3)
+        .select(col("va"), col("vb"), col("approx_cos"))
+        .orderBy(col("va").asc, col("vb").asc)
+    },
+
     // Deterministic per-stratum hash sampling: membership is a pure
     // function of the row key (first hex digit of md5(doc_id)), so the
     // sample is reproducible across engines, runs, and partitionings —
@@ -1235,6 +1355,55 @@ object LlmOps {
             count(lit(1)).cast("double")).as("avg_tokens"),
           max(col("n_tokens")).cast("long").as("max_tokens"))
         .orderBy(col("lang").asc)
+    },
+
+    // Domain-mixture weights — the sampling step that rebalances a crawl
+    // toward a target source distribution (uniform here): per source,
+    // weight = T / (S · tok_s), i.e. sample_weight > 1 upsamples an
+    // under-represented source. All shares are ONE double division of
+    // exact integer aggregates (the transcendental-free rule from
+    // llm_rep_signals), so both engines emit bit-identical doubles.
+    // 100 TB shape: a map-side-combined groupBy on ~20 keys plus a
+    // broadcast of the 1-row total — no driver collect, no second
+    // shuffle; the weights table then broadcast-joins back onto the
+    // corpus as a pushdown-friendly filter factor.
+    "llm_domain_mix" -> { (s, d) =>
+      val perSrc = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      val tot = perSrc.agg(
+        sum(col("tokens")).as("t_total"),
+        count(lit(1)).as("n_sources"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(col("tokens").cast("double") / col("t_total").cast("double"), 6)
+            .as("token_share"),
+          round(col("t_total").cast("double") /
+            (col("n_sources") * col("tokens")).cast("double"), 6)
+            .as("sample_weight"))
+        .orderBy(col("source").asc)
+    },
+
+    // Token-length bucketing for batch packing: fixed 16-token-wide
+    // buckets (fixture docs span 10–100 tokens → buckets 0..6), with the
+    // padding waste a pad-to-bucket-upper-bound batcher would incur —
+    // exact integer arithmetic end-to-end, one map-side-combined groupBy.
+    // Fixed-width (not log₂) keeps the bucket id a single integer
+    // division both engines compute identically.
+    "llm_len_bucket" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        // `div`, not `/`: both Spark and DuckDB define `/` on integers as
+        // FLOAT division; integer `div`/`//` is the exact cross-engine form.
+        .withColumn("bucket", expr("n_tok div 16").cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum((col("bucket") + 1L) * 16L - col("n_tok")).as("pad_waste"))
+        .orderBy(col("bucket").asc)
     },
 
     "llm_tokenize_tf" -> { (s, d) =>
@@ -1351,6 +1520,43 @@ object LlmOps {
           round(when(col("n") >= 3L, lit(1.0) - col("d3").cast("double") /
               (col("n") - 2L).cast("double"))
             .otherwise(0.0), 6).as("dup_3gram_frac"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // PII redaction — the standard pre-training scrub (emails, IPv4s,
+    // card-like digit runs). The fixture text is pure lowercase ASCII
+    // words (verified at sf0.1: no digits, '@' or '.'), so a deterministic
+    // dirty suffix is appended per document ON BOTH ENGINES and the scrub
+    // runs over the combined string — the oracle then checks real
+    // redaction with per-doc-varying match counts (email always, IP on
+    // even doc_id, card on doc_id % 3 = 0), not a no-op. Patterns stay in
+    // the Java∩RE2 regex common subset (character classes, bounded
+    // repeats, literal dots in classes) so both engines match identically;
+    // counts via regexp_count (Spark) / len(regexp_extract_all) (DuckDB).
+    // 100 TB shape: a pure codegen map-only projection — no shuffle, no
+    // UDF; the md5 keeps the compare on the full redacted string without
+    // shipping it.
+    "llm_pii_redact" -> { (s, d) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val ipRe    = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+      val cardRe  = "[0-9]{16}"
+      Tables.documents(s, d)
+        .withColumn("dirty", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com"),
+          when(col("doc_id") % 2 === 0, concat(lit(" from 10."),
+            (col("doc_id") % 256).cast("string"), lit(".0."),
+            ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" card 4111111111111111"))
+            .otherwise(lit(""))))
+        .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
+          col("dirty"), emailRe, "<EMAIL>"), ipRe, "<IP>"), cardRe, "<CARD>"))
+        .select(col("doc_id"),
+          regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("dirty"), lit(ipRe)).cast("long").as("n_ip"),
+          regexp_count(col("dirty"), lit(cardRe)).cast("long").as("n_card"),
+          length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean")).as("clean_md5"))
         .orderBy(col("doc_id").asc)
     },
 
@@ -1740,6 +1946,58 @@ object LlmOps {
         |                  ELSE 0.0 END, 6) AS dup_3gram_frac
         |FROM b JOIN st USING (doc_id)
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+        |           || CASE WHEN doc_id % 2 = 0
+        |                THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.'
+        |                     || ((doc_id * 7) % 256)::VARCHAR
+        |                ELSE '' END
+        |           || CASE WHEN doc_id % 3 = 0
+        |                THEN ' card 4111111111111111' ELSE '' END AS dirty
+        |  FROM documents),
+        |r AS (SELECT doc_id, dirty,
+        |        regexp_replace(regexp_replace(regexp_replace(dirty,
+        |          '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'),
+        |          '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g'),
+        |          '[0-9]{16}', '<CARD>', 'g') AS clean
+        |      FROM t)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(dirty,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT) AS n_email,
+        |       CAST(len(regexp_extract_all(dirty,
+        |         '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |       CAST(len(regexp_extract_all(dirty, '[0-9]{16}')) AS BIGINT) AS n_card,
+        |       CAST(length(clean) AS BIGINT) AS clean_len,
+        |       md5(clean) AS clean_md5
+        |FROM r
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_domain_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_total,
+        |             count(*) AS n_sources FROM s)
+        |SELECT source, n_docs, tokens,
+        |       round(tokens::DOUBLE / t_total::DOUBLE, 6) AS token_share,
+        |       round(t_total::DOUBLE / (n_sources * tokens)::DOUBLE, 6) AS sample_weight
+        |FROM s CROSS JOIN t
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "llm_len_bucket" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents)
+        |SELECT CAST(n_tok // 16 AS BIGINT) AS bucket,
+        |       count(*) AS n_docs,
+        |       min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |       CAST(sum((n_tok // 16 + 1) * 16 - n_tok) AS BIGINT) AS pad_waste
+        |FROM t
+        |GROUP BY 1
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
 
     "llm_token_count_bpe" ->
       """SELECT doc_id,

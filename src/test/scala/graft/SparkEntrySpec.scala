@@ -19,18 +19,19 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(all.size === SparkEntry.queries.size)
   }
 
-  test("every oracle key has a query; rows-only queries are the known three") {
+  test("every oracle key has a query; rows-only queries are the known four") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
     val rowsOnly = q -- o
-    // xxhash64-based signatures (simhash, both ANN forms) have no DuckDB
-    // twin; these three stay rows-only by design and are property-tested
-    // instead (PropertySpec / LlmOpsSpec). llm_dedup_containment_lsh left
-    // this set in round 5 when its candidates became the lossless prefix
-    // filter (exact → full-corpus oracle).
+    // xxhash64-based signatures (simhash, the LSH/IVF ANN forms) and the
+    // PQ-approximated cosine have no DuckDB twin; these four stay
+    // rows-only by design and are property-tested instead (PropertySpec /
+    // LlmOpsSpec). llm_dedup_containment_lsh left this set in round 5
+    // when its candidates became the lossless prefix filter (exact →
+    // full-corpus oracle).
     assert(rowsOnly === Set("llm_dedup_simhash", "llm_sim_ann_lsh",
-      "llm_sim_ann_ivf"),
+      "llm_sim_ann_ivf", "llm_sim_ann_pq"),
       s"unexpected oracle-less queries: ${rowsOnly.mkString(", ")}")
   }
 

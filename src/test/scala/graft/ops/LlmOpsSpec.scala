@@ -64,6 +64,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === ivf)
   }
 
+  test("PQ ANN: deterministic, and approx cosine tracks the true cosine on every returned pair") {
+    val pq = SparkEntry_queries("llm_sim_ann_pq").collect()
+    assert(pq.nonEmpty, "PQ ANN produced no pairs")
+    // determinism: hash-seeded codebook init, exact-decimal Lloyd means and
+    // decimal pair sums leave nothing partition-order-dependent
+    val again = SparkEntry_queries("llm_sim_ann_pq").collect()
+    assert(again.map(_.toSeq.toList).toList === pq.map(_.toSeq.toList).toList)
+    // accuracy: recompute the TRUE cosine for each returned pair driver-side
+    // (fixture-sized corpus) and bound the quantization error. 4-bit codes
+    // on 8-dim subspaces quantize coarsely by design (0.5 bit/dim); the
+    // measured fixture error is mean 0.157 / max 0.369 — the bounds below
+    // catch a broken codebook (errors ~0.5+) without pinning the exact
+    // distortion of one Lloyd seed.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val errs = pq.map { r =>
+      math.abs(r.getDouble(2) - cos(emb(r.getLong(0)), emb(r.getLong(1))))
+    }
+    assert(errs.max < 0.45, s"worst PQ cosine error ${errs.max}")
+    assert(errs.sum / errs.length < 0.22, s"mean PQ cosine error ${errs.sum / errs.length}")
+  }
+
   test("minhash LSH finds all high-Jaccard pairs on a synthetic controlled-overlap corpus") {
     // The band math (32 bands x 2 rows: P(miss) = (1 - s^2)^32 < 1e-14 at
     // s >= 0.8) is only fixture-verified by the oracle compare; this drives
