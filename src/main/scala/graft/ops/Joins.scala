@@ -152,6 +152,29 @@ object Joins {
         .orderBy(col("user_id").asc, col("p_ts").asc)
     },
 
+    // The SAME as-of semantics (and the same oracle SQL) executed by the
+    // custom whole-operator Catalyst extension (plans/AsOfJoin.scala:
+    // LogicalPlan + Strategy + sorted-merge SparkPlan) instead of the
+    // left-join + window + rn=1 idiom above — one forward pass per
+    // partition, one output row per probe, no qualifying-pair blow-up.
+    // Right columns are pre-renamed so the operator's concatenated output
+    // has unique names. PlanSpec asserts AsOfJoinExec is in the executed
+    // plan; the driver's oracle compare proves result equality.
+    "join_asof_native" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("user_id")).distinct()
+        .withColumn("p_ts", explode(array(
+          lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+          lit("2024-01-20 00:00:00").cast("timestamp_ntz"))))
+      val right = ev.select(col("user_id").as("e_user_id"),
+        col("ts").as("e_ts"), col("event_id").as("e_event_id"))
+      graft.plans.AsOfJoin(probes, right,
+          "user_id", "p_ts", "e_user_id", "e_ts", "e_event_id")
+        .select(col("user_id"), col("p_ts"),
+          col("e_event_id").as("event_id"), col("e_ts").as("ts"))
+        .orderBy(col("user_id").asc, col("p_ts").asc)
+    },
+
     "join_self" -> { (s, d) =>
       val ev = Tables.events(s, d)
       ev.as("a").join(ev.as("b"),
@@ -257,6 +280,20 @@ object Joins {
         |ORDER BY h ASC NULLS FIRST""".stripMargin,
 
     "join_asof" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id, p_ts
+        |  FROM events, (VALUES (TIMESTAMP '2024-01-10 00:00:00'),
+        |                       (TIMESTAMP '2024-01-20 00:00:00')) v(p_ts)
+        |), j AS (
+        |  SELECT p.user_id, p.p_ts, e.event_id, e.ts,
+        |         row_number() OVER (PARTITION BY p.user_id, p.p_ts
+        |                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
+        |  FROM probes p LEFT JOIN events e ON e.user_id = p.user_id AND e.ts <= p.p_ts
+        |)
+        |SELECT user_id, p_ts, event_id, ts FROM j WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, p_ts ASC NULLS FIRST""".stripMargin,
+
+    "join_asof_native" ->
       """WITH probes AS (
         |  SELECT DISTINCT user_id, p_ts
         |  FROM events, (VALUES (TIMESTAMP '2024-01-10 00:00:00'),

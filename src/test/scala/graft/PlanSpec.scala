@@ -31,6 +31,20 @@ class PlanSpec extends SparkSpec {
     assert(physicalPlan("join_sortmerge").contains("SortMergeJoin"))
   }
 
+  test("join_asof_native runs on the custom AsOfJoinExec and matches the window idiom") {
+    // execute FIRST: the AQE-finalized plan is the one to inspect
+    // (CLAUDE.md round-4 rule), and result equality is checked on the
+    // same Dataset.
+    val native = SparkEntry.queries("join_asof_native")(spark, sf)
+    val nativeRows = native.collect().map(_.toSeq.toList).toList
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom operator missing from:\n$plan")
+    assert(!plan.contains("WindowExec"), "native as-of must not fall back to a window")
+    val idiom = SparkEntry.queries("join_asof")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    assert(nativeRows === idiom)
+  }
+
   test("limit_topk_global compiles to TakeOrderedAndProject (no full sort)") {
     assert(physicalPlan("limit_topk_global").contains("TakeOrderedAndProject"))
   }

@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Edge-case semantics of the native as-of operator (the fixture-level
+  * result equality vs the window idiom lives in the oracle compare and the
+  * PlanSpec physical-plan assertion). */
+class AsOfJoinSpec extends SparkSpec {
+
+  import java.sql.Timestamp
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runAsOf(probes: Seq[(java.lang.Long, Timestamp)],
+      events: Seq[(java.lang.Long, Timestamp, java.lang.Long)]): Seq[Row] = {
+    import spark.implicits._
+    val p = probes.toDF("user_id", "p_ts")
+    val e = events.toDF("e_user_id", "e_ts", "e_event_id")
+    AsOfJoin(p, e, "user_id", "p_ts", "e_user_id", "e_ts", "e_event_id")
+      .orderBy(col("user_id").asc_nulls_first, col("p_ts").asc)
+      .collect().toSeq
+  }
+
+  test("as-of picks the latest event at-or-before, breaking ts ties on the highest tie column") {
+    val rows = runAsOf(
+      probes = Seq((1L: java.lang.Long) -> ts("2024-01-10 00:00:00")),
+      events = Seq(
+        (1L: java.lang.Long, ts("2024-01-09 00:00:00"), 7L: java.lang.Long),
+        (1L: java.lang.Long, ts("2024-01-09 00:00:00"), 9L: java.lang.Long), // tie: higher id wins
+        (1L: java.lang.Long, ts("2024-01-11 00:00:00"), 99L: java.lang.Long))) // future: excluded
+    assert(rows.size === 1)
+    assert(rows.head.getLong(4) === 9L)
+  }
+
+  test("probes before any event, unmatched keys, and empty right side emit null matches") {
+    val rows = runAsOf(
+      probes = Seq(
+        (1L: java.lang.Long) -> ts("2024-01-01 00:00:00"), // before key 1's events
+        (2L: java.lang.Long) -> ts("2024-01-10 00:00:00")), // key 2 has no events
+      events = Seq((1L: java.lang.Long, ts("2024-01-05 00:00:00"), 1L: java.lang.Long)))
+    assert(rows.forall(_.isNullAt(4)), rows.mkString(","))
+    val empty = runAsOf(
+      probes = Seq((1L: java.lang.Long) -> ts("2024-01-01 00:00:00")),
+      events = Seq.empty)
+    assert(empty.size === 1 && empty.head.isNullAt(4))
+  }
+
+  test("null right times never qualify and null keys never match") {
+    val rows = runAsOf(
+      probes = Seq(
+        (1L: java.lang.Long) -> ts("2024-01-10 00:00:00"),
+        (null: java.lang.Long) -> ts("2024-01-10 00:00:00")),
+      events = Seq(
+        (1L: java.lang.Long, null, 50L: java.lang.Long), // null ts: excluded
+        (1L: java.lang.Long, ts("2024-01-02 00:00:00"), 3L: java.lang.Long),
+        (null, ts("2024-01-02 00:00:00"), 60L: java.lang.Long))) // null key: excluded
+    val byKey = rows.map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+      (if (r.isNullAt(4)) null else r.getLong(4))).toMap
+    assert(byKey(1L) === 3L)
+    assert(byKey(null) === null)
+  }
+
+  test("multiple probes per key advance monotonically (later probe sees later events)") {
+    val rows = runAsOf(
+      probes = Seq(
+        (1L: java.lang.Long) -> ts("2024-01-05 00:00:00"),
+        (1L: java.lang.Long) -> ts("2024-01-15 00:00:00")),
+      events = Seq(
+        (1L: java.lang.Long, ts("2024-01-03 00:00:00"), 1L: java.lang.Long),
+        (1L: java.lang.Long, ts("2024-01-12 00:00:00"), 2L: java.lang.Long)))
+    assert(rows.map(_.getLong(4)) === Seq(1L, 2L))
+  }
+}
