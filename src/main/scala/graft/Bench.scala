@@ -37,8 +37,11 @@ object Bench {
     // (BENCH_r04 measured it at 1.63x baseline on an absolute delta of
     // 0.14 s — pure first-plan-of-family cost).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    // llm_sim_ann_pq warms the PQ family (decimal-mean Lloyd loop + SDC
+    // broadcast lookup), new in round 5 — its serial codebook chain
+    // otherwise absorbs the family's codegen on the first timed run.
     Seq("agg_approx_distinct", "llm_dedup_embcos", "llm_sim_topk",
-        "llm_dedup_exact").foreach { q =>
+        "llm_dedup_exact", "llm_sim_ann_pq").foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case e: Throwable =>
         // never fail the bench, but a silent no-op here makes the run

