@@ -118,6 +118,24 @@ object Basics {
     "set_intersect_all" -> { (s, d) =>
       custSliceA(s, d).intersectAll(custSliceB(s, d))
         .orderBy(col("c_custkey").asc, col("c_name").asc)
+    },
+
+    // Z-order layout key as a DECLARED, oracle-backed computation (the
+    // file-pruning asymmetry it buys is measured in ScaleSpec; this pins
+    // the quantize + Morton-interleave ARITHMETIC cross-engine): part's
+    // (retailprice, size) quantized to 8 bits each against fixed metadata
+    // domains, bits interleaved price→even / size→odd positions. Pure
+    // codegen bitwise tree, no UDF — the key a 100 TB OPTIMIZE-ZORDER
+    // write sorts by.
+    "scale_zorder_key" -> { (s, d) =>
+      Tables.part(s, d)
+        .withColumn("q_price",
+          Scale.zQuantize(col("p_retailprice"), 900.0, 2000.0, bits = 8))
+        .withColumn("q_size",
+          Scale.zQuantize(col("p_size"), 1.0, 50.0, bits = 8))
+        .select(col("p_partkey"), col("q_price"), col("q_size"),
+          Scale.zOrderKey(8, col("q_price"), col("q_size")).as("zkey"))
+        .orderBy(col("p_partkey").asc)
     }
   )
 
@@ -181,6 +199,23 @@ object Basics {
 
     "set_intersect_all" ->
       s"""SELECT * FROM ($sliceASql INTERSECT ALL $sliceBSql) t
-         |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin
+         |ORDER BY c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST""".stripMargin,
+
+    // Quantize mirrors Scale.zQuantize term-for-term (divide, then scale,
+    // floor, cast long, clamp); the interleave term for column i at bit b
+    // shifts the MASKED value left by b·(n−1)+i, and disjoint bit
+    // positions make + equal to the bitwise OR.
+    "scale_zorder_key" ->
+      """WITH q AS (
+        |  SELECT p_partkey,
+        |         least(255, greatest(0, CAST(floor((CAST(p_retailprice AS DOUBLE) - 900.0) / 1100.0 * 255) AS BIGINT))) AS q_price,
+        |         least(255, greatest(0, CAST(floor((CAST(p_size AS DOUBLE) - 1.0) / 49.0 * 255) AS BIGINT))) AS q_size
+        |  FROM part)
+        |SELECT p_partkey, q_price, q_size,
+        |       CAST(list_reduce(list_transform(range(0, 8), b ->
+        |         ((q_price & (1 << b)) << b) + ((q_size & (1 << b)) << (b + 1))),
+        |         (a, x) -> a + x) AS BIGINT) AS zkey
+        |FROM q
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin
   )
 }

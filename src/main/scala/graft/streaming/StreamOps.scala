@@ -257,6 +257,90 @@ object StreamOps {
       }
       .start()
 
+  case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, id: Long,
+      is_probe: Boolean)
+  case class AsOfEvent(ts_ms: Long, id: Long)
+  case class AsOfBuf(has_floor: Boolean, floor_ts: Long, floor_id: Long,
+      events: List[AsOfEvent], probes: List[Long])
+  case class AsOfAnswer(user_id: Long, p_ts: java.sql.Timestamp,
+      event_id: Option[Long], event_ts: Option[java.sql.Timestamp])
+
+  /** Streaming as-of join — the event-time-complete streaming form of the
+    * batch join_asof / native AsOfJoin operator: each probe (user_id,
+    * p_ts) is answered with the latest event (user_id, ts, event_id) at
+    * ts <= p_ts, ties on the highest event_id.
+    *
+    * Probes are HELD until the watermark passes their timestamp and only
+    * then answered: by the watermark contract every event at-or-before
+    * p_ts has arrived, so the answer equals the batch operator's on the
+    * same data — an answer-immediately design would miss in-horizon
+    * out-of-order events (StreamingSpec drives exactly that case). Both
+    * inputs union into one tagged, watermarked stream so a single
+    * flatMapGroupsWithState (EventTimeTimeout) sees each user's probes
+    * and events together; held probes register an event-time timeout at
+    * their p_ts so the answer fires on the first trigger after the
+    * watermark passes even if the key receives no further rows.
+    *
+    * State bound per key: the events inside the watermark horizon, PLUS
+    * exactly one "floor" row — everything at-or-below the watermark
+    * collapses to the single latest such event (the as-of answer any
+    * future probe could still need), plus the pending probes. A real
+    * deployment adds an idle-key TTL for keys that stop producing
+    * entirely. */
+  def streamAsOfJoin(probes: DataFrame, events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[AsOfAnswer] = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val tagged = events
+      .select(col("user_id"), col("ts"), col("event_id").as("id"),
+        lit(false).as("is_probe"))
+      .unionByName(probes.select(col("user_id"), col("p_ts").as("ts"),
+        lit(0L).as("id"), lit(true).as("is_probe")))
+      .withWatermark("ts", watermark)
+      .as[AsOfIn]
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBuf, AsOfAnswer](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfBuf]) =>
+          asofHandle(user, rows, state)
+      }
+  }
+
+  private def asofHandle(user: Long, rows: Iterator[AsOfIn],
+      state: GroupState[AsOfBuf]): Iterator[AsOfAnswer] = {
+    val prev = state.getOption.getOrElse(AsOfBuf(false, 0L, 0L, Nil, Nil))
+    var events = prev.events
+    var probes = prev.probes
+    rows.foreach { r =>
+      if (r.is_probe) probes ::= r.ts.getTime
+      else events ::= AsOfEvent(r.ts.getTime, r.id)
+    }
+    val floor =
+      if (prev.has_floor) Some(AsOfEvent(prev.floor_ts, prev.floor_id)) else None
+    val wm = state.getCurrentWatermarkMs()
+    val (ready, pending) = probes.partition(_ <= wm)
+    def best(pts: Long): Option[AsOfEvent] = {
+      val cands = events.filter(_.ts_ms <= pts) ++ floor.filter(_.ts_ms <= pts)
+      if (cands.isEmpty) None else Some(cands.maxBy(e => (e.ts_ms, e.id)))
+    }
+    val answers = ready.sorted.map { pts =>
+      val m = best(pts)
+      AsOfAnswer(user, new java.sql.Timestamp(pts),
+        m.map(_.id), m.map(e => new java.sql.Timestamp(e.ts_ms)))
+    }
+    // evict: everything at-or-below the watermark collapses to one floor
+    val (old, fresh) = events.partition(_.ts_ms <= wm)
+    val floorCands = old ++ floor
+    val nf = if (floorCands.isEmpty) None
+             else Some(floorCands.maxBy(e => (e.ts_ms, e.id)))
+    state.update(AsOfBuf(nf.isDefined, nf.map(_.ts_ms).getOrElse(0L),
+      nf.map(_.id).getOrElse(0L), fresh, pending))
+    // EventTimeTimeout demands a timestamp strictly above the watermark;
+    // pending probes satisfy that by construction (pts > wm).
+    if (pending.nonEmpty) state.setTimeoutTimestamp(pending.min)
+    answers.iterator
+  }
+
   /** Exactly-once partitioned Parquet sink: append mode + checkpointed
     * offsets; re-starting from the checkpoint never re-writes a committed
     * batch. */

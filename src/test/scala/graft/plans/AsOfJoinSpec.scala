@@ -62,6 +62,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(byKey(null) === null)
   }
 
+  test("mismatched child pre-partitioning is re-shuffled, not zipped wrong") {
+    // zipPartitions requires co-partitioned children; EnsureRequirements
+    // must reconcile a left side already hash-partitioned into a DIFFERENT
+    // partition count (7) with the right side's fresh shuffle — if it ever
+    // zipped incompatible partitionings, keys would land in different
+    // partitions and matches would silently vanish.
+    import spark.implicits._
+    val probes = (0L until 50L).map(k => (k, ts("2024-01-10 00:00:00")))
+      .toDF("user_id", "p_ts").repartition(7, col("user_id"))
+    val events = (0L until 50L).map(k => (k, ts("2024-01-05 00:00:00"), k * 10))
+      .toDF("e_user_id", "e_ts", "e_event_id")
+    val got = AsOfJoin(probes, events,
+        "user_id", "p_ts", "e_user_id", "e_ts", "e_event_id")
+      .orderBy(col("user_id").asc).collect()
+    assert(got.length === 50)
+    assert(got.forall(r => !r.isNullAt(4) && r.getLong(4) === r.getLong(0) * 10),
+      "a probe lost its match across the partitioning mismatch")
+  }
+
   test("multiple probes per key advance monotonically (later probe sees later events)") {
     val rows = runAsOf(
       probes = Seq(

@@ -372,4 +372,41 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed === static)
   }
+
+  test("streaming as-of join holds probes to the watermark and counts in-horizon out-of-order events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Timestamp, Long)]
+    val out = StreamOps.streamAsOfJoin(
+      pMem.toDF().toDF("user_id", "p_ts"),
+      eMem.toDF().toDF("user_id", "ts", "event_id"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events + a probe for user 1, a probe for matchless
+      // user 2; watermark still floor — nothing may be answered yet
+      eMem.addData((1L, t("2024-01-01 00:00:00"), 10L),
+        (1L, t("2024-01-01 00:05:00"), 11L))
+      pMem.addData((1L, t("2024-01-01 00:06:00")), (2L, t("2024-01-01 00:06:00")))
+      q.processAllAvailable()
+      assert(spark.table("asof_stream").count() === 0,
+        "answered before the watermark passed the probe")
+      // batch 2: an OUT-OF-ORDER event below the probe time but inside the
+      // horizon — an answer-immediately design would already have missed it
+      eMem.addData((1L, t("2024-01-01 00:05:30"), 12L))
+      q.processAllAvailable()
+      // batch 3 advances the watermark past 00:06 (01:00 − 10 min = 00:50);
+      // batch 4's dummy row triggers the event-time timeouts
+      eMem.addData((9L, t("2024-01-01 01:00:00"), 99L))
+      q.processAllAvailable()
+      eMem.addData((9L, t("2024-01-01 01:01:00"), 100L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))).toMap
+      assert(rows(1L) === 12L, "must pick the out-of-order 00:05:30 event, not 00:05:00")
+      assert(rows(2L) === null, "matchless probe must answer with nulls")
+    } finally q.stop()
+  }
 }
