@@ -265,13 +265,17 @@ object LlmOps {
   }
 
   /** Product-quantization geometry: pqM subspaces of 64/pqM dims, pqK
-    * centroids per subspace → one 4-bit code per subspace, 8 codes
-    * (32 bits) per vector. The PQ promise at 100 TB: candidate SCORING
-    * touches only the code table (n × 8 small ints) and a broadcast
-    * pqM·pqK² inner-product lookup table — the 64-d raw vectors are read
-    * exactly once (at encode time), so the pair-scoring stage's shuffle
-    * and memory traffic shrink ~64× vs shipping raw embeddings. */
-  private val pqM = 8
+    * centroids per subspace → one 4-bit code per subspace, 64 code bits
+    * + one norm per vector (~32× smaller than the raw 64 doubles). The
+    * PQ promise at 100 TB: candidate SCORING touches only the code table
+    * and a broadcast pqM·pqK² inner-product lookup table — the raw
+    * vectors are read exactly once, at encode time. pqM=16 (1 bit/dim)
+    * is the accuracy floor for THRESHOLD semantics here: at pqM=8
+    * (0.5 bit/dim) the spec's recall assertion measured ZERO — true
+    * cos≥0.4 pairs deflated below the 0.3 bar while same-centroid pairs
+    * inflated past it. Halving subspace width beat adding centroids
+    * because fixture corpora cap usable pqK at the corpus size. */
+  private val pqM = 16
   private val pqK = 16
 
   /** Per-subspace view: one row per (vec_id, m) carrying the
@@ -1204,13 +1208,13 @@ object LlmOps {
     // vector is encoded once into pqM 4-bit codes, pairs are scored from
     // the broadcast pqM·pqK² symmetric-distance table (SDC), and the raw
     // 64-d vectors never enter the pair join — at 100 TB the pair stage
-    // shuffles 8 ints + a norm per vector instead of 64 doubles, which is
-    // the entire point of PQ. Reconstructed norms (rssq) and the per-pair
-    // 8-term inner-product sum aggregate through exact DECIMAL so every
-    // double is partition-order-independent (the dsumD rule). 32-bit
-    // codes on 64 dims is 0.5 bit/dim — deliberately the aggressive end
-    // of the PQ trade-off; LlmOpsSpec bounds the resulting score error
-    // (~0.15 mean on the fixture).
+    // shuffles 64 code bits + a norm per vector instead of 64 doubles,
+    // which is the entire point of PQ. Reconstructed norms (rssq) and the
+    // per-pair pqM-term inner-product sum aggregate through exact DECIMAL
+    // so every double is partition-order-independent (the dsumD rule).
+    // LlmOpsSpec bounds the score error (mean 0.096 / max 0.212 measured)
+    // and the recall over bucket-visible true threshold pairs — the
+    // assertion that caught the pqM=8 collapse (see the pqM scaladoc).
     "llm_sim_ann_pq" -> { (s, d) =>
       val e = embDouble(s, d).localCheckpoint(true)
       val n = e.count() // metadata-cheap on the checkpoint; reused twice
@@ -1232,7 +1236,7 @@ object LlmOps {
         else sub.filter(pmod(xxhash64(col("vec_id")), lit(n / 4096L + 1L)) === 0L)
       val cb = pqCodebook(trainSub, iters = 2).localCheckpoint(true)
       // SDC lookup: inner products between every pair of codebook entries
-      // within a subspace — pqM·pqK² = 2048 skinny rows, broadcast.
+      // within a subspace — pqM·pqK² = 4096 skinny rows, broadcast.
       val sdc = cb.select(col("m"), col("k").as("ka"), col("csub").as("ca"))
         .join(cb.select(col("m"), col("k").as("kb"), col("csub").as("cbb")), Seq("m"))
         .withColumn("ip", expr("graft_dot(ca, cbb)"))

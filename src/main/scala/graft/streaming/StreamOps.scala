@@ -284,11 +284,16 @@ object StreamOps {
     * State bound per key: the events inside the watermark horizon, PLUS
     * exactly one "floor" row — everything at-or-below the watermark
     * collapses to the single latest such event (the as-of answer any
-    * future probe could still need), plus the pending probes. A real
-    * deployment adds an idle-key TTL for keys that stop producing
-    * entirely. */
+    * future probe could still need), plus the pending probes.
+    *
+    * `idleTtlMs` bounds the KEY SPACE too: a key whose floor has been
+    * silent for that long past the watermark drops its state entirely
+    * (an event-time timeout at floor_ts + ttl). A probe arriving after
+    * that answers null — it is itself deep-late under the watermark
+    * contract, which permits dropping it outright; 0 disables. */
   def streamAsOfJoin(probes: DataFrame, events: DataFrame,
-      watermark: String = "10 minutes"): Dataset[AsOfAnswer] = {
+      watermark: String = "10 minutes",
+      idleTtlMs: Long = 24L * 3600 * 1000): Dataset[AsOfAnswer] = {
     val spark = probes.sparkSession
     import spark.implicits._
     val tagged = events
@@ -302,12 +307,12 @@ object StreamOps {
       .flatMapGroupsWithState[AsOfBuf, AsOfAnswer](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfBuf]) =>
-          asofHandle(user, rows, state)
+          asofHandle(user, rows, state, idleTtlMs)
       }
   }
 
   private def asofHandle(user: Long, rows: Iterator[AsOfIn],
-      state: GroupState[AsOfBuf]): Iterator[AsOfAnswer] = {
+      state: GroupState[AsOfBuf], idleTtlMs: Long): Iterator[AsOfAnswer] = {
     val prev = state.getOption.getOrElse(AsOfBuf(false, 0L, 0L, Nil, Nil))
     var events = prev.events
     var probes = prev.probes
@@ -333,11 +338,26 @@ object StreamOps {
     val floorCands = old ++ floor
     val nf = if (floorCands.isEmpty) None
              else Some(floorCands.maxBy(e => (e.ts_ms, e.id)))
-    state.update(AsOfBuf(nf.isDefined, nf.map(_.ts_ms).getOrElse(0L),
-      nf.map(_.id).getOrElse(0L), fresh, pending))
-    // EventTimeTimeout demands a timestamp strictly above the watermark;
-    // pending probes satisfy that by construction (pts > wm).
-    if (pending.nonEmpty) state.setTimeoutTimestamp(pending.min)
+    // last event-time activity of the key: in-horizon events if any,
+    // else the floor (fresh events are > wm by construction, so when
+    // fresh is non-empty lastActivity > wm and expiry below cannot fire)
+    val lastActivity = (nf.toList ++ fresh).map(_.ts_ms).maxOption
+    val idleExpired = idleTtlMs > 0 && pending.isEmpty &&
+      lastActivity.forall(a => wm >= a + idleTtlMs)
+    if (idleExpired) {
+      // nothing a future in-horizon probe could still need — drop the key
+      state.remove()
+    } else {
+      state.update(AsOfBuf(nf.isDefined, nf.map(_.ts_ms).getOrElse(0L),
+        nf.map(_.id).getOrElse(0L), fresh, pending))
+      // EventTimeTimeout demands a timestamp strictly above the watermark;
+      // pending probes satisfy that by construction (pts > wm). With no
+      // pending probes, arm the idle-TTL timer instead so the key gets a
+      // chance to expire without further traffic.
+      if (pending.nonEmpty) state.setTimeoutTimestamp(pending.min)
+      else if (idleTtlMs > 0 && lastActivity.isDefined)
+        state.setTimeoutTimestamp(math.max(lastActivity.get + idleTtlMs, wm + 1))
+    }
     answers.iterator
   }
 

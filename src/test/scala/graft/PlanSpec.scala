@@ -49,6 +49,15 @@ class PlanSpec extends SparkSpec {
     assert(physicalPlan("limit_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("win_row_number_topk gets a WindowGroupLimit (per-group top-k prune before the sort)") {
+    // Spark 4's InferWindowGroupLimit turns `row_number() <= k` into a
+    // WindowGroupLimit, so each partition keeps only k candidate rows per
+    // group ahead of the window sort — the difference between sorting k
+    // rows and sorting the whole group at 100 TB. If this assert ever
+    // breaks, the filter stopped being recognized as a rank limit.
+    assert(physicalPlan("win_row_number_topk").contains("WindowGroupLimit"))
+  }
+
   test("agg_groupby_pricing uses two-phase hash aggregation") {
     val plan = physicalPlan("agg_groupby_pricing")
     assert(plan.contains("HashAggregate"))

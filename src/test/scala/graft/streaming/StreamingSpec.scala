@@ -409,4 +409,40 @@ class StreamingSpec extends SparkSpec {
       assert(rows(2L) === null, "matchless probe must answer with nulls")
     } finally q.stop()
   }
+
+  test("streaming as-of idle TTL evicts silent keys; disabled TTL retains the floor forever") {
+    // The key-space bound: with a TTL, a key silent for ttl past the
+    // watermark drops its floor (a later probe answers null — itself
+    // deep-late under the watermark contract); with TTL disabled the
+    // floor answers indefinitely. Identical drive, opposite answers.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(name: String, ttlMs: Long): java.lang.Long = {
+      val pMem = MemoryStream[(Long, Timestamp)]
+      val eMem = MemoryStream[(Long, Timestamp, Long)]
+      val out = StreamOps.streamAsOfJoin(
+        pMem.toDF().toDF("user_id", "p_ts"),
+        eMem.toDF().toDF("user_id", "ts", "event_id"), "10 minutes", ttlMs)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        eMem.addData((5L, t("2024-01-01 00:00:00"), 77L)); q.processAllAvailable()
+        // advance the watermark a day past the floor, then one more batch
+        // so user 5's idle timer (armed at floor + ttl) actually fires
+        eMem.addData((9L, t("2024-01-02 00:00:00"), 99L)); q.processAllAvailable()
+        eMem.addData((9L, t("2024-01-02 00:01:00"), 100L)); q.processAllAvailable()
+        // probe user 5, then advance the watermark past it + a timeout batch
+        pMem.addData((5L, t("2024-01-02 01:00:00"))); q.processAllAvailable()
+        eMem.addData((9L, t("2024-01-02 02:00:00"), 101L)); q.processAllAvailable()
+        eMem.addData((9L, t("2024-01-02 02:01:00"), 102L)); q.processAllAvailable()
+        val rows = spark.table(name).collect().filter(_.getLong(0) == 5L)
+        assert(rows.length === 1, s"expected exactly one answer for user 5, got ${rows.length}")
+        if (rows.head.isNullAt(2)) null else java.lang.Long.valueOf(rows.head.getLong(2))
+      } finally q.stop()
+    }
+    assert(run("asof_ttl_on", 60L * 1000) === null,
+      "TTL'd key must have forgotten its floor")
+    assert(run("asof_ttl_off", 0L) === 77L,
+      "with TTL disabled the floor must still answer")
+  }
 }
