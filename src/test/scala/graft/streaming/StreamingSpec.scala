@@ -445,4 +445,39 @@ class StreamingSpec extends SparkSpec {
     assert(run("asof_ttl_off", 0L) === 77L,
       "with TTL disabled the floor must still answer")
   }
+
+  test("streaming as-of state survives a kill/restart: a pre-kill buffered probe still answers") {
+    // The hard case for durability: at kill time the probe exists ONLY in
+    // the state store (buffered, watermark not yet past it) along with the
+    // events that must answer it. A restart that lost either would emit
+    // nothing or nulls; the recovered store must emit the exact answer.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val pMem = MemoryStream[(Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Timestamp, Long)]
+    def start() = StreamOps.streamAsOfJoin(
+        pMem.toDF().toDF("user_id", "p_ts"),
+        eMem.toDF().toDF("user_id", "ts", "event_id"), "10 minutes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    eMem.addData((1L, t("2024-01-01 00:00:00"), 10L), (1L, t("2024-01-01 00:05:00"), 11L))
+    pMem.addData((1L, t("2024-01-01 00:06:00")))
+    q1.processAllAvailable()
+    q1.stop() // kill: probe + events live only in the checkpointed state
+    val q2 = start()
+    try {
+      eMem.addData((9L, t("2024-01-01 01:00:00"), 99L)) // advance watermark past 00:06
+      q2.processAllAvailable()
+      eMem.addData((9L, t("2024-01-01 01:01:00"), 100L)) // trigger the timeout
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).collect().filter(_.getLong(0) == 1L)
+      assert(rows.length === 1, s"expected the one recovered answer, got ${rows.length}")
+      assert(rows.head.getLong(2) === 11L,
+        "recovered state must answer with the latest pre-kill event")
+    } finally q2.stop()
+  }
 }
