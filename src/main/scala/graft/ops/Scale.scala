@@ -130,5 +130,5 @@ object Scale {
     // degrades, and only for fully-duplicate partitions. Requires
     // xxhash64-able column types (no MapType).
     df.repartition(partitionCols :+
-      (pmod(xxhash64(df.columns.map(df(_)): _*), lit(filesPerPartition))): _*)
+      (pmod(xxhash64(df.columns.toIndexedSeq.map(df(_)): _*), lit(filesPerPartition))): _*)
 }

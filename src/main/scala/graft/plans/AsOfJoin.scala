@@ -43,7 +43,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    rightTie: Expression) extends BinaryNode {
+    rightTie: Expression,
+    tolerance: Long = -1L) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -58,8 +59,8 @@ case class AsOfJoinPlan(
   * [[AsOfJoin.install]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tie, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, tol) :: Nil
     case _ => Nil
   }
 }
@@ -71,7 +72,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    rightTie: Expression) extends BinaryExecNode {
+    rightTie: Expression,
+    tolerance: Long = -1L) extends BinaryExecNode {
 
   private def longBacked(e: Expression): Boolean = e.dataType match {
     case LongType | TimestampType | TimestampNTZType => true
@@ -128,6 +130,7 @@ case class AsOfJoinExec(
       advance()
       var lastMatch: InternalRow = null
       var lastMatchKey: Long = 0L
+      var lastMatchTs: Long = 0L
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTimeB.eval(lRow)
@@ -148,12 +151,18 @@ case class AsOfJoinExec(
                   // qualifying; (time, tie) sort makes the LAST one best
                   lastMatch = cur
                   lastMatchKey = rkv
+                  lastMatchTs = rt.asInstanceOf[Long]
                   advance()
                 } else done = true // future event for this key: stop
               } else done = true // right is ahead of left: stop
             }
           }
-          val m = if (lastMatch != null && lastMatchKey == lkv) lastMatch else nullRight
+          // tolerance bounds staleness: the retained best match may have
+          // aged out for THIS probe even though it qualified for earlier
+          // ones (probes ascend, so staleness only grows).
+          val m = if (lastMatch != null && lastMatchKey == lkv &&
+              (tolerance < 0L || lastMatchTs >= ltv - tolerance)) lastMatch
+            else nullRight
           outProj(joined(lRow, m))
         } else {
           outProj(joined(lRow, nullRight)) // null probe key/time: no match
@@ -177,12 +186,16 @@ object AsOfJoin {
   /** As-of join `probes` (key, time) to `events` (key, time, tie): one row
     * per probe with the latest event at-or-before its time, nulls when
     * none. Column NAMES across the two frames must be disjoint (the
-    * operator's output concatenates them). */
+    * operator's output concatenates them). `tolerance` bounds staleness
+    * in the time expressions' own unit (MICROSECONDS for timestamps):
+    * a match older than probeTime − tolerance answers null instead —
+    * the merge_asof/kdb-aj tolerance knob; negative = unbounded. */
   def apply(
       probes: org.apache.spark.sql.DataFrame,
       events: org.apache.spark.sql.DataFrame,
       probeKey: String, probeTime: String,
-      eventKey: String, eventTime: String, eventTie: String)
+      eventKey: String, eventTime: String, eventTie: String,
+      tolerance: Long = -1L)
       : org.apache.spark.sql.DataFrame = {
     val spark = probes.sparkSession
     install(spark)
@@ -194,6 +207,7 @@ object AsOfJoin {
     org.apache.spark.sql.graftshim.PlanBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       attr(lPlan, probeKey), attr(lPlan, probeTime),
-      attr(rPlan, eventKey), attr(rPlan, eventTime), attr(rPlan, eventTie)))
+      attr(rPlan, eventKey), attr(rPlan, eventTime), attr(rPlan, eventTie),
+      tolerance))
   }
 }

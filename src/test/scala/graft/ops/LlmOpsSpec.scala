@@ -68,8 +68,13 @@ class LlmOpsSpec extends SparkSpec {
     val pq = SparkEntry_queries("llm_sim_ann_pq").collect()
     assert(pq.nonEmpty, "PQ ANN produced no pairs")
     // determinism: hash-seeded codebook init, exact-decimal Lloyd means and
-    // decimal pair sums leave nothing partition-order-dependent
-    val again = SparkEntry_queries("llm_sim_ann_pq").collect()
+    // decimal pair sums leave nothing partition-order-dependent — verified
+    // by re-running under a DIFFERENT shuffle-partition count, which
+    // permutes every aggregation's merge order
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val again = try SparkEntry_queries("llm_sim_ann_pq").collect()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     assert(again.map(_.toSeq.toList).toList === pq.map(_.toSeq.toList).toList)
     // accuracy: recompute the TRUE cosine for each returned pair driver-side
     // (fixture-sized corpus) and bound the quantization error. 16 subspaces

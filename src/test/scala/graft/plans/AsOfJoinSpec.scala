@@ -62,6 +62,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(byKey(null) === null)
   }
 
+  test("tolerance bounds staleness: an aged-out match answers null for later probes only") {
+    import spark.implicits._
+    val probes = Seq(
+      (1L: java.lang.Long) -> ts("2024-01-01 00:10:00"),  // 10 min after event
+      (1L: java.lang.Long) -> ts("2024-01-01 02:00:00"))  // 2 h after event
+      .toDF("user_id", "p_ts")
+    val events = Seq((1L: java.lang.Long, ts("2024-01-01 00:00:00"), 5L: java.lang.Long))
+      .toDF("e_user_id", "e_ts", "e_event_id")
+    val hourUs = 3600L * 1000 * 1000 // timestamps compare in microseconds
+    val rows = AsOfJoin(probes, events,
+        "user_id", "p_ts", "e_user_id", "e_ts", "e_event_id", tolerance = hourUs)
+      .orderBy(col("p_ts").asc).collect()
+    assert(!rows.head.isNullAt(4) && rows.head.getLong(4) === 5L,
+      "within tolerance: must answer")
+    assert(rows.last.isNullAt(4), "beyond tolerance: the same match must age out")
+  }
+
   test("mismatched child pre-partitioning is re-shuffled, not zipped wrong") {
     // zipPartitions requires co-partitioned children; EnsureRequirements
     // must reconcile a left side already hash-partitioned into a DIFFERENT
