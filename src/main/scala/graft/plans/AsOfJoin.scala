@@ -121,7 +121,14 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
-      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // the projection's input schema must carry the OUTPUT nullability:
+      // binding against the raw right attributes would inherit
+      // non-nullable flags from a non-nullable child and skip the null
+      // check, silently reading 0 from the all-null unmatched row (caught
+      // by the seeded differential test — parquet children are nullable,
+      // which is why fixture queries never tripped it)
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
       // `cur` is always a defensive copy: execute() iterators reuse row
       // objects, and both cur and lastMatch outlive the next() call.
       var cur: InternalRow = null

@@ -62,6 +62,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(byKey(null) === null)
   }
 
+  test("native as-of equals the window idiom on seeded random data") {
+    // differential test: same semantics, two unrelated executions (custom
+    // sorted-merge exec vs left-join + window + rn=1). Seeded so failures
+    // reproduce; probes deduplicated because the window idiom groups by
+    // (key, p_ts) while the operator answers each input row.
+    import spark.implicits._
+    val rnd = new scala.util.Random(12345)
+    def rts(): Timestamp = ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")
+    for (_ <- 1 to 3) {
+      val events = Seq.fill(300)((rnd.nextInt(20).toLong, rts(), rnd.nextLong(1000)))
+        .toDF("e_user_id", "e_ts", "e_event_id")
+      val probes = Seq.fill(80)((rnd.nextInt(25).toLong, rts())).distinct
+        .toDF("user_id", "p_ts")
+      val native = AsOfJoin(probes, events,
+          "user_id", "p_ts", "e_user_id", "e_ts", "e_event_id")
+        .select(col("user_id"), col("p_ts"), col("e_event_id"), col("e_ts"))
+        .orderBy(col("user_id").asc, col("p_ts").asc)
+        .collect().map(_.toSeq.toList).toList
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("p_ts"))
+        .orderBy(col("e_ts").desc_nulls_last, col("e_event_id").desc_nulls_last)
+      val idiom = probes.join(events,
+          col("user_id") === col("e_user_id") && col("e_ts") <= col("p_ts"),
+          "left_outer")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("p_ts"), col("e_event_id"), col("e_ts"))
+        .orderBy(col("user_id").asc, col("p_ts").asc)
+        .collect().map(_.toSeq.toList).toList
+      assert(native === idiom)
+    }
+  }
+
   test("tolerance bounds staleness: an aged-out match answers null for later probes only") {
     import spark.implicits._
     val probes = Seq(
