@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // levenshtein predicates (see the rule's scaladoc for the soundness
     // argument). Runtime sessions use LevenshteinGuardRule.install.
     ext.injectOptimizerRule(_ => plans.LevenshteinGuardRule)
+    // Planner strategy for the whole-operator as-of join (plans/AsOfJoin):
+    // extension-configured sessions get it at build time; runtime sessions
+    // use AsOfJoin.install (idempotent, via experimental.extraStrategies).
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }
