@@ -1121,6 +1121,57 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // Exact substring dedup (the Lee et al. 2022 "Deduplicating Training
+    // Data Makes Language Models Better" goal, distributed): emit each
+    // doc's MAXIMAL duplicated token runs, at any offset and any length
+    // >= k = 8 tokens. llm_passage_dedup above counts k=16 windows only —
+    // a 10-token run copied between docs, or one that starts mid-window,
+    // is invisible to it (see the planted phase-straddle test in
+    // LlmOpsSpec). Here every 8-token window at every offset is
+    // enumerated; windows seen in >= 2 DISTINCT docs mark their covered
+    // token interval [s, s+8) duplicated, and per-doc overlapping/touching
+    // intervals merge into maximal spans (gaps-and-islands: a window whose
+    // start exceeds the running max end of all earlier windows opens a new
+    // island). The union of length-k duplicated windows is exactly the set
+    // of maximal duplicated runs of length >= k — a run of length L >= k
+    // shared between docs contributes all L-k+1 of its windows, so the
+    // merged interval reconstructs [start, start+L) losslessly.
+    // Scale shape: shuffle 1 on the window string (the dense_rank+max
+    // single-window distinct-doc count, same as llm_passage_dedup);
+    // shuffle 2 on doc_id for the interval merge; the final
+    // groupBy(doc_id, isl) reuses the doc_id hash partitioning (subset
+    // clustering), so no third exchange. At 100 TB the window key becomes
+    // xxhash64(w) — a collision merely marks one window duplicated.
+    "llm_substring_dedup" -> { (s, d) =>
+      val k = 8
+      val byW = Window.partitionBy(col("w")).orderBy(col("doc_id").asc)
+      val overW = Window.partitionBy(col("w"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s").asc)
+      val pmaxW = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+      val runW = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"""coalesce(transform(sequence(0, size(toks) - $k),
+             | i -> concat_ws(' ', slice(toks, i + 1, $k))), array())"""
+            .stripMargin.replace("\n", " "))).as(Seq("s", "w")))
+        .withColumn("dr", dense_rank().over(byW))
+        .withColumn("nd", max(col("dr")).over(overW))
+        .filter(col("nd") >= 2)
+        .select(col("doc_id"), col("s").cast("long").as("s"),
+          (col("s") + k).cast("long").as("e"))
+        .withColumn("pmax", max(col("e")).over(pmaxW))
+        .withColumn("isl", sum(
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+            .otherwise(0L)).over(runW))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("span_len"))
+        .orderBy(col("doc_id").asc, col("span_start").asc)
+    },
+
     "llm_sim_topk" -> { (s, d) =>
       exactTopKPairs(embDouble(s, d).localCheckpoint(true), k = 10)
     },
@@ -1462,6 +1513,58 @@ object LlmOps {
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("rn"), col("term"), col("score"))
         .orderBy(col("doc_id").asc, col("rn").asc)
+    },
+
+    // BM25 (Okapi, k1 = 1.2, b = 0.75, Lucene's +1 idf) — the standard
+    // corpus-search scorer, extending llm_tfidf's machinery with length
+    // normalization and tf saturation. Determinism recipe (the
+    // llm_unigram_rarity one): every input to the double math is an exact
+    // integer aggregate (tf, df, dl, N, T); dl/avgdl is written as the
+    // single division (dl·N)/T of exact integers; per-term scores are
+    // rounded to 12 places and decimal-summed so the per-doc total is
+    // partition-order-independent; the one transcendental (ln) follows
+    // the llm_tfidf precedent (identical expression tree both engines,
+    // rounded well inside double ulp agreement). Top-k is
+    // orderBy+limit = TakeOrderedAndProject — distributed partial top-k
+    // per partition, no single-partition global window. Scale shape:
+    // the token stream is filtered to the query terms BEFORE any shuffle
+    // (tf on ~|q|·n_docs rows, not the corpus token count), df is a
+    // |q|-row broadcast, totals a 1-row broadcast.
+    "llm_bm25" -> { (s, d) =>
+      val qTerms = Seq("merge", "vector", "stream")
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      val dl = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"))
+      val qt = toks
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isInCollection(qTerms))
+      val tf = qt.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = qt.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("t_total"))
+      val idf = log(
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val sat = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * ((col("dl") * col("n_docs")).cast("double") /
+            col("t_total").cast("double"))))
+      tf.join(broadcast(dfc), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(tot))
+        .withColumn("sc", round(idf * sat, 12)
+          .cast(org.apache.spark.sql.types.DecimalType(30, 14)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_q_terms"),
+          sum(col("sc")).cast("double").as("raw"))
+        .select(col("doc_id"), col("n_q_terms"),
+          round(col("raw"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(15)
     },
 
     // Unigram rarity scoring — the frequency-based slice of LM-quality
@@ -1836,6 +1939,36 @@ object LlmOps {
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
+    "llm_substring_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |win AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM tok WHERE len(t) >= 8),
+        |w AS (SELECT doc_id, i - 1 AS s,
+        |             array_to_string(t[i:i+7], ' ') AS w
+        |      FROM win),
+        |pw AS (SELECT w FROM w GROUP BY w
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, CAST(s AS BIGINT) AS s,
+        |             CAST(s + 8 AS BIGINT) AS e
+        |      FROM w JOIN pw USING (w)),
+        |m AS (SELECT doc_id, s, e,
+        |             max(e) OVER (PARTITION BY doc_id ORDER BY s ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS pmax
+        |      FROM d),
+        |isl AS (SELECT doc_id, s, e,
+        |             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY doc_id ORDER BY s ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS isl
+        |        FROM m)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |       CAST(max(e) AS BIGINT) AS span_end,
+        |       CAST(max(e) - min(s) AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id ASC NULLS FIRST, span_start ASC""".stripMargin,
+
     "llm_split_assign" ->
       """SELECT doc_id, lang,
         |       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
@@ -1944,6 +2077,37 @@ object LlmOps {
         |      FROM s)
         |SELECT doc_id, rn, term, score FROM r WHERE rn <= 5
         |ORDER BY doc_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "llm_bm25" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(len(t)) AS BIGINT) AS t_total FROM tok),
+        |qt AS (SELECT doc_id, unnest(t) AS term FROM tok),
+        |qf AS (SELECT doc_id, term FROM qt
+        |       WHERE term IN ('merge', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qf GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln((CAST(tot.n_docs - df.df AS DOUBLE) + 0.5) /
+        |              (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+        |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+        |            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl.dl * tot.n_docs AS DOUBLE) /
+        |              CAST(tot.t_total AS DOUBLE))))), 12)
+        |           AS DECIMAL(30, 14)) AS sc
+        |       FROM tf JOIN df USING (term)
+        |            JOIN dl ON tf.doc_id = dl.doc_id
+        |            CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_q_terms,
+        |       round(CAST(sum(sc) AS DOUBLE), 6) AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC NULLS LAST, doc_id ASC
+        |LIMIT 15""".stripMargin,
 
     "llm_unigram_rarity" ->
       """WITH terms AS (

@@ -541,6 +541,76 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(4L) === ((1L, 0L, 0.0)))
   }
 
+  test("substring_dedup finds phase-straddling and sub-16-token runs that passage_dedup misses") {
+    // A 10-token run copied between docs at DIFFERENT offsets (phase
+    // straddle), in docs long enough that no 16-token window repeats:
+    // llm_passage_dedup reports zero duplicated windows, while
+    // llm_substring_dedup recovers the exact maximal span on both sides.
+    val run = (1 to 10).map(i => s"d$i").mkString(" ")      // 10 shared tokens
+    val tmp = docTable(Seq(
+      (0L, s"a1 a2 a3 $run a4 a5 a6", "s"),                 // run at offset 3
+      (1L, s"b1 $run b2 b3 b4 b5 b6 b7", "s"),              // run at offset 1
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16 c17", "s")))
+    val passage = LlmOps.queries.toMap.apply("llm_passage_dedup")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(passage.values.forall(_ === 0L),
+      "premise broken: passage_dedup should miss the sub-16-token run")
+    val spans = LlmOps.queries.toMap.apply("llm_substring_dedup")(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(spans.toSeq.sorted === Seq(
+      0L -> ((3L, 13L, 10L)),   // exact maximal span, offset 3
+      1L -> ((1L, 11L, 10L)))) // same run, offset 1 — doc 2 clean
+  }
+
+  test("substring_dedup merges straddling windows into one maximal span") {
+    // A 20-token shared run yields 13 overlapping 8-token duplicated
+    // windows; the islands merge must reconstruct ONE [s, s+20) span per
+    // doc, not 13 fragments. A second disjoint 8-token run in the same
+    // doc must stay a separate island.
+    val long = (1 to 20).map(i => s"x$i").mkString(" ")
+    val short = (1 to 8).map(i => s"y$i").mkString(" ")
+    val tmp = docTable(Seq(
+      (0L, s"$long p1 p2 p3 $short", "s"),                  // runs at 0 and 23
+      (1L, s"q1 q2 $long", "s"),                            // run at offset 2
+      (2L, s"r1 r2 r3 r4 r5 r6 $short r7", "s")))           // run at offset 6
+    val spans = LlmOps.queries.toMap.apply("llm_substring_dedup")(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq.sorted === Seq(
+      (0L, 0L, 20L, 20L), (0L, 23L, 31L, 8L),
+      (1L, 2L, 22L, 20L),
+      (2L, 6L, 14L, 8L)))
+  }
+
+  test("bm25 matches the hand-computed Okapi formula on a planted corpus") {
+    // 4 docs, dl = 8 each, T = 32, N = 4; query terms merge/vector/stream.
+    // Expected scores recomputed here with the SAME double expression tree
+    // the query (and its DuckDB twin) uses — any drift in k1/b/idf
+    // placement or rounding shows as an exact-value diff.
+    val tmp = docTable(Seq(
+      (0L, "merge merge merge a b c d e", "s"),
+      (1L, "merge a b c d e f g", "s"),
+      (2L, "a b c d e f g h", "s"),
+      (3L, "vector stream a b c d e f", "s")))
+    def score(tfdf: Seq[(Long, Long)], dl: Long, n: Long, t: Long): Double = {
+      val raw = tfdf.map { case (tf, df) =>
+        val idf = math.log(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+        val sat = (tf.toDouble * 2.2) /
+          (tf.toDouble + 1.2 * (0.25 + 0.75 * ((dl * n).toDouble / t.toDouble)))
+        BigDecimal(idf * sat).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (raw / 1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = LlmOps.queries.toMap.apply("llm_bm25")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(2L), "doc without query terms must not score")
+    assert(got(0L) === ((1L, score(Seq((3L, 2L)), 8L, 4L, 32L))))
+    assert(got(1L) === ((1L, score(Seq((1L, 2L)), 8L, 4L, 32L))))
+    assert(got(3L) === ((2L, score(Seq((1L, 1L), (1L, 1L)), 8L, 4L, 32L))))
+    assert(got(0L)._2 > got(1L)._2, "higher tf must outrank at equal dl")
+  }
+
   test("winnowing: docs sharing a >= 6-token run share a fingerprint, disjoint docs share none") {
     // The winnowing guarantee (k=3-token grams, w=4-gram windows): any
     // shared token run of length >= k+w-1 = 6 yields at least one shared
