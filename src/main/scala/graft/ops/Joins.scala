@@ -175,6 +175,48 @@ object Joins {
         .orderBy(col("user_id").asc, col("p_ts").asc)
     },
 
+    // Forward as-of through the same native operator: earliest event
+    // AT-OR-AFTER each probe (time ties resolve to the smallest event_id —
+    // the ascending (time, tie) sort's first row). Same single merge pass;
+    // the forward candidate is the unconsumed cursor row itself, so the
+    // per-partition state stays one row.
+    "join_asof_forward" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("user_id")).distinct()
+        .withColumn("p_ts", explode(array(
+          lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+          lit("2024-01-20 00:00:00").cast("timestamp_ntz"))))
+      val right = ev.select(col("user_id").as("e_user_id"),
+        col("ts").as("e_ts"), col("event_id").as("e_event_id"))
+      graft.plans.AsOfJoin(probes, right,
+          "user_id", "p_ts", "e_user_id", "e_ts", "e_event_id",
+          direction = graft.plans.AsOfDirection.Forward)
+        .select(col("user_id"), col("p_ts"),
+          col("e_event_id").as("event_id"), col("e_ts").as("ts"))
+        .orderBy(col("user_id").asc, col("p_ts").asc)
+    },
+
+    // Nearest as-of: closest event on either side of the probe, equidistant
+    // ties to the backward (earlier) row — pandas merge_asof semantics. The
+    // oracle ranks the full per-user candidate set by |Δt| in integer
+    // microseconds; the native exec holds just the backward candidate and
+    // the cursor row and compares the two deltas.
+    "join_asof_nearest" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("user_id")).distinct()
+        .withColumn("p_ts", explode(array(
+          lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+          lit("2024-01-20 00:00:00").cast("timestamp_ntz"))))
+      val right = ev.select(col("user_id").as("e_user_id"),
+        col("ts").as("e_ts"), col("event_id").as("e_event_id"))
+      graft.plans.AsOfJoin(probes, right,
+          "user_id", "p_ts", "e_user_id", "e_ts", "e_event_id",
+          direction = graft.plans.AsOfDirection.Nearest)
+        .select(col("user_id"), col("p_ts"),
+          col("e_event_id").as("event_id"), col("e_ts").as("ts"))
+        .orderBy(col("user_id").asc, col("p_ts").asc)
+    },
+
     "join_self" -> { (s, d) =>
       val ev = Tables.events(s, d)
       ev.as("a").join(ev.as("b"),
@@ -303,6 +345,36 @@ object Joins {
         |         row_number() OVER (PARTITION BY p.user_id, p.p_ts
         |                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
         |  FROM probes p LEFT JOIN events e ON e.user_id = p.user_id AND e.ts <= p.p_ts
+        |)
+        |SELECT user_id, p_ts, event_id, ts FROM j WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, p_ts ASC NULLS FIRST""".stripMargin,
+
+    "join_asof_forward" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id, p_ts
+        |  FROM events, (VALUES (TIMESTAMP '2024-01-10 00:00:00'),
+        |                       (TIMESTAMP '2024-01-20 00:00:00')) v(p_ts)
+        |), j AS (
+        |  SELECT p.user_id, p.p_ts, e.event_id, e.ts,
+        |         row_number() OVER (PARTITION BY p.user_id, p.p_ts
+        |                            ORDER BY e.ts ASC NULLS LAST, e.event_id ASC NULLS LAST) AS rn
+        |  FROM probes p LEFT JOIN events e ON e.user_id = p.user_id AND e.ts >= p.p_ts
+        |)
+        |SELECT user_id, p_ts, event_id, ts FROM j WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, p_ts ASC NULLS FIRST""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id, p_ts
+        |  FROM events, (VALUES (TIMESTAMP '2024-01-10 00:00:00'),
+        |                       (TIMESTAMP '2024-01-20 00:00:00')) v(p_ts)
+        |), j AS (
+        |  SELECT p.user_id, p.p_ts, e.event_id, e.ts,
+        |         row_number() OVER (PARTITION BY p.user_id, p.p_ts
+        |                            ORDER BY abs(epoch_us(e.ts) - epoch_us(p.p_ts)) ASC NULLS LAST,
+        |                                     (CASE WHEN e.ts <= p.p_ts THEN 0 ELSE 1 END) ASC,
+        |                                     (CASE WHEN e.ts <= p.p_ts THEN -e.event_id ELSE e.event_id END) ASC) AS rn
+        |  FROM probes p LEFT JOIN events e ON e.user_id = p.user_id AND e.ts IS NOT NULL
         |)
         |SELECT user_id, p_ts, event_id, ts FROM j WHERE rn = 1
         |ORDER BY user_id ASC NULLS FIRST, p_ts ASC NULLS FIRST""".stripMargin,

@@ -8,6 +8,32 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
+/** Direction of an as-of match relative to the probe time.
+  *
+  *  - [[AsOfDirection.Backward]] (the default, kdb `aj` / pandas
+  *    `merge_asof` default): greatest event time <= probe time; time
+  *    ties resolve to the GREATEST tie value (the "latest" event).
+  *  - [[AsOfDirection.Forward]]: least event time >= probe time; time
+  *    ties resolve to the SMALLEST tie value (the "next" event).
+  *  - [[AsOfDirection.Nearest]]: whichever of the backward/forward
+  *    candidates minimizes |event time − probe time|; an exact-distance
+  *    tie prefers the BACKWARD candidate (matching pandas merge_asof,
+  *    which resolves equidistant matches to the earlier row).
+  */
+sealed abstract class AsOfDirection(val name: String)
+object AsOfDirection {
+  case object Backward extends AsOfDirection("backward")
+  case object Forward extends AsOfDirection("forward")
+  case object Nearest extends AsOfDirection("nearest")
+  def of(name: String): AsOfDirection = name match {
+    case "backward" => Backward
+    case "forward" => Forward
+    case "nearest" => Nearest
+    case other => throw new IllegalArgumentException(
+      s"unknown as-of direction '$other' (backward | forward | nearest)")
+  }
+}
+
 /** Native as-of join — SURVEY.md §2.C's join_asof as a whole-operator
   * Catalyst extension (the (c) rung of the custom-operator ladder:
   * LogicalPlan + SparkStrategy + SparkPlan), instead of the
@@ -24,17 +50,21 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * partition, no pair blow-up, no second sort. This is how dedicated
   * engines (kdb aj, QuestDB/DuckDB ASOF JOIN) execute it.
   *
-  * Semantics (matches the join_asof oracle SQL): for each left (probe)
-  * row, the right (event) row with the same key and the greatest
-  * (time, tie) such that time <= probe time; probes with no qualifying
-  * event emit nulls (left-outer). A null right time never qualifies
-  * (SQL `e.ts <= p_ts` is not-true on null) and null keys never match.
+  * Semantics (matches the join_asof oracle SQL), parameterized by
+  * [[AsOfDirection]]: for each left (probe) row, the right (event) row
+  * with the same key on the direction's side of the probe time; probes
+  * with no qualifying event emit nulls (left-outer). A null right time
+  * never qualifies (SQL `e.ts <= p_ts` is not-true on null) and null
+  * keys never match.
   *
   * Key/time/tie expressions must evaluate to LONG-backed atomic types
   * (BIGINT, TIMESTAMP, TIMESTAMP_NTZ — Catalyst's internal micros are
-  * Long); construction rejects anything else. That covers every as-of
-  * shape in this engine; widening to arbitrary orderable types would
-  * swap the Long compares for interpreted orderings.
+  * Long); construction rejects anything else, and the left/right key and
+  * time types must MATCH EXACTLY — a TIMESTAMP probe against a
+  * TIMESTAMP_NTZ event column would compare UTC-epoch micros to
+  * wall-clock micros and silently shift every match in non-UTC sessions.
+  * Widening to arbitrary orderable types would swap the Long compares
+  * for interpreted orderings.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -44,7 +74,8 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     rightTime: Expression,
     rightTie: Expression,
-    tolerance: Long = -1L) extends BinaryNode {
+    tolerance: Long = -1L,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -59,8 +90,8 @@ case class AsOfJoinPlan(
   * [[AsOfJoin.install]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tie, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tie, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -73,7 +104,8 @@ case class AsOfJoinExec(
     rightKey: Expression,
     rightTime: Expression,
     rightTie: Expression,
-    tolerance: Long = -1L) extends BinaryExecNode {
+    tolerance: Long = -1L,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryExecNode {
 
   private def longBacked(e: Expression): Boolean = e.dataType match {
     case LongType | TimestampType | TimestampNTZType => true
@@ -81,6 +113,14 @@ case class AsOfJoinExec(
   }
   require(Seq(leftKey, leftTime, rightKey, rightTime, rightTie).forall(longBacked),
     "as-of join expressions must be Long-backed (BIGINT / TIMESTAMP / TIMESTAMP_NTZ)")
+  // Long-backed alone is not enough: TIMESTAMP stores UTC-epoch micros and
+  // TIMESTAMP_NTZ wall-clock micros, so a mixed pair passes the individual
+  // checks but compares shifted values in non-UTC sessions. Demand exact
+  // type equality across the seam.
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -135,6 +175,11 @@ case class AsOfJoinExec(
       def advance(): Unit =
         cur = if (rIter.hasNext) rIter.next().copy() else null
       advance()
+      // Backward candidate: the latest consumed event (direction backward /
+      // nearest). Forward candidate: `cur` itself once the cursor rests on
+      // the first event at-or-after the probe — forward mode never consumes
+      // it, so one pass still suffices and state stays O(1).
+      val fwd = direction == AsOfDirection.Forward
       var lastMatch: InternalRow = null
       var lastMatchKey: Long = 0L
       var lastMatchTs: Long = 0L
@@ -144,6 +189,9 @@ case class AsOfJoinExec(
         if (lk != null && lt != null) {
           val lkv = lk.asInstanceOf[Long]
           val ltv = lt.asInstanceOf[Long]
+          var curKey = 0L
+          var curTs = 0L
+          var curValid = false // cur rests on this probe's key at ts >= (>) probe
           var done = false
           while (!done && cur != null) {
             val rk = rKeyB.eval(cur)
@@ -154,22 +202,43 @@ case class AsOfJoinExec(
               else if (rkv == lkv) {
                 val rt = rTimeB.eval(cur)
                 if (rt == null) advance() // null time never qualifies
-                else if (rt.asInstanceOf[Long] <= ltv) {
-                  // qualifying; (time, tie) sort makes the LAST one best
-                  lastMatch = cur
-                  lastMatchKey = rkv
-                  lastMatchTs = rt.asInstanceOf[Long]
-                  advance()
-                } else done = true // future event for this key: stop
+                else {
+                  val rtv = rt.asInstanceOf[Long]
+                  // forward keeps ts == probe ts under the cursor (it IS the
+                  // forward match); backward/nearest consume it (<=) so the
+                  // (time, tie) sort makes the LAST consumed one best
+                  if (if (fwd) rtv < ltv else rtv <= ltv) {
+                    if (!fwd) {
+                      lastMatch = cur
+                      lastMatchKey = rkv
+                      lastMatchTs = rtv
+                    }
+                    advance()
+                  } else { // first event on the forward side of this probe
+                    curKey = rkv; curTs = rtv; curValid = true; done = true
+                  }
+                }
               } else done = true // right is ahead of left: stop
             }
           }
-          // tolerance bounds staleness: the retained best match may have
-          // aged out for THIS probe even though it qualified for earlier
-          // ones (probes ascend, so staleness only grows).
-          val m = if (lastMatch != null && lastMatchKey == lkv &&
-              (tolerance < 0L || lastMatchTs >= ltv - tolerance)) lastMatch
-            else nullRight
+          // tolerance bounds staleness symmetrically: backward matches no
+          // older than probe − tolerance, forward matches no further than
+          // probe + tolerance (probes ascend, so staleness only grows).
+          val bwOk = !fwd && lastMatch != null && lastMatchKey == lkv &&
+            (tolerance < 0L || lastMatchTs >= ltv - tolerance)
+          val fwOk = direction != AsOfDirection.Backward && curValid &&
+            curKey == lkv && (tolerance < 0L || curTs <= ltv + tolerance)
+          val m = direction match {
+            case AsOfDirection.Backward => if (bwOk) lastMatch else nullRight
+            case AsOfDirection.Forward => if (fwOk) cur else nullRight
+            case AsOfDirection.Nearest =>
+              if (bwOk && fwOk) {
+                // equidistant → backward (the earlier row), per scaladoc
+                if (ltv - lastMatchTs <= curTs - ltv) lastMatch else cur
+              } else if (bwOk) lastMatch
+              else if (fwOk) cur
+              else nullRight
+          }
           outProj(joined(lRow, m))
         } else {
           outProj(joined(lRow, nullRight)) // null probe key/time: no match
@@ -191,19 +260,26 @@ object AsOfJoin {
   }
 
   /** As-of join `probes` (key, time) to `events` (key, time, tie): one row
-    * per probe with the latest event at-or-before its time, nulls when
-    * none. Column NAMES across the two frames must be disjoint (the
-    * operator's output concatenates them). `tolerance` bounds staleness
+    * per probe with the event on `direction`'s side of its time (backward =
+    * latest at-or-before, forward = earliest at-or-after, nearest = closest
+    * with equidistant ties to backward), nulls when none. Column NAMES
+    * across the two frames must be disjoint (the operator's output
+    * concatenates them; enforced). `tolerance` bounds the match distance
     * in the time expressions' own unit (MICROSECONDS for timestamps):
-    * a match older than probeTime − tolerance answers null instead —
+    * a match further than that from the probe answers null instead —
     * the merge_asof/kdb-aj tolerance knob; negative = unbounded. */
   def apply(
       probes: org.apache.spark.sql.DataFrame,
       events: org.apache.spark.sql.DataFrame,
       probeKey: String, probeTime: String,
       eventKey: String, eventTime: String, eventTie: String,
-      tolerance: Long = -1L)
+      tolerance: Long = -1L,
+      direction: AsOfDirection = AsOfDirection.Backward)
       : org.apache.spark.sql.DataFrame = {
+    val overlap = probes.columns.toSet.intersect(events.columns.toSet)
+    require(overlap.isEmpty,
+      s"as-of join frames must have disjoint column names; both have: " +
+        overlap.toSeq.sorted.mkString(", "))
     val spark = probes.sparkSession
     install(spark)
     val lPlan = org.apache.spark.sql.graftshim.PlanBridge.analyzedPlan(probes)
@@ -215,6 +291,6 @@ object AsOfJoin {
       lPlan, rPlan,
       attr(lPlan, probeKey), attr(lPlan, probeTime),
       attr(rPlan, eventKey), attr(rPlan, eventTime), attr(rPlan, eventTie),
-      tolerance))
+      tolerance, direction))
   }
 }
