@@ -354,9 +354,97 @@ object StreamOps {
       // pending probes satisfy that by construction (pts > wm). With no
       // pending probes, arm the idle-TTL timer instead so the key gets a
       // chance to expire without further traffic.
+      // Firing-edge note: Spark fires an event-time timer only when the
+      // timeout is STRICTLY below the watermark, while the ready split
+      // above uses pts <= wm. If the watermark lands exactly on
+      // pending.min and the key then goes silent, that probe's answer
+      // defers one extra watermark advance (arming any earlier is
+      // invalid — the timestamp must be > wm). Accepted one-batch
+      // deferral, not an off-by-one.
       if (pending.nonEmpty) state.setTimeoutTimestamp(pending.min)
       else if (idleTtlMs > 0 && lastActivity.isDefined)
         state.setTimeoutTimestamp(math.max(lastActivity.get + idleTtlMs, wm + 1))
+    }
+    answers.iterator
+  }
+
+  case class AsOfFwdBuf(events: List[AsOfEvent], probes: List[Long])
+
+  /** Streaming FORWARD as-of join: each probe (user_id, p_ts) answers with
+    * the EARLIEST event at ts in [p_ts, p_ts + toleranceMs], ties on the
+    * lowest event_id — the streaming twin of the batch
+    * AsOfDirection.Forward operator. The tolerance is mandatory here: it is
+    * what makes a NULL answer finalizable — a probe is complete once the
+    * watermark passes p_ts + tolerance, because any later-arriving event
+    * inside its window would be at-or-below the watermark and hence
+    * dropped-late by the contract.
+    *
+    * State bound per key — the forward counterpart of the backward
+    * operator's floor-row invariant: the events inside the watermark
+    * horizon, plus the at-or-below-watermark events still inside some
+    * pending probe's window, plus the pending probes. There is NO floor
+    * row and no idle-TTL knob: an event below every pending window can
+    * never forward-match a future probe (future probes sit above the
+    * watermark, hence above that event), so a silent key's state drains
+    * to empty and is REMOVED outright — forward as-of self-cleans.
+    * StreamingSpec proves both halves: the in-window retention across a
+    * kill/restart, and the post-answer state removal. */
+  def streamAsOfJoinForward(probes: DataFrame, events: DataFrame,
+      toleranceMs: Long,
+      watermark: String = "10 minutes"): Dataset[AsOfAnswer] = {
+    require(toleranceMs >= 0L, "forward streaming as-of needs a non-negative tolerance")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val tagged = events
+      .select(col("user_id"), col("ts"), col("event_id").as("id"),
+        lit(false).as("is_probe"))
+      .unionByName(probes.select(col("user_id"), col("p_ts").as("ts"),
+        lit(0L).as("id"), lit(true).as("is_probe")))
+      .withWatermark("ts", watermark)
+      .as[AsOfIn]
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfFwdBuf, AsOfAnswer](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfFwdBuf]) =>
+          asofFwdHandle(user, rows, state, toleranceMs)
+      }
+  }
+
+  private def asofFwdHandle(user: Long, rows: Iterator[AsOfIn],
+      state: GroupState[AsOfFwdBuf], tolMs: Long): Iterator[AsOfAnswer] = {
+    val prev = state.getOption.getOrElse(AsOfFwdBuf(Nil, Nil))
+    var events = prev.events
+    var probes = prev.probes
+    rows.foreach { r =>
+      if (r.is_probe) probes ::= r.ts.getTime
+      else events ::= AsOfEvent(r.ts.getTime, r.id)
+    }
+    val wm = state.getCurrentWatermarkMs()
+    // a probe is final once its whole window [pts, pts+tol] is under the
+    // watermark; its answer is the min-(ts, id) event inside the window
+    val (ready, pending) = probes.partition(_ + tolMs <= wm)
+    val answers = ready.sorted.map { pts =>
+      val cands = events.filter(e => e.ts_ms >= pts && e.ts_ms <= pts + tolMs)
+      val m = if (cands.isEmpty) None else Some(cands.minBy(e => (e.ts_ms, e.id)))
+      AsOfAnswer(user, new java.sql.Timestamp(pts),
+        m.map(_.id), m.map(e => new java.sql.Timestamp(e.ts_ms)))
+    }
+    // evict: an at-or-below-watermark event survives only while some
+    // pending window still covers it (ts >= the window's start). Nothing
+    // below every pending window is ever needed again — no floor row.
+    val minPending = pending.minOption.getOrElse(Long.MaxValue)
+    val kept = events.filter(e => e.ts_ms > wm || e.ts_ms >= minPending)
+    if (kept.isEmpty && pending.isEmpty) {
+      state.remove() // fully drained: forward as-of self-cleans
+    } else {
+      state.update(AsOfFwdBuf(kept, pending))
+      // wake at the earliest window end (strictly above wm for pending
+      // probes by construction); with only in-horizon events left, wake
+      // when the latest one falls under the watermark so the key can
+      // drain without further traffic. Same strict-firing one-batch
+      // deferral note as the backward handler.
+      if (pending.nonEmpty) state.setTimeoutTimestamp(pending.min + tolMs)
+      else state.setTimeoutTimestamp(kept.map(_.ts_ms).max)
     }
     answers.iterator
   }

@@ -446,6 +446,89 @@ class StreamingSpec extends SparkSpec {
       "with TTL disabled the floor must still answer")
   }
 
+  test("streaming forward as-of answers the earliest in-window event and self-cleans its state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Timestamp, Long)]
+    val out = StreamOps.streamAsOfJoinForward(
+      pMem.toDF().toDF("user_id", "p_ts"),
+      eMem.toDF().toDF("user_id", "ts", "event_id"),
+      toleranceMs = 10L * 60 * 1000, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_fwd_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // probe at 00:06 (window 00:06–00:16); a past event (never forward-
+      // matches), an in-window event at 00:10, and a probe for matchless
+      // user 2. Nothing may answer before the watermark passes the windows.
+      eMem.addData((1L, t("2024-01-01 00:00:00"), 10L))
+      pMem.addData((1L, t("2024-01-01 00:06:00")), (2L, t("2024-01-01 00:06:00")))
+      eMem.addData((1L, t("2024-01-01 00:10:00"), 30L))
+      q.processAllAvailable()
+      assert(spark.table("asof_fwd_stream").count() === 0,
+        "answered before the probe window was watermark-complete")
+      // an OUT-OF-ORDER in-window event EARLIER than the known candidate —
+      // an answer-on-first-candidate design would already have missed it
+      eMem.addData((1L, t("2024-01-01 00:08:00"), 20L))
+      q.processAllAvailable()
+      // advance the watermark past 00:16 (00:30 − 10 min = 00:20), then
+      // trigger the armed window-end timers with one more batch
+      eMem.addData((9L, t("2024-01-01 00:30:00"), 99L))
+      q.processAllAvailable()
+      eMem.addData((9L, t("2024-01-01 00:31:00"), 100L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_fwd_stream").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))).toMap
+      assert(rows(1L) === 20L,
+        "must pick the earliest in-window event (00:08), not the first-seen (00:10)")
+      assert(rows(2L) === null, "matchless probe must answer with nulls")
+      // self-clean: key 1 answered with nothing left in horizon, key 2
+      // never had events — both stores must be REMOVED (no floor row in
+      // forward mode). Only key 9's in-horizon events remain.
+      eMem.addData((9L, t("2024-01-01 00:32:00"), 101L))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows === 1L,
+        s"expected only key 9's drained-to state row, got $stateRows")
+    } finally q.stop()
+  }
+
+  test("streaming forward as-of state survives a kill/restart: buffered window still answers") {
+    // forward-mode durability twin: at kill time the probe AND its only
+    // in-window event exist solely in the checkpointed state (the window
+    // is not watermark-complete). Recovery must emit the exact answer.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_fwd_ckpt").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val pMem = MemoryStream[(Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Timestamp, Long)]
+    def start() = StreamOps.streamAsOfJoinForward(
+        pMem.toDF().toDF("user_id", "p_ts"),
+        eMem.toDF().toDF("user_id", "ts", "event_id"),
+        toleranceMs = 10L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    pMem.addData((1L, t("2024-01-01 00:06:00")))
+    eMem.addData((1L, t("2024-01-01 00:09:00"), 42L))
+    q1.processAllAvailable()
+    q1.stop() // kill: probe + in-window event live only in the state store
+    val q2 = start()
+    try {
+      eMem.addData((9L, t("2024-01-01 00:30:00"), 99L)) // watermark past 00:16
+      q2.processAllAvailable()
+      eMem.addData((9L, t("2024-01-01 00:31:00"), 100L)) // fire the timer
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).collect().filter(_.getLong(0) == 1L)
+      assert(rows.length === 1, s"expected the one recovered answer, got ${rows.length}")
+      assert(rows.head.getLong(2) === 42L,
+        "recovered state must answer with the buffered in-window event")
+    } finally q2.stop()
+  }
+
   test("streaming as-of state survives a kill/restart: a pre-kill buffered probe still answers") {
     // The hard case for durability: at kill time the probe exists ONLY in
     // the state store (buffered, watermark not yet past it) along with the
