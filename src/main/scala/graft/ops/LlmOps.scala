@@ -264,6 +264,68 @@ object LlmOps {
     centroids
   }
 
+  /** Same-cell candidate pairs scored exactly — the IVF recall/scoring
+    * stage shared by the retrain path (`llm_sim_ann_ivf`) and the
+    * persisted-index path (`llm_sim_ann_ivf_persisted`): routing both
+    * through one body is what makes their result identity a structural
+    * fact rather than a test hope. `buckets` is an
+    * assignToCentroid output (vec_id, cid, emb, ssq, …). */
+  private def ivfPairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("cid"), col("vec_id").as("va"),
+      col("emb").as("emb_a"), col("ssq").as("ssq_a"))
+    val b = buckets.select(col("cid"), col("vec_id").as("vb"),
+      col("emb").as("emb_b"), col("ssq").as("ssq_b"))
+    a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+      .withColumn("cos_sim", round(cosExpr, 6))
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("va"), col("vb"), col("cos_sim"))
+      .orderBy(col("va").asc, col("vb").asc)
+  }
+
+  /** Train-once / query-many IVF index persistence — the 100 TB operating
+    * mode: Lloyd training (the serially-dependent critical path of every
+    * ad-hoc ANN query) runs ONCE at build time; queries then scan two
+    * parquet tables and never touch the raw embeddings again.
+    *
+    * Layout under `dir`:
+    *  - `centroids`: (cid, cemb) — the codebook, broadcast-sized.
+    *  - `assign`: (vec_id, label, cid, emb, ssq, cang) — the inverted
+    *    file. Written PARTITIONED BY cid, so a cell-pruned query reads
+    *    only its posting lists (partition pruning does the list lookup).
+    *
+    * `e` must be an embDouble-shaped frame (vec_id, label, emb, ssq),
+    * already materialized if the caller reuses it. nlist <= 0 derives
+    * from the corpus size via ivfNlist; the codebook recipe (hash-seeded
+    * init + exact-decimal Lloyd means) is bit-reproducible, so a rebuild
+    * over unchanged data recreates the identical index. */
+  def writeIvfIndex(e: DataFrame, dir: String, nlist: Int = 0, iters: Int = 2): Unit = {
+    val nl = if (nlist > 0) nlist else ivfNlist(e.count())
+    val centroids = ivfCodebook(e, nlist = nl, iters = iters).localCheckpoint(true)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assignToCentroid(e, centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assign")
+    releaseCheckpoint(centroids)
+  }
+
+  /** Read a [[writeIvfIndex]] index back: (centroids, assignments). */
+  def readIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(s) // pair scoring needs graft_dot
+    (s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/assign"))
+  }
+
+  /** Cache location for a dataset's IVF index, keyed on the embeddings
+    * files' (name, size, mtime) signature so a regenerated fixture never
+    * answers from a stale index. Queries are read-only against the sf dir,
+    * so the index lives under the system tmpdir. */
+  private def ivfIndexDir(d: String): String = {
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val sig = files.filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s"$d|$sig"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$h"
+  }
+
   /** Product-quantization geometry: pqM subspaces of 64/pqM dims, pqK
     * centroids per subspace → one 4-bit code per subspace, 64 code bits
     * + one norm per vector (~32× smaller than the raw 64 doubles). The
@@ -1239,16 +1301,31 @@ object LlmOps {
       // parquet scan + projection. (count() on the checkpoint is cheap.)
       val e = embDouble(s, d).localCheckpoint(true)
       val centroids = ivfCodebook(e, nlist = ivfNlist(e.count()), iters = 2)
-      val buckets = assignToCentroid(e, centroids)
-      val a = buckets.select(col("cid"), col("vec_id").as("va"),
-        col("emb").as("emb_a"), col("ssq").as("ssq_a"))
-      val b = buckets.select(col("cid"), col("vec_id").as("vb"),
-        col("emb").as("emb_b"), col("ssq").as("ssq_b"))
-      a.join(b, Seq("cid")).filter(col("va") < col("vb"))
-        .withColumn("cos_sim", round(cosExpr, 6))
-        .filter(col("cos_sim") >= 0.3)
-        .select(col("va"), col("vb"), col("cos_sim"))
-        .orderBy(col("va").asc, col("vb").asc)
+      ivfPairs(assignToCentroid(e, centroids))
+    },
+
+    // The SAME IVF ANN routed through a PERSISTED index (writeIvfIndex /
+    // readIvfIndex): training runs once — only when no index exists for
+    // this dataset's file signature — and the query itself scans the two
+    // index tables. Its executed plan contains NO Lloyd stages and never
+    // touches embeddings.parquet (LlmOpsSpec asserts both on the
+    // AQE-finalized plan), while the pair stage is ivfPairs — the
+    // identical body the retrain query runs — so the row sets are
+    // hash-identical by construction (also asserted). At 100 TB this is
+    // the only sane shape: the index is built by a scheduled job and
+    // amortized over every query; the cid-partitioned inverted file
+    // makes single-cell probes a partition-pruned scan.
+    "llm_sim_ann_ivf_persisted" -> { (s, d) =>
+      val idx = ivfIndexDir(d)
+      val built = new java.io.File(s"$idx/assign/_SUCCESS").exists() &&
+        new java.io.File(s"$idx/centroids/_SUCCESS").exists()
+      if (!built) {
+        val e = embDouble(s, d).localCheckpoint(true)
+        writeIvfIndex(e, idx, nlist = ivfNlist(e.count()), iters = 2)
+        releaseCheckpoint(e)
+      }
+      val (_, assign) = readIvfIndex(s, idx)
+      ivfPairs(assign)
     },
 
     // IVF-PQ-style ANN — product-quantized pair scoring (rows-only: the

@@ -64,6 +64,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === ivf)
   }
 
+  test("persisted-index IVF ANN: identical rows to the retrain path, plan reads only the index") {
+    val retrain = SparkEntry_queries("llm_sim_ann_ivf").collect()
+      .map(_.toSeq.toList).toList
+    val persisted = SparkEntry_queries("llm_sim_ann_ivf_persisted")
+    // round-4 rule: execute the SAME Dataset before inspecting its plan,
+    // or AQE leaves it unfinalized
+    val rows = persisted.collect().map(_.toSeq.toList).toList
+    assert(rows === retrain,
+      "persisted-index results diverged from the retrain path")
+    // the index is the ONLY input: the AQE-finalized plan scans the
+    // persisted index and never embeddings.parquet — i.e. no
+    // Lloyd/training stage anywhere in the executed plan
+    val planStr = persisted.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_ivf_index_"),
+      "expected the persisted-index parquet scan in the executed plan")
+    assert(!planStr.contains("embeddings.parquet"),
+      "persisted-index query must never re-read the raw embeddings")
+    // second run answers from the existing index (build-if-missing must
+    // not rebuild) and stays identical
+    val again = SparkEntry_queries("llm_sim_ann_ivf_persisted")
+      .collect().map(_.toSeq.toList).toList
+    assert(again === rows)
+  }
+
   test("PQ ANN: deterministic, and approx cosine tracks the true cosine on every returned pair") {
     val pq = SparkEntry_queries("llm_sim_ann_pq").collect()
     assert(pq.nonEmpty, "PQ ANN produced no pairs")
