@@ -7,19 +7,23 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus decode / feature-extract
   * / resize / frame-sample operators.
   *
-  * The actual codecs (JPEG/PNG/WAV decode) are NOT available in this image —
-  * every `*Stub` below is a clearly-marked deterministic fake derived from
-  * the payload bytes. The Spark-side plumbing is real and is the part that
-  * matters at scale: binary columns ride Parquet as-is, the decode step runs
-  * as `mapPartitions` over the typed Dataset (batch-at-a-time, no per-row
-  * driver involvement, partitioning preserved — the Scala analogue of a
-  * Pandas-batch UDF), and downstream metadata is ordinary columnar data.
+  * Image METADATA decode is REAL: [[decodeImageHeader]] parses PNG IHDR and
+  * JPEG SOFn headers from the public format specs, pure JVM, no codec libs
+  * (see its scaladoc). Full pixel decode and the feature extractor remain
+  * clearly-marked deterministic `*Stub` fakes — those need codec/model
+  * libraries this zero-egress image cannot carry; a production build
+  * replaces only those function bodies. The Spark-side plumbing is real and
+  * is the part that matters at scale: binary columns ride Parquet as-is,
+  * the decode step runs as `mapPartitions` over the typed Dataset
+  * (batch-at-a-time, no per-row driver involvement, partitioning preserved —
+  * the Scala analogue of a Pandas-batch UDF), and downstream metadata is
+  * ordinary columnar data.
   *
   * Scale notes (100 TB): payloads dominate byte volume, so operators must
   * never shuffle payload bytes — metadata extraction projects the payload
   * away before any wide transform, and frame sampling explodes bounded
-  * slices, not full payloads. All stubs are pure functions of the bytes —
-  * idempotent re-runs, safe speculative execution.
+  * slices, not full payloads. All decode paths are pure functions of the
+  * bytes — idempotent re-runs, safe speculative execution.
   */
 object Multimodal {
 
@@ -38,15 +42,106 @@ object Multimodal {
     h
   }
 
-  /** STUB — stands in for a real image decode (no codec libs in this image).
-    * Deterministic fake: dimensions derived from payload bytes. A production
-    * build replaces ONLY this function body with e.g. javax.imageio. */
+  /** REAL image metadata decode — (width, height, channels) parsed from the
+    * container header, pure JVM, public specs only:
+    *
+    *  - PNG (ISO/IEC 15948 / RFC 2083): 8-byte signature, then IHDR must be
+    *    the first chunk — 4-byte length, "IHDR", width u32 BE, height u32
+    *    BE, bit depth u8, color type u8. Channels from color type:
+    *    0 greyscale→1, 2 truecolor→3, 3 indexed→1, 4 grey+alpha→2,
+    *    6 truecolor+alpha→4.
+    *  - JPEG (ITU-T T.81 §B): SOI (FF D8), then marker segments, each
+    *    FF <marker> <len u16 incl. itself>; the frame header SOFn
+    *    (C0–CF minus C4 DHT / C8 JPG / CC DAC) carries precision u8,
+    *    height u16 BE, width u16 BE, component count u8.
+    *
+    * Returns None for anything that is neither (callers fall back to
+    * [[decodeImageStub]] for fixture payloads that carry no real header). */
+  def decodeImageHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length >= 26 && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+      // IHDR is mandatory-first; anything else is a corrupt PNG → None
+      if (!(u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'))
+        return None
+      val w = u32(16); val h = u32(20)
+      val channels = u8(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some((w.toInt, h.toInt, channels))
+      else None
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u8(i) != 0xff) return None // lost marker alignment: corrupt
+        var j = i
+        while (j + 1 < p.length && u8(j + 1) == 0xff) j += 1 // fill bytes
+        val m = u8(j + 1)
+        if (m >= 0xd0 && m <= 0xd7) i = j + 2 // RSTn: standalone
+        else if (m == 0xd9) return None // EOI before any SOF
+        else {
+          if (j + 3 >= p.length) return None
+          val len = u16(j + 2)
+          if (len < 2) return None
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (j + 9 >= p.length) return None
+            val h = u16(j + 5); val w = u16(j + 7); val ch = u8(j + 9)
+            return if (w > 0 && h > 0 && ch > 0) Some((w, h, ch)) else None
+          }
+          i = j + 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** STUB — the fallback for payloads with no parseable image header
+    * (fixture audio/video rows). Deterministic fake: dimensions derived
+    * from payload bytes. A production build replaces ONLY this body (full
+    * pixel decode needs codec libs this image cannot carry); real headers
+    * never reach it — [[decodeImageHeader]] wins first. */
   def decodeImageStub(payload: Array[Byte]): (Int, Int, Int) = {
     val h = fnv1a(payload)
     val w = 64 + math.floorMod(h, 1024).toInt
     val ht = 64 + math.floorMod(h >>> 20, 768).toInt
     val ch = if (math.floorMod(h >>> 40, 4) == 0L) 1 else 3
     (w, ht, ch)
+  }
+
+  /** Minimal REAL PNG container: signature + IHDR (bit depth 8, real CRC32
+    * over type+data per the spec) + `data` appended as opaque trailing
+    * bytes. Enough container for any header-level tool — and
+    * [[decodeImageHeader]] round-trips it — while the payload stays
+    * inspectable fixture bytes. Header overhead: 33 bytes exactly
+    * (8 signature + 25 IHDR), which the mm_* oracles account for. */
+  def pngWrap(width: Int, height: Int, colorType: Int, data: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "png dims must be positive")
+    val out = new java.io.ByteArrayOutputStream(33 + data.length)
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new Array[Byte](17) // "IHDR" + 13 data bytes
+    ihdr(0) = 'I'; ihdr(1) = 'H'; ihdr(2) = 'D'; ihdr(3) = 'R'
+    def be32(a: Array[Byte], off: Int, v: Long): Unit = {
+      a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+      a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+    }
+    be32(ihdr, 4, width.toLong); be32(ihdr, 8, height.toLong)
+    ihdr(12) = 8 // bit depth
+    ihdr(13) = colorType.toByte
+    ihdr(14) = 0; ihdr(15) = 0; ihdr(16) = 0 // deflate, adaptive, no interlace
+    val lenAndCrc = new Array[Byte](4)
+    be32(lenAndCrc, 0, 13L); out.write(lenAndCrc)
+    out.write(ihdr)
+    val crc = new java.util.zip.CRC32(); crc.update(ihdr)
+    be32(lenAndCrc, 0, crc.getValue); out.write(lenAndCrc)
+    out.write(data)
+    out.toByteArray
   }
 
   /** STUB — stands in for a real feature extractor (e.g. a vision model).
@@ -62,28 +157,40 @@ object Multimodal {
     out.map(_ / n)
   }
 
-  /** Documents → synthetic media table: the text bytes ARE the payload
-    * (UTF-8), so fixtures exercise real binary-column plumbing without
-    * external media files. */
+  /** Documents → synthetic media table: "image" rows are REAL minimal PNGs
+    * ([[pngWrap]] — parseable by any header-level tool) whose dimensions
+    * derive from doc_id by a SQL-expressible formula, so the decode path is
+    * DuckDB-oracle-checkable (mm_image_meta); audio/video rows carry the
+    * raw UTF-8 text bytes. Either way fixtures exercise real binary-column
+    * plumbing without external media files. */
   def syntheticMediaTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id"),
-        when(pmod(col("doc_id"), lit(3)) === 0, "image")
-          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
-          .otherwise("video").as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      math.floorMod(id, 3) match {
+        case 0 =>
+          // dims/color mirrored by the mm_image_meta oracle SQL: width
+          // doc_id%1024+16, height doc_id%768+16, RGB for even ids else RGBA
+          val colorType = if (id % 2 == 0) 2 else 6
+          MediaRow(id, "image", pngWrap(math.floorMod(id, 1024).toInt + 16,
+            math.floorMod(id, 768).toInt + 16, colorType, bytes))
+        case 1 => MediaRow(id, "audio", bytes)
+        case _ => MediaRow(id, "video", bytes)
+      }
+    }
   }
 
   /** Decode step: batch-at-a-time over partitions — the Scala analogue of
-    * mapInPandas. No shuffle: partitioning of the input is preserved. */
+    * mapInPandas. No shuffle: partitioning of the input is preserved.
+    * Header-bearing payloads (PNG/JPEG) decode REAL dimensions; anything
+    * else falls back to the deterministic stub. */
   def extractImageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c) = decodeImageStub(r.payload)
+        val (w, h, c) = decodeImageHeader(r.payload).getOrElse(decodeImageStub(r.payload))
         ImageMeta(r.media_id, w, h, c, r.payload.length.toLong, fnv1a(r.payload))
       }
     }

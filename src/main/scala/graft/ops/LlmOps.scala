@@ -1873,6 +1873,28 @@ object LlmOps {
         .orderBy(col("media_id").asc, col("frame_idx").asc)
     },
 
+    // REAL image metadata decode, oracle-checked: the synthetic "image"
+    // payloads are genuine minimal PNGs (Multimodal.pngWrap — signature +
+    // IHDR with real CRC), and this query recovers width/height/channels by
+    // PARSING those binary headers (Multimodal.decodeImageHeader, public
+    // spec: ISO/IEC 15948). The oracle recomputes the same values from the
+    // injection formula in SQL — a big-endian slip, a wrong offset, or a
+    // color-type mix-up all hash-mismatch. n_bytes pins the exact 33-byte
+    // container overhead.
+    "mm_image_meta" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val media = graft.multimodal.Multimodal
+        .syntheticMediaTable(Tables.documents(s, d))
+        .filter(col("media_type") === "image")
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractImageMeta(media).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("n_bytes"))
+        .orderBy(col("media_id").asc)
+    },
+
     "llm_multimodal_join" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -2355,15 +2377,19 @@ object LlmOps {
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS media_type,
         |       count(*) AS n,
-        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        |       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        |       CAST(sum(octet_length(encode(text))
+        |                + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 0 END) AS BIGINT) AS total_bytes,
+        |       CAST(max(octet_length(encode(text))
+        |                + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 0 END) AS BIGINT) AS max_bytes
         |FROM documents
         |GROUP BY 1
         |ORDER BY media_type ASC NULLS FIRST""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id,
-        |             octet_length(encode(text)) AS nb FROM documents),
+        |             octet_length(encode(text))
+        |               + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 0 END AS nb
+        |      FROM documents),
         |f AS (SELECT media_id, nb,
         |             unnest(range(0, CAST(ceil(nb / 256.0) AS BIGINT))) AS i
         |      FROM m)
@@ -2371,6 +2397,15 @@ object LlmOps {
         |       CAST(least(256, nb - i * 256) AS BIGINT) AS frame_bytes
         |FROM f WHERE i % 4 = 0
         |ORDER BY media_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin,
+
+    "mm_image_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(doc_id % 1024 + 16 AS BIGINT) AS width,
+        |       CAST(doc_id % 768 + 16 AS BIGINT) AS height,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) AS channels,
+        |       CAST(octet_length(encode(text)) + 33 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
 
     "llm_multimodal_join" ->
       """SELECT doc_id, lang, label, event_type, n_chars, len(embedding) AS dim
