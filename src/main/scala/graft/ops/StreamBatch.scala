@@ -57,6 +57,27 @@ object StreamBatch {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
         .orderBy(col("user_id").asc, col("event_type").asc)
+    },
+
+    // Exact per-window top-k heavy hitters — the batch twin of
+    // streaming.StreamOps.streamWindowTopK (space-saving sketch). In the
+    // sketch's exact regime (capacity >= per-window key cardinality) the
+    // streaming op emits precisely these rows once watermarks close
+    // (StreamingSpec pins that); under tight capacity it degrades along
+    // the published space-saving bounds instead of this exact answer.
+    // One shuffle to (window, user) partial counts, one window-function
+    // pass for the rank — both map-side combinable at 100 TB.
+    "stream_topk_batch" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val rk = Window.partitionBy(col("w"))
+        .orderBy(col("n").desc, col("user_id").asc)
+      counts.withColumn("rnk", row_number().over(rk))
+        .filter(col("rnk") <= 3)
+        .select(col("w.start").as("win_start"), col("user_id"), col("n"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("win_start").asc, col("rnk").asc)
     }
   )
 
@@ -108,6 +129,20 @@ object StreamBatch {
         |                            ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events) t
         |WHERE rn = 1
-        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "stream_topk_batch" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, user_id,
+        |         count(*) AS n
+        |  FROM events GROUP BY win_start, user_id
+        |), r AS (
+        |  SELECT win_start, user_id, n,
+        |         row_number() OVER (PARTITION BY win_start
+        |                            ORDER BY n DESC, user_id ASC) AS rnk
+        |  FROM c)
+        |SELECT win_start, user_id, n, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY win_start ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
   )
 }

@@ -368,6 +368,94 @@ object StreamOps {
     answers.iterator
   }
 
+  case class TopKIn(user_id: Long, ts: java.sql.Timestamp)
+  /** Space-saving summary entry: estimated count and its over-count bound
+    * (the evicted predecessor's count — Metwally et al. 2005). */
+  case class SSEntry(key: Long, cnt: Long, err: Long)
+  case class TopKBuf(entries: List[SSEntry])
+  case class TopKAnswer(win_start: java.sql.Timestamp, user_id: Long,
+      est_count: Long, max_err: Long, rnk: Int)
+
+  /** Streaming windowed heavy hitters: per tumbling window, the
+    * approximate top-k keys by count via a SPACE-SAVING sketch (Metwally,
+    * Agrawal, El Abbadi 2005) of fixed `capacity` counters per window —
+    * O(capacity) state per window regardless of key cardinality, which is
+    * the whole point: exact per-window top-k over a 100 TB stream would
+    * hold every key's count in the state store; this holds `capacity`.
+    *
+    * Space-saving guarantees (the spec's sketch-error property):
+    * any key with true count > N/capacity is IN the summary; every
+    * estimate obeys true <= est <= true + err, with err bounded by the
+    * smallest counter at insertion time (<= N/capacity). With capacity >=
+    * distinct keys in the window the sketch is exact — that is the
+    * batch-equivalence regime pinned against `stream_topk_batch`'s oracle.
+    *
+    * Windows emit when the watermark passes their end (answers are
+    * event-time complete), ranked (est desc, key asc), state removed —
+    * the same hold-then-finalize contract as the other stateful ops here.
+    * Batch rows fold in (ts, key) order so results do not depend on
+    * shuffle arrival order. Keys group by WINDOW, so one task owns a
+    * window's sketch; at 1000-executor scale the map-side pre-aggregation
+    * this forgoes is recovered by sketch MERGEABILITY (union summaries,
+    * keep top `capacity`) — a two-stage shard→merge form keyed by
+    * (window, shard) — documented here as the scale-out path; the fixture
+    * op keeps the single-stage shape the tests can drive exhaustively. */
+  def streamWindowTopK(events: DataFrame, windowDur: String = "10 minutes",
+      k: Int = 3, capacity: Int = 64,
+      watermark: String = "10 minutes"): Dataset[TopKAnswer] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(windowDur))
+    val wms = windowMs.days * 86400000L + windowMs.microseconds / 1000L
+    require(wms > 0 && windowMs.months == 0, s"fixed-length window required: $windowDur")
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[TopKIn]
+      .groupByKey(r => Math.floorDiv(r.ts.getTime, wms) * wms)
+      .flatMapGroupsWithState[TopKBuf, TopKAnswer](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart: Long, rows: Iterator[TopKIn], state: GroupState[TopKBuf]) =>
+          topkHandle(wstart, wms, rows, state, k, capacity)
+      }
+  }
+
+  private def topkHandle(wstart: Long, wms: Long, rows: Iterator[TopKIn],
+      state: GroupState[TopKBuf], k: Int, capacity: Int): Iterator[TopKAnswer] = {
+    var entries = state.getOption.map(_.entries).getOrElse(Nil)
+    // fold in deterministic (ts, key) order — space-saving is
+    // order-sensitive and shuffle arrival order is not a contract
+    val batch = rows.map(r => (r.ts.getTime, r.user_id)).toArray.sorted
+    batch.foreach { case (_, key) =>
+      entries.find(_.key == key) match {
+        case Some(e) =>
+          entries = SSEntry(key, e.cnt + 1, e.err) :: entries.filterNot(_.key == key)
+        case None if entries.size < capacity =>
+          entries = SSEntry(key, 1L, 0L) :: entries
+        case None =>
+          // evict the deterministic min counter (cnt asc, key asc); the
+          // newcomer inherits its count as the over-estimate bound
+          val victim = entries.minBy(e => (e.cnt, e.key))
+          entries = SSEntry(key, victim.cnt + 1, victim.cnt) ::
+            entries.filterNot(_.key == victim.key)
+      }
+    }
+    val wm = state.getCurrentWatermarkMs()
+    val wend = wstart + wms
+    if (wend <= wm) {
+      // window event-time complete: emit ranked top-k, drop the sketch
+      state.remove()
+      entries.sortBy(e => (-e.cnt, e.key)).take(k).zipWithIndex.map {
+        case (e, i) =>
+          TopKAnswer(new java.sql.Timestamp(wstart), e.key, e.cnt, e.err, i + 1)
+      }.iterator
+    } else {
+      state.update(TopKBuf(entries))
+      state.setTimeoutTimestamp(wend) // strict-firing deferral note above
+      Iterator.empty
+    }
+  }
+
   case class AsOfFwdBuf(events: List[AsOfEvent], probes: List[Long])
 
   /** Streaming FORWARD as-of join: each probe (user_id, p_ts) answers with

@@ -446,6 +446,109 @@ class StreamingSpec extends SparkSpec {
       "with TTL disabled the floor must still answer")
   }
 
+  test("streaming windowed top-k equals the exact batch twin when capacity covers the keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    // window 1 (00:00–00:10): user 1 ×3, user 2 ×2, user 3 ×1, user 4 ×1
+    // window 2 (00:10–00:20): user 5 ×2, user 1 ×1
+    val w1 = Seq(
+      1L -> t("2024-01-01 00:01:00"), 1L -> t("2024-01-01 00:02:00"),
+      1L -> t("2024-01-01 00:03:00"), 2L -> t("2024-01-01 00:04:00"),
+      2L -> t("2024-01-01 00:05:00"), 3L -> t("2024-01-01 00:06:00"),
+      4L -> t("2024-01-01 00:07:00"))
+    val w2 = Seq(
+      5L -> t("2024-01-01 00:11:00"), 5L -> t("2024-01-01 00:12:00"),
+      1L -> t("2024-01-01 00:13:00"))
+    val q = StreamOps.streamWindowTopK(
+        mem.toDF().toDF("user_id", "ts"), k = 3, capacity = 64)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(w1); q.processAllAvailable()
+      assert(spark.table("topk_stream").count() === 0,
+        "emitted before the window was watermark-complete")
+      mem.addData(w2); q.processAllAvailable()
+      // advance watermark past both window ends, then fire the timers
+      mem.addData(Seq(9L -> t("2024-01-01 01:00:00"))); q.processAllAvailable()
+      mem.addData(Seq(9L -> t("2024-01-01 01:01:00"))); q.processAllAvailable()
+      val got = spark.table("topk_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .sortBy(x => (x._1.getTime, x._5))
+      // exact regime: est = true count, err = 0, ranks dense by (n desc, key)
+      val expected = Seq(
+        (t("2024-01-01 00:00:00"), 1L, 3L, 0L, 1),
+        (t("2024-01-01 00:00:00"), 2L, 2L, 0L, 2),
+        (t("2024-01-01 00:00:00"), 3L, 1L, 0L, 3),
+        (t("2024-01-01 00:10:00"), 5L, 2L, 0L, 1),
+        (t("2024-01-01 00:10:00"), 1L, 1L, 0L, 2))
+      assert(got.toSeq === expected,
+        "ample-capacity streaming top-k must equal the exact batch twin")
+    } finally q.stop()
+  }
+
+  test("space-saving sketch honors its published bounds under tight capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    // one window; N = 115 events over 43 distinct keys, capacity 8:
+    // heavies 1/2/3 (50+30+20 = 100) all exceed N/m ≈ 14.4 and MUST
+    // survive; 40 singleton keys fight over the remaining counters
+    val heavy = Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(20)(3L)
+    val light = (100L until 140L).toSeq
+    val all = (heavy ++ light).zipWithIndex.map { case (k, i) =>
+      k -> t(f"2024-01-01 00:0${i % 6}:${10 + i % 45}%02d")
+    }
+    val q = StreamOps.streamWindowTopK(
+        mem.toDF().toDF("user_id", "ts"), k = 8, capacity = 8)
+      .writeStream.format("memory").queryName("topk_tight")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(all); q.processAllAvailable()
+      mem.addData(Seq(9L -> t("2024-01-01 01:00:00"))); q.processAllAvailable()
+      mem.addData(Seq(9L -> t("2024-01-01 01:01:00"))); q.processAllAvailable()
+      val got = spark.table("topk_tight").collect()
+        .filter(_.getTimestamp(0) == t("2024-01-01 00:00:00"))
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      val trueCounts = Map(1L -> 50L, 2L -> 30L, 3L -> 20L)
+      trueCounts.foreach { case (key, n) =>
+        assert(got.contains(key), s"heavy hitter $key (true $n > N/m) evicted")
+        val (est, err) = got(key)
+        assert(est >= n, s"space-saving never undercounts: key $key est $est < true $n")
+        assert(est - err <= n, s"est - err must lower-bound the true count: key $key")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming top-k sketch survives a kill/restart: pre-kill counts still answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_ckpt").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[(Long, Timestamp)]
+    def start() = StreamOps.streamWindowTopK(
+        mem.toDF().toDF("user_id", "ts"), k = 2, capacity = 16)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    mem.addData(Seq(
+      7L -> t("2024-01-01 00:01:00"), 7L -> t("2024-01-01 00:02:00"),
+      8L -> t("2024-01-01 00:03:00")))
+    q1.processAllAvailable()
+    q1.stop() // kill: the window's sketch lives only in the checkpointed state
+    val q2 = start()
+    try {
+      mem.addData(Seq(9L -> t("2024-01-01 01:00:00"))); q2.processAllAvailable()
+      mem.addData(Seq(9L -> t("2024-01-01 01:01:00"))); q2.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+        .filter(_.getTimestamp(0) == t("2024-01-01 00:00:00"))
+        .map(r => (r.getInt(4), r.getLong(1), r.getLong(2))).sorted
+      assert(rows.toSeq === Seq((1, 7L, 2L), (2, 8L, 1L)),
+        "recovered sketch must rank the pre-kill counts")
+    } finally q2.stop()
+  }
+
   test("streaming forward as-of answers the earliest in-window event and self-cleans its state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
