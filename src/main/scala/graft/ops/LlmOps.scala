@@ -776,7 +776,7 @@ object LlmOps {
     * prefixes. Output: unordered candidate pairs (doc_a < doc_b),
     * distinct. `base` must carry (doc_id, hs) with distinct sorted hashes
     * and be materialized — the posting table is derived from it twice. */
-  private def containmentPrefixCandidates(base: DataFrame, tau: Double): DataFrame = {
+  private[ops] def containmentPrefixCandidates(base: DataFrame, tau: Double): DataFrame = {
     val posting = base.select(col("doc_id"), explode(col("hs")).as("h"))
       .localCheckpoint(true)
     val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -818,7 +818,7 @@ object LlmOps {
     * dropped checkpoint blocks only when a driver GC happens to run, so an
     * iterative algorithm would accumulate one live label-table copy per
     * round in the block store. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[ops] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)

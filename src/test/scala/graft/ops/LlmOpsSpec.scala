@@ -225,6 +225,89 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("containment prefix filter at 10x fixture scale: lossless on planted pairs, near-linear fan-out under Zipf skew") {
+    // Adversarial shape for a prefix-filter index: STOP tokens present in
+    // EVERY document (the worst-case posting list, df = n) plus a long
+    // tail of rare tokens. Rarest-first prefix ordering must (a) never
+    // lose a true containment pair — the pigeonhole proof — and (b) keep
+    // the candidate join near-linear because stop tokens, however long
+    // their posting lists, never enter any prefix.
+    import spark.implicits._
+    val rnd = new scala.util.Random(77001L)
+    val n = 4000 // ~10x the sf0.001 document count
+    val stops = (0L until 10L).toSeq // in every doc: df = n for all ten
+    val docs = (0 until n).map { i =>
+      // 25 rare tokens from a 400k-hash space: mostly unique, occasional
+      // cross-doc collisions keep the join honest
+      val rare = Seq.fill(25)(10L + rnd.nextInt(400000).toLong)
+      (i.toLong, (stops ++ rare).distinct.sorted.toArray)
+    }
+    // planted containment: doc n+i keeps all stops and drops 5 rare
+    // tokens of doc i -> c(A->B) = 1.0 >= tau for A the subset doc
+    val planted = (0 until 40).map { i =>
+      val sub = docs(i)._2.filter(h => h < 10L || h % 5L != 1L)
+      ((n + i).toLong, sub)
+    }
+    val base = (docs ++ planted).toDF("doc_id", "hs").localCheckpoint(true)
+    val cands = LlmOps.containmentPrefixCandidates(base, tau = 0.8)
+    val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 40).foreach { i =>
+      assert(got.contains((i.toLong, (n + i).toLong)),
+        s"lossless prefix filter dropped planted containment pair $i")
+    }
+    // fan-out: brute force is n(n-1)/2 ~ 8.1M pairs; the prefix join must
+    // stay within a small constant of corpus size even though every doc
+    // shares ten full-corpus stop tokens
+    val cnt = got.size
+    assert(cnt <= 5L * (n + 40),
+      s"candidate fan-out $cnt exceeds the near-linear bound (${5 * (n + 40)})")
+    LlmOps.releaseCheckpoint(base)
+  }
+
+  test("PQ sampled trainer at 10x fixture scale keeps recall on planted near-duplicates") {
+    // Past 4096 vectors the PQ codebook trains on a deterministic hash
+    // sample while encoding stays full-corpus — this drives that regime
+    // (fixture corpora never reach it): 6000 vectors, 60 planted
+    // near-duplicate pairs (cos >= 0.95 by construction). Of the planted
+    // pairs that share an LSH bucket (the candidate generator's scope),
+    // the sampled-codebook scorer must retain a solid majority — a
+    // trainer that overfits its sample or a codebook starved by sampling
+    // would push reconstructed cosines under the 0.3 bar exactly here.
+    import spark.implicits._
+    val rnd = new scala.util.Random(77002L)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val planted = (0 until 60).flatMap { i =>
+      val a = unit()
+      val b = a.map(x => (x + (rnd.nextDouble() * 0.02 - 0.01)).toFloat)
+      Seq((i.toLong * 2, a), (i.toLong * 2 + 1, b))
+    }
+    val filler = (200L until 6080L).map(i => (i, unit()))
+    val rows = (planted ++ filler).map { case (id, v) => (id, v, (id % 7).toInt) }
+    val tmp = java.nio.file.Files.createTempDirectory("pq_scale").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val pq = LlmOps.queries.toMap.apply("llm_sim_ann_pq")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket visibility of each planted pair under the corpus-adaptive LSH
+    val e = rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val buckets = LlmOps.signBuckets(e, LlmOps.annBits(rows.size.toLong))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val visible = (0 until 60).map(i => (i.toLong * 2, i.toLong * 2 + 1))
+      .filter { case (a, b) => buckets(a) == buckets(b) }
+    assert(visible.size >= 30,
+      s"fixture degenerate: only ${visible.size}/60 planted pairs bucket-visible")
+    val recall = visible.count(pq.contains).toDouble / visible.size
+    assert(recall >= 0.7,
+      s"sampled-trainer PQ recall $recall over ${visible.size} visible planted pairs")
+  }
+
   test("two-level IVF equals the flat form on a 100k corpus (and both recover planted duplicates)") {
     // The flat exact path caps nlist at 4096 because its geometry step
     // cross-joins nlist² cell pairs; past that prunedCosinePairs switches
