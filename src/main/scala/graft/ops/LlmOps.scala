@@ -373,8 +373,8 @@ object LlmOps {
       .withColumn("k", row_number().over(w))
       .filter(col("k") <= pqK)
       .select(col("m"), col("k"), col("sub").as("csub"))
-    // Elementwise means as 8 static decimal-sum aggregates in ONE groupBy
-    // (the subvector width is a compile-time constant): one shuffle per
+    // Elementwise means as 64/pqM static decimal-sum aggregates (one per
+    // subvector dimension — 4 at pqM=16) in ONE groupBy: one shuffle per
     // Lloyd round instead of ivfCodebook's posexplode + two groupBys —
     // the training chain is stage-latency-bound, not data-bound.
     val dims = 64 / pqM
@@ -1369,7 +1369,7 @@ object LlmOps {
         .join(cb.select(col("m"), col("k").as("kb"), col("csub").as("cbb")), Seq("m"))
         .withColumn("ip", expr("graft_dot(ca, cbb)"))
         .select(col("m"), col("ka"), col("kb"), col("ip"))
-      // Code table: the 8 codes packed into one array (m-order) plus the
+      // Code table: the pqM (16) codes packed into one array (m-order) plus the
       // reconstructed squared norm — the ONLY per-vector payload the pair
       // join carries. The score is the cosine BETWEEN RECONSTRUCTIONS
       // (normalized by reconstructed norms): scale-invariant, and the
