@@ -542,6 +542,70 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Exact per-query ANN SEARCH: top-k corpus neighbors for each query
+    * vector — the query-vs-corpus shape (retrieval), complementing the
+    * corpus self-join shape of [[exactTopKPairs]]. Same exact-recall
+    * recipe, per query:
+    *
+    *   1. a t0 lower bound from the query's NEAREST cell — that cell is
+    *      never empty (iters=0 seeds are corpus vectors, so every seed
+    *      sits in its own cell) and its k-th best cosine is an ACHIEVED
+    *      value, so pruning against it can only discard true non-answers;
+    *   2. a (query, cell) pair survives iff the triangle-inequality upper
+    *      bound cos(max(0, θ(q,c) − r_c)) can still beat t0 − ε, where
+    *      r_c is the cell's max member angle; surviving cells' members
+    *      are scored exactly and re-ranked.
+    *
+    * Scale shape: the corpus shuffles ONCE (centroid assignment); queries
+    * fan out only across their admissible cells (|Q|·√n rows of geometry,
+    * all broadcast-sized); the candidate join is an equi-join on cid; and
+    * the final rank is a per-query window over a bounded candidate set —
+    * never an O(|Q|·n) BNLJ. Codebook quality tunes the prune rate only,
+    * never answers (the bound is a proof). `queries`/`corpus` must be
+    * embDouble-shaped and materialized. */
+  private[ops] def exactSearchTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val eps = 1e-6 + 1e-9
+    val nl = ivfNlistExact(corpus.count())
+    val centroids = ivfCodebook(corpus, nlist = nl, iters = 0)
+    val assigned = assignToCentroid(corpus, centroids).localCheckpoint(true)
+    val radii = assigned.groupBy(col("cid")).agg(max(col("cang")).as("r_c"))
+    val cent = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+    // per-(query, cell) geometry: |Q| × nlist rows, both sides tiny
+    val qgeo = queries
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("ssq").as("qssq"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qang", acos(least(lit(1.0), greatest(lit(-1.0),
+        expr("graft_dot(qemb, cemb)") / (sqrt(col("qssq")) * sqrt(col("cssq")))))))
+      .select(col("qid"), col("qemb"), col("qssq"), col("cid"), col("qang"))
+      .localCheckpoint(true) // referenced three times below
+    val members = assigned.select(col("cid"), col("vec_id").as("nbr"),
+      col("emb").as("emb_b"), col("ssq").as("ssq_b"))
+    def scored(cands: DataFrame): DataFrame = cands.withColumn("cos_sim",
+      round(expr("graft_dot(qemb, emb_b)") /
+        (sqrt(col("qssq")) * sqrt(col("ssq_b"))), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nbr").asc)
+    val nearest = qgeo.groupBy(col("qid"))
+      .agg(min(struct(col("qang"), col("cid"))).as("m"))
+      .select(col("qid"), col("m.cid").as("cid"))
+    // t0 = the k-th best cosine inside the nearest cell; −1 when the cell
+    // holds fewer than k members (prune disabled — correct, never wrong)
+    val t0 = scored(nearest.join(qgeo, Seq("qid", "cid")).join(members, Seq("cid")))
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("qid"))
+      .agg(coalesce(min(when(col("rnk") === k, col("cos_sim"))), lit(-1.0)).as("t0"))
+    val admissible = qgeo.join(broadcast(radii), Seq("cid"))
+      .join(broadcast(t0), Seq("qid"))
+      .filter(cos(greatest(lit(0.0), col("qang") - col("r_c"))) >= col("t0") - eps)
+      .select(col("qid"), col("qemb"), col("qssq"), col("cid"))
+    scored(admissible.join(members, Seq("cid")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nbr"), col("cos_sim"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
   /** The coarse/fine side length for the hierarchical codebook once the
     * flat form is out of range: ⌈n^(1/4)⌉ per level keeps the total cell
     * count at the √n the geometry wants. */
@@ -1236,6 +1300,18 @@ object LlmOps {
 
     "llm_sim_topk" -> { (s, d) =>
       exactTopKPairs(embDouble(s, d).localCheckpoint(true), k = 10)
+    },
+
+    // Exact retrieval: top-5 corpus neighbors per query vector (every
+    // 50th vec_id plays the query set), via per-query cell pruning —
+    // exactSearchTopK's scaladoc carries the bound proof. Hash-matching
+    // the brute-force per-query oracle IS the recall proof, exactly as
+    // with the pair-shaped llm_sim_topk.
+    "llm_ann_search_topk" -> { (s, d) =>
+      val e = embDouble(s, d).localCheckpoint(true)
+      exactSearchTopK(
+        e.filter(col("vec_id") % 50 === 0),
+        e.filter(col("vec_id") % 50 =!= 0), k = 5)
     },
 
     // Exact-recall IVF-cell candidate generation, not an O(n²) BNLJ — see
@@ -2081,6 +2157,19 @@ object LlmOps {
          |SELECT va, vb, cos_sim FROM p
          |ORDER BY cos_sim DESC NULLS LAST, va ASC, vb ASC
          |LIMIT 10""".stripMargin,
+
+    "llm_ann_search_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nbr, emb AS ce FROM e WHERE vec_id % 50 <> 0),
+        |s AS (SELECT qid, nbr, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT qid, nbr, cos_sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY cos_sim DESC NULLS LAST, nbr ASC) AS rnk
+        |      FROM s)
+        |SELECT qid, nbr, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
+        |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin,
 
     "llm_sim_threshold_join" ->
       s"""$duckCosPairs

@@ -211,6 +211,30 @@ class LlmOpsSpec extends SparkSpec {
       assert(pruned === brute, s"recall/soundness violated at tau=$tau: " +
         s"missing=${(brute -- pruned).take(5)} extra=${(pruned -- brute).take(5)}")
     }
+    // exact per-query SEARCH top-k must equal the brute-force per-query
+    // ranking (ordered) on the same adversarial mix — queries drawn from
+    // both the clustered mass (prune fires) and the uniform spread
+    val queries = e.filter(col("vec_id") % 30 === 0)
+    val corpus = e.filter(col("vec_id") % 30 =!= 0)
+    for (k <- Seq(3, 10)) {
+      val qs = queries.select(col("vec_id").as("qid"),
+        col("emb").as("qemb"), col("ssq").as("qssq"))
+      val cs = corpus.select(col("vec_id").as("nbr"),
+        col("emb").as("emb_b"), col("ssq").as("ssq_b"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nbr").asc)
+      val bruteSearch = qs.crossJoin(cs)
+        .withColumn("cos_sim", round(
+          expr("graft_dot(qemb, emb_b)") / (sqrt(col("qssq")) * sqrt(col("ssq_b"))), 6))
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= k)
+        .select(col("qid"), col("nbr"), col("cos_sim"))
+        .orderBy(col("qid").asc, col("rnk").asc)
+        .collect().map(_.toSeq.toList).toList
+      val fastSearch = LlmOps.exactSearchTopK(queries, corpus, k)
+        .select(col("qid"), col("nbr"), col("cos_sim"))
+        .collect().map(_.toSeq.toList).toList
+      assert(fastSearch === bruteSearch, s"search top-$k diverged from brute force")
+    }
     // exact two-phase top-k must equal the brute-force ranking (ordered)
     for (k <- Seq(5, 25)) {
       val bruteTop = a.join(b, col("va") < col("vb"))
