@@ -1168,6 +1168,39 @@ object LlmOps {
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
+    // URL canonicalization + dedup — the CommonCrawl-style curation step
+    // that precedes any content-level dedup: normalize each document's
+    // URL (scheme/case/www./tracking-query/trailing-slash noise removed)
+    // and keep the smallest doc_id per canonical URL. Fixture documents
+    // carry no URL column, so one is DERIVED from (source, doc_id) by a
+    // SQL-expressible formula — the same oracle-checkable-injection
+    // pattern as mm_image_meta: the interesting logic (the canonicalizer)
+    // runs on both engines and any regex slip hash-mismatches. All three
+    // regexes sit in the Java∩RE2 common subset. Scale shape: two narrow
+    // projections and ONE groupBy on the canonical string (map-side
+    // combined) + a broadcast-sized join back — linear, no pair join.
+    "llm_url_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("url", concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("https://")).otherwise(lit("http://")),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".example.com/page/"),
+          pmod(col("doc_id"), lit(100)).cast("string"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("/")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("?utm_source=feed&ref=x"))
+            .otherwise(lit(""))))
+        .withColumn("canon",
+          regexp_replace(regexp_replace(regexp_replace(lower(col("url")),
+            "^https?://(www\\.)?", ""), "\\?.*$", ""), "/$", ""))
+      val keepers = docs.groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      docs.select(col("doc_id"), col("canon"))
+        .join(keepers, Seq("canon"))
+        .select(col("doc_id"), col("canon"), col("keeper"), col("n_dups"),
+          (col("doc_id") =!= col("keeper")).as("is_dup"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // Benchmark decontamination (the GPT-3 / Pile pipeline step): an eval
     // set — here source 'src0' — defines a distinct 8-gram set; any
     // training document sharing one of those 8-grams is contaminated and
@@ -2068,6 +2101,30 @@ object LlmOps {
          |      FROM t a JOIN t b ON a.doc_id <> b.doc_id)
          |SELECT doc_a, doc_b, round(c, 6) AS containment FROM p WHERE c >= 0.7
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    "llm_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |         || source || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR)
+        |         || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+        |         || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=x' ELSE '' END)
+        |         AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |           '^https?://(www\.)?', ''), '\?.*$', ''), '/$', '') AS canon
+        |  FROM u
+        |), k AS (
+        |  SELECT canon, min(doc_id) AS keeper, count(*) AS n_dups
+        |  FROM c GROUP BY canon
+        |)
+        |SELECT c.doc_id, c.canon, k.keeper, k.n_dups,
+        |       c.doc_id <> k.keeper AS is_dup
+        |FROM c JOIN k USING (canon)
+        |ORDER BY c.doc_id ASC NULLS FIRST""".stripMargin,
 
     // Unblocked semantic predicate on purpose: hash-matching it proves the
     // Spark side's length-band blocking lossless.
