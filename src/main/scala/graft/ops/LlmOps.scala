@@ -313,17 +313,18 @@ object LlmOps {
     (s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/assign"))
   }
 
-  /** Cache location for a dataset's IVF index, keyed on the embeddings
-    * files' (name, size, mtime) signature so a regenerated fixture never
-    * answers from a stale index. Queries are read-only against the sf dir,
-    * so the index lives under the system tmpdir. */
-  private def ivfIndexDir(d: String): String = {
+  /** Cache location for a dataset's ANN index (`kind` = ivf | pq), keyed
+    * on the embeddings files' (name, size, mtime) signature so a
+    * regenerated fixture never answers from a stale index. Queries are
+    * read-only against the sf dir, so the index lives under the system
+    * tmpdir. */
+  private def annIndexDir(d: String, kind: String): String = {
     val src = new java.io.File(s"$d/embeddings.parquet")
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
     val sig = files.filter(_.isFile)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s"$d|$sig"))
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$h"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_index_$h"
   }
 
   /** Product-quantization geometry: pqM subspaces of 64/pqM dims, pqK
@@ -389,6 +390,92 @@ object LlmOps {
           (col(s"s$i") / col("cnt")).cast("double")): _*).as("csub"))
     }
     cb
+  }
+
+  /** SDC lookup from a PQ codebook: inner products between every pair of
+    * codebook entries within a subspace — pqM·pqK² = 4096 skinny rows,
+    * broadcast at the pair join. */
+  private def pqSdcTable(cb: DataFrame): DataFrame =
+    cb.select(col("m"), col("k").as("ka"), col("csub").as("ca"))
+      .join(cb.select(col("m"), col("k").as("kb"), col("csub").as("cbb")), Seq("m"))
+      .withColumn("ip", expr("graft_dot(ca, cbb)"))
+      .select(col("m"), col("ka"), col("kb"), col("ip"))
+
+  /** Bucketed PQ code table — one row per vector: its sign-LSH candidate
+    * bucket, the pqM codes packed in m-order, and the reconstructed
+    * squared norm. This is the ONLY per-vector payload the pair join
+    * carries (the ~32× shrink that is the point of PQ), and exactly what
+    * [[writePqIndex]] persists. */
+  private def pqCodesTable(e: DataFrame, sub: DataFrame, cb: DataFrame,
+      n: Long): DataFrame = {
+    val codes = pqAssign(sub, cb)
+      .join(broadcast(cb.withColumn("cssq", expr("graft_dot(csub, csub)"))
+        .select(col("m"), col("k"), col("cssq"))), Seq("m", "k"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, k))), x -> x.k)").as("codes"),
+        sum(col("cssq").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          .cast("double").as("rssq"))
+    signBuckets(e, annBits(n))
+      .select(col("vec_id"), col("bucket"))
+      .join(codes, Seq("vec_id"))
+  }
+
+  /** PQ pair scoring from a bucketed code table + broadcast SDC — the tail
+    * shared by the retrain query and the persisted-index query (shared
+    * body = structural result identity, the ivfPairs rule). The score is
+    * the cosine BETWEEN RECONSTRUCTIONS (normalized by reconstructed
+    * norms): scale-invariant, and the right estimator here — normalizing
+    * <ra,rb> by the TRUE norms instead deflates every score by
+    * |ra||rb|/(|a||b|) (≈0.5 at 4-bit codes, measured: zero fixture pairs
+    * cleared the threshold), while the direction-only form stays centred
+    * with ~0.15 mean error. Decimal per-pair sums keep every double
+    * partition-order-independent (the dsumD rule). */
+  private def pqPairScores(bk: DataFrame, sdc: DataFrame): DataFrame = {
+    val a = bk.select(col("bucket"), col("vec_id").as("va"),
+      col("codes").as("codes_a"), col("rssq").as("rssq_a"))
+    val b = bk.select(col("bucket"), col("vec_id").as("vb"),
+      col("codes").as("codes_b"), col("rssq").as("rssq_b"))
+    a.join(b, Seq("bucket")).filter(col("va") < col("vb"))
+      // bounded explode: exactly pqM rows per pair; codes has exactly
+      // pqM entries by construction, so 1-based element_at never
+      // overruns (the ANSI [i] rule).
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("ka", element_at(col("codes_a"), col("m") + 1))
+      .withColumn("kb", element_at(col("codes_b"), col("m") + 1))
+      .join(broadcast(sdc), Seq("m", "ka", "kb"))
+      .groupBy(col("va"), col("vb"), col("rssq_a"), col("rssq_b"))
+      .agg(sum(col("ip").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+        .cast("double").as("ipsum"))
+      .withColumn("approx_cos",
+        round(col("ipsum") / (sqrt(col("rssq_a")) * sqrt(col("rssq_b"))), 6))
+      .filter(col("approx_cos") >= 0.3)
+      .select(col("va"), col("vb"), col("approx_cos"))
+      .orderBy(col("va").asc, col("vb").asc)
+  }
+
+  /** Train-once PQ index persistence — [[writeIvfIndex]]'s sibling and the
+    * round-5 verdict's "only real lever" on the PQ query's cost: the
+    * Lloyd-trained codebook and the bucketed code table land as parquet,
+    * so a reader scores pairs without ever touching the raw embeddings.
+    * Layout under `dir`: `codebook` (m, k, csub) and `codes`
+    * (vec_id, bucket, codes, rssq). */
+  def writePqIndex(e: DataFrame, dir: String): Unit = {
+    val n = e.count()
+    val sub = pqSubvectors(e).localCheckpoint(true)
+    val trainSub =
+      if (n <= 4096L) sub
+      else sub.filter(pmod(xxhash64(col("vec_id")), lit(n / 4096L + 1L)) === 0L)
+    val cb = pqCodebook(trainSub, iters = 2).localCheckpoint(true)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    pqCodesTable(e, sub, cb, n).write.mode("overwrite").parquet(s"$dir/codes")
+    releaseCheckpoint(cb)
+    releaseCheckpoint(sub)
+  }
+
+  /** Read a [[writePqIndex]] index back: (codebook, bucketed codes). */
+  def readPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(s) // SDC build needs graft_dot
+    (s.read.parquet(s"$dir/codebook"), s.read.parquet(s"$dir/codes"))
   }
 
   /** EXACT cosine-threshold pairs via IVF cells + triangle-inequality cell
@@ -1425,7 +1512,7 @@ object LlmOps {
     // amortized over every query; the cid-partitioned inverted file
     // makes single-cell probes a partition-pruned scan.
     "llm_sim_ann_ivf_persisted" -> { (s, d) =>
-      val idx = ivfIndexDir(d)
+      val idx = annIndexDir(d, "ivf")
       val built = new java.io.File(s"$idx/assign/_SUCCESS").exists() &&
         new java.io.File(s"$idx/centroids/_SUCCESS").exists()
       if (!built) {
@@ -1472,50 +1559,28 @@ object LlmOps {
         if (n <= 4096L) sub
         else sub.filter(pmod(xxhash64(col("vec_id")), lit(n / 4096L + 1L)) === 0L)
       val cb = pqCodebook(trainSub, iters = 2).localCheckpoint(true)
-      // SDC lookup: inner products between every pair of codebook entries
-      // within a subspace — pqM·pqK² = 4096 skinny rows, broadcast.
-      val sdc = cb.select(col("m"), col("k").as("ka"), col("csub").as("ca"))
-        .join(cb.select(col("m"), col("k").as("kb"), col("csub").as("cbb")), Seq("m"))
-        .withColumn("ip", expr("graft_dot(ca, cbb)"))
-        .select(col("m"), col("ka"), col("kb"), col("ip"))
-      // Code table: the pqM (16) codes packed into one array (m-order) plus the
-      // reconstructed squared norm — the ONLY per-vector payload the pair
-      // join carries. The score is the cosine BETWEEN RECONSTRUCTIONS
-      // (normalized by reconstructed norms): scale-invariant, and the
-      // right estimator here — normalizing <ra,rb> by the TRUE norms
-      // instead deflates every score by |ra||rb|/(|a||b|) (≈0.5 at 4-bit
-      // codes, measured: zero fixture pairs cleared the threshold), while
-      // the direction-only form stays centred with ~0.15 mean error.
-      val codes = pqAssign(sub, cb)
-        .join(broadcast(cb.withColumn("cssq", expr("graft_dot(csub, csub)"))
-          .select(col("m"), col("k"), col("cssq"))), Seq("m", "k"))
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(m, k))), x -> x.k)").as("codes"),
-          sum(col("cssq").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
-            .cast("double").as("rssq"))
-      val bk = signBuckets(e, annBits(n))
-        .select(col("vec_id"), col("bucket"))
-        .join(codes, Seq("vec_id"))
-      val a = bk.select(col("bucket"), col("vec_id").as("va"),
-        col("codes").as("codes_a"), col("rssq").as("rssq_a"))
-      val b = bk.select(col("bucket"), col("vec_id").as("vb"),
-        col("codes").as("codes_b"), col("rssq").as("rssq_b"))
-      a.join(b, Seq("bucket")).filter(col("va") < col("vb"))
-        // bounded explode: exactly pqM rows per pair; codes has exactly
-        // pqM entries by construction, so 1-based element_at never
-        // overruns (the ANSI [i] rule).
-        .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
-        .withColumn("ka", element_at(col("codes_a"), col("m") + 1))
-        .withColumn("kb", element_at(col("codes_b"), col("m") + 1))
-        .join(broadcast(sdc), Seq("m", "ka", "kb"))
-        .groupBy(col("va"), col("vb"), col("rssq_a"), col("rssq_b"))
-        .agg(sum(col("ip").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
-          .cast("double").as("ipsum"))
-        .withColumn("approx_cos",
-          round(col("ipsum") / (sqrt(col("rssq_a")) * sqrt(col("rssq_b"))), 6))
-        .filter(col("approx_cos") >= 0.3)
-        .select(col("va"), col("vb"), col("approx_cos"))
-        .orderBy(col("va").asc, col("vb").asc)
+      pqPairScores(pqCodesTable(e, sub, cb, n), pqSdcTable(cb))
+    },
+
+    // The SAME PQ ANN routed through a PERSISTED index (writePqIndex /
+    // readPqIndex) — the llm_sim_ann_ivf_persisted pattern applied to the
+    // query whose retrain cost dominates the bench (the serially-dependent
+    // Lloyd chain): training runs once per dataset signature, and the
+    // query scans the codebook + bucketed code table only. LlmOpsSpec
+    // asserts the AQE-finalized plan never touches embeddings.parquet and
+    // that rows are identical to the retrain path — structural, since
+    // both run pqPairScores on a pqCodesTable.
+    "llm_sim_ann_pq_persisted" -> { (s, d) =>
+      val idx = annIndexDir(d, "pq")
+      val built = new java.io.File(s"$idx/codes/_SUCCESS").exists() &&
+        new java.io.File(s"$idx/codebook/_SUCCESS").exists()
+      if (!built) {
+        val e = embDouble(s, d).localCheckpoint(true)
+        writePqIndex(e, idx)
+        releaseCheckpoint(e)
+      }
+      val (cb, codes) = readPqIndex(s, idx)
+      pqPairScores(codes, pqSdcTable(cb))
     },
 
     // Deterministic per-stratum hash sampling: membership is a pure

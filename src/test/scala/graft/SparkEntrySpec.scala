@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(all.size === SparkEntry.queries.size)
   }
 
-  test("every oracle key has a query; rows-only queries are the known five") {
+  test("every oracle key has a query; rows-only queries are the known six") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
@@ -27,13 +27,15 @@ class SparkEntrySpec extends AnyFunSuite {
     // xxhash64-based signatures (simhash, the LSH/IVF ANN forms) and the
     // PQ-approximated cosine have no DuckDB twin; these stay rows-only by
     // design and are property-tested instead (PropertySpec / LlmOpsSpec).
-    // llm_sim_ann_ivf_persisted joined in round 6: it is the retrain
-    // path's row-identical twin (asserted structurally in LlmOpsSpec), so
-    // it inherits the same oracle-less status. llm_dedup_containment_lsh
-    // left this set in round 5 when its candidates became the lossless
-    // prefix filter (exact → full-corpus oracle).
+    // llm_sim_ann_{ivf,pq}_persisted joined in round 6: each is its
+    // retrain path's row-identical twin (asserted structurally in
+    // LlmOpsSpec), so they inherit the same oracle-less status.
+    // llm_dedup_containment_lsh left this set in round 5 when its
+    // candidates became the lossless prefix filter (exact → full-corpus
+    // oracle).
     assert(rowsOnly === Set("llm_dedup_simhash", "llm_sim_ann_lsh",
-      "llm_sim_ann_ivf", "llm_sim_ann_pq", "llm_sim_ann_ivf_persisted"),
+      "llm_sim_ann_ivf", "llm_sim_ann_pq", "llm_sim_ann_ivf_persisted",
+      "llm_sim_ann_pq_persisted"),
       s"unexpected oracle-less queries: ${rowsOnly.mkString(", ")}")
   }
 

@@ -88,6 +88,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("persisted-index PQ ANN: identical rows to the retrain path, plan reads only the index") {
+    val retrain = SparkEntry_queries("llm_sim_ann_pq").collect()
+      .map(_.toSeq.toList).toList
+    val persisted = SparkEntry_queries("llm_sim_ann_pq_persisted")
+    val rows = persisted.collect().map(_.toSeq.toList).toList
+    assert(rows === retrain,
+      "persisted-index PQ results diverged from the retrain path")
+    val planStr = persisted.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_pq_index_"),
+      "expected the persisted PQ index scan in the executed plan")
+    assert(!planStr.contains("embeddings.parquet"),
+      "persisted-index PQ query must never re-read the raw embeddings")
+    val again = SparkEntry_queries("llm_sim_ann_pq_persisted")
+      .collect().map(_.toSeq.toList).toList
+    assert(again === rows)
+  }
+
   test("PQ ANN: deterministic, and approx cosine tracks the true cosine on every returned pair") {
     val pq = SparkEntry_queries("llm_sim_ann_pq").collect()
     assert(pq.nonEmpty, "PQ ANN produced no pairs")
