@@ -21,7 +21,8 @@ object SparkEntry {
       (ops.LlmOps.queries, ops.LlmOps.oracles),
       (ops.Udfs.queries, ops.Udfs.oracles),
       (ops.StreamBatch.queries, ops.StreamBatch.oracles),
-      (ops.Reshape.queries, ops.Reshape.oracles)
+      (ops.Reshape.queries, ops.Reshape.oracles),
+      (ops.EventAnalytics.queries, ops.EventAnalytics.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

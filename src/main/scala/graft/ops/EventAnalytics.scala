@@ -1,0 +1,247 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 — event-stream product-analytics operators over `events`:
+  * time-series gap-fill with forward-fill, sequential funnels, and cohort
+  * retention. The three classic shapes a user of an event-analytics engine
+  * runs daily, each expressed as one declarative Catalyst plan with a
+  * DuckDB oracle twin.
+  *
+  * Determinism rules (SURVEY §5.3): all offsets/counts are exact integer
+  * arithmetic on microsecond timestamps; the one money-ish aggregate
+  * (`sum_value_ffill`) aggregates in exact DECIMAL and casts to double
+  * once at output, after the forward-fill (copying a decimal is exact, so
+  * the filled value is bit-identical to its source bucket's).
+  *
+  * Scale notes (100 TB):
+  *  - `ts_gapfill_ffill`'s spine is |event_type| × |hours| — a function of
+  *    the time span and key cardinality, NOT the row count, so it stays
+  *    tiny while the fact aggregation is one map-side-combinable shuffle.
+  *    The forward-fill window partitions by event_type over the spine
+  *    (small by construction), never over raw events.
+  *  - `win_funnel_steps` chains equi-joins + aggregations all keyed on
+  *    user_id: one partitioning reused across stages (AQE coalesces), no
+  *    window over the full event stream, and each stage's output is one
+  *    row per user — monotonically shrinking.
+  *  - `agg_retention_cohort` is two user_id-keyed shuffles (first-event
+  *    agg, distinct activity weeks) + a co-partitioned join; the result
+  *    cardinality is |cohort weeks| × |offsets|.
+  *  - `ts_ohlc_resample` is ONE map-side-combinable aggregate (min_by/
+  *    max_by partials carry a (value, key) pair); `win_path_transitions`
+  *    windows per user_id — never a global order — then aggregates to a
+  *    |types|² matrix.
+  */
+object EventAnalytics {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // Hourly resample of each event_type over the global [min,max] hour
+    // span: every (type, hour) bucket exists (gaps get n=0), and the
+    // decimal value sum is carried forward across empty buckets
+    // (last-non-null window), the standard time-series densification
+    // before charting/as-of alignment.
+    "ts_gapfill_ffill" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      // date_trunc returns TIMESTAMP_LTZ even on NTZ input — cast straight
+      // back to NTZ (sessions run UTC) so the output column compares
+      // bit-for-bit with DuckDB's tz-free truncation, per the Tables rule.
+      val trunc = (c: org.apache.spark.sql.Column) =>
+        date_trunc("hour", c).cast("timestamp_ntz")
+      val agg = ev
+        .groupBy(col("event_type"), trunc(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(Tables.Money)).as("sv"))
+      val bounds = ev.agg(trunc(min(col("ts"))).as("lo"),
+        trunc(max(col("ts"))).as("hi"))
+      val hours = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+      val spine = ev.select(col("event_type")).distinct().crossJoin(hours)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(agg, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sv"), ignoreNulls = true).over(w)
+            .cast("double").as("sum_value_ffill"))
+        .orderBy(col("event_type").asc, col("hr").asc)
+    },
+
+    // Sequential conversion funnel view → click → purchase with a 24 h
+    // step deadline: first view per user, then the first click strictly
+    // after it (within 24 h), then the first purchase strictly after that
+    // click (within 24 h). Output is one row per funnel-entered user with
+    // the step timestamps (null = dropped off) and the reached depth.
+    "win_funnel_steps" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val cl = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts") &&
+          col("ts") <= col("v_ts") + expr("interval 24 hours"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(cl, Seq("user_id"))
+        .filter(col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + expr("interval 24 hours"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.join(cl, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+          (lit(1L) + when(col("c_ts").isNotNull, 1L).otherwise(0L)
+            + when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("funnel_depth"))
+        .orderBy(col("user_id").asc)
+    },
+
+    // OHLC resample (the financial candlestick shape): per (type, hour)
+    // the first/last/min/max of `value`, first/last ordered by the total
+    // (ts, event_id) key so ties cannot flip the answer. Every output is
+    // a SELECTION of an input double — no arithmetic, so cross-engine
+    // exact by construction. One map-side-combinable aggregate: min_by/
+    // max_by carry a (value, key) pair through partial aggregation, the
+    // same one-shuffle shape as any groupBy at 100 TB.
+    "ts_ohlc_resample" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val key = struct(col("ts"), col("event_id"))
+      ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"))
+        .agg(min_by(col("value"), key).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), key).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc, col("hr").asc)
+    },
+
+    // Event-path transition matrix (the Sankey/markov-chain feed): each
+    // user's event stream in (ts, event_id) order, counting adjacent
+    // event_type -> next_type transitions. One user_id-sharded window
+    // (never a global order), then a tiny |types|² aggregate.
+    "win_path_transitions" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc, col("next_type").asc)
+    },
+
+    // Weekly cohort retention: users cohorted by the Monday-start week of
+    // their first event; n_users = distinct users from that cohort active
+    // in cohort_week + week_offset. Both week columns are Monday
+    // midnights, so the day difference is an exact multiple of 7 and the
+    // integer `div` is lossless (never `/` — float division in BOTH
+    // engines).
+    "agg_retention_cohort" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      // NTZ cast for the same reason as ts_gapfill_ffill's hour truncation.
+      val f = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("timestamp_ntz").as("cohort_week"))
+      val a = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("timestamp_ntz").as("activity_week"))
+        .distinct()
+      f.join(a, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          expr("CAST(datediff(activity_week, cohort_week) div 7 AS BIGINT)")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week").asc, col("week_offset").asc)
+    }
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "ts_gapfill_ffill" ->
+      """WITH spine AS (
+        |  SELECT t.event_type, h.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |       (SELECT date_trunc('hour', min(ts)) FROM events),
+        |       (SELECT date_trunc('hour', max(ts)) FROM events),
+        |       INTERVAL 1 HOUR)) AS hr) h
+        |), agg AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(38,4))) AS sv
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT s.event_type, s.hr AS hr, COALESCE(a.n, 0) AS n,
+        |       CAST(last_value(a.sv IGNORE NULLS) OVER (
+        |              PARTITION BY s.event_type ORDER BY s.hr
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS sum_value_ffill
+        |FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr
+        |ORDER BY s.event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
+
+    "win_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), cl AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN cl ON e.user_id = cl.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts
+        |    AND e.ts <= cl.c_ts + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, v.v_ts, cl.c_ts, p.p_ts,
+        |       CAST(1 + (cl.c_ts IS NOT NULL)::INT + (p.p_ts IS NOT NULL)::INT
+        |            AS BIGINT) AS funnel_depth
+        |FROM v LEFT JOIN cl ON v.user_id = cl.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id ASC NULLS FIRST""".stripMargin,
+
+    "ts_ohlc_resample" ->
+      """WITH x AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, value,
+        |         first_value(value) OVER (
+        |             PARTITION BY event_type, date_trunc('hour', ts)
+        |             ORDER BY ts, event_id) AS o,
+        |         last_value(value) OVER (
+        |             PARTITION BY event_type, date_trunc('hour', ts)
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM events
+        |)
+        |SELECT event_type, hr, min(o) AS open, max(value) AS high,
+        |       min(value) AS low, min(c) AS close, count(*) AS n
+        |FROM x GROUP BY 1, 2
+        |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
+
+    "win_path_transitions" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM x WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY event_type ASC NULLS FIRST, next_type ASC NULLS FIRST""".stripMargin,
+
+    "agg_retention_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        |  FROM events
+        |)
+        |SELECT f.cohort_week,
+        |       CAST(datediff('day', f.cohort_week, a.activity_week) // 7
+        |            AS BIGINT) AS week_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week ASC NULLS FIRST, week_offset ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -269,4 +269,39 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       s"no hash/merge join for candidate pairs in:\n$plan")
   }
+
+  test("ts_ohlc_resample aggregates in one hash shuffle (min_by/max_by partials combine map-side)") {
+    // One Exchange hashpartitioning for the two-phase aggregate; the only
+    // other exchange is the final ORDER BY's range partitioning. A second
+    // hash exchange would mean the OHLC selections aren't partial-agg'd.
+    // (The struct tie-break key downgrades HashAggregate to SortAggregate
+    // — struct buffers aren't hash-aggregable — which still partial-aggs
+    // map-side; that determinism trade is intended.)
+    val df = SparkEntry.queries("ts_ohlc_resample")(spark, sf)
+    df.collect() // AQE-finalize before inspecting (round-4 rule)
+    // AQE toString appends the pre-execution "== Initial Plan ==" section;
+    // count exchanges in the final section only.
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$plan")
+    assert(plan.contains("partial_min_by"),
+      s"min_by must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"OHLC must not funnel through one partition:\n$plan")
+  }
+
+  test("ts_gapfill_ffill joins the spine to the fact aggregate via a hash join, facts never BNLJ") {
+    // The spine construction may nested-loop (distinct types × the 1-row
+    // bounds frame — both tiny by construction); the fact-side join that
+    // carries the aggregated events MUST be a hash join on (type, hr).
+    val df = SparkEntry.queries("ts_gapfill_ffill")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"spine-to-aggregate join is not a hash/merge join:\n$plan")
+    val nested = plan.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct")).toSeq
+    assert(nested.forall(l => !l.contains("sv") && !l.contains("value")),
+      s"fact rows entered a nested-loop join:\n${nested.mkString("\n")}")
+  }
 }

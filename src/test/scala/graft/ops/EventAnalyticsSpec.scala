@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the event-analytics family (the DuckDB oracle is the
+  * cross-engine gate; these assert the invariants the SQL twin can't state
+  * as clearly — spine completeness, step ordering, cohort totality). */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("gapfill: dense spine (|types| x |hours|), zero-filled gaps, carried sums") {
+    val rows = q("ts_gapfill_ffill").collect()
+    val types = rows.map(_.getString(0)).distinct
+    val hours = rows.map(_.getAs[java.time.LocalDateTime](1)).distinct
+    assert(rows.length === types.length * hours.length,
+      "spine must be the full cross product of event types and hours")
+    // dense: within a type, consecutive spine rows are exactly 1 hour apart
+    val perType = rows.groupBy(_.getString(0))
+    perType.values.foreach { rs =>
+      val hs = rs.map(_.getAs[java.time.LocalDateTime](1)).sortWith(_.isBefore(_))
+      hs.sliding(2).foreach {
+        case Array(a, b) => assert(java.time.Duration.between(a, b).toHours === 1L)
+        case _           =>
+      }
+    }
+    // at least one gap bucket exists at this sf, and every gap after the
+    // first observation carries the previous non-null sum forward
+    assert(rows.exists(_.getLong(2) == 0L), "expected at least one empty bucket")
+    perType.values.foreach { rs =>
+      val sorted = rs.sortWith((a, b) => a.getAs[java.time.LocalDateTime](1)
+        .isBefore(b.getAs[java.time.LocalDateTime](1)))
+      var lastSum: Option[Double] = None
+      sorted.foreach { r =>
+        val n = r.getLong(2)
+        val sv = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        if (n == 0L) assert(sv === lastSum,
+          s"gap bucket must carry the previous sum (got $sv, want $lastSum)")
+        lastSum = sv
+      }
+    }
+  }
+
+  test("funnel: step timestamps ordered within the 24h deadline, depth consistent") {
+    val rows = q("win_funnel_steps").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[java.time.LocalDateTime]("v_ts")
+      val c = Option(r.getAs[java.time.LocalDateTime]("c_ts"))
+      val p = Option(r.getAs[java.time.LocalDateTime]("p_ts"))
+      val depth = r.getAs[Long]("funnel_depth")
+      assert(depth === 1L + c.size + p.size)
+      if (p.isDefined) assert(c.isDefined, "purchase step requires the click step")
+      c.foreach { ct =>
+        assert(ct.isAfter(v) && !ct.isAfter(v.plusHours(24)),
+          "click must fall in (v_ts, v_ts + 24h]")
+      }
+      (c, p) match {
+        case (Some(ct), Some(pt)) =>
+          assert(pt.isAfter(ct) && !pt.isAfter(ct.plusHours(24)),
+            "purchase must fall in (c_ts, c_ts + 24h]")
+        case _ =>
+      }
+    }
+  }
+
+  test("ohlc: low <= open/close <= high, buckets partition the events, open is the earliest row") {
+    val rows = q("ts_ohlc_resample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h, s"open $o outside [low $l, high $h]")
+      assert(l <= c && c <= h, s"close $c outside [low $l, high $h]")
+    }
+    val ev = graft.Tables.events(spark, sf)
+    assert(rows.map(_.getLong(6)).sum === ev.count(),
+      "bucket counts must partition the event stream")
+    // cross-check one bucket's open/close against the raw rows
+    val r0 = rows.head
+    val raw = ev
+      .filter(col("event_type") === r0.getString(0) &&
+        date_trunc("hour", col("ts")).cast("timestamp_ntz") === r0.getAs[java.time.LocalDateTime](1))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .select(col("value")).collect()
+    assert(raw.head.getDouble(0) === r0.getDouble(2), "open is the first value by (ts, event_id)")
+    assert(raw.last.getDouble(0) === r0.getDouble(5), "close is the last value by (ts, event_id)")
+  }
+
+  test("path transitions: each user contributes exactly (events - 1) transitions") {
+    val rows = q("win_path_transitions").collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+    val expected = ev.count() -
+      ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === expected)
+    rows.foreach(r => assert(r.getLong(2) > 0L))
+  }
+
+  test("retention: offset 0 holds the whole cohort; counts never exceed it") {
+    val rows = q("agg_retention_cohort").collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.get(0).toString)
+    byCohort.values.foreach { rs =>
+      val week0 = rs.find(_.getLong(1) == 0L)
+      assert(week0.isDefined, "every cohort is active in its own week")
+      val base = week0.get.getLong(2)
+      rs.foreach { r =>
+        assert(r.getLong(1) >= 0L)
+        assert(r.getLong(2) <= base,
+          "retained users cannot exceed the cohort size")
+      }
+    }
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(byCohort.values.map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum
+      === totalUsers, "cohorts partition the user base")
+  }
+}
