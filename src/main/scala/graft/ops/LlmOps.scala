@@ -652,10 +652,20 @@ object LlmOps {
     * embDouble-shaped and materialized. */
   private[ops] def exactSearchTopK(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
-    val eps = 1e-6 + 1e-9
     val nl = ivfNlistExact(corpus.count())
     val centroids = ivfCodebook(corpus, nlist = nl, iters = 0)
     val assigned = assignToCentroid(corpus, centroids).localCheckpoint(true)
+    exactSearchTopKIndexed(queries, centroids, assigned, k)
+  }
+
+  /** [[exactSearchTopK]]'s core against a PREBUILT inverted file
+    * (centroids + assignment, e.g. from [[readIvfIndex]]): the bound proof
+    * in exactSearchTopK's scaladoc holds for ANY codebook — radii and t0
+    * derive from the assignment itself — so answers are identical whatever
+    * index is supplied; codebook quality moves only the pruning rate. */
+  private[ops] def exactSearchTopKIndexed(queries: DataFrame,
+      centroids: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
+    val eps = 1e-6 + 1e-9
     val radii = assigned.groupBy(col("cid")).agg(max(col("cang")).as("r_c"))
     val cent = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
     // per-(query, cell) geometry: |Q| × nlist rows, both sides tiny
@@ -1434,6 +1444,30 @@ object LlmOps {
         e.filter(col("vec_id") % 50 =!= 0), k = 5)
     },
 
+    // The SAME exact search routed through a PERSISTED corpus index — and
+    // still ORACLE-BACKED, unlike the pair-shaped persisted ANN queries:
+    // exactSearchTopKIndexed is exact for ANY codebook, so the DuckDB
+    // brute-force twin is unchanged. Only the corpus side comes from the
+    // index (the query set is the runtime input and still reads
+    // embeddings); the index kind is "ivfsearch" because this corpus
+    // EXCLUDES the query rows, so the full-corpus ivf index can't serve.
+    // The cid-partitioned assign parquet makes the admissible-cell join a
+    // partition-prunable scan at 100 TB.
+    "llm_ann_search_topk_persisted" -> { (s, d) =>
+      val idx = annIndexDir(d, "ivfsearch")
+      val built = new java.io.File(s"$idx/assign/_SUCCESS").exists() &&
+        new java.io.File(s"$idx/centroids/_SUCCESS").exists()
+      if (!built) {
+        val corpus = embDouble(s, d).filter(col("vec_id") % 50 =!= 0)
+          .localCheckpoint(true)
+        writeIvfIndex(corpus, idx, nlist = ivfNlistExact(corpus.count()), iters = 0)
+        releaseCheckpoint(corpus)
+      }
+      val (cent, assign) = readIvfIndex(s, idx)
+      exactSearchTopKIndexed(
+        embDouble(s, d).filter(col("vec_id") % 50 === 0), cent, assign, k = 5)
+    },
+
     // Exact-recall IVF-cell candidate generation, not an O(n²) BNLJ — see
     // prunedCosinePairs. Hash-matching the exhaustive-pairs oracle IS the
     // recall proof.
@@ -1480,6 +1514,25 @@ object LlmOps {
         .select(col("vb").as("vec_id")).distinct()
       e.select(col("vec_id"), col("label"))
         .join(dupIds, Seq("vec_id"), "left_anti")
+        .orderBy(col("vec_id").asc)
+    },
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // communities of embedding near-duplicates — connected components over
+    // the EXACT cos >= 0.4 pair graph (prunedCosinePairs, so community
+    // membership is provably complete, not ANN-approximate), one
+    // deterministic min-id representative kept per community. Differs from
+    // llm_dedup_embcos (pairwise smaller-id drop): transitive chains
+    // a~b~c collapse to ONE representative even when cos(a,c) < τ. Scale:
+    // the same O(log n) pointer-jumping label propagation as
+    // llm_dedup_clusters; the pair graph is the exact-recall IVF prune.
+    "llm_dedup_semantic" -> { (s, d) =>
+      val e = embDouble(s, d).localCheckpoint(true)
+      val pairs = prunedCosinePairs(e, 0.4)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      labelPropagate(e.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("kept"))
         .orderBy(col("vec_id").asc)
     },
 
@@ -2280,6 +2333,22 @@ object LlmOps {
          |ORDER BY cos_sim DESC NULLS LAST, va ASC, vb ASC
          |LIMIT 10""".stripMargin,
 
+    // Identical twin for the persisted-index route: the search is exact
+    // under any codebook, so both declared queries share the brute-force
+    // oracle verbatim.
+    "llm_ann_search_topk_persisted" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nbr, emb AS ce FROM e WHERE vec_id % 50 <> 0),
+        |s AS (SELECT qid, nbr, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT qid, nbr, cos_sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY cos_sim DESC NULLS LAST, nbr ASC) AS rnk
+        |      FROM s)
+        |SELECT qid, nbr, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
+        |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin,
+
     "llm_ann_search_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
@@ -2298,6 +2367,18 @@ object LlmOps {
          |SELECT va, vb, cos_sim, label_a = label_b AS same_label FROM p
          |WHERE cos_sim >= 0.4
          |ORDER BY va ASC NULLS FIRST, vb ASC NULLS FIRST""".stripMargin,
+
+    "llm_dedup_semantic" ->
+      s"""${duckCosPairs.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p2 AS (SELECT va, vb FROM p WHERE cos_sim >= 0.4),
+         |ed AS (SELECT va AS a, vb AS b FROM p2 UNION ALL SELECT vb, va FROM p2),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ed.b, reach.r FROM reach JOIN ed ON reach.id = ed.a),
+         |c AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT vec_id, cluster_id, vec_id = cluster_id AS kept FROM c
+         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
 
     "llm_dedup_embcos" ->
       s"""$duckCosPairs,

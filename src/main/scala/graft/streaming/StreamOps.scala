@@ -30,6 +30,26 @@ object StreamOps {
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed OHLC (the streaming twin of the batch `ts_ohlc_resample`
+    * candlestick): first/last/min/max of `value` per (window, type), the
+    * open/close ordered by the total (ts, event_id) key so replays and
+    * micro-batch boundaries can never flip a tie. min_by/max_by are
+    * declarative aggregates, so the streaming state store holds one
+    * (value, key) pair per extremum per group — constant-size state per
+    * open window, watermark-evicted like any windowed agg. */
+  def windowedOhlc(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val key = struct(col("ts"), col("event_id"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(min_by(col("value"), key).as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("open"),
+        col("high"), col("low"), col("close"), col("n"))
+  }
+
   /** 5-minute windows sliding every minute. */
   def slidingAgg(events: DataFrame, window_ : String = "5 minutes",
       slide: String = "1 minute", watermark: String = "10 minutes"): DataFrame =

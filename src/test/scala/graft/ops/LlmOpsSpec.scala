@@ -88,6 +88,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("semantic dedup: one representative per community, kept set within the pairwise survivors") {
+    val sem = SparkEntry_queries("llm_dedup_semantic").collect()
+    val byCluster = sem.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rs) =>
+      assert(rs.count(_.getBoolean(2)) === 1, s"cluster $cid kept != 1")
+      assert(rs.filter(_.getBoolean(2)).head.getLong(0) === rs.map(_.getLong(0)).min,
+        s"cluster $cid representative is not the min id")
+    }
+    // the community minimum has no smaller-id neighbor, so SemDeDup's kept
+    // set is a subset of the pairwise embcos survivors; strict subset when
+    // a transitive chain exists (embcos keeps a chain tail the community
+    // collapse drops).
+    val semKept = sem.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val pairwise = SparkEntry_queries("llm_dedup_embcos").collect()
+      .map(_.getLong(0)).toSet
+    assert(semKept.subsetOf(pairwise),
+      s"semantic survivors outside the pairwise set: ${(semKept -- pairwise).take(5)}")
+  }
+
+  test("persisted-index exact search: identical rows to the retrain path, corpus from the index") {
+    val retrain = SparkEntry_queries("llm_ann_search_topk").collect()
+      .map(_.toSeq.toList).toList
+    val persisted = SparkEntry_queries("llm_ann_search_topk_persisted")
+    val rows = persisted.collect().map(_.toSeq.toList).toList
+    assert(rows === retrain,
+      "persisted-index search diverged from the retrain path")
+    val planStr = persisted.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_ivfsearch_index_"),
+      "expected the persisted search index scan in the executed plan")
+  }
+
   test("persisted-index PQ ANN: identical rows to the retrain path, plan reads only the index") {
     val retrain = SparkEntry_queries("llm_sim_ann_pq").collect()
       .map(_.toSeq.toList).toList

@@ -373,6 +373,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === static)
   }
 
+  test("streaming OHLC equals the batch candlestick on the same data (min_by/max_by state)") {
+    import spark.implicits._
+    val streamed = runStream(OutputMode.Complete(), "ohlc_equiv")(
+      df => StreamOps.windowedOhlc(df))
+      .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Long]("n"))).toSet
+    val key = struct(col("ts"), col("event_id"))
+    val static = allEvents.toDF()
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(min_by(col("value"), key).as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("w.start"), col("event_type"), col("open"), col("high"),
+        col("low"), col("close"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(streamed === static)
+  }
+
   test("streaming as-of join holds probes to the watermark and counts in-horizon out-of-order events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
