@@ -130,6 +130,81 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("next_type").asc)
     },
 
+    // Linear interpolation over the same hourly spine as ts_gapfill_ffill:
+    // missing (type, hour) buckets get the straight line between the
+    // bracketing known hourly sums instead of a carried-forward copy (the
+    // charting/feature-store alternative to ffill). Determinism: the
+    // numerator `p_v*(n_h-hr) + n_v*(hr-p_h)` is exact DECIMAL(18,4) ×
+    // small-int hour-delta arithmetic (scale stays 4, precision ≤ 30 — no
+    // Spark precision-loss rescale, no DuckDB width overflow), so the
+    // output is ONE double division of exact quantities. Known buckets
+    // short-circuit to their exact sum; edges (no bracket) stay null —
+    // interpolation only, never extrapolation. Scale: identical shape to
+    // ts_gapfill_ffill — the four windows run over the tiny spine, never
+    // over raw events.
+    "ts_interpolate_linear" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val trunc = (c: org.apache.spark.sql.Column) =>
+        date_trunc("hour", c).cast("timestamp_ntz")
+      val agg = ev
+        .groupBy(col("event_type"), trunc(col("ts")).as("hr"))
+        .agg(sum(col("value").cast(Tables.Money))
+          .cast("decimal(18,4)").as("sv"))
+      val bounds = ev.agg(trunc(min(col("ts"))).as("lo"),
+        trunc(max(col("ts"))).as("hi"))
+      val hours = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+      val spine = ev.select(col("event_type")).distinct().crossJoin(hours)
+      val wP = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wN = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val knownHr = when(col("sv").isNotNull, col("hr"))
+      spine.join(agg, Seq("event_type", "hr"), "left")
+        .withColumn("p_h", last(knownHr, ignoreNulls = true).over(wP))
+        .withColumn("p_v", last(col("sv"), ignoreNulls = true).over(wP))
+        .withColumn("n_h", first(knownHr, ignoreNulls = true).over(wN))
+        .withColumn("n_v", first(col("sv"), ignoreNulls = true).over(wN))
+        .select(col("event_type"), col("hr"),
+          when(col("sv").isNotNull, col("sv").cast("double"))
+            .when(col("p_h").isNotNull && col("n_h").isNotNull,
+              (col("p_v") * expr("CAST(timestampdiff(HOUR, hr, n_h) AS INT)")
+                + col("n_v") * expr("CAST(timestampdiff(HOUR, p_h, hr) AS INT)"))
+                .cast("double")
+                / expr("CAST(timestampdiff(HOUR, p_h, n_h) AS INT)").cast("double"))
+            .as("v_interp"))
+        .orderBy(col("event_type").asc, col("hr").asc)
+    },
+
+    // Robust per-type outlier detection via MAD (median absolute
+    // deviation), the standard monitoring/anomaly shape: flag events whose
+    // |value - median| exceeds 3 × MAD. Every statistic is an exact
+    // DISCRETE median — approx_percentile at accuracy ≥ group size returns
+    // the exact lower-median SELECTION of an input double, the convention
+    // DuckDB's quantile_disc shares bit-for-bit (same accuracy→exact trade
+    // and SCALE BOUND as agg_approx_percentile: exact below 10M rows per
+    // type, production tunes accuracy down) — and the derived deviations
+    // are elementwise IEEE |x - med| on identical operands, so both
+    // engines select from identical multisets. No window over raw events
+    // anywhere: two map-side-combinable aggregates over |types| groups +
+    // two broadcast join-backs — the 100 TB shape a global-sort median
+    // window would not be.
+    "ts_mad_outliers" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 10000000)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("abs_dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(abs_dev, 0.5, 10000000)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("abs_dev") > lit(3.0d) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"))
+        .orderBy(col("event_id").asc)
+    },
+
     // Weekly cohort retention: users cohorted by the Monday-start week of
     // their first event; n_users = distinct users from that cohort active
     // in cohort_week + week_offset. Both week columns are Monday
@@ -227,6 +302,63 @@ object EventAnalytics {
         |FROM x WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY event_type ASC NULLS FIRST, next_type ASC NULLS FIRST""".stripMargin,
+
+    "ts_interpolate_linear" ->
+      """WITH spine AS (
+        |  SELECT t.event_type, h.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |       (SELECT date_trunc('hour', min(ts)) FROM events),
+        |       (SELECT date_trunc('hour', max(ts)) FROM events),
+        |       INTERVAL 1 HOUR)) AS hr) h
+        |), agg AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(sum(CAST(value AS DECIMAL(38,4))) AS DECIMAL(18,4)) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT s.event_type, s.hr, a.sv
+        |  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr
+        |), w AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN sv IS NOT NULL THEN hr END IGNORE NULLS)
+        |           OVER wp AS p_h,
+        |         last_value(sv IGNORE NULLS) OVER wp AS p_v,
+        |         first_value(CASE WHEN sv IS NOT NULL THEN hr END IGNORE NULLS)
+        |           OVER wn AS n_h,
+        |         first_value(sv IGNORE NULLS) OVER wn AS n_v
+        |  FROM g
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY event_type ORDER BY hr
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_type, hr,
+        |       CASE WHEN sv IS NOT NULL THEN CAST(sv AS DOUBLE)
+        |            WHEN p_h IS NOT NULL AND n_h IS NOT NULL THEN
+        |              CAST(p_v * CAST(date_diff('hour', hr, n_h) AS INTEGER)
+        |                 + n_v * CAST(date_diff('hour', p_h, hr) AS INTEGER)
+        |                   AS DOUBLE)
+        |              / CAST(date_diff('hour', p_h, n_h) AS DOUBLE)
+        |       END AS v_interp
+        |FROM w
+        |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
+
+    "ts_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |         abs(e.value - m.med) AS abs_dev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |), mad AS (
+        |  SELECT event_type, quantile_disc(abs_dev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type
+        |)
+        |SELECT d.event_id, d.event_type, d.value, d.med, m.mad
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |WHERE d.abs_dev > 3.0 * m.mad
+        |ORDER BY d.event_id ASC NULLS FIRST""".stripMargin,
 
     "agg_retention_cohort" ->
       """WITH f AS (

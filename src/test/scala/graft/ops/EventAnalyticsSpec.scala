@@ -97,6 +97,88 @@ class EventAnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) > 0L))
   }
 
+  test("interpolate: known buckets exact, gaps strictly between brackets, edges null") {
+    val rows = q("ts_interpolate_linear").collect()
+    val gap = q("ts_gapfill_ffill").collect()
+    assert(rows.length === gap.length, "same dense spine as the gapfill query")
+    val known = gap.map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1))
+      -> (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val sorted = rs.sortWith((a, b) => a.getAs[java.time.LocalDateTime](1)
+        .isBefore(b.getAs[java.time.LocalDateTime](1)))
+      val vs = sorted.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      val ns = sorted.map { r =>
+        known(r.getString(0) -> r.getAs[java.time.LocalDateTime](1))._1
+      }
+      val firstK = ns.indexWhere(_ > 0L)
+      val lastK = ns.lastIndexWhere(_ > 0L)
+      sorted.indices.foreach { i =>
+        if (i < firstK || i > lastK) assert(vs(i).isEmpty,
+          "no extrapolation outside the first/last known bucket")
+        else if (ns(i) > 0L) {
+          // a known bucket is its exact hourly sum (== the ffill value here)
+          assert(vs(i) === known(sorted(i).getString(0)
+            -> sorted(i).getAs[java.time.LocalDateTime](1))._2)
+        } else {
+          // a gap lies strictly between its bracketing known values
+          val pv = (i - 1 to firstK by -1).collectFirst {
+            case j if ns(j) > 0L => vs(j).get }.get
+          val nv = (i + 1 to lastK).collectFirst {
+            case j if ns(j) > 0L => vs(j).get }.get
+          val v = vs(i).get
+          assert(v >= math.min(pv, nv) - 1e-9 && v <= math.max(pv, nv) + 1e-9,
+            s"interpolated $v outside bracket [$pv, $nv]")
+        }
+      }
+      // midpoint sanity: a single-hour gap is the exact average of its
+      // neighbors (delta 1 each side, denominator 2)
+      sorted.indices.foreach { i =>
+        if (i > firstK && i < lastK && ns(i) == 0L &&
+            ns(i - 1) > 0L && ns(i + 1) > 0L) {
+          val exp = (BigDecimal(vs(i - 1).get) + BigDecimal(vs(i + 1).get)) / 2
+          assert(math.abs(vs(i).get - exp.toDouble) < 1e-6,
+            "single-hour gap must be the neighbor midpoint")
+        }
+      }
+    }
+  }
+
+  test("mad outliers: flagged iff |value - med| > 3*mad, med/mad are member selections") {
+    val rows = q("ts_mad_outliers").collect()
+    assert(rows.nonEmpty, "expected at least one outlier at this sf")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+    val byType = ev.groupBy(_.getString(1))
+    def discMedian(xs: Array[Double]): Double = {
+      val s = xs.sorted; s((s.length - 1) / 2) // lower median, a member
+    }
+    val stats = byType.map { case (t, rs) =>
+      val vals = rs.map(_.getDouble(2))
+      val med = discMedian(vals)
+      t -> (med, discMedian(vals.map(v => math.abs(v - med))))
+    }
+    // flagged set matches the local recomputation exactly
+    val expected = ev.filter { r =>
+      val (med, mad) = stats(r.getString(1))
+      math.abs(r.getDouble(2) - med) > 3.0 * mad
+    }.map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === expected)
+    rows.foreach { r =>
+      val (med, mad) = stats(r.getString(1))
+      assert(r.getDouble(3) === med && r.getDouble(4) === mad,
+        "med/mad must be the exact discrete-median members")
+    }
+  }
+
+  test("mad outliers: both medians aggregate map-side (no window over raw events)") {
+    val df = q("ts_mad_outliers")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), "MAD must not sort raw events in a window")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-type stats must broadcast back to the events side")
+  }
+
   test("retention: offset 0 holds the whole cohort; counts never exceed it") {
     val rows = q("agg_retention_cohort").collect()
     assert(rows.nonEmpty)
