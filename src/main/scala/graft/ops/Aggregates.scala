@@ -43,6 +43,31 @@ object Aggregates {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // Column profiling (the DESCRIBE-EXTENDED / data-quality shape every
+    // warehouse exposes): per-column null and exact distinct counts plus
+    // the row count, ONE pass over the table. Multiple exact
+    // count(DISTINCT) in one aggregate plan via Catalyst's Expand — one
+    // duplicated stream per distinct column, the honest exact plan. SCALE
+    // NOTE: at 100 TB the Expand multiplies the scan |cols| times;
+    // production swaps countDistinct for approx_count_distinct (same
+    // query shape, no Expand) or profiles column groups in separate
+    // passes — the exact twin here is what the oracle can check.
+    "agg_profile_stats" -> { (s, d) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")) }
+      Tables.orders(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"), col(s"nn_$c").as("n_null"),
+            col(s"nd_$c").as("n_distinct"), col("n_rows"))): _*)).as("p"))
+        .select(col("p.col_name"), col("p.n_null"), col("p.n_distinct"),
+          col("p.n_rows"))
+        .orderBy(col("col_name").asc)
+    },
+
     "agg_having" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
@@ -232,6 +257,33 @@ object Aggregates {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_profile_stats" ->
+      """WITH b AS (
+        |  SELECT count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+        |         count(DISTINCT o_orderkey) AS nd1,
+        |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+        |         count(DISTINCT o_custkey) AS nd2,
+        |         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+        |         count(DISTINCT o_orderstatus) AS nd3,
+        |         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+        |         count(DISTINCT o_totalprice) AS nd4,
+        |         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn5,
+        |         count(DISTINCT o_orderdate) AS nd5,
+        |         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn6,
+        |         count(DISTINCT o_orderpriority) AS nd6
+        |  FROM orders
+        |)
+        |SELECT col_name, n_null, n_distinct, n_rows FROM (
+        |  SELECT 'o_orderkey' AS col_name, nn1 AS n_null, nd1 AS n_distinct, n_rows FROM b
+        |  UNION ALL SELECT 'o_custkey', nn2, nd2, n_rows FROM b
+        |  UNION ALL SELECT 'o_orderstatus', nn3, nd3, n_rows FROM b
+        |  UNION ALL SELECT 'o_totalprice', nn4, nd4, n_rows FROM b
+        |  UNION ALL SELECT 'o_orderdate', nn5, nd5, n_rows FROM b
+        |  UNION ALL SELECT 'o_orderpriority', nn6, nd6, n_rows FROM b
+        |)
+        |ORDER BY col_name ASC NULLS FIRST""".stripMargin,
 
     "agg_having" ->
       """SELECT o_custkey, count(*) AS n_orders,

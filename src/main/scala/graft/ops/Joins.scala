@@ -244,8 +244,75 @@ object Joins {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_events")).as("sum_ue"))
         .orderBy(col("event_type").asc)
+    },
+
+    // TPC-H Q3-shaped multiway pipeline: selective dim filter → two
+    // cascaded equi-joins → grouped decimal-exact revenue → global top-10.
+    // The composition test for Catalyst: the mktsegment and date filters
+    // push into all three scans, the customer side broadcasts under the
+    // threshold (falls back to shuffle joins at 100 TB where AQE picks the
+    // build side), and the top-k is TakeOrderedAndProject — never a global
+    // sort. Revenue reuses agg_groupby_pricing's exact-decimal discipline:
+    // (12,2) × (1.00 − (4,2)) keeps true scale 4, summed exactly, ONE cast
+    // to double at output, with (o_orderdate, l_orderkey) making the
+    // DESC-revenue order total.
+    "join_multiway_q3" -> { (s, d) =>
+      val cut = lit("1997-01-01").cast("timestamp_ntz")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+          "AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
+    // driver-checked path): both sides live as catalog tables bucketed 8
+    // ways on the join key, so the forced sort-merge join reads bucket i
+    // against bucket i with NO exchange on either side — the one-time
+    // write is the shuffle, amortized over every subsequent join at 100 TB
+    // (the layout ETL pipelines maintain on their hub keys). Bucketing
+    // moves only the physical layout, never the rows, so the oracle is the
+    // plain SQL join; ScaleSpec asserts the exchange-free plan.
+    "join_bucketed_colocated" -> { (s, d) =>
+      val l = bucketed(s, d, "lineitem", "l_orderkey")
+      val o = bucketed(s, d, "orders", "o_orderkey")
+      l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsumD(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority").asc)
     }
   )
+
+  /** Fixture table as an 8-bucket catalog table, memoized per session: the
+    * catalog is in-memory (session-scoped), so `tableExists` IS the
+    * freshness check — a new session (every verify/bench invocation) rewrites
+    * from the current fixture, repeats within a session reuse the write.
+    * The sf dir is baked into the table name so two dirs never collide
+    * inside one session (suites run sf0.001 while bench runs sf0.1). */
+  private def bucketed(s: SparkSession, d: String, table: String,
+      key: String): DataFrame = {
+    val name = s"graft_bkt_${table}_${java.lang.Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(name)) {
+      // The catalog is session-scoped but the warehouse DIRECTORY is not:
+      // a previous session's managed-table location survives as an orphan
+      // that saveAsTable refuses to overwrite (LOCATION_ALREADY_EXISTS).
+      // Unknown-to-the-catalog means stale by definition here — remove it.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Scale.writeBucketed(Tables(s, d, table), name, key, buckets = 8)
+    }
+    s.table(name)
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "join_inner_equi" ->
@@ -259,6 +326,28 @@ object Joins {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS FIRST,
+        |         l_orderkey ASC NULLS FIRST
+        |LIMIT 10""".stripMargin,
+
+    // Bucketing is layout, not semantics: the oracle is the plain join.
+    "join_bucketed_colocated" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "join_sortmerge" ->
       """SELECT o_orderstatus, count(*) AS n_items,

@@ -59,6 +59,25 @@ object StreamBatch {
         .orderBy(col("user_id").asc, col("event_type").asc)
     },
 
+    // Final-state silence view — the batch twin of
+    // streaming.StreamOps.streamSilenceAlerts (the dead-man's switch):
+    // keys whose last event precedes the stream maximum by the 4 h
+    // threshold, with the instant their silence became certain. The
+    // streaming op emits one alert per silence EPISODE; this is the
+    // episodes-still-open-at-end view (StreamingSpec pins the episode
+    // semantics). One map-side-combinable groupBy + a broadcast scalar —
+    // no window, no second shuffle.
+    "stream_silence_batch" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val gmax = ev.agg(max(col("ts")).as("g_max"))
+      ev.groupBy(col("user_id")).agg(max(col("ts")).as("last_ts"))
+        .crossJoin(broadcast(gmax))
+        .filter(col("last_ts") <= col("g_max") - expr("INTERVAL 4 HOURS"))
+        .select(col("user_id"), col("last_ts"),
+          (col("last_ts") + expr("INTERVAL 4 HOURS")).as("silent_as_of"))
+        .orderBy(col("user_id").asc)
+    },
+
     // Exact per-window top-k heavy hitters — the batch twin of
     // streaming.StreamOps.streamWindowTopK (space-saving sketch). In the
     // sketch's exact regime (capacity >= per-window key cardinality) the
@@ -130,6 +149,14 @@ object StreamBatch {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "stream_silence_batch" ->
+      """SELECT user_id, max(ts) AS last_ts,
+        |       max(ts) + INTERVAL 4 HOUR AS silent_as_of
+        |FROM events
+        |GROUP BY user_id
+        |HAVING max(ts) <= (SELECT max(ts) FROM events) - INTERVAL 4 HOUR
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
 
     "stream_topk_batch" ->
       """WITH c AS (

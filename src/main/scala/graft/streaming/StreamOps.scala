@@ -388,6 +388,86 @@ object StreamOps {
     answers.iterator
   }
 
+  case class SilenceIn(user_id: Long, ts: java.sql.Timestamp)
+  case class SilenceState(times: List[Long])
+  case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
+      silent_as_of: java.sql.Timestamp)
+
+  /** Streaming silence detector (the monitoring dead-man's switch): one
+    * alert per key per silence EPISODE — a maximal event-time gap of at
+    * least `silenceMs` — emitted only once the gap is CERTAIN (the
+    * watermark has passed gap_start + silenceMs, so by the watermark
+    * contract nothing can fill it anymore). "No rows arrived yet" is NOT
+    * silence: an out-of-order in-horizon event can still close a gap, and
+    * a resume that arrives before certainty must not erase a gap that was
+    * real (both cases are spec-pinned).
+    *
+    * State per key is the short list of GAP-OPENING CANDIDATES: event
+    * times whose successor gap is >= silenceMs but not yet certain, plus
+    * the key's latest time. Adjacent times closer than silenceMs collapse
+    * to the later one — the earlier can never open an alertable gap again
+    * (later arrivals are > watermark, so a new arrival only ever SPLITS a
+    * candidate gap, never widens a collapsed one) — bounding state at
+    * horizon/silenceMs + 1 entries regardless of traffic. Once the
+    * trailing gap is certain the key's state is REMOVED: a never-returning
+    * key costs nothing forever after, and a resume rebuilds from its next
+    * event and may alert again for a later episode (one page per outage,
+    * not per key-lifetime). The batch twin `stream_silence_batch`
+    * (oracle-backed) is the final-state view: keys whose last event
+    * precedes the stream maximum by the threshold. StreamingSpec pins the
+    * episode semantics and state durability across a kill/restart. */
+  def streamSilenceAlerts(events: DataFrame,
+      silenceMs: Long = 4L * 3600 * 1000,
+      watermark: String = "10 minutes"): Dataset[SilenceAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark).as[SilenceIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SilenceState, SilenceAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SilenceIn], state: GroupState[SilenceState]) =>
+          silenceHandle(user, rows, state, silenceMs)
+      }
+  }
+
+  private def silenceHandle(user: Long, rows: Iterator[SilenceIn],
+      state: GroupState[SilenceState],
+      silenceMs: Long): Iterator[SilenceAlert] = {
+    val wm = state.getCurrentWatermarkMs()
+    val all = (state.getOption.map(_.times).getOrElse(Nil) ++
+      rows.map(_.ts.getTime)).distinct.sorted
+    if (all.isEmpty) { state.remove(); return Iterator.empty }
+    // certain inner gaps: successor at least silenceMs away AND the
+    // watermark has passed the proof point
+    val gapAlerts = all.zip(all.tail).collect {
+      case (a, b) if b - a >= silenceMs && wm >= a + silenceMs => a
+    }
+    val last = all.last
+    val trailingCertain = wm >= last + silenceMs
+    val alerts = (gapAlerts ++ (if (trailingCertain) List(last) else Nil))
+      .map(a => SilenceAlert(user, new java.sql.Timestamp(a),
+        new java.sql.Timestamp(a + silenceMs)))
+    if (trailingCertain) {
+      // trailing certainty implies every earlier gap was certain too
+      // (a < last), so everything has alerted — drop the key entirely
+      state.remove()
+    } else {
+      // retire alerted gap-openers (their episode fired; keeping them
+      // would re-alert next invocation), then collapse close pairs
+      val kept = all.filterNot(gapAlerts.contains)
+      val candidates = kept.zip(kept.tail).collect {
+        case (a, b) if b - a >= silenceMs => a
+      } :+ kept.last
+      state.update(SilenceState(candidates))
+      // every candidate is a pending alert awaiting certainty at
+      // t + silenceMs; wm + 1 because EventTimeTimeout demands a
+      // strictly-above-watermark timestamp (strict-firing note as above)
+      state.setTimeoutTimestamp(math.max(candidates.head + silenceMs, wm + 1))
+    }
+    alerts.iterator
+  }
+
   case class TopKIn(user_id: Long, ts: java.sql.Timestamp)
   /** Space-saving summary entry: estimated count and its over-count bound
     * (the evicted predecessor's count — Metwally et al. 2005). */

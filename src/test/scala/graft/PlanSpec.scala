@@ -49,6 +49,17 @@ class PlanSpec extends SparkSpec {
     assert(physicalPlan("limit_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("join_multiway_q3: filters pushed to all three scans, top-10 without a global sort") {
+    val plan = physicalPlan("join_multiway_q3")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"Q3's LIMIT 10 must be a top-k, not sort+limit:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)") ||
+      plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment filter must reach the customer scan:\n$plan")
+    assert(plan.contains("LessThan(o_orderdate") && plan.contains("GreaterThan(l_shipdate"),
+      s"date filters must reach the orders/lineitem scans:\n$plan")
+  }
+
   test("win_row_number_topk gets a WindowGroupLimit (per-group top-k prune before the sort)") {
     // Spark 4's InferWindowGroupLimit turns `row_number() <= k` into a
     // WindowGroupLimit, so each partition keeps only k candidate rows per

@@ -118,6 +118,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("join_bucketed_colocated: the declared query's SMJ shuffles neither join side") {
+    val df = graft.SparkEntry.queries("join_bucketed_colocated")(spark, sf)
+    df.collect() // finalize AQE before inspecting (round-4 rule)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed declared join still shuffles a side:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"expected the forced sort-merge join:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"expected bucketed scans:\n$plan")
+  }
+
   test("coalescePartitionedWrite bounds files per dt partition") {
     import spark.implicits._
     val df = (1 to 500).map(i => (s"2024-01-${"%02d".format(i % 5 + 1)}", i))

@@ -395,6 +395,78 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === static)
   }
 
+  test("silence detector: one alert per episode, in-horizon resume suppresses, final episodes match the batch view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // 30-minute silence, 10-minute watermark delay
+    val q = StreamOps.streamSilenceAlerts(mem.toDF(), silenceMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("silence")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: speaks at 00:00 and (out of order, in horizon) 00:29 —
+      //         the resume lands BEFORE wm passes 00:00+30m, so episode 1
+      //         never alerts; then silent forever after 00:29.
+      // user 2: speaks at 00:01, silent -> episode alerts at wm > 00:31;
+      //         resumes at 02:00, silent again -> second episode alert.
+      mem.addData(Seq(
+        Ev(1, t("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01 00:01:00"), 2, "click", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq( // advances wm to 00:30 only AFTER this batch
+        Ev(3, t("2024-01-01 00:29:00"), 1, "view", 1.0),
+        Ev(4, t("2024-01-01 00:40:00"), 3, "click", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq( // wm now 00:30 < 00:31: user 2 not yet certain
+        Ev(5, t("2024-01-01 02:00:00"), 2, "view", 1.0)))
+      q.processAllAvailable() // wm -> 01:50: user 2 ep-1 alerts (00:01),
+                              // user 1 (00:29+30m=00:59) alerts too
+      mem.addData(Seq(Ev(6, t("2024-01-01 06:00:00"), 9, "click", 1.0)))
+      q.processAllAvailable() // wm -> 05:50: closes user 2 ep-2, user 3
+      val alerts = spark.table("silence").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("last_ts")))
+        .toSet
+      assert(alerts === Set(
+        (1L, t("2024-01-01 00:29:00")),   // 00:00 gap was only 29m — no page
+        (2L, t("2024-01-01 00:01:00")),   // first episode, preserved across
+                                          //   the pre-certainty resume
+        (2L, t("2024-01-01 02:00:00")),   // second episode
+        (3L, t("2024-01-01 00:40:00"))),
+        s"episode alerts wrong: $alerts")
+      // user 9's sentinel stays pending (its own silence is uncertain):
+      // exactly the batch-twin rule — last_ts above g_max - threshold
+      assert(!alerts.exists(_._1 == 9L))
+    } finally q.stop()
+  }
+
+  test("silence detector state survives a kill/restart: the buffered last-event exists only in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_silence_ckpt").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[Ev]
+    def start() = StreamOps.streamSilenceAlerts(mem.toDF(),
+        silenceMs = 30L * 60 * 1000)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    mem.addData(Seq(Ev(1, t("2024-01-01 00:00:00"), 7, "click", 1.0)))
+    q1.processAllAvailable()
+    q1.stop() // kill: user 7's last event now exists ONLY in the state store
+    val q2 = start()
+    try {
+      mem.addData(Seq(Ev(2, t("2024-01-01 06:00:00"), 8, "view", 1.0)))
+      q2.processAllAvailable() // recovered wm advance must fire 7's timer
+      val alerts = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("last_ts"),
+          r.getAs[Timestamp]("silent_as_of")))
+      assert(alerts.toList === List(
+        (7L, t("2024-01-01 00:00:00"), t("2024-01-01 00:30:00"))),
+        s"recovered state did not alert: ${alerts.toList}")
+    } finally q2.stop()
+  }
+
   test("streaming as-of join holds probes to the watermark and counts in-horizon out-of-order events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
