@@ -402,13 +402,16 @@ object StreamOps {
     * a resume that arrives before certainty must not erase a gap that was
     * real (both cases are spec-pinned).
     *
-    * State per key is the short list of GAP-OPENING CANDIDATES: event
-    * times whose successor gap is >= silenceMs but not yet certain, plus
-    * the key's latest time. Adjacent times closer than silenceMs collapse
-    * to the later one — the earlier can never open an alertable gap again
-    * (later arrivals are > watermark, so a new arrival only ever SPLITS a
-    * candidate gap, never widens a collapsed one) — bounding state at
-    * horizon/silenceMs + 1 entries regardless of traffic. Once the
+    * State per key is the short list of GAP-OPENING CANDIDATES and
+    * FILLERS: in-horizon times (> watermark) are all kept — a time with a
+    * close successor still fills the interval an out-of-order arrival
+    * beneath it would otherwise mis-measure — while at-or-below-watermark
+    * times collapse into the later element of any close pair (nothing can
+    * arrive beneath them anymore, and a time with a close successor can
+    * never open an alertable gap itself). That bounds state at the
+    * in-horizon event count plus AT MOST ONE still-pending below-watermark
+    * gap-opener (two would have to sit within silenceMs of each other
+    * while each keeping a >= silenceMs successor gap — contradiction). Once the
     * trailing gap is certain the key's state is REMOVED: a never-returning
     * key costs nothing forever after, and a resume rebuilds from its next
     * event and may alert again for a later episode (one page per outage,
@@ -431,7 +434,9 @@ object StreamOps {
       }
   }
 
-  private def silenceHandle(user: Long, rows: Iterator[SilenceIn],
+  // private[streaming] so StreamingSpec can drive it directly through
+  // TestGroupState for the seeded differential property
+  private[streaming] def silenceHandle(user: Long, rows: Iterator[SilenceIn],
       state: GroupState[SilenceState],
       silenceMs: Long): Iterator[SilenceAlert] = {
     val wm = state.getCurrentWatermarkMs()
@@ -453,12 +458,23 @@ object StreamOps {
       // (a < last), so everything has alerted — drop the key entirely
       state.remove()
     } else {
-      // retire alerted gap-openers (their episode fired; keeping them
-      // would re-alert next invocation), then collapse close pairs
-      val kept = all.filterNot(gapAlerts.contains)
-      val candidates = kept.zip(kept.tail).collect {
-        case (a, b) if b - a >= silenceMs => a
-      } :+ kept.last
+      // Retire alerted gap-openers (their episode fired; keeping them
+      // would re-alert next invocation) and collapse close pairs — both
+      // measured against the TRUE adjacency in `all`, and collapse only
+      // at-or-below the watermark. Two traps the seeded differential
+      // property caught, both the same shape: dropping a time that still
+      // FILLS an interval lets a neighbor pair with a far survivor and
+      // fabricate a gap. (1) An in-horizon time with a close successor
+      // must stay — a future out-of-order arrival can still land beneath
+      // it; once t <= wm nothing can, and dropping is safe. (2) The
+      // collapse must see alerted openers as fillers (pair adjacency from
+      // `all`, not from the post-retirement list), or the opener's
+      // below-wm close predecessor pairs across the hole; measured on
+      // `all` that predecessor provably collapses in the same pass.
+      val candidates = all.zip(all.tail).collect {
+        case (a, b) if !gapAlerts.contains(a) &&
+          (b - a >= silenceMs || a > wm) => a
+      } :+ all.last
       state.update(SilenceState(candidates))
       // every candidate is a pending alert awaiting certainty at
       // t + silenceMs; wm + 1 because EventTimeTimeout demands a

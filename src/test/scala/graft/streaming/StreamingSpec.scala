@@ -439,6 +439,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("silence handler differential: random in-contract streams match the brute-force gap model") {
+    // Seeded differential against an independent model: for any delivery
+    // schedule that respects the watermark contract (every delivered time
+    // is above the watermark at its batch), the union of alerts across all
+    // invocations must be EXACTLY the certain gap-openers of the delivered
+    // time-set — each once: a ∈ D alerts iff (succ(a) - a >= silence OR a
+    // is the max) and the final watermark passed a + silence. This pins
+    // the collapse logic (dropping a close pair's earlier time must never
+    // create or lose an alert) against episodes the handwritten cases miss.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val silence = 3000L
+    val delay = 5000L
+    val rnd = new scala.util.Random(20260813L)
+    def invoke(st: Option[StreamOps.SilenceState], rows: List[Long], wm: Long)
+        : (List[StreamOps.SilenceAlert], Option[StreamOps.SilenceState]) = {
+      val gs = TestGroupState.create[StreamOps.SilenceState](
+        org.apache.spark.api.java.Optional.fromNullable(st.orNull),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(wm)),
+        hasTimedOut = false)
+      val out = StreamOps.silenceHandle(1L,
+        rows.iterator.map(ms => StreamOps.SilenceIn(1L, new Timestamp(ms))),
+        gs, silence).toList
+      (out, if (gs.isRemoved || !gs.exists) None else Some(gs.get))
+    }
+    for (trial <- 1 to 200) {
+      val n = rnd.nextInt(10) + 1
+      val times = List.fill(n)(rnd.between(1000L, 26000L)).distinct
+      var undelivered = rnd.shuffle(times)
+      var wm = 0L
+      var state: Option[StreamOps.SilenceState] = None
+      var alerts = List.empty[StreamOps.SilenceAlert]
+      var delivered = List.empty[Long]
+      var guard = 0
+      while (undelivered.nonEmpty && guard < 50) {
+        guard += 1
+        val eligible = undelivered.filter(_ > wm)
+        if (eligible.isEmpty) {
+          undelivered = Nil // contract-starved stragglers are never delivered
+        } else {
+          val batch = eligible.take(rnd.nextInt(eligible.length) + 1)
+          undelivered = undelivered.diff(batch)
+          delivered :::= batch
+          val (out, ns) = invoke(state, batch, wm)
+          alerts :::= out; state = ns
+          wm = math.max(wm, delivered.max - delay)
+        }
+      }
+      // drain: advance the watermark past every possible proof point
+      val wmFinal = if (delivered.isEmpty) 1L else delivered.max + silence + 1
+      if (state.nonEmpty) {
+        val (out, ns) = invoke(state, Nil, wmFinal)
+        alerts :::= out; state = ns
+      }
+      val d = delivered.distinct.sorted
+      val expected = d.zip(d.tail).collect {
+        case (a, b) if b - a >= silence => a
+      } ++ d.lastOption
+      assert(alerts.map(_.last_ts.getTime).sorted === expected.sorted,
+        s"trial $trial: delivered=$d alerts=${alerts.map(_.last_ts.getTime).sorted}" +
+          s" expected=${expected.sorted}")
+      assert(state.isEmpty, s"trial $trial: state must drain after the final watermark")
+      assert(alerts.forall(a =>
+        a.silent_as_of.getTime == a.last_ts.getTime + silence))
+    }
+  }
+
   test("silence detector state survives a kill/restart: the buffered last-event exists only in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
