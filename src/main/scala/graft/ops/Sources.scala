@@ -36,8 +36,60 @@ object Sources {
         .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz"))
         .agg(count(lit(1)).as("n_rows"),
           dsumD(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // CSV ingestion: orders re-encoded as headered CSV once per fixture
+    // signature, read back with an EXPLICIT schema — never inferSchema,
+    // which at 100 TB is a full extra pass over the data — and verified
+    // value-identical against the parquet oracle. Doubles survive the
+    // text roundtrip because Spark writes shortest-round-trip literals
+    // (Double.toString) that parse back to the identical bits; the
+    // timestamp/JSON-envelope ingestion path is the flow-log library's
+    // territory (graft.flowlog).
+    "src_scan_csv_roundtrip" -> { (s, d) =>
+      val dir = fmtDir(d, "orders", "csv")
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").option("header", "true").csv(dir)
+      }
+      s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("header", "true").csv(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc)
+    },
+
+    // JSON-lines ingestion, same contract as the CSV roundtrip: explicit
+    // schema (no sampling pass), value-identity proven by sharing the
+    // parquet oracle.
+    "src_scan_jsonl_roundtrip" -> { (s, d) =>
+      val dir = fmtDir(d, "customer", "jsonl")
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .write.mode("overwrite").json(dir)
+      }
+      s.read.schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+        .json(dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsumD(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_mktsegment").asc)
     }
   )
+
+  /** Signature-keyed cache dir for a re-encoded copy of a fixture table —
+    * the same (name, size, mtime) discipline as LlmOps.annIndexDir, so a
+    * regenerated fixture can never be answered from a stale re-encode. */
+  private def fmtDir(d: String, table: String, fmt: String): String = {
+    val src = new java.io.File(s"$d/$table.parquet")
+    val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val sig = files.filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$d|$table|$fmt|$sig"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt_${table}_${fmt}_$h"
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "src_scan_parquet" ->
@@ -55,6 +107,22 @@ object Sources {
       """SELECT count(*) AS n_rows,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+
+    // The roundtrip queries read the re-encoded copy; the oracle reads
+    // the original parquet — equality IS the lossless-roundtrip proof.
+    "src_scan_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "src_scan_jsonl_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
   )
 }
