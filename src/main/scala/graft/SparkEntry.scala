@@ -22,7 +22,8 @@ object SparkEntry {
       (ops.Udfs.queries, ops.Udfs.oracles),
       (ops.StreamBatch.queries, ops.StreamBatch.oracles),
       (ops.Reshape.queries, ops.Reshape.oracles),
-      (ops.EventAnalytics.queries, ops.EventAnalytics.oracles)
+      (ops.EventAnalytics.queries, ops.EventAnalytics.oracles),
+      (ops.Graph.queries, ops.Graph.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

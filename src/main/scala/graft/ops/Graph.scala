@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 — graph analytics over the part co-occurrence graph.
+  *
+  * The graph: vertices are parts, with an undirected edge between two
+  * parts whenever some order contains both (the classic market-basket
+  * co-occurrence graph; at sf0.01 that is ~2k vertices / ~116k edges).
+  * Both operators are exact-integer computations, so the DuckDB oracle
+  * twins hash-match bit-for-bit with no rounding discipline needed.
+  *
+  * Scale notes (100 TB):
+  *  - Edge construction is ONE groupBy(l_orderkey) — orders have
+  *    bounded line counts (≤7 here, ≤ a few hundred in any real schema),
+  *    so the per-group pair fan-out is a small constant and the
+  *    pair-distinct shuffle carries |E| rows, never |lineitem|².
+  *  - `graph_triangle_count` uses degree orientation (each edge directed
+  *    from its lower (degree, id) endpoint): every vertex's out-degree is
+  *    O(√m), so Σ|N⁺(u) ∩ N⁺(v)| work is O(m^1.5) worst-case — the
+  *    standard distributed bound — instead of Σ deg² of the naive wedge
+  *    join. The intersection itself runs in the native codegen'd
+  *    `graft_sorted_intersect_long` kernel over sorted adjacency arrays,
+  *    so no wedge row is ever materialized or shuffled: the only big
+  *    shuffles are the two adjacency joins, both keyed on a vertex id.
+  *  - `graph_khop_reach` is frontier expansion (semi-naive BFS): each hop
+  *    is one equi-join of the current frontier against the edge list,
+  *    keyed on the frontier vertex, followed by a distinct. Work per hop
+  *    is |frontier| × avg-degree; the seed set bounds the frontier, and
+  *    at cluster scale the edge list would be bucketed by source vertex
+  *    so every hop reuses one partitioning.
+  */
+object Graph {
+
+  /** Distinct undirected co-occurrence edges (a < b), via one
+    * groupBy(order) + in-row pair generation (sorted parts array, HOF
+    * slice/transform — no self-join of the item table needed). */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+      // All in-order pairs (pks sorted ascending, so a < b by construction).
+      // slice is 1-based; for 0-based element i the strict suffix starts at
+      // i + 2, and slice clamps past the end, so `[i]` indexing never occurs
+      // (no ANSI out-of-bounds risk, per the round-5 rule).
+      .select(explode(expr(
+        "flatten(transform(pks, (x, i) -> " +
+          "transform(slice(pks, i + 2, size(pks)), y -> struct(x AS a, y AS b))))")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // Global triangle census: vertices-with-an-edge, edge count, triangle
+    // count. Degree-oriented adjacency-intersection algorithm (see object
+    // scaladoc); the oracle counts the same triangles with the orientation-
+    // free a<b<c three-way join — the census is orientation-invariant.
+    "graph_triangle_count" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s) // graft_sorted_intersect_long
+      // Edge list feeds degrees, orientation, adjacency, and the final
+      // edge scan — eager localCheckpoint once instead of recomputing the
+      // groupBy+explode+distinct pipeline four times (repo materialization
+      // rule; declared closures keep the blocks alive for the driver's
+      // later execution, matching the LlmOps pattern).
+      val edges = coEdges(s, d).localCheckpoint(true)
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // Orient each edge from its lower (deg, id) endpoint. deg is |V| rows
+      // (tiny vs |E|) — broadcast at fixture scale; at 100 TB this becomes
+      // a pair of vertex-keyed shuffle joins, still linear.
+      val da = deg.select(col("v").as("a"), col("deg").as("da"))
+      val db = deg.select(col("v").as("b"), col("deg").as("db"))
+      val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+      val oriented = edges.join(broadcast(da), "a").join(broadcast(db), "b")
+        .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+          when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      // Sorted out-adjacency per vertex; a triangle x<y<z (rank order) is
+      // counted exactly once, at edge x→y, as z ∈ N⁺(x) ∩ N⁺(y).
+      val adj = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val triEdges = oriented
+        .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), "src")
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), "dst")
+      val nTri = triEdges.agg(
+        sum(expr("graft_sorted_intersect_long(nbrs_u, nbrs_v)")).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(nTri)
+        .select(col("n_nodes"), col("n_edges"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .orderBy(col("n_nodes").asc)
+    },
+
+    // 1-hop and ≤2-hop distinct reachability counts from a fixed seed set
+    // (parts with p_size = 25), excluding the seed itself. Two frontier
+    // joins + one min-hop aggregate; the hop marker lets one pass emit
+    // both radii.
+    "graph_khop_reach" -> { (s, d) =>
+      val edges = coEdges(s, d).localCheckpoint(true)
+      // Both directions: frontier expansion needs out-neighbors of every
+      // vertex, and the canonical a<b list stores each edge once.
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val seeds = Tables.part(s, d).filter(col("p_size") === 25)
+        .select(col("p_partkey").as("seed"))
+      // Seeds are a filtered dimension slice — broadcast; the frontier
+      // joins key on the edge source vertex.
+      val h1 = broadcast(seeds).join(und, col("seed") === col("u"))
+        .select(col("seed"), col("v")).distinct()
+      val h2 = h1.select(col("seed"), col("v").as("w"))
+        .join(und, col("w") === col("u"))
+        .select(col("seed"), col("v")).distinct()
+      val hops = h1.select(col("seed"), col("v"), lit(1).as("hop"))
+        .unionAll(h2.select(col("seed"), col("v"), lit(2).as("hop")))
+        .filter(col("v") =!= col("seed"))
+        .groupBy(col("seed"), col("v")).agg(min(col("hop")).as("mh"))
+      hops.groupBy(col("seed").as("seed_part"))
+        .agg(count(when(col("mh") === 1, lit(1))).as("reach1"),
+          count(lit(1)).as("reach2"))
+        .orderBy(col("seed_part").asc)
+    }
+  )
+
+  private val edgeCte =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin
+
+  val oracles: Seq[(String, String)] = Seq(
+    "graph_triangle_count" ->
+      s"""$edgeCte,
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |v AS (SELECT count(DISTINCT x) AS n_nodes
+        |      FROM (SELECT a AS x FROM e UNION ALL SELECT b FROM e)),
+        |ne AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_triangles FROM v, ne, tri
+        |ORDER BY n_nodes ASC NULLS FIRST""".stripMargin,
+
+    "graph_khop_reach" ->
+      s"""$edgeCte,
+        |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |seeds AS (SELECT p_partkey AS seed FROM part WHERE p_size = 25),
+        |h1 AS (SELECT DISTINCT seed, und.v FROM seeds JOIN und ON und.u = seed),
+        |h2 AS (SELECT DISTINCT h1.seed, u2.v FROM h1 JOIN und u2 ON u2.u = h1.v),
+        |m AS (SELECT seed, v, min(hop) AS mh
+        |      FROM (SELECT seed, v, 1 AS hop FROM h1
+        |            UNION ALL SELECT seed, v, 2 FROM h2)
+        |      WHERE v <> seed GROUP BY seed, v)
+        |SELECT seed AS seed_part,
+        |       count(CASE WHEN mh = 1 THEN 1 END) AS reach1,
+        |       count(*) AS reach2
+        |FROM m GROUP BY seed
+        |ORDER BY seed_part ASC NULLS FIRST""".stripMargin
+  )
+}
