@@ -225,6 +225,62 @@ object EventAnalytics {
             .as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week").asc, col("week_offset").asc)
+    },
+
+    // Slowly-changing-dimension type 2 history build: per customer,
+    // collapse the order-status sequence (ordered by (o_orderdate,
+    // o_orderkey) — the unique key breaks date ties identically in both
+    // engines) into status runs via gaps-and-islands, then emit one
+    // validity row per run: valid_from = first order date of the run,
+    // valid_to = next run's valid_from (null ⇒ current). All exact
+    // integer/timestamp arithmetic.
+    //
+    // Scale: both windows and the run groupBy partition by o_custkey —
+    // one key family, no global sort until the final output ORDER BY;
+    // dimension builds like this run per-entity and shrink monotonically.
+    "scd2_status_history" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val runs = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("chg",
+          when(lag(col("o_orderstatus"), 1).over(w).isNull
+            || lag(col("o_orderstatus"), 1).over(w) =!= col("o_orderstatus"), 1)
+            .otherwise(0))
+        .withColumn("run_id", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("o_custkey"), col("run_id"))
+        // status is constant within a run (runs ARE status changes), so a
+        // plain min is a deterministic pick and stays hash-aggregable.
+        .agg(min(col("o_orderstatus")).as("status"),
+          min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+      val wRun = Window.partitionBy(col("o_custkey")).orderBy(col("run_id").asc)
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+        .select(col("o_custkey"), col("run_id"), col("status"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("n_orders"))
+        .orderBy(col("o_custkey").asc, col("run_id").asc)
+    },
+
+    // Lag-1 autocorrelation of event values per type: pair each value
+    // with its predecessor under the deterministic (ts, event_id) order,
+    // then Pearson corr over the pairs — rounded to 6 dp, the repo's
+    // established double-stat discipline (agg_corr_covar). One window +
+    // one aggregate, both partitioned by event_type.
+    "ts_autocorr_lag1" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(round(corr(col("value"), col("prev")), 6).as("acf1"),
+          count(col("prev")).as("n_pairs"))
+        .orderBy(col("event_type").asc)
     }
   )
 
@@ -374,6 +430,48 @@ object EventAnalytics {
         |       count(DISTINCT a.user_id) AS n_users
         |FROM f JOIN a ON f.user_id = a.user_id
         |GROUP BY 1, 2
-        |ORDER BY cohort_week ASC NULLS FIRST, week_offset ASC NULLS FIRST""".stripMargin
+        |ORDER BY cohort_week ASC NULLS FIRST, week_offset ASC NULLS FIRST""".stripMargin,
+
+    "scd2_status_history" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |                OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |), runs0 AS (
+        |  -- CAST: DuckDB sum(INTEGER) is HUGEINT (→ float64 in pandas);
+        |  -- Spark's running sum is BIGINT.
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS run_id
+        |  FROM flagged
+        |), runs AS (
+        |  SELECT o_custkey, run_id, min(o_orderstatus) AS status,
+        |         min(o_orderdate) AS valid_from, count(*) AS n_orders
+        |  FROM runs0 GROUP BY o_custkey, run_id
+        |)
+        |SELECT o_custkey, run_id, status, valid_from,
+        |       lead(valid_from) OVER w2 AS valid_to,
+        |       (lead(valid_from) OVER w2 IS NULL) AS is_current,
+        |       n_orders
+        |FROM runs
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id ASC)
+        |ORDER BY o_custkey ASC NULLS FIRST, run_id ASC NULLS FIRST""".stripMargin,
+
+    "ts_autocorr_lag1" ->
+      """WITH p AS (
+        |  SELECT event_type, value,
+        |         lag(value) OVER (PARTITION BY event_type
+        |                          ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events
+        |)
+        |SELECT event_type, round(corr(value, prev), 6) AS acf1,
+        |       count(prev) AS n_pairs
+        |FROM p GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin
   )
 }

@@ -52,75 +52,87 @@ object Graph {
       .distinct()
   }
 
+  /** Triangle census of a distinct canonical (a < b) edge list:
+    * one row (n_nodes, n_edges, n_triangles). Degree-oriented
+    * adjacency-intersection algorithm (object scaladoc); orientation
+    * never changes the census, so any naive counter is a valid twin
+    * (GraphSpec runs a seeded differential against one). */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(edges.sparkSession)
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // Orient each edge from its lower (deg, id) endpoint. deg is |V| rows
+    // (tiny vs |E|) — broadcast at fixture scale; at 100 TB this becomes
+    // a pair of vertex-keyed shuffle joins, still linear.
+    val da = deg.select(col("v").as("a"), col("deg").as("da"))
+    val db = deg.select(col("v").as("b"), col("deg").as("db"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = edges.join(broadcast(da), "a").join(broadcast(db), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    // Sorted out-adjacency per vertex; a triangle x<y<z (rank order) is
+    // counted exactly once, at edge x→y, as z ∈ N⁺(x) ∩ N⁺(y).
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val triEdges = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), "dst")
+    val nTri = triEdges.agg(
+      sum(expr("graft_sorted_intersect_long(nbrs_u, nbrs_v)")).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("n_nodes").asc)
+  }
+
+  /** Per-seed distinct 1-hop / ≤2-hop reachability counts (seed itself
+    * excluded) over a canonical (a < b) edge list: (seed_part, reach1,
+    * reach2). Two frontier joins + one min-hop aggregate; the hop marker
+    * lets one pass emit both radii. */
+  def khopReach(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    // Both directions: frontier expansion needs out-neighbors of every
+    // vertex, and the canonical a<b list stores each edge once.
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    // Seeds are a filtered dimension slice — broadcast; the frontier
+    // joins key on the edge source vertex.
+    val h1 = broadcast(seeds).join(und, col("seed") === col("u"))
+      .select(col("seed"), col("v")).distinct()
+    val h2 = h1.select(col("seed"), col("v").as("w"))
+      .join(und, col("w") === col("u"))
+      .select(col("seed"), col("v")).distinct()
+    val hops = h1.select(col("seed"), col("v"), lit(1).as("hop"))
+      .unionAll(h2.select(col("seed"), col("v"), lit(2).as("hop")))
+      .filter(col("v") =!= col("seed"))
+      .groupBy(col("seed"), col("v")).agg(min(col("hop")).as("mh"))
+    hops.groupBy(col("seed").as("seed_part"))
+      .agg(count(when(col("mh") === 1, lit(1))).as("reach1"),
+        count(lit(1)).as("reach2"))
+      .orderBy(col("seed_part").asc)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    // Global triangle census: vertices-with-an-edge, edge count, triangle
-    // count. Degree-oriented adjacency-intersection algorithm (see object
-    // scaladoc); the oracle counts the same triangles with the orientation-
-    // free a<b<c three-way join — the census is orientation-invariant.
+    // Global triangle census; the oracle counts the same triangles with
+    // the orientation-free a<b<c three-way join — census is
+    // orientation-invariant.
     "graph_triangle_count" -> { (s, d) =>
-      graft.functions.VectorFunctions.register(s) // graft_sorted_intersect_long
       // Edge list feeds degrees, orientation, adjacency, and the final
       // edge scan — eager localCheckpoint once instead of recomputing the
       // groupBy+explode+distinct pipeline four times (repo materialization
       // rule; declared closures keep the blocks alive for the driver's
       // later execution, matching the LlmOps pattern).
-      val edges = coEdges(s, d).localCheckpoint(true)
-      val deg = edges.select(col("a").as("v"))
-        .unionAll(edges.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      // Orient each edge from its lower (deg, id) endpoint. deg is |V| rows
-      // (tiny vs |E|) — broadcast at fixture scale; at 100 TB this becomes
-      // a pair of vertex-keyed shuffle joins, still linear.
-      val da = deg.select(col("v").as("a"), col("deg").as("da"))
-      val db = deg.select(col("v").as("b"), col("deg").as("db"))
-      val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-      val oriented = edges.join(broadcast(da), "a").join(broadcast(db), "b")
-        .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
-          when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      // Sorted out-adjacency per vertex; a triangle x<y<z (rank order) is
-      // counted exactly once, at edge x→y, as z ∈ N⁺(x) ∩ N⁺(y).
-      val adj = oriented.groupBy(col("src"))
-        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      val triEdges = oriented
-        .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), "src")
-        .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), "dst")
-      val nTri = triEdges.agg(
-        sum(expr("graft_sorted_intersect_long(nbrs_u, nbrs_v)")).as("n_triangles"))
-      deg.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(nTri)
-        .select(col("n_nodes"), col("n_edges"),
-          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-        .orderBy(col("n_nodes").asc)
+      triangleCensus(coEdges(s, d).localCheckpoint(true))
     },
 
-    // 1-hop and ≤2-hop distinct reachability counts from a fixed seed set
-    // (parts with p_size = 25), excluding the seed itself. Two frontier
-    // joins + one min-hop aggregate; the hop marker lets one pass emit
-    // both radii.
+    // 1-hop and ≤2-hop reach from the parts with p_size = 25.
     "graph_khop_reach" -> { (s, d) =>
-      val edges = coEdges(s, d).localCheckpoint(true)
-      // Both directions: frontier expansion needs out-neighbors of every
-      // vertex, and the canonical a<b list stores each edge once.
-      val und = edges.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      val seeds = Tables.part(s, d).filter(col("p_size") === 25)
-        .select(col("p_partkey").as("seed"))
-      // Seeds are a filtered dimension slice — broadcast; the frontier
-      // joins key on the edge source vertex.
-      val h1 = broadcast(seeds).join(und, col("seed") === col("u"))
-        .select(col("seed"), col("v")).distinct()
-      val h2 = h1.select(col("seed"), col("v").as("w"))
-        .join(und, col("w") === col("u"))
-        .select(col("seed"), col("v")).distinct()
-      val hops = h1.select(col("seed"), col("v"), lit(1).as("hop"))
-        .unionAll(h2.select(col("seed"), col("v"), lit(2).as("hop")))
-        .filter(col("v") =!= col("seed"))
-        .groupBy(col("seed"), col("v")).agg(min(col("hop")).as("mh"))
-      hops.groupBy(col("seed").as("seed_part"))
-        .agg(count(when(col("mh") === 1, lit(1))).as("reach1"),
-          count(lit(1)).as("reach2"))
-        .orderBy(col("seed_part").asc)
+      khopReach(
+        coEdges(s, d).localCheckpoint(true),
+        Tables.part(s, d).filter(col("p_size") === 25)
+          .select(col("p_partkey").as("seed")))
     }
   )
 

@@ -75,6 +75,25 @@ object Sources {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), dsumD(col("c_acctbal")).as("sum_bal"))
         .orderBy(col("c_mktsegment").asc)
+    },
+
+    // ORC ingestion roundtrip, same contract as CSV/JSONL: re-encode a
+    // fixture table once (signature-keyed cache dir), read it back through
+    // the columnar ORC reader, prove value identity by sharing the parquet
+    // oracle. ORC carries its own schema + column stats, so unlike the
+    // text formats no explicit read schema is needed and predicate
+    // pushdown/column pruning work as for parquet.
+    "src_scan_orc_roundtrip" -> { (s, d) =>
+      val dir = fmtDir(d, "part", "orc")
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .write.mode("overwrite").orc(dir)
+      }
+      s.read.orc(dir)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsumD(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("p_brand").asc)
     }
   )
 
@@ -123,6 +142,13 @@ object Sources {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
         |FROM customer
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "src_scan_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin
   )
 }

@@ -12,7 +12,7 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Sources.queries, ops.Basics.queries, ops.Joins.queries,
       ops.Aggregates.queries, ops.Windows.queries, ops.Scalars.queries,
       ops.LlmOps.queries, ops.Udfs.queries, ops.StreamBatch.queries,
-      ops.Reshape.queries, ops.EventAnalytics.queries)
+      ops.Reshape.queries, ops.EventAnalytics.queries, ops.Graph.queries)
       .flatten.map(_._1)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")

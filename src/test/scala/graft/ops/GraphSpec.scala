@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Seeded differential tests for the graph family: the degree-oriented
+  * triangle census and the frontier-expansion k-hop reach are checked
+  * against naive Scala counters on random Erdős–Rényi-ish edge lists
+  * (the CLAUDE.md rule: any custom operator with a cleverness step gets
+  * a brute-force twin on seeded random input).
+  */
+class GraphSpec extends SparkSpec {
+
+  /** Random canonical edge list (a < b, distinct) over n vertices. */
+  private def randomEdges(n: Int, m: Int, seed: Long): Set[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Iterator.continually {
+      val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+      (a.toLong.min(b.toLong), a.toLong.max(b.toLong))
+    }.filter { case (a, b) => a != b }.take(m).toSet
+  }
+
+  private def edgeDf(edges: Set[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toSeq.sorted.toDF("a", "b")
+  }
+
+  test("triangle census matches a naive counter on seeded random graphs") {
+    for (seed <- 1L to 3L) {
+      val edges = randomEdges(n = 60, m = 300, seed = seed)
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      // naive: for each canonical edge (a,b), common higher-id neighbor c>b
+      // with (a,c) and (b,c) present — counts each id-ordered triangle once.
+      val naive = edges.toSeq.map { case (a, b) =>
+        adj.getOrElse(a, Set.empty).count(c => c > b && edges.contains((b, c)))
+      }.sum.toLong
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).size.toLong
+      val row = Graph.triangleCensus(edgeDf(edges)).collect().head
+      assert(row.getAs[Long]("n_nodes") === nodes, s"seed=$seed nodes")
+      assert(row.getAs[Long]("n_edges") === edges.size.toLong, s"seed=$seed edges")
+      assert(row.getAs[Long]("n_triangles") === naive, s"seed=$seed triangles")
+    }
+  }
+
+  test("triangle census of a triangle-free graph (star) is zero") {
+    val star = (1L to 20L).map(i => (0L.min(i), 0L.max(i))).toSet
+    val row = Graph.triangleCensus(edgeDf(star)).collect().head
+    assert(row.getAs[Long]("n_triangles") === 0L)
+    assert(row.getAs[Long]("n_nodes") === 21L)
+  }
+
+  test("khop reach matches naive BFS radii on a seeded random graph") {
+    import spark.implicits._
+    val edges = randomEdges(n = 80, m = 200, seed = 7L)
+    val und = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = Seq(0L, 1L, 2L, 3L, 4L)
+    val expect = seeds.flatMap { sd =>
+      val h1 = und.getOrElse(sd, Set.empty)
+      val h2 = h1.flatMap(v => und.getOrElse(v, Set.empty)) ++ h1
+      if (h1.isEmpty) None
+      else Some((sd, (h1 - sd).size.toLong, (h2 - sd).size.toLong))
+    }.sortBy(_._1)
+    val got = Graph.khopReach(edgeDf(edges), seeds.toDF("seed"))
+      .collect().map(r => (r.getAs[Long]("seed_part"),
+        r.getAs[Long]("reach1"), r.getAs[Long]("reach2"))).toSeq
+    assert(got === expect)
+  }
+}
