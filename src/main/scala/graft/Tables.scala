@@ -10,11 +10,14 @@ import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
   * `spark.read.parquet`, because two fixture quirks must be handled
   * uniformly (see FIXTURES.md §3):
   *
-  *  - `events.ts` is parquet timestamp[ns]; Spark 4.1.2 refuses the read
-  *    unless `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces the
-  *    column as epoch-nanos LongType. We convert to a microsecond timestamp
-  *    (`ts div 1000`, exact integer division) and cast to TIMESTAMP_NTZ so it
-  *    compares bit-for-bit with DuckDB's native µs read of the same file.
+  *  - `events.ts` has shipped as BOTH parquet timestamp[ns] (rounds ≤5)
+  *    and timestamp[us] (round-6 fixture refresh) — the loader handles
+  *    either. ns: Spark 4.1.2 refuses the read unless
+  *    `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces the
+  *    column as epoch-nanos LongType; we convert to a microsecond
+  *    timestamp (`ts div 1000`, exact integer division). µs: the read is
+  *    native. Both paths end cast to TIMESTAMP_NTZ so the column compares
+  *    bit-for-bit with DuckDB's native µs read of the same file.
   *  - `o_orderdate` / `l_shipdate` arrive as TIMESTAMP_NTZ already and are
   *    left untouched.
   *
@@ -27,9 +30,14 @@ object Tables {
       // Runtime SQL conf: settable per-session even though the harness
       // builds its own SparkSession.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val tsCol = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // ns fixture, read as epoch-nanos
+          expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType)
+        case _ => // µs fixture, native timestamp read
+          col("ts").cast(TimestampNTZType)
+      }
+      raw.withColumn("ts", tsCol)
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
