@@ -281,6 +281,71 @@ object EventAnalytics {
         .agg(round(corr(col("value"), col("prev")), 6).as("acf1"),
           count(col("prev")).as("n_pairs"))
         .orderBy(col("event_type").asc)
+    },
+
+    // Exponentially-weighted moving average with a dyadic (α=1/2) kernel
+    // truncated at 16 taps: ewma_i = Σ_{j=0..15} 2^(15-j)·x_{i-j} / Σ 2^(15-j)
+    // over the deterministic (ts, event_id) order per event_type. The
+    // truncation makes the recursion a FINITE weighted sum, so both engines
+    // evaluate the identical expression: values become exact integer
+    // micro-units (value is ≤4 dp in the fixture — round(value·10⁴) is an
+    // exact integer in both engines), the weighted numerator/denominator
+    // are exact BIGINT sums, and the output is ONE double division
+    // (SURVEY §5.3's transcendental-free ratio rule). All 16 lags sit on
+    // one window spec → a single WindowExec pass, one shuffle by type.
+    "ts_ewma_dyadic" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      def lagIv(j: Int) =
+        if (j == 0) col("iv") else lag(col("iv"), j).over(w)
+      val num = (0 until 16)
+        .map(j => coalesce(lagIv(j), lit(0L)) * lit(1L << (15 - j)))
+        .reduce(_ + _)
+      val den = (0 until 16)
+        .map(j => when(lagIv(j).isNotNull, lit(1L << (15 - j))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+        .withColumn("num", num).withColumn("den", den)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          round(col("num").cast("double") /
+            (col("den") * lit(10000L)).cast("double"), 6).as("ewma"))
+        .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
+    },
+
+    // CDC snapshot diff — the lakehouse merge primitive: given yesterday's
+    // and today's versions of a keyed table, emit the insert/update/delete
+    // changeset. The two versions are derived deterministically from
+    // `orders` (keys ≡ 7 (mod 10) exist only in the new snapshot, ≡ 3 only
+    // in the old, keys ≡ 0 (mod 5) carry a +10% exact-decimal price
+    // revision — the residues are disjoint so every row has one unambiguous
+    // class). One full-outer shuffle join on the key (AQE handles skew);
+    // prices stay exact DECIMAL until the final double projection.
+    "cdc_snapshot_diff" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val snapOld = o.filter(col("o_orderkey") % 10 =!= 7)
+        .select(col("o_orderkey").as("key"),
+          Tables.dec2(col("o_totalprice")).as("price_old"))
+      val snapNew = o.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey").as("key"),
+          when(col("o_orderkey") % 5 === 0,
+            Tables.dec2(col("o_totalprice")) * lit(1.10).cast("decimal(3,2)"))
+            .otherwise(Tables.dec2(col("o_totalprice")) * lit(1.00).cast("decimal(3,2)"))
+            .as("price_new"))
+      snapOld.join(snapNew, Seq("key"), "full_outer")
+        .withColumn("change_type",
+          when(col("price_old").isNull, lit("insert"))
+            .when(col("price_new").isNull, lit("delete"))
+            .when(col("price_old").cast("decimal(20,4)") =!=
+              col("price_new").cast("decimal(20,4)"), lit("update"))
+            .otherwise(lit("unchanged")))
+        .filter(col("change_type") =!= "unchanged")
+        .select(col("key"), col("change_type"),
+          col("price_old").cast("double").as("price_old"),
+          col("price_new").cast("double").as("price_new"))
+        .orderBy(col("key").asc)
     }
   )
 
@@ -472,6 +537,55 @@ object EventAnalytics {
         |SELECT event_type, round(corr(value, prev), 6) AS acf1,
         |       count(prev) AS n_pairs
         |FROM p GROUP BY event_type
-        |ORDER BY event_type ASC NULLS FIRST""".stripMargin
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "ts_ewma_dyadic" -> {
+      // The identical 16-tap dyadic kernel, generated to keep the 16 lag
+      // terms literally in sync with the Spark side.
+      val lags = (0 until 16).map { j =>
+        val e = if (j == 0) "iv" else s"lag(iv, $j) OVER w"
+        (s"coalesce($e, 0) * ${1L << (15 - j)}",
+          s"CASE WHEN $e IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+      }
+      s"""WITH b AS (
+         |  SELECT event_type, ts, event_id,
+         |         CAST(round(value * 10000, 0) AS BIGINT) AS iv
+         |  FROM events
+         |)
+         |SELECT event_type, ts, event_id,
+         |       round(CAST(${lags.map(_._1).mkString(" + ")} AS DOUBLE) /
+         |             CAST((${lags.map(_._2).mkString(" + ")}) * 10000 AS DOUBLE),
+         |             6) AS ewma
+         |FROM b
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+         |ORDER BY event_type ASC NULLS FIRST, ts ASC, event_id ASC""".stripMargin
+    },
+
+    "cdc_snapshot_diff" ->
+      """WITH snap_old AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price_old
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |), snap_new AS (
+        |  SELECT o_orderkey AS key,
+        |         CASE WHEN o_orderkey % 5 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.10 AS DECIMAL(3,2))
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.00 AS DECIMAL(3,2))
+        |         END AS price_new
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |), diff AS (
+        |  SELECT coalesce(o.key, n.key) AS key, o.price_old, n.price_new,
+        |         CASE WHEN o.price_old IS NULL THEN 'insert'
+        |              WHEN n.price_new IS NULL THEN 'delete'
+        |              WHEN CAST(o.price_old AS DECIMAL(20,4)) <>
+        |                   CAST(n.price_new AS DECIMAL(20,4)) THEN 'update'
+        |              ELSE 'unchanged' END AS change_type
+        |  FROM snap_old o FULL JOIN snap_new n ON o.key = n.key
+        |)
+        |SELECT key, change_type,
+        |       CAST(price_old AS DOUBLE) AS price_old,
+        |       CAST(price_new AS DOUBLE) AS price_new
+        |FROM diff WHERE change_type <> 'unchanged'
+        |ORDER BY key ASC NULLS FIRST""".stripMargin
   )
 }

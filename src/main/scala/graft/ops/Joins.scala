@@ -272,6 +272,41 @@ object Joins {
         .limit(10)
     },
 
+    // TPC-H Q5-shaped star join — local-supplier revenue per nation: six
+    // tables, a year of orders, one region. The canonical 100 TB plan:
+    // region⋈nation⋈supplier collapse into ONE broadcast (dims are tiny —
+    // even at sf100 supplier's nation projection is MBs), orders⋈customer
+    // shuffle on custkey first (both carry custkey; the date filter
+    // pushes to the orders scan), then one shuffle on orderkey against
+    // lineitem, with the c_nationkey = s_nationkey local-supplier
+    // predicate applied inside the broadcast probe — so the two big
+    // shuffles are the only exchanges and each is on its natural key.
+    "join_multiway_q5" -> { (s, d) =>
+      val lo = lit("1996-01-01").cast("timestamp_ntz")
+      val hi = lit("1997-01-01").cast("timestamp_ntz")
+      val asiaSup = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val oc = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+          "AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+
     // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
     // driver-checked path): both sides live as catalog tables bucketed 8
     // ways on the join key, so the forced sort-merge join reads bucket i
@@ -340,6 +375,21 @@ object Joins {
         |ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS FIRST,
         |         l_orderkey ASC NULLS FIRST
         |LIMIT 10""".stripMargin,
+
+    "join_multiway_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
 
     // Bucketing is layout, not semantics: the oracle is the plain join.
     "join_bucketed_colocated" ->

@@ -1338,6 +1338,37 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // Per-document n-gram novelty: the fraction of a document's distinct
+    // 8-grams whose FIRST corpus occurrence (lowest doc_id) is this
+    // document — the standard "how much new text does this shard add"
+    // curation signal (the complement of Lee et al.'s duplicated-text
+    // fraction, attributed to an origin doc). first-occurrence = min over
+    // ONE window partitioned by gram (per CLAUDE.md: never groupBy +
+    // join-back when the answer feeds the same rows), then one doc_id
+    // aggregate; ratio = one double division of exact counts. At 100 TB
+    // both exchanges hash-partition on high-cardinality keys (gram,
+    // doc_id) — no hot key, no broadcast needed.
+    "llm_ngram_novelty" -> { (s, d) =>
+      def grams8(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """coalesce(array_distinct(transform(sequence(0, size(toks) - 8),
+            | i -> concat_ws(' ', slice(toks, i + 1, 8)))), array())"""
+            .stripMargin.replace("\n", " "))).as("g"))
+      val w = Window.partitionBy(col("g"))
+      grams8(Tables.documents(s, d))
+        .withColumn("first_doc", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+            .as("novelty"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // Exact passage-level dedup (Lee et al. 2022, "Deduplicating Training
     // Data Makes Language Models Better", in its fixed-window form): every
     // 16-token window of every document, kept WITH multiplicity; a window
@@ -2272,6 +2303,23 @@ object LlmOps {
         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
         |WHERE d.source <> 'src0'
         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |               i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |      FROM tok WHERE len(t) >= 8),
+        |f AS (SELECT doc_id,
+        |             min(doc_id) OVER (PARTITION BY g) AS first_doc
+        |      FROM g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE) /
+        |             CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM f GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_passage_dedup" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t

@@ -60,6 +60,17 @@ class PlanSpec extends SparkSpec {
       s"date filters must reach the orders/lineitem scans:\n$plan")
   }
 
+  test("join_multiway_q5: dims broadcast, date window pushed to the orders scan") {
+    val plan = physicalPlan("join_multiway_q5")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"),
+      s"the order-year window must reach the orders scan:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must reach the region scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the supplier⋈nation⋈region dim chain must broadcast:\n$plan")
+  }
+
   test("win_row_number_topk gets a WindowGroupLimit (per-group top-k prune before the sort)") {
     // Spark 4's InferWindowGroupLimit turns `row_number() <= k` into a
     // WindowGroupLimit, so each partition keeps only k candidate rows per

@@ -75,4 +75,30 @@ class CurationOpsSpec extends SparkSpec {
       assert(qp >= 0 && qp <= 255 && qs >= 0 && qs <= 255)
     }
   }
+
+  test("ngram_novelty: first doc is fully novel, novel counts partition the distinct-gram universe") {
+    val rows = q("llm_ngram_novelty").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1),
+        "0 <= n_novel <= n_grams")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the lowest doc_id in the result introduced every one of its grams
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(2) === first.getLong(1))
+    assert(first.getDouble(3) === 1.0)
+    // each distinct gram's first occurrence is attributed to exactly one
+    // doc, so Σ n_novel = |distinct grams in the corpus|
+    import org.apache.spark.sql.functions._
+    val totalDistinct = graft.Tables.documents(spark, sf)
+      .select(split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 8), i -> concat_ws(' ', slice(toks, i + 1, 8)))"))
+        .as("g"))
+      .select(countDistinct(col("g"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === totalDistinct,
+      "novel counts must partition the distinct-gram universe")
+  }
 }

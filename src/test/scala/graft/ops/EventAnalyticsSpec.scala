@@ -198,4 +198,69 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(byCohort.values.map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum
       === totalUsers, "cohorts partition the user base")
   }
+
+  test("ewma: differential against a naive per-type scan of the 16-tap kernel") {
+    val rows = q("ts_ewma_dyadic").collect()
+    assert(rows.nonEmpty)
+    // reference: recompute every row from the raw events, driver-side
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3)))
+    def lt(a: (String, java.time.LocalDateTime, Long, Double),
+        b: (String, java.time.LocalDateTime, Long, Double)): Boolean =
+      a._2.isBefore(b._2) || (a._2 == b._2 && a._3 < b._3)
+    val expect = raw.groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      val ordered = rs.sortWith(lt)
+      ordered.zipWithIndex.toSeq.map { case ((_, ts, id, _), i) =>
+        val window = ordered.slice(math.max(0, i - 15), i + 1).reverse
+        val iv = window.map(r => math.round(r._4 * 10000))
+        val wts = iv.indices.map(j => 1L << (15 - j))
+        val num = iv.zip(wts).map { case (v, wt) => v * wt }.sum
+        val den = wts.sum * 10000L
+        ((tpe, ts, id),
+          BigDecimal(num.toDouble / den.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toMap
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2))
+      assert(math.abs(r.getDouble(3) - expect(k)) < 1e-9,
+        s"ewma mismatch at $k: got ${r.getDouble(3)}, want ${expect(k)}")
+    }
+    // and the first row of each type is exactly its own value
+    val firstPerType = raw.groupBy(_._1).map { case (tpe, rs) =>
+      (tpe, rs.sortWith(lt).head)
+    }
+    rows.foreach { r =>
+      val f = firstPerType(r.getString(0))
+      if (f._2 == r.getAs[java.time.LocalDateTime](1) && f._3 == r.getLong(2))
+        assert(math.abs(r.getDouble(3) -
+          BigDecimal(f._4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("cdc: residue classes map to exactly their change type, update factor 1.1") {
+    val rows = q("cdc_snapshot_diff").collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    assert(byKey.values.forall(_.length == 1), "one changeset row per key")
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    val keys = (0L until nOrders)
+    val inserts = rows.filter(_.getString(1) == "insert").map(_.getLong(0)).toSet
+    val deletes = rows.filter(_.getString(1) == "delete").map(_.getLong(0)).toSet
+    val updates = rows.filter(_.getString(1) == "update").map(_.getLong(0)).toSet
+    assert(inserts === keys.filter(_ % 10 == 7).toSet)
+    assert(deletes === keys.filter(_ % 10 == 3).toSet)
+    assert(updates === keys.filter(k => k % 5 == 0 && k % 10 != 3 && k % 10 != 7).toSet)
+    rows.foreach { r =>
+      r.getString(1) match {
+        case "insert" => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "delete" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "update" =>
+          assert(math.abs(r.getDouble(3) - r.getDouble(2) * 1.10) < 1e-6)
+        case other => fail(s"unexpected change_type $other")
+      }
+    }
+  }
 }
