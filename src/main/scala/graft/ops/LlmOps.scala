@@ -1019,7 +1019,17 @@ object LlmOps {
     val edges = edges0
       .union(edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
-    var labels = vertices
+    // Iterate ONLY over edge-incident vertices: a vertex with no edges can
+    // never receive a candidate (viaEdges misses it, viaJump maps its
+    // identity label to itself), so looping it through every round just
+    // inflates each shuffle from |incident| to |V|. In a near-dup corpus
+    // |incident| ≪ |V| — at 100 TB this is the difference between
+    // propagating over the duplicate subgraph and re-shuffling the whole
+    // corpus every round. Singletons rejoin as their own cluster at the end.
+    // (vertices is a cheap id projection in every caller — re-scanning it
+    // for the final singleton anti-join beats holding one more checkpoint.)
+    val incident = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = vertices.join(incident, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
@@ -1051,7 +1061,12 @@ object LlmOps {
       rounds += 1
     }
     releaseCheckpoint(edges)
-    (labels, rounds)
+    // Singletons (vertices with no incident edge) are their own cluster;
+    // anti-join against the small converged label table restores them.
+    val all = vertices.join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .unionAll(labels)
+    (all, rounds)
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
