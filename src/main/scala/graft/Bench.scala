@@ -44,8 +44,12 @@ object Bench {
     // is already the fused single-exchange session merge (round-6 audit),
     // and the r5 1.47x-vs-baseline delta was this family's first-plan
     // codegen cost landing on it.
+    // graph_* sorts before llm_* — the graph queries are the first to hit
+    // the HOF-pair-explode and sorted-intersect-kernel plan families, so
+    // without warmup they absorb those families' codegen compilation.
     Seq("agg_approx_distinct", "llm_dedup_embcos", "llm_sim_topk",
         "llm_dedup_exact", "llm_sim_ann_pq",
+        "graph_triangle_count", "graph_khop_reach", "graph_pagerank",
         "stream_session_agg_batch").foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case e: Throwable =>

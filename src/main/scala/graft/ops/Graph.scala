@@ -88,6 +88,47 @@ object Graph {
       .orderBy(col("n_nodes").asc)
   }
 
+  /** Exact fixed-point PageRank over a canonical (a < b) edge list:
+    * `iters` synchronous power-iteration rounds in INTEGER arithmetic, so
+    * the scores are bit-identical across engines and partitionings with no
+    * floating-point discipline at all. Scale R0 = 10¹² per vertex;
+    * contribution c(u) = r(u) div deg(u); next r(v) = (15·R0 div 100) +
+    * (85 · Σ_{u∈N(v)} c(u)) div 100 — the d = 0.85 damped walk with every
+    * division a floor division of NON-NEGATIVE integers (Spark's `div`
+    * truncates toward zero, DuckDB's `//` floors; they agree exactly on
+    * the non-negative domain, per the repo's integer-division rule).
+    * Magnitudes: Σr ≤ |V|·R0 ≈ 2·10¹⁶ < 2⁶³. Each round is ONE
+    * vertex-keyed join + ONE groupBy — the Pregel shape; at 100 TB the
+    * edge list is bucketed by u so every round reuses one partitioning.
+    * The round count is a constant of the QUERY (unrolled in the oracle
+    * SQL as chained CTEs — recursive CTEs can't aggregate), not data-
+    * dependent: no driver-side convergence loop is needed. */
+  def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val base = lit(1000000000000L)
+    var r = deg.select(col("u").as("v"), base.as("r"), col("deg"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = und.join(
+          r.select(col("v").as("u"), expr("r div deg").as("c")), Seq("u"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+      val next = r.select(col("v"), col("deg"))
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(150000000000L) + expr("85 * coalesce(sc, 0L) div 100")).as("r"),
+          col("deg"))
+        .localCheckpoint(true)
+      graft.ops.LlmOps.releaseCheckpoint(r)
+      r = next
+    }
+    val out = r.select(col("v").as("part"), col("r").as("pr_fixed"))
+      .orderBy(col("part").asc)
+    out
+  }
+
   /** Per-seed distinct 1-hop / ≤2-hop reachability counts (seed itself
     * excluded) over a canonical (a < b) edge list: (seed_part, reach1,
     * reach2). Two frontier joins + one min-hop aggregate; the hop marker
@@ -143,6 +184,12 @@ object Graph {
         coEdges(s, d).localCheckpoint(true),
         Tables.part(s, d).filter(col("p_size") === 25)
           .select(col("p_partkey").as("seed")))
+    },
+
+    // 5 rounds of exact integer-arithmetic damped PageRank (d = 0.85,
+    // R0 = 10^12) — see pagerankFixed.
+    "graph_pagerank" -> { (s, d) =>
+      pagerankFixed(coEdges(s, d).localCheckpoint(true), iters = 5)
     }
   )
 
@@ -177,6 +224,29 @@ object Graph {
         |       count(CASE WHEN mh = 1 THEN 1 END) AS reach1,
         |       count(*) AS reach2
         |FROM m GROUP BY seed
-        |ORDER BY seed_part ASC NULLS FIRST""".stripMargin
+        |ORDER BY seed_part ASC NULLS FIRST""".stripMargin,
+
+    // The identical integer recurrence with the 5 rounds UNROLLED as
+    // chained CTEs (SQL recursive CTEs cannot aggregate in the recursive
+    // term). `//` is DuckDB floor division == Spark `div` on this
+    // non-negative domain.
+    "graph_pagerank" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""r$k AS (SELECT d.v,
+           |            150000000000 + (85 * coalesce(s.sc, 0)) // 100 AS r,
+           |            d.deg
+           |      FROM dg d LEFT JOIN (
+           |        SELECT und.v, sum(p.r // p.deg) AS sc
+           |        FROM und JOIN r${k - 1} p ON p.v = und.u
+           |        GROUP BY und.v) s ON s.v = d.v)""".stripMargin
+      }
+      s"""$edgeCte,
+         |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |dg AS (SELECT u AS v, count(*) AS deg FROM und GROUP BY u),
+         |r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS r, deg FROM dg),
+         |${rounds.mkString(",\n")}
+         |SELECT v AS part, CAST(r AS BIGINT) AS pr_fixed FROM r5
+         |ORDER BY part ASC NULLS FIRST""".stripMargin
+    }
   )
 }

@@ -955,6 +955,36 @@ object LlmOps {
       .distinct()
   }
 
+  /** Directed form of [[containmentPrefixCandidates]] for incremental
+    * ingestion: candidates (probe, target) such that containment(probe ⊆
+    * target) ≥ τ is possible. Only the PROBE side emits prefixes and only
+    * the TARGET side builds the posting list — the pigeonhole proof needs
+    * just A's own size (any ≤ ⌊(1−τ)|A|⌋ misses leave a prefix hash in B
+    * for ANY global hash order), so the document-frequency order is pure
+    * efficiency: df comes from the target postings, and a probe hash
+    * absent there (df 0, can never hit) sorts first, keeping the rarest-
+    * first benefit. At 100 TB this is the shape that matters — the daily
+    * batch's prefixes probe the big corpus's posting list without ever
+    * re-shuffling the corpus's own prefixes. */
+  private[ops] def containmentPrefixCandidatesDirected(probes: DataFrame,
+      targets: DataFrame, tau: Double): DataFrame = {
+    val posting = targets.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
+      .localCheckpoint(true)
+    val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = probes.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(dfreq, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)")
+        .as("ord"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(ord, 1, CAST(floor((1.0 - $tau) * size(ord)) AS INT) + 1)")).as("h"))
+    prefixes.select(col("doc_id").as("doc_a"), col("h"))
+      .join(posting, Seq("h"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
   /** Verified near-duplicate pairs (doc_a < doc_b, jac): band-bucket
     * candidates (see minhashBandCandidates), exact-Jaccard verified via the
     * native sorted-merge intersect kernel on the checkpointed signature
@@ -1214,6 +1244,39 @@ object LlmOps {
         .select(col("doc_a"), col("doc_b"),
           round(col("containment"), 6).as("containment"))
         .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // Incremental ingestion dedup — the daily-batch shape of a 100 TB
+    // pipeline: an incoming batch (doc_id ≡ 0 mod 5) is deduped AGAINST
+    // the already-ingested corpus (the rest) without ever re-deduping the
+    // corpus itself. A batch doc is a duplicate when ≥70% of its shingles
+    // are contained in some single corpus doc. Candidates come from the
+    // DIRECTED prefix filter (lossless, batch-side prefixes only — see
+    // containmentPrefixCandidatesDirected); the threshold compare is
+    // exact integer (10·common ≥ 7·|A|), so the output is all-integer.
+    "llm_dedup_incremental" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val base = docsWithShingles(s, d)
+        .select(col("doc_id"), expr("graft_shingle_hashes(sh)").as("hs"))
+        .localCheckpoint(true)
+      val batch = base.filter(col("doc_id") % 5 === 0)
+      val corpus = base.filter(col("doc_id") % 5 =!= 0)
+      val matches = containmentPrefixCandidatesDirected(batch, corpus, 0.7)
+        .join(batch.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+          size(col("hs")).as("n_a")), "doc_a")
+        .join(corpus.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        // identity-aggregate barrier keeps the merge-intersect kernel out
+        // of inferred join conditions (repo rule, see llm_dedup_containment)
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+        .agg(max(expr("graft_sorted_intersect_long(hs_a, hs_b)")).as("common"))
+        .filter(col("common") * 10 >= col("n_a") * 7)
+        .groupBy(col("doc_a")).agg(count(lit(1)).as("n_matches"))
+      batch.select(col("doc_id"))
+        .join(matches, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          (coalesce(col("n_matches"), lit(0L)) > 0L).as("is_dup"))
+        .orderBy(col("doc_id").asc)
     },
 
     // SimHash: 64-bit signature from unigram hashes; near-dup candidates by
@@ -1733,6 +1796,26 @@ object LlmOps {
           floor((col("cum") - col("n_tok")) / 4096L).cast("long").as("chunk_id"),
           ((col("cum") - col("n_tok")) % 4096L).cast("long").as("chunk_offset"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // Overlapping token chunking — the RAG/embedding-prep primitive: every
+    // document becomes 32-token windows at stride 24 (8-token overlap so
+    // no boundary context is lost), each chunk carrying its offset and the
+    // chunk text. A pure per-row explode projection (no shuffle before the
+    // output sort); at 100 TB this is map-only against the doc scan, and
+    // the chunk table partitions by the same key as its source.
+    "llm_doc_chunking" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .select(col("doc_id"), col("n_tok"), col("toks"),
+          explode(expr("sequence(0, n_tok - 1, 24)")).as("start_tok"))
+        .select(col("doc_id"),
+          expr("start_tok div 24").cast("long").as("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          least(lit(32), col("n_tok") - col("start_tok")).cast("long").as("n_tok_chunk"),
+          expr("concat_ws(' ', slice(toks, start_tok + 1, 32))").as("chunk_text"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
     },
 
     // Per-vector int8 scalar quantization — the 4×-smaller storage form of
@@ -2266,6 +2349,21 @@ object LlmOps {
          |SELECT doc_a, doc_b, round(c, 6) AS containment FROM p WHERE c >= 0.7
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
 
+    // Brute-force cross-split containment; the Spark side's directed
+    // prefix filter is lossless, so the sets must be identical.
+    "llm_dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $duckShingles AS sh FROM documents
+         |           WHERE len(string_split(lower(text), ' ')) >= 3),
+         |b AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 = 0),
+         |c AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 <> 0),
+         |m AS (SELECT b.doc_id, count(*) AS n_matches
+         |      FROM b JOIN c ON len(list_intersect(b.sh, c.sh)) * 10 >= len(b.sh) * 7
+         |      GROUP BY b.doc_id)
+         |SELECT b.doc_id, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+         |       coalesce(m.n_matches, 0) > 0 AS is_dup
+         |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+         |ORDER BY b.doc_id ASC NULLS FIRST""".stripMargin,
+
     "llm_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -2470,6 +2568,21 @@ object LlmOps {
         |       CAST((cum - n_tok) % 4096 AS BIGINT) AS chunk_offset
         |FROM c
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_doc_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk,
+        |             len(string_split(lower(text), ' ')) AS n_tok
+        |           FROM documents),
+        |s AS (SELECT doc_id, tk, n_tok,
+        |             unnest(range(0, n_tok, 24)) AS start_tok
+        |      FROM t)
+        |SELECT doc_id,
+        |       CAST(start_tok // 24 AS BIGINT) AS chunk_idx,
+        |       CAST(start_tok AS BIGINT) AS start_tok,
+        |       CAST(least(32, n_tok - start_tok) AS BIGINT) AS n_tok_chunk,
+        |       array_to_string(tk[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
+        |FROM s
+        |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
 
     "llm_embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

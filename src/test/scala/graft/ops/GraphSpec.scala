@@ -66,4 +66,27 @@ class GraphSpec extends SparkSpec {
         r.getAs[Long]("reach1"), r.getAs[Long]("reach2"))).toSeq
     assert(got === expect)
   }
+
+  test("fixed-point pagerank matches a driver-side integer power iteration") {
+    for (seed <- 11L to 12L) {
+      val edges = randomEdges(n = 50, m = 150, seed = seed)
+      val und = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val nbrs = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val deg = nbrs.map { case (k, v) => k -> v.size.toLong }
+      var r: Map[Long, Long] = deg.map { case (k, _) => k -> 1000000000000L }
+      (1 to 5).foreach { _ =>
+        r = deg.map { case (v, _) =>
+          val sc = nbrs(v).map(u => r(u) / deg(u)).sum
+          v -> (150000000000L + 85L * sc / 100L)
+        }
+      }
+      val got = Graph.pagerankFixed(edgeDf(edges), iters = 5)
+        .collect().map(x => x.getAs[Long]("part") -> x.getAs[Long]("pr_fixed"))
+        .toMap
+      assert(got === r, s"seed=$seed pagerank differs")
+      // total mass stays within the damped-walk envelope: every score is
+      // at least the teleport floor and the floor-div losses only shrink
+      assert(got.values.forall(_ >= 150000000000L))
+    }
+  }
 }

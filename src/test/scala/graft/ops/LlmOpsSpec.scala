@@ -336,6 +336,48 @@ class LlmOpsSpec extends SparkSpec {
     LlmOps.releaseCheckpoint(base)
   }
 
+  test("directed prefix filter: lossless incremental candidates incl. df-0 probe hashes at the exact pigeonhole bound") {
+    // The incremental form prefixes ONLY the probe batch and posts ONLY
+    // the corpus. Two planted families: full subsets (c = 1.0), and
+    // "tight" probes sitting exactly AT τ whose prefix is almost entirely
+    // df-0 hashes (absent from every target) — the pigeonhole's worst
+    // case: 6 of the 7 prefix slots burn on unmatchable hashes and the
+    // single remaining slot must still hit the right target.
+    import spark.implicits._
+    val rnd = new scala.util.Random(88002L)
+    val n = 2000
+    val stops = (0L until 10L).toSeq
+    val targets = (0 until n).map { i =>
+      val rare = Seq.fill(25)(10L + rnd.nextInt(300000).toLong)
+      (i.toLong, (stops ++ rare).distinct.sorted.toArray)
+    }
+    val subs = (0 until 30).map { i =>
+      ((10000 + i).toLong, targets(i)._2.filter(h => h < 10L || h % 5L != 1L))
+    }
+    val tight = (0 until 10).map { i =>
+      val from = targets(i)._2.take(24)
+      val novel = (0 until 6).map(j => 1000000L + i * 100L + j)
+      ((20000 + i).toLong, (from ++ novel).sorted.toArray) // |probe| = 30, c = 24/30 = 0.8
+    }
+    val probes = (subs ++ tight).toDF("doc_id", "hs").localCheckpoint(true)
+    val corpus = targets.toDF("doc_id", "hs").localCheckpoint(true)
+    val got = LlmOps.containmentPrefixCandidatesDirected(probes, corpus, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 30).foreach { i =>
+      assert(got.contains(((10000 + i).toLong, i.toLong)),
+        s"directed prefix filter dropped planted subset pair $i")
+    }
+    (0 until 10).foreach { i =>
+      assert(got.contains(((20000 + i).toLong, i.toLong)),
+        s"directed prefix filter dropped at-the-bound tight pair $i")
+    }
+    assert(got.forall(_._1 >= 10000L), "candidates must be probe-oriented")
+    assert(got.size <= 5L * (probes.count() + n),
+      s"directed candidate fan-out ${got.size} exceeds the near-linear bound")
+    LlmOps.releaseCheckpoint(probes)
+    LlmOps.releaseCheckpoint(corpus)
+  }
+
   test("PQ sampled trainer at 10x fixture scale keeps recall on planted near-duplicates") {
     // Past 4096 vectors the PQ codebook trains on a deterministic hash
     // sample while encoding stays full-corpus — this drives that regime
