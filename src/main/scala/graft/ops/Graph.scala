@@ -104,29 +104,39 @@ object Graph {
     * SQL as chained CTEs — recursive CTEs can't aggregate), not data-
     * dependent: no driver-side convergence loop is needed. */
   def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
+    // Hash-partition the edge list by its probe key ONCE before the
+    // checkpoint: LogicalRDD carries the partitioning, so all `iters`
+    // join probes below are exchange-free on the und side (the bucketed-
+    // by-source layout a cluster deployment would maintain on disk).
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
       .localCheckpoint(true)
+    // deg is reused every round — checkpoint once. Broadcast hint is the
+    // fixture-scale choice (|V| rows); at cluster scale drop the hint and
+    // the v-keyed join co-partitions with the previous round's groupBy(v)
+    // output, so only the und probe shuffles per round.
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val base = lit(1000000000000L)
-    var r = deg.select(col("u").as("v"), base.as("r"), col("deg"))
+      .select(col("u").as("v"), col("deg"))
       .localCheckpoint(true)
+    // Unlike labelPropagate there is NO driver-side convergence read, so
+    // the whole iteration chains as ONE lazy plan: no per-round
+    // materialization, and `r` is referenced exactly once per round
+    // (the und symmetry guarantees every vertex has >= 1 in-edge, so the
+    // contribution aggregate already covers all of them — no left join
+    // back, no coalesce). First cut checkpointed every round and
+    // re-referenced r twice: 8.5 s; this form runs the same 5 shuffles
+    // inside one job.
+    var r = deg.select(col("v"), lit(1000000000000L).as("r"))
     (1 to iters).foreach { _ =>
-      val contrib = und.join(
-          r.select(col("v").as("u"), expr("r div deg").as("c")), Seq("u"))
-        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
-      val next = r.select(col("v"), col("deg"))
-        .join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          (lit(150000000000L) + expr("85 * coalesce(sc, 0L) div 100")).as("r"),
-          col("deg"))
-        .localCheckpoint(true)
-      graft.ops.LlmOps.releaseCheckpoint(r)
-      r = next
+      val c = r.join(broadcast(deg), Seq("v"))
+        .select(col("v").as("u"), expr("r div deg").as("c"))
+      r = und.join(c, Seq("u"))
+        .groupBy(col("v"))
+        .agg((lit(150000000000L) + expr("85 * sum(c) div 100")).as("r"))
     }
-    val out = r.select(col("v").as("part"), col("r").as("pr_fixed"))
+    r.select(col("v").as("part"), col("r").as("pr_fixed"))
       .orderBy(col("part").asc)
-    out
   }
 
   /** Per-seed distinct 1-hop / ≤2-hop reachability counts (seed itself
@@ -135,9 +145,13 @@ object Graph {
     * lets one pass emit both radii. */
   def khopReach(edges: DataFrame, seeds: DataFrame): DataFrame = {
     // Both directions: frontier expansion needs out-neighbors of every
-    // vertex, and the canonical a<b list stores each edge once.
+    // vertex, and the canonical a<b list stores each edge once. Partition
+    // by the probe key once and checkpoint — BOTH hop joins then probe it
+    // exchange-free (same bucketed-by-source rationale as pagerankFixed).
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint(true)
     // Seeds are a filtered dimension slice — broadcast; the frontier
     // joins key on the edge source vertex. h1 feeds BOTH the hop union
     // and the h2 expansion — checkpoint it so the und join + distinct
