@@ -71,6 +71,22 @@ class PlanSpec extends SparkSpec {
       s"the supplier⋈nation⋈region dim chain must broadcast:\n$plan")
   }
 
+  test("ts_ewma_dyadic evaluates all 16 taps in ONE WindowExec pass") {
+    val plan = physicalPlan("ts_ewma_dyadic")
+    val windows = plan.linesIterator.count(l => l.contains("Window [")
+      || l.trim.startsWith("Window "))
+    assert(windows === 1,
+      s"the 16 lag taps share one window spec and must compile to a single " +
+        s"Window node, got $windows:\n$plan")
+  }
+
+  test("llm_ngram_novelty: first-occurrence via window, no join back to the gram rows") {
+    val plan = physicalPlan("llm_ngram_novelty")
+    assert(!plan.contains("Join"),
+      s"novelty must not groupBy+join-back (one gram-partitioned window " +
+        s"instead):\n$plan")
+  }
+
   test("win_row_number_topk gets a WindowGroupLimit (per-group top-k prune before the sort)") {
     // Spark 4's InferWindowGroupLimit turns `row_number() <= k` into a
     // WindowGroupLimit, so each partition keeps only k candidate rows per

@@ -47,4 +47,32 @@ class TablesSpec extends SparkSpec {
     assert(small.unscaledValue().longValueExact() === (1L << 53) - 1)
     assert(small.doubleValue === small.unscaledValue().longValueExact().toDouble / 1e4)
   }
+
+  test("events loader handles both fixture ts layouts (epoch-nanos long and native timestamp)") {
+    // The driver has shipped events.ts as parquet timestamp[ns] (read as
+    // epoch-nanos LongType under nanosAsLong) and as timestamp[us] (read
+    // natively). Both layouts must surface the SAME TIMESTAMP_NTZ column.
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampNTZType
+    val dir = java.nio.file.Files.createTempDirectory("graft_tables_spec").toString
+    val microsA = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
+    val microsB = microsA + 86400L * 1000000L + 123456L
+    // ns layout: a plain INT64 column named ts carrying epoch-nanos
+    Seq((0L, microsA * 1000L), (1L, microsB * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/ns/events.parquet")
+    // µs layout: a native TIMESTAMP_NTZ column
+    Seq((0L, microsA), (1L, microsB)).toDF("event_id", "us")
+      .select(col("event_id"),
+        expr("timestamp_micros(us)").cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/us/events.parquet")
+    def rows(sub: String) = Tables.events(spark, s"$dir/$sub")
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("ts")))
+    val (nsRows, usRows) = (rows("ns"), rows("us"))
+    assert(Tables.events(spark, s"$dir/ns").schema("ts").dataType === TimestampNTZType)
+    assert(Tables.events(spark, s"$dir/us").schema("ts").dataType === TimestampNTZType)
+    assert(nsRows.toSeq === usRows.toSeq,
+      "the two physical layouts must decode to identical NTZ timestamps")
+    assert(nsRows(1)._2 === java.time.LocalDateTime.of(2024, 1, 2, 0, 0, 0, 123456000))
+  }
 }
