@@ -264,6 +264,12 @@ class PlanSpec extends SparkSpec {
       s"no hash/merge join in containment plan:\n$plan")
   }
 
+  test("llm_dedup_incremental generates candidates via posting equi-joins, never a BNLJ") {
+    val plan = physicalPlan("llm_dedup_incremental")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"incremental dedup must stay on the directed prefix-filter equi-joins:\n$plan")
+  }
+
   test("llm_decontaminate probes the eval grams via a broadcast hash join") {
     // The scale contract: the eval-benchmark gram set is the tiny side by
     // construction, so the corpus-side gram stream must probe a broadcast

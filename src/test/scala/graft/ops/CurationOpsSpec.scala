@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Closed-form / invariant tests for the round-5 third-pass curation ops —
   * the oracle compare proves engine equality; these pin first-principles
@@ -73,6 +74,33 @@ class CurationOpsSpec extends SparkSpec {
       assert(dp === qp && ds === qs,
         s"z=$z deinterleaves to ($dp,$ds), expected ($qp,$qs)")
       assert(qp >= 0 && qp <= 255 && qs >= 0 && qs <= 255)
+    }
+  }
+
+  test("doc_chunking: chunks tile every document with stride 24 and 8-token overlap") {
+    val rows = q("llm_doc_chunking").collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    val nTok = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // dense chunk_idx from 0, starts at stride 24
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i.toLong, s"doc $doc chunk_idx dense")
+        assert(r.getLong(2) === 24L * i, s"doc $doc start stride")
+        assert(r.getLong(3) === math.min(32L, nTok(doc) - 24L * i),
+          s"doc $doc chunk length")
+        assert(r.getString(4).split(" ").length.toLong === r.getLong(3),
+          s"doc $doc chunk text token count")
+      }
+      // full coverage: last chunk reaches the document end
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) === nTok(doc),
+        s"doc $doc chunks must cover the final token")
+      // (stride 24 + full-chunk length 32, both asserted above, imply the
+      // 8-token overlap between consecutive full chunks)
     }
   }
 
