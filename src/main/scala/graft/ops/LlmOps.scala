@@ -1046,6 +1046,10 @@ object LlmOps {
     * testable, not just the fixed-point answer. */
   private[ops] def labelPropagateCounted(vertices: DataFrame,
       edges0: DataFrame): (DataFrame, Int) = {
+    // (The union references edges0 — the full pair-generation pipeline —
+    // twice, but ReuseExchange dedups the identical shuffle subtrees
+    // inside the one checkpoint job, so pre-materializing edges0 buys
+    // nothing: measured neutral-to-slightly-worse at sf0.1.)
     val edges = edges0
       .union(edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
