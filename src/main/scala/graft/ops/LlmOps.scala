@@ -2004,6 +2004,71 @@ object LlmOps {
         .limit(15)
     },
 
+    // Hybrid retrieval — the RAG-stack composition: BM25 over the query
+    // terms fused with cosine retrieval against a query vector via
+    // reciprocal-rank fusion (rrf = Σ 1/(60+rank), Cormack et al. 2009).
+    // Ranks are computed over each side's top-100 — extracted by
+    // orderBy+limit, which compiles to TakeOrderedAndProject (distributed
+    // top-k, no global sort), so the global row_number windows below run
+    // on a BOUNDED 100-row set regardless of corpus size. Both ranks
+    // order by the 6-dp-rounded score with a doc_id tie-break — a total
+    // order both engines agree on (bm25's 12-dp-rounded ln parity and the
+    // cosine parity are the oracle-proven llm_bm25 / llm_sim patterns);
+    // the fusion itself is two exact double divisions and one addition.
+    "llm_hybrid_search" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val qTerms = Seq("merge", "vector", "stream")
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val qt = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isInCollection(qTerms))
+      val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = qt.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("t_total"))
+      val idf = log(
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val sat = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * ((col("dl") * col("n_docs")).cast("double") /
+            col("t_total").cast("double"))))
+      val bm = tf.join(broadcast(dfc), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(tot))
+        .withColumn("sc", round(idf * sat, 12)
+          .cast(org.apache.spark.sql.types.DecimalType(30, 14)))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("sc")).cast("double").as("raw"))
+        .select(col("doc_id"), round(col("raw"), 6).as("bm25"))
+      val textTop = bm.orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank_t", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      val e = embDouble(s, d)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("emb").as("emb_b"), col("ssq").as("ssq_b"))
+      val cos = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("emb").as("emb_a"), col("ssq").as("ssq_a"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos_sim", round(cosExpr, 6))
+        .select(col("vec_id"), col("cos_sim"))
+      val vecTop = cos.orderBy(col("cos_sim").desc, col("vec_id").asc).limit(100)
+        .withColumn("rank_v", row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      textTop.select(col("doc_id"), col("bm25"), col("rank_t"))
+        .join(vecTop.select(col("vec_id").as("doc_id"), col("cos_sim"), col("rank_v")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("bm25"), col("cos_sim"),
+          col("rank_t").cast("long").as("rank_t"),
+          col("rank_v").cast("long").as("rank_v"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rank_t")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
     // Unigram rarity scoring — the frequency-based slice of LM-quality
     // filtering (a document dominated by rare tokens is noise; one with
     // none is boilerplate): per doc, the fraction of tokens rarer than
@@ -2679,6 +2744,61 @@ object LlmOps {
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25 DESC NULLS LAST, doc_id ASC
         |LIMIT 15""".stripMargin,
+
+    "llm_hybrid_search" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(len(t)) AS BIGINT) AS t_total FROM tok),
+        |qf AS (SELECT doc_id, term FROM
+        |         (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('merge', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qf GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln((CAST(tot.n_docs - df.df AS DOUBLE) + 0.5) /
+        |              (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+        |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+        |            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl.dl * tot.n_docs AS DOUBLE) /
+        |              CAST(tot.t_total AS DOUBLE))))), 12)
+        |           AS DECIMAL(30, 14)) AS sc
+        |       FROM tf JOIN df USING (term)
+        |            JOIN dl ON tf.doc_id = dl.doc_id
+        |            CROSS JOIN tot),
+        |bm AS (SELECT doc_id, round(CAST(sum(sc) AS DOUBLE), 6) AS bm25
+        |       FROM sc GROUP BY doc_id),
+        |tt AS (SELECT doc_id, bm25 FROM bm
+        |       ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 100),
+        |tr AS (SELECT doc_id, bm25,
+        |              row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+        |                                 doc_id ASC) AS rank_t
+        |       FROM tt),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id,
+        |              round(list_cosine_similarity(e.emb, qv.qemb), 6) AS cos_sim
+        |       FROM e, qv WHERE e.vec_id <> 0),
+        |vt AS (SELECT vec_id, cos_sim FROM cs
+        |       ORDER BY cos_sim DESC NULLS LAST, vec_id ASC LIMIT 100),
+        |vr AS (SELECT vec_id, cos_sim,
+        |              row_number() OVER (ORDER BY cos_sim DESC NULLS LAST,
+        |                                 vec_id ASC) AS rank_v
+        |       FROM vt),
+        |f AS (SELECT coalesce(tr.doc_id, vr.vec_id) AS doc_id,
+        |             tr.bm25, vr.cos_sim,
+        |             CAST(tr.rank_t AS BIGINT) AS rank_t,
+        |             CAST(vr.rank_v AS BIGINT) AS rank_v,
+        |             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + tr.rank_t), 0) +
+        |                   coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.rank_v), 0), 6) AS rrf
+        |      FROM tr FULL JOIN vr ON tr.doc_id = vr.vec_id)
+        |SELECT doc_id, bm25, cos_sim, rank_t, rank_v, rrf
+        |FROM f ORDER BY rrf DESC NULLS LAST, doc_id ASC
+        |LIMIT 20""".stripMargin,
 
     "llm_unigram_rarity" ->
       """WITH terms AS (

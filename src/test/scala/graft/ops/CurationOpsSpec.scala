@@ -104,6 +104,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("hybrid_search: rrf is exactly the rank-reciprocal sum and the fused list is rrf-sorted") {
+    val rows = q("llm_hybrid_search").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val rt = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val rv = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(rt.isDefined || rv.isDefined, "a fused row must come from some system")
+      rt.foreach(x => assert(x >= 1L && x <= 100L))
+      rv.foreach(x => assert(x >= 1L && x <= 100L))
+      val exp = rt.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(5) - exp) < 1e-6,
+        s"rrf must be the reciprocal-rank sum for doc ${r.getLong(0)}")
+      // a ranked side carries its score, an unranked side carries null
+      assert(rt.isDefined === !r.isNullAt(1) && rv.isDefined === !r.isNullAt(2))
+    }
+    val rrfs = rows.map(_.getDouble(5))
+    assert(rrfs.sameElements(rrfs.sortBy(x => -x)), "fused list sorted by rrf desc")
+    assert(rows.exists(r => !r.isNullAt(3)) && rows.exists(r => !r.isNullAt(4)),
+      "both retrieval systems must contribute ranks to the fused top-20")
+  }
+
   test("ngram_novelty: first doc is fully novel, novel counts partition the distinct-gram universe") {
     val rows = q("llm_ngram_novelty").collect()
     assert(rows.nonEmpty)
