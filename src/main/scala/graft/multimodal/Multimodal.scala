@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Image METADATA decode is REAL: [[decodeImageHeader]] parses PNG IHDR and
   * JPEG SOFn headers from the public format specs, pure JVM, no codec libs
-  * (see its scaladoc). Full pixel decode and the feature extractor remain
-  * clearly-marked deterministic `*Stub` fakes — those need codec/model
-  * libraries this zero-egress image cannot carry; a production build
+  * (see its scaladoc). Feature extraction is REAL too —
+  * [[extractByteHistogram]] is an exact 16-bin byte-value histogram, the
+  * standard cheap binary-content signature. Only full pixel decode and
+  * resize remain clearly-marked deterministic `*Stub` fakes — those need
+  * codec libraries this zero-egress image cannot carry; a production build
   * replaces only those function bodies. The Spark-side plumbing is real and
   * is the part that matters at scale: binary columns ride Parquet as-is,
   * the decode step runs as `mapPartitions` over the typed Dataset
@@ -144,17 +146,26 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** STUB — stands in for a real feature extractor (e.g. a vision model).
-    * Deterministic 8-d fake derived from byte statistics. */
-  def extractFeatureStub(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
+  /** REAL content feature — a 16-bin L1-normalized byte-value histogram
+    * of the payload: the classic cheap binary-content signature (used for
+    * payload grouping and near-duplicate detection), computable without
+    * any codec or model, exact and deterministic at any scale. A
+    * production vision/audio embedding would REPLACE this body with a
+    * model call behind the same `Dataset[Feature]` seam — the Spark-side
+    * plumbing (partition-preserving map, fixed-width vector schema) is
+    * what the pipeline contracts on. */
+  def extractByteHistogram(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](16)
     var i = 0
     while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff) / 255.0f
+      out((payload(i) & 0xff) >>> 4) += 1.0f
       i += 1
     }
-    val n = math.max(payload.length / 8, 1)
-    out.map(_ / n)
+    if (payload.length > 0) {
+      var j = 0
+      while (j < 16) { out(j) /= payload.length.toFloat; j += 1 }
+    }
+    out
   }
 
   /** Documents → synthetic media table: "image" rows are REAL minimal PNGs
@@ -200,7 +211,7 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[Feature] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(r => Feature(r.media_id, extractFeatureStub(r.payload))))
+    media.mapPartitions(_.map(r => Feature(r.media_id, extractByteHistogram(r.payload))))
   }
 
   /** "Resize": STUB for a pixel-resample — here a deterministic payload

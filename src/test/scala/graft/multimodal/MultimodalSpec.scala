@@ -110,10 +110,18 @@ class MultimodalSpec extends SparkSpec {
       s"decode step must not shuffle:\n$plan")
   }
 
-  test("feature extraction yields fixed-width vectors in [0,1]") {
+  test("feature extraction is a real byte histogram: 16 bins, L1-normalized, hand-checkable") {
     val f = Multimodal.extractFeatures(media()).collect()
-    assert(f.forall(_.feature.length == 8))
-    assert(f.forall(_.feature.forall(v => v >= 0.0f && v <= 1.0f)))
+    assert(f.nonEmpty)
+    assert(f.forall(_.feature.length == 16))
+    f.foreach { x =>
+      assert(x.feature.forall(v => v >= 0.0f && v <= 1.0f))
+      assert(math.abs(x.feature.sum - 1.0f) < 1e-3f, "histogram must be L1-normalized")
+    }
+    // closed form: a constant payload lands its whole mass in one bin
+    val h = Multimodal.extractByteHistogram(Array.fill(40)(0x41.toByte)) // 'A' = 0x41 -> bin 4
+    assert(h(4) === 1.0f && h.sum === 1.0f)
+    assert(Multimodal.extractByteHistogram(Array.emptyByteArray).forall(_ == 0.0f))
   }
 
   test("resize stub bounds payload size and is idempotent") {
