@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   *
   *   line 1: short {"metric":"total",...} — parseable on its own
   *   line 2: {"metric":"queries",...}     — per-query seconds, 3 dp
-  *   line 3: repeat of line 1             — survives tail-capture windows
+  *   line 3: {"metric":"top20",...}       — the 20 slowest queries, compact:
+  *           the full per-query line gets truncated by the driver's tail
+  *           capture, which in round 6 hid the heavy hitters entirely — this
+  *           line keeps them visible in every BENCH_r{N}.json
+  *   line 4: repeat of line 1             — survives tail-capture windows
   *
   * Failed queries are NOT silently timed as fast: they are excluded from the
   * per-query map and listed in "failed" on every line, and the error goes to
@@ -20,6 +24,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -131,8 +136,13 @@ object Bench {
     val qs = rounded
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // slowest-first so a mid-line truncation still keeps the heaviest ones
+    val top20 = rounded.sortBy { case (k, v) => (-v, k) }.take(20)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     println(totalLine)
     println(s"""{"metric":"queries","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failedJson}""")
+    println(s"""{"metric":"top20","unit":"sec","sf":"$sfDir","queries":$top20}""")
     println(totalLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -34,7 +34,14 @@ object Tables {
       val tsCol = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => // ns fixture, read as epoch-nanos
           expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType)
-        case _ => // µs fixture, native timestamp read
+        case TimestampNTZType => // µs NTZ fixture (round-6 refresh): no-op cast
+          col("ts")
+        case _ =>
+          // µs LTZ fixture (isAdjustedToUTC=true). LTZ→NTZ cast reads the
+          // session timezone; every entry point (SmokeEntry/Verify/Bench/
+          // specs) pins spark.sql.session.timeZone=UTC, under which the
+          // cast is the identity on the stored micros — matching DuckDB's
+          // timezone-free read of the same file.
           col("ts").cast(TimestampNTZType)
       }
       raw.withColumn("ts", tsCol)

@@ -189,6 +189,29 @@ object VectorKernels {
     c
   }
 
+  /** Σ min(wa[i], wb[j]) over the merge-intersection of two ASC-sorted
+    * long-id arrays with PARALLEL weight arrays (wa aligns with ida, wb
+    * with idb). The weighted-triangle workhorse: at the oriented root edge
+    * (u,v) this sums min(w_uz, w_vz) over common out-neighbors z without
+    * materializing a single wedge or triangle row — the weighted analogue
+    * of [[sortedIntersectCountLong]], same O(|A|+|B|) merge, same
+    * allocation-free primitive loop. Integer weights keep the sum exact
+    * and engine-independent. */
+  def sortedIntersectMinWeightSum(ida: ArrayData, wa: ArrayData,
+      idb: ArrayData, wb: ArrayData): Long = {
+    val na = ida.numElements(); val nb = idb.numElements()
+    var i = 0; var j = 0; var s = 0L
+    while (i < na && j < nb) {
+      val x = ida.getLong(i); val y = idb.getLong(j)
+      if (x == y) {
+        s += math.min(wa.getLong(i), wb.getLong(j)); i += 1; j += 1
+      }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    s
+  }
+
   /** Winnowing fingerprints (k=3-token grams, w=4-gram windows) from a
     * token array: the exact polynomial gram hash (a·31+codepoint mod
     * 1e9+7, tokens joined by ' ') of llm_fingerprint's family, then the
@@ -353,6 +376,35 @@ case class SortedIntersectCountLong(left: Expression, right: Expression) extends
     copy(left = newLeft, right = newRight)
 }
 
+/** Weighted merge-intersection sum (see
+  * [[VectorKernels.sortedIntersectMinWeightSum]]): arguments are
+  * (ids_a, weights_a, ids_b, weights_b), all array<bigint>, the id arrays
+  * ASC-sorted with weights parallel to them. */
+case class SortedIntersectMinWeightSum(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_sorted_intersect_minw expects four array<bigint>")
+  }
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    VectorKernels.sortedIntersectMinWeightSum(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.VectorKernels.sortedIntersectMinWeightSum($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 object VectorFunctions {
   /** Register the vector kernels in the session's function registry so
     * query closures can call them via `expr("graft_dot(a, b)")`. Idempotent;
@@ -375,5 +427,9 @@ object VectorFunctions {
       "graft_sorted_intersect_long", exprs => SortedIntersectCountLong(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_winnow", exprs => WinnowFp(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect_minw",
+      exprs => SortedIntersectMinWeightSum(exprs.head, exprs(1), exprs(2), exprs(3)),
+      "built-in")
   }
 }

@@ -52,6 +52,23 @@ object Graph {
       .distinct()
   }
 
+  /** Weighted co-occurrence edges: (a, b, w) with a < b and w = the number
+    * of orders containing BOTH parts — the multiplicity [[coEdges]]
+    * discards. Same single groupBy(order) + in-row pair fan-out; the
+    * distinct of coEdges becomes a count aggregate over the identical
+    * shuffle (map-side combined), so the weighted list costs the same
+    * shuffle as the unweighted one. */
+  private def coEdgesWeighted(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+      .select(explode(expr(
+        "flatten(transform(pks, (x, i) -> " +
+          "transform(slice(pks, i + 2, size(pks)), y -> struct(x AS a, y AS b))))")).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** Triangle census of a distinct canonical (a < b) edge list:
     * one row (n_nodes, n_edges, n_triangles). Degree-oriented
     * adjacency-intersection algorithm (object scaladoc); orientation
@@ -97,7 +114,11 @@ object Graph {
     * division a floor division of NON-NEGATIVE integers (Spark's `div`
     * truncates toward zero, DuckDB's `//` floors; they agree exactly on
     * the non-negative domain, per the repo's integer-division rule).
-    * Magnitudes: Σr ≤ |V|·R0 ≈ 2·10¹⁶ < 2⁶³. Each round is ONE
+    * Magnitudes: the peak intermediate is `85 · Σc`, and Σc ≤ Σr ≤
+    * |V|·R0, so the binding bound is 85·|V|·R0 < 2⁶³ — safe for
+    * |V| ≲ 10⁵ at R0 = 10¹²; a larger graph must lower R0
+    * proportionally (R0 = 10¹⁰ covers |V| ≤ 10⁷, still 10 significant
+    * digits of rank resolution). Each round is ONE
     * vertex-keyed join + ONE groupBy — the Pregel shape; at 100 TB the
     * edge list is bucketed by u so every round reuses one partitioning.
     * The round count is a constant of the QUERY (unrolled in the oracle
@@ -139,6 +160,84 @@ object Graph {
       .orderBy(col("part").asc)
   }
 
+  /** Weighted exact fixed-point PageRank over a weighted (a < b, w) edge
+    * list — the [[pagerankFixed]] integer recurrence with edge-proportional
+    * contribution: c(u→v) = (r(u) div W(u)) · w(u,v), where W(u) = Σ w(u,·)
+    * is the weighted degree; next r(v) = (15·R0 div 100) +
+    * (85 · Σ c(u→v)) div 100. Every operation is a floor division or
+    * product of NON-NEGATIVE integers, so Spark `div` ≡ DuckDB `//` and the
+    * scores are bit-identical across engines and partitionings. Overflow:
+    * per-edge c ≤ r(u) and rank mass is conserved up to the damping leak,
+    * so the 85·Σc peak obeys the same 85·|V|·R0 < 2⁶³ bound as the
+    * unweighted form (|V| ≲ 10⁵ at R0 = 10¹²; lower R0 beyond). Plan shape
+    * per round is identical too: ONE broadcast join for contributions + ONE
+    * groupBy(v), probing a repartition(u).localCheckpoint edge list
+    * exchange-free, all `iters` rounds chained as one lazy plan. */
+  def pagerankWeighted(wedges: DataFrame, iters: Int): DataFrame = {
+    val und = wedges.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(wedges.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .repartition(col("u"))
+      .localCheckpoint(true)
+    val wdeg = und.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+      .select(col("u").as("v"), col("wdeg"))
+      .localCheckpoint(true)
+    var r = wdeg.select(col("v"), lit(1000000000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val q = r.join(broadcast(wdeg), Seq("v"))
+        .select(col("v").as("u"), expr("r div wdeg").as("q"))
+      r = und.join(q, Seq("u"))
+        .groupBy(col("v"))
+        .agg((lit(150000000000L) + expr("85 * sum(q * w) div 100")).as("r"))
+    }
+    r.select(col("v").as("part"), col("r").as("pr_fixed"))
+      .orderBy(col("part").asc)
+  }
+
+  /** Weighted triangle census over a weighted (a < b, w) edge list: one row
+    * (n_triangles, strength) where strength = Σ_triangles min(w₁, w₂, w₃) —
+    * the standard bottleneck-strength census (a triangle is only as strong
+    * as its weakest tie). Same degree-oriented O(m^1.5) shape as
+    * [[triangleCensus]]: adjacency arrays carry PARALLEL weight arrays, and
+    * the min-weight sum runs inside the codegen'd
+    * `graft_sorted_intersect_minw` merge kernel — no wedge or triangle row
+    * is ever materialized or shuffled. min(w_uv, w_uz, w_vz) factors as
+    * min(min(w_uv, w_uz), w_vz), so capping the u-side weight array by the
+    * root edge's weight (a cheap per-row HOF over an O(√m) array) feeds the
+    * 2-ary kernel min exactly. Integer weights keep both outputs exact. */
+  def triangleStrength(wedges: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(wedges.sparkSession)
+    val deg = wedges.select(col("a").as("v"))
+      .unionAll(wedges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("v").as("a"), col("deg").as("da"))
+    val db = deg.select(col("v").as("b"), col("deg").as("db"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = wedges.join(broadcast(da), "a").join(broadcast(db), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        col("w"))
+    // ONE collect_list per group, then project the parallel arrays (two
+    // transform calls over the same sorted buffer — a second collect_list
+    // would double the aggregation buffer for no reason). dst is unique
+    // per src, so the struct sort orders by dst alone.
+    val adj = oriented.groupBy(col("src"))
+      .agg(expr("array_sort(collect_list(struct(dst, w)))").as("sorted"))
+      .select(col("src"), expr("transform(sorted, x -> x.dst)").as("ids"),
+        expr("transform(sorted, x -> x.w)").as("ws"))
+    val triEdges = oriented
+      .join(adj.select(col("src"), col("ids").as("ids_u"), col("ws").as("ws_u")), "src")
+      .join(adj.select(col("src").as("dst"), col("ids").as("ids_v"),
+        col("ws").as("ws_v")), "dst")
+    triEdges.agg(
+        sum(expr("graft_sorted_intersect_long(ids_u, ids_v)")).as("nt"),
+        sum(expr(
+          "graft_sorted_intersect_minw(ids_u, transform(ws_u, x -> least(x, w)), ids_v, ws_v)"))
+          .as("st"))
+      .select(coalesce(col("nt"), lit(0L)).as("n_triangles"),
+        coalesce(col("st"), lit(0L)).as("strength"))
+      .orderBy(col("n_triangles").asc)
+  }
+
   /** Per-seed distinct 1-hop / ≤2-hop reachability counts (seed itself
     * excluded) over a canonical (a < b) edge list: (seed_part, reach1,
     * reach2). Two frontier joins + one min-hop aggregate; the hop marker
@@ -155,9 +254,10 @@ object Graph {
     // Seeds are a filtered dimension slice — broadcast; the frontier
     // joins key on the edge source vertex. h1 feeds BOTH the hop union
     // and the h2 expansion — checkpoint it so the und join + distinct
-    // run once, and release the handle after the aggregate below has
-    // consumed it (the declared closure executes eagerly up to the
-    // returned frame's checkpointed inputs).
+    // run once. The und/h1 checkpoint blocks live until session end by
+    // design: a declared query returns a LAZY frame, so releasing before
+    // the caller executes it would drop blocks the plan still needs
+    // (Bench's post-query clearCache + GC is the retirement path).
     val h1 = broadcast(seeds).join(und, col("seed") === col("u"))
       .select(col("seed"), col("v")).distinct()
       .localCheckpoint(true)
@@ -209,6 +309,18 @@ object Graph {
     // R0 = 10^12) — see pagerankFixed.
     "graph_pagerank" -> { (s, d) =>
       pagerankFixed(coEdges(s, d).localCheckpoint(true), iters = 5)
+    },
+
+    // Weighted variant: edge weight = co-order multiplicity, contributions
+    // proportional to weight — see pagerankWeighted.
+    "graph_pagerank_weighted" -> { (s, d) =>
+      pagerankWeighted(coEdgesWeighted(s, d).localCheckpoint(true), iters = 5)
+    },
+
+    // Weighted triangle census: triangle count + Σ min-edge-weight — see
+    // triangleStrength.
+    "graph_triangle_strength" -> { (s, d) =>
+      triangleStrength(coEdgesWeighted(s, d).localCheckpoint(true))
     }
   )
 
@@ -216,6 +328,13 @@ object Graph {
     """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
       |      FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin
+
+  /** Weighted edge CTE: w = number of orders containing both parts. */
+  private val wedgeCte =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |we AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+      |       FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+      |       GROUP BY x.pk, y.pk)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "graph_triangle_count" ->
@@ -266,6 +385,41 @@ object Graph {
          |${rounds.mkString(",\n")}
          |SELECT v AS part, CAST(r AS BIGINT) AS pr_fixed FROM r5
          |ORDER BY part ASC NULLS FIRST""".stripMargin
-    }
+    },
+
+    // Weighted recurrence, rounds unrolled exactly like graph_pagerank;
+    // contributions are (r // wdeg) * w per edge. DuckDB sum() lifts to
+    // HUGEINT — the final CAST lands back on BIGINT, intermediates are
+    // exact either way.
+    "graph_pagerank_weighted" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""r$k AS (SELECT d.v,
+           |            150000000000 + (85 * coalesce(s.sc, 0)) // 100 AS r,
+           |            d.wdeg
+           |      FROM wd d LEFT JOIN (
+           |        SELECT und.v, sum((p.r // p.wdeg) * und.w) AS sc
+           |        FROM und JOIN r${k - 1} p ON p.v = und.u
+           |        GROUP BY und.v) s ON s.v = d.v)""".stripMargin
+      }
+      s"""$wedgeCte,
+         |und AS (SELECT a AS u, b AS v, w FROM we UNION ALL SELECT b, a, w FROM we),
+         |wd AS (SELECT u AS v, sum(w) AS wdeg FROM und GROUP BY u),
+         |r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS r, wdeg FROM wd),
+         |${rounds.mkString(",\n")}
+         |SELECT v AS part, CAST(r AS BIGINT) AS pr_fixed FROM r5
+         |ORDER BY part ASC NULLS FIRST""".stripMargin
+    },
+
+    // Orientation-free weighted census: the same a<b<c three-way join as
+    // graph_triangle_count with least() over the three edge weights.
+    "graph_triangle_strength" ->
+      s"""$wedgeCte,
+        |tri AS (SELECT count(*) AS n_triangles,
+        |               coalesce(sum(least(e1.w, e2.w, e3.w)), 0) AS strength
+        |        FROM we e1 JOIN we e2 ON e1.b = e2.a
+        |                   JOIN we e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+        |       CAST(strength AS BIGINT) AS strength
+        |FROM tri ORDER BY n_triangles ASC NULLS FIRST""".stripMargin
   )
 }

@@ -965,7 +965,12 @@ object LlmOps {
     * absent there (df 0, can never hit) sorts first, keeping the rarest-
     * first benefit. At 100 TB this is the shape that matters — the daily
     * batch's prefixes probe the big corpus's posting list without ever
-    * re-shuffling the corpus's own prefixes. */
+    * re-shuffling the corpus's own prefixes.
+    *
+    * The `posting` checkpoint (like the undirected helper's) lives until
+    * session end: the returned frame is lazy, so an in-helper release
+    * would drop blocks the caller's plan still reads — Bench's post-query
+    * clearCache + GC retires them between queries. */
   private[ops] def containmentPrefixCandidatesDirected(probes: DataFrame,
       targets: DataFrame, tau: Double): DataFrame = {
     val posting = targets.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))

@@ -21,6 +21,25 @@ class VectorKernelsSpec extends SparkSpec {
     assert(VectorKernels.sortedIntersectCountLong(longs(1, 2), longs(1, 2)) === 2)
   }
 
+  test("sortedIntersectMinWeightSum: weighted merge semantics") {
+    // ids {1,3,5} ∩ {2,3,5,9} = {3,5}: min(10,1) + min(30,2) = 3
+    assert(VectorKernels.sortedIntersectMinWeightSum(
+      longs(1, 3, 5), longs(7, 10, 30), longs(2, 3, 5, 9), longs(9, 1, 2, 4)) === 3L)
+    assert(VectorKernels.sortedIntersectMinWeightSum(
+      longs(), longs(), longs(1), longs(5)) === 0L)
+    // full overlap: Σ min pairs
+    assert(VectorKernels.sortedIntersectMinWeightSum(
+      longs(1, 2), longs(4, 9), longs(1, 2), longs(6, 3)) === 4L + 3L)
+    // SQL-registered form agrees with the direct call (codegen parity)
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq((Seq(1L, 3L, 5L), Seq(7L, 10L, 30L), Seq(2L, 3L, 5L, 9L),
+        Seq(9L, 1L, 2L, 4L)))
+      .toDF("ia", "wa", "ib", "wb")
+      .selectExpr("graft_sorted_intersect_minw(ia, wa, ib, wb) AS s").head()
+    assert(r.getLong(0) === 3L)
+  }
+
   test("sortedIntersectCount (strings) matches long variant through hashing") {
     val a = strs("apple", "mango", "zebra")
     val b = strs("apple", "zebra")

@@ -67,6 +67,66 @@ class GraphSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  /** Random weighted canonical edge list: [[randomEdges]] plus a seeded
+    * weight 1..9 per edge. */
+  private def randomWeighted(n: Int, m: Int, seed: Long): Map[(Long, Long), Long] = {
+    val rnd = new scala.util.Random(seed * 31 + 7)
+    randomEdges(n, m, seed).map(e => e -> (1L + rnd.nextInt(9))).toMap
+  }
+
+  private def wedgeDf(w: Map[(Long, Long), Long]) = {
+    import spark.implicits._
+    w.toSeq.map { case ((a, b), wt) => (a, b, wt) }.sorted.toDF("a", "b", "w")
+  }
+
+  test("triangle strength matches a naive weighted counter on seeded graphs") {
+    for (seed <- 21L to 23L) {
+      val w = randomWeighted(n = 60, m = 300, seed = seed)
+      val edges = w.keySet
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      // naive: each id-ordered triangle a<b<c once, min of its 3 weights
+      var nTri = 0L; var strength = 0L
+      edges.foreach { case (a, b) =>
+        adj.getOrElse(a, Set.empty).foreach { c =>
+          if (c > b && edges.contains((b, c))) {
+            nTri += 1
+            strength += Seq(w((a, b)), w((b, c)), w((a, c))).min
+          }
+        }
+      }
+      val row = Graph.triangleStrength(wedgeDf(w)).collect().head
+      assert(row.getAs[Long]("n_triangles") === nTri, s"seed=$seed count")
+      assert(row.getAs[Long]("strength") === strength, s"seed=$seed strength")
+    }
+  }
+
+  test("weighted pagerank matches a driver-side weighted integer iteration") {
+    for (seed <- 31L to 32L) {
+      val w = randomWeighted(n = 50, m = 150, seed = seed)
+      val und = w.toSeq.flatMap { case ((a, b), wt) => Seq((a, b, wt), (b, a, wt)) }
+      val out = und.groupBy(_._1).map { case (k, v) => k -> v.map(e => (e._2, e._3)) }
+      val wdeg = out.map { case (k, v) => k -> v.map(_._2).sum }
+      var r: Map[Long, Long] = wdeg.map { case (k, _) => k -> 1000000000000L }
+      (1 to 5).foreach { _ =>
+        r = wdeg.map { case (v, _) =>
+          val sc = out(v).map { case (u, wt) => (r(u) / wdeg(u)) * wt }.sum
+          v -> (150000000000L + 85L * sc / 100L)
+        }
+      }
+      val got = Graph.pagerankWeighted(wedgeDf(w), iters = 5)
+        .collect().map(x => x.getAs[Long]("part") -> x.getAs[Long]("pr_fixed"))
+        .toMap
+      assert(got === r, s"seed=$seed weighted pagerank differs")
+      // all-weights-1 degenerates to the unweighted recurrence exactly
+      val ones = w.map { case (k, _) => k -> 1L }
+      val gotOnes = Graph.pagerankWeighted(wedgeDf(ones), iters = 3)
+        .collect().map(x => x.getAs[Long]("part") -> x.getAs[Long]("pr_fixed"))
+      val unw = Graph.pagerankFixed(edgeDf(w.keySet), iters = 3)
+        .collect().map(x => x.getAs[Long]("part") -> x.getAs[Long]("pr_fixed"))
+      assert(gotOnes.toMap === unw.toMap, s"seed=$seed weight-1 degeneration")
+    }
+  }
+
   test("fixed-point pagerank matches a driver-side integer power iteration") {
     for (seed <- 11L to 12L) {
       val edges = randomEdges(n = 50, m = 150, seed = seed)
