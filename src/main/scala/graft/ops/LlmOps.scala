@@ -169,7 +169,7 @@ object LlmOps {
   /** Embeddings as double vectors with precomputed sum of squares.
     * Registers the native codegen dot-product kernel (graft.functions) —
     * candidate-pair verification is compute-bound on it. */
-  private def embDouble(s: SparkSession, d: String): DataFrame = {
+  private[ops] def embDouble(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
@@ -211,7 +211,7 @@ object LlmOps {
     * shuffle carries ONE row per vector instead of nlist rows, with no
     * per-partition sort. (emb/ssq/label are key-constant, so first() is
     * value-deterministic.) */
-  private def assignToCentroid(e: DataFrame, centroids: DataFrame,
+  private[ops] def assignToCentroid(e: DataFrame, centroids: DataFrame,
       joinKeys: Seq[String] = Nil): DataFrame = {
     val cent = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
     // joinKeys narrows the argmin to each row's OWN centroid subset (the
@@ -270,7 +270,7 @@ object LlmOps {
     * through one body is what makes their result identity a structural
     * fact rather than a test hope. `buckets` is an
     * assignToCentroid output (vec_id, cid, emb, ssq, …). */
-  private def ivfPairs(buckets: DataFrame): DataFrame = {
+  private[ops] def ivfPairs(buckets: DataFrame): DataFrame = {
     val a = buckets.select(col("cid"), col("vec_id").as("va"),
       col("emb").as("emb_a"), col("ssq").as("ssq_a"))
     val b = buckets.select(col("cid"), col("vec_id").as("vb"),
@@ -318,7 +318,7 @@ object LlmOps {
     * regenerated fixture never answers from a stale index. Queries are
     * read-only against the sf dir, so the index lives under the system
     * tmpdir. */
-  private def annIndexDir(d: String, kind: String): String = {
+  private[ops] def annIndexDir(d: String, kind: String): String = {
     val src = new java.io.File(s"$d/embeddings.parquet")
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
     val sig = files.filter(_.isFile)
@@ -1695,6 +1695,39 @@ object LlmOps {
       ivfPairs(assign)
     },
 
+    // INCREMENTAL index maintenance — the daily-ingest twin of the
+    // persisted IVF index (and the index-side analogue of
+    // llm_dedup_incremental): the index is trained ONCE on the standing
+    // corpus (vec_id % 10 ≠ 0), and the incoming batch (vec_id % 10 = 0)
+    // is encoded against the EXISTING codebook and unioned into the
+    // inverted file — no retraining, no re-encoding of the corpus, and
+    // the raw embeddings parquet is scanned ONLY for the batch rows
+    // (LlmOpsSpec asserts exactly one embeddings scan in the finalized
+    // plan). Because assignment is a pure function of (vector, codebook),
+    // upsert ≡ full re-encode row-for-row — a spec property, not a hope.
+    // Staleness rule at 100 TB: append batches this way daily and retrain
+    // (rebuilding the codebook + full re-encode) only when drift degrades
+    // cell balance — the codebook affects efficiency only, never answers,
+    // for every EXACT path routed through these cells (repo round-3 rule),
+    // so a stale codebook is a perf bug, not a correctness bug. Rows-only
+    // like the other fixed-codebook ANN variants (no DuckDB twin exists).
+    "llm_sim_ann_ivf_upsert" -> { (s, d) =>
+      val idx = annIndexDir(d, "ivfbase")
+      val built = new java.io.File(s"$idx/assign/_SUCCESS").exists() &&
+        new java.io.File(s"$idx/centroids/_SUCCESS").exists()
+      if (!built) {
+        val base = embDouble(s, d).filter(col("vec_id") % 10 =!= 0)
+          .localCheckpoint(true)
+        writeIvfIndex(base, idx, nlist = ivfNlist(base.count()), iters = 2)
+        releaseCheckpoint(base)
+      }
+      val (centroids, assign) = readIvfIndex(s, idx)
+      val batch = embDouble(s, d).filter(col("vec_id") % 10 === 0)
+      val cols = Seq("vec_id", "label", "cid", "emb", "ssq", "cang").map(col)
+      ivfPairs(assign.select(cols: _*)
+        .unionByName(assignToCentroid(batch, centroids).select(cols: _*)))
+    },
+
     // IVF-PQ-style ANN — product-quantized pair scoring (rows-only: the
     // score is an approximation with no DuckDB twin; LlmOpsSpec pins
     // determinism, code-table shape and fixture recall vs the exact
@@ -1824,6 +1857,63 @@ object LlmOps {
           col("start_tok").cast("long").as("start_tok"),
           least(lit(32), col("n_tok") - col("start_tok")).cast("long").as("n_tok_chunk"),
           expr("concat_ws(' ', slice(toks, start_tok + 1, 32))").as("chunk_text"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    },
+
+    // Chunk-level (RAG-ingestion) dedup — the llm_doc_chunking ×
+    // llm_dedup_incremental composition: documents are cut into the same
+    // 32-token/stride-24 windows, every chunk gets its own shingle-hash
+    // set, and each INCOMING chunk (docs with doc_id % 5 = 0 — the "new
+    // batch") is checked for containment ≥ 0.7 inside ANY corpus chunk
+    // (docs with doc_id % 5 ≠ 0) via the DIRECTED prefix filter: only the
+    // batch side emits prefixes, the chunk corpus contributes its posting
+    // list — so a daily ingest probes the corpus index without the corpus
+    // re-shuffling itself, and candidates are LOSSLESS (pigeonhole proof,
+    // same as llm_dedup_incremental; the brute-force DuckDB twin is the
+    // losslessness check). Chunks ride a composite surrogate id
+    // uid = doc_id·10⁴ + chunk_idx (chunk_idx < 10⁴ ⟺ docs under ~240k
+    // tokens; a longer-doc deployment widens the factor) so the shared
+    // helper's single-key contract holds. Scale shape: chunking is
+    // map-only, the filter's only wide ops are hash-keyed joins on the
+    // prefix hashes — the RAG-ingestion dedup at any corpus size.
+    "llm_chunk_dedup" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .select(col("doc_id"), col("n_tok"), col("toks"),
+          explode(expr("sequence(0, n_tok - 1, 24)")).as("start_tok"))
+        .select(col("doc_id"), expr("start_tok div 24").cast("long").as("chunk_idx"),
+          expr("slice(toks, start_tok + 1, 32)").as("ctoks"))
+        // < 3 tokens can never reach any containment threshold (and the
+        // [i] indexing below is safe only under this filter — repo rule)
+        .filter(size(col("ctoks")) >= 3)
+        .select(col("doc_id"), col("chunk_idx"), expr(
+          """coalesce(array_distinct(transform(sequence(0, size(ctoks) - 3),
+            | i -> concat_ws(' ', ctoks[i], ctoks[i+1], ctoks[i+2]))), array())"""
+            .stripMargin.replace("\n", " ")).as("sh"))
+      val hashed = chunks
+        .select((col("doc_id") * lit(10000L) + col("chunk_idx")).as("doc_id"),
+          expr("graft_shingle_hashes(sh)").as("hs"))
+        .localCheckpoint(true)
+      val batch = hashed.filter(expr("doc_id div 10000 % 5 = 0"))
+      val corpus = hashed.filter(expr("doc_id div 10000 % 5 <> 0"))
+      val matches = containmentPrefixCandidatesDirected(batch, corpus, 0.7)
+        .join(batch.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+          size(col("hs")).as("n_a")), "doc_a")
+        .join(corpus.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        // identity-aggregate barrier keeps the merge-intersect kernel out
+        // of inferred join conditions (repo rule, see llm_dedup_containment)
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+        .agg(max(expr("graft_sorted_intersect_long(hs_a, hs_b)")).as("common"))
+        .filter(col("common") * 10 >= col("n_a") * 7)
+        .groupBy(col("doc_a")).agg(count(lit(1)).as("n_matches"))
+      batch.select(col("doc_id").as("uid"))
+        .join(matches, col("uid") === col("doc_a"), "left")
+        .select(expr("uid div 10000").as("doc_id"),
+          expr("uid % 10000").cast("long").as("chunk_idx"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          (coalesce(col("n_matches"), lit(0L)) > 0L).as("is_dup"))
         .orderBy(col("doc_id").asc, col("chunk_idx").asc)
     },
 
@@ -2657,6 +2747,35 @@ object LlmOps {
         |       array_to_string(tk[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
         |FROM s
         |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
+
+    // Brute-force cross-split chunk containment (every batch chunk against
+    // every corpus chunk); the Spark side's directed prefix filter is
+    // lossless, so the sets must be identical. Same chunking recipe as
+    // llm_doc_chunking, same shingle algebra as llm_dedup_incremental.
+    "llm_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk,
+        |             len(string_split(lower(text), ' ')) AS n_tok
+        |           FROM documents),
+        |s AS (SELECT doc_id, tk, n_tok,
+        |             unnest(range(0, n_tok, 24)) AS start_tok
+        |      FROM t),
+        |ch AS (SELECT doc_id, start_tok // 24 AS chunk_idx,
+        |              tk[start_tok + 1 : start_tok + 32] AS ctoks
+        |       FROM s),
+        |cs AS (SELECT doc_id, chunk_idx,
+        |              list_distinct(list_transform(range(1, greatest(len(ctoks) - 1, 1)),
+        |                i -> ctoks[i] || ' ' || ctoks[i+1] || ' ' || ctoks[i+2])) AS sh
+        |       FROM ch WHERE len(ctoks) >= 3),
+        |b AS (SELECT doc_id, chunk_idx, sh FROM cs WHERE doc_id % 5 = 0),
+        |c AS (SELECT doc_id, chunk_idx, sh FROM cs WHERE doc_id % 5 <> 0),
+        |m AS (SELECT b.doc_id, b.chunk_idx, count(*) AS n_matches
+        |      FROM b JOIN c ON len(list_intersect(b.sh, c.sh)) * 10 >= len(b.sh) * 7
+        |      GROUP BY b.doc_id, b.chunk_idx)
+        |SELECT b.doc_id, CAST(b.chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+        |       coalesce(m.n_matches, 0) > 0 AS is_dup
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id AND b.chunk_idx = m.chunk_idx
+        |ORDER BY b.doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
 
     "llm_embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -88,6 +88,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("incremental IVF upsert: batch-upsert equals full re-encode, embeddings scanned only for the batch") {
+    val upsert = SparkEntry_queries("llm_sim_ann_ivf_upsert")
+    // round-4 rule: execute the SAME Dataset before inspecting its plan
+    val rows = upsert.collect().map(_.toSeq.toList).toList
+    assert(rows.nonEmpty, "upsert path produced no pairs")
+    // assignment is a pure function of (vector, codebook), so appending the
+    // batch's encodings to the persisted inverted file must reproduce a
+    // full re-encode of ALL vectors against the same codebook row-for-row
+    val (centroids, _) =
+      LlmOps.readIvfIndex(spark, LlmOps.annIndexDir(sf, "ivfbase"))
+    val all = LlmOps.embDouble(spark, sf).localCheckpoint(true)
+    val full = LlmOps.ivfPairs(LlmOps.assignToCentroid(all, centroids))
+      .collect().map(_.toSeq.toList).toList
+    assert(rows === full, "upsert-maintained index diverged from full re-encode")
+    // the finalized plan reads the persisted base index, and EVERY
+    // embeddings.parquet scan node carries the batch filter — i.e. the raw
+    // embeddings are read only for the new batch, never for the corpus.
+    // (Counting scan nodes is unreliable here: the dynamic-pruning
+    // SubqueryBroadcast nests its own AdaptiveSparkPlan with its own
+    // Initial/Final markers, so the round-6 split-on-marker trick
+    // truncates mid-tree; the per-line filter check is marker-agnostic.)
+    val planStr = upsert.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_ivfbase_index_"),
+      "expected the persisted base-index scan in the executed plan")
+    val embScanLines =
+      planStr.linesIterator.filter(_.contains("embeddings.parquet")).toList
+    assert(embScanLines.nonEmpty, "expected the batch-side embeddings scan")
+    embScanLines.foreach { l =>
+      assert(l.contains("% 10) = 0"),
+        s"embeddings scan without the batch filter (corpus re-read):\n$l")
+    }
+  }
+
   test("semantic dedup: one representative per community, kept set within the pairwise survivors") {
     val sem = SparkEntry_queries("llm_dedup_semantic").collect()
     val byCluster = sem.groupBy(_.getLong(1))
