@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * JPEG SOFn headers from the public format specs, pure JVM, no codec libs
   * (see its scaladoc). Feature extraction is REAL too —
   * [[extractByteHistogram]] is an exact 16-bin byte-value histogram, the
-  * standard cheap binary-content signature. Only full pixel decode and
-  * resize remain clearly-marked deterministic `*Stub` fakes — those need
-  * codec libraries this zero-egress image cannot carry; a production build
-  * replaces only those function bodies. The Spark-side plumbing is real and
+  * standard cheap binary-content signature. Full PIXEL decode, resample and
+  * re-encode are REAL as well for the 8-bit PNG family: [[decodePng]]
+  * (chunk walk + JDK zlib inflate + all five scanline filters),
+  * [[resampleNearest]] (exact integer nearest-neighbor), [[encodePng]]
+  * (spec-complete writer) — no codec library needed, the JDK carries zlib.
+  * Only [[decodeImageStub]] remains a clearly-marked deterministic fallback
+  * for payloads that carry no parseable image container at all (fixture
+  * audio/video rows). The Spark-side plumbing is real and
   * is the part that matters at scale: binary columns ride Parquet as-is,
   * the decode step runs as `mapPartitions` over the typed Dataset
   * (batch-at-a-time, no per-row driver involvement, partitioning preserved —
@@ -214,14 +218,186 @@ object Multimodal {
     media.mapPartitions(_.map(r => Feature(r.media_id, extractByteHistogram(r.payload))))
   }
 
-  /** "Resize": STUB for a pixel-resample — here a deterministic payload
-    * truncation preserving the checksum-derived header semantics. */
-  def resizeStub(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+  /** REAL full PNG decode (ISO/IEC 15948): chunk walk → IHDR validation →
+    * IDAT concatenation → zlib inflate (java.util.zip, in the JDK) → per-
+    * scanline unfiltering (all five filter types: None/Sub/Up/Average/
+    * Paeth). Supports the 8-bit-depth non-interlaced truecolor/greyscale
+    * family (color types 0, 2, 4, 6 — 1/3/2/4 channels); anything else
+    * (16-bit, indexed, interlaced, or a non-PNG payload) returns None and
+    * callers pass the row through untouched. Returns (width, height,
+    * channels, pixels row-major w·h·ch bytes). */
+  def decodePng(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def u32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 45 || !pngSig.indices.forall(i => u8(i) == pngSig(i))) return None
+    if (!(u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')) return None
+    val w = u32(16); val h = u32(20)
+    // bounded dims: the inflated buffer is (w·ch+1)·h — refuse anything a
+    // single executor row shouldn't hold
+    if (w <= 0 || h <= 0 || w > 65536L || h > 65536L) return None
+    if (u8(24) != 8 || u8(28) != 0) return None // bit depth 8, no interlace
+    val ch = u8(25) match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    // chunk walk from the end of IHDR (8 sig + 4 len + 4 type + 13 + 4 crc)
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var ended = false
+    while (!ended) {
+      if (off + 8 > p.length) return None
+      val len = u32(off)
+      if (len < 0 || off + 8 + len + 4 > p.length) return None
+      val ctype = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (ctype == "IDAT") idat.write(p, off + 8, len.toInt)
+      if (ctype == "IEND") ended = true
+      off += 8 + len.toInt + 4
+    }
+    if (idat.size() == 0) return None
+    val stride = (w * ch).toInt
+    val raw = new Array[Byte]((stride + 1) * h.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter (spec §9): recon bytes per scanline, a = left, b = up, c = up-left
+    val out = new Array[Byte](stride * h.toInt)
+    val bpp = ch
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val pv = a + b - c
+      val pa = math.abs(pv - a); val pb = math.abs(pv - b); val pc = math.abs(pv - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var y = 0
+    while (y < h.toInt) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(rowIn + i) & 0xff
+        val a = if (i >= bpp) out(rowOut + i - bpp) & 0xff else 0
+        val b = if (y > 0) out(rowOut - stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) out(rowOut - stride + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case 4 => x + paeth(a, b, c)
+          case _ => return None
+        }
+        out(rowOut + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((w.toInt, h.toInt, ch, out))
+  }
+
+  /** REAL full PNG encode: signature + IHDR + one zlib-deflated IDAT
+    * (filter type 0 on every scanline — deterministic: Deflater with a
+    * fixed level, no timestamps) + IEND, all CRCs per the spec. The exact
+    * inverse of [[decodePng]] (round-trip spec-pinned). */
+  def encodePng(width: Int, height: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "png dims must be positive")
+    val colorType = channels match {
+      case 1 => 0; case 3 => 2; case 2 => 4; case 4 => 6
+      case n => throw new IllegalArgumentException(s"unsupported channel count $n")
+    }
+    require(pixels.length == width * height * channels, "pixel buffer size mismatch")
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      // filter byte 0 already zero-initialized
+      System.arraycopy(pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val zipped = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(zipped, deflater)
+    dos.write(raw); dos.close(); deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Long): Array[Byte] = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length.toLong))
+      val tb = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write(be32(width.toLong)); ihdr.write(be32(height.toLong))
+    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", zipped.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Exact nearest-neighbor resample: out(x, y) = in(⌊x·srcW/outW⌋,
+    * ⌊y·srcH/outH⌋) per channel — all-integer index arithmetic, so the
+    * result is bit-deterministic on any engine/partitioning. */
+  def resampleNearest(w: Int, h: Int, ch: Int, pixels: Array[Byte],
+      outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH * ch)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * w / outW
+        var c = 0
+        while (c < ch) {
+          out((y * outW + x) * ch + c) = pixels((sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL pixel resize over decodable PNGs: decode → aspect-preserving
+    * integer fit inside (maxW, maxH) → nearest-neighbor resample →
+    * re-encode. Payloads [[decodePng]] rejects (fixture header-only PNGs,
+    * audio/video bytes, foreign formats) pass through UNCHANGED — resizing
+    * what cannot be decoded would corrupt data. Partition-preserving
+    * batch-at-a-time map, payload bytes never shuffled. */
+  def resizeImages(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    require(maxW > 0 && maxH > 0, "target box must be positive")
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(r =>
-      if (r.payload.length <= maxBytes) r
-      else r.copy(payload = r.payload.take(maxBytes))))
+    media.mapPartitions(_.map { r =>
+      decodePng(r.payload) match {
+        case Some((w, h, ch, px)) if w > maxW || h > maxH =>
+          // integer aspect fit: the tighter of the two ratios wins; ties
+          // prefer the width fit (deterministic, no floating point)
+          val (ow, oh) =
+            if (maxW.toLong * h <= maxH.toLong * w)
+              (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+            else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+          r.copy(payload = encodePng(ow, oh, ch, resampleNearest(w, h, ch, px, ow, oh)))
+        case _ => r
+      }
+    })
   }
 
   /** Frame sampling: treat the payload as fixed-size frames, emit every
