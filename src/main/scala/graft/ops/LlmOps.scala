@@ -1008,6 +1008,77 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** BM25 (Okapi, k1 = 1.2, b = 0.75, Lucene's +1 idf) per-doc totals from
+    * ACCUMULATED INTEGER STATS — the scoring body shared verbatim by the
+    * batch `llm_hybrid_search` and the streaming incremental sink
+    * (StreamOps.startHybridSearchSink), which is what makes their
+    * equivalence structural: both feed the same exact-integer aggregates
+    * (tf per doc-term; df per term; dl per doc; one-row (n_docs, t_total))
+    * through one expression tree. Determinism recipe is llm_bm25's:
+    * dl/avgdl as the single exact-integer division (dl·N)/T, per-term
+    * scores rounded to 12 places and decimal-summed, output rounded to 6. */
+  private[graft] def bm25FromStats(tf: DataFrame, dfc: DataFrame,
+      dl: DataFrame, tot: DataFrame): DataFrame = {
+    val idf = log(
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val sat = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * ((col("dl") * col("n_docs")).cast("double") /
+          col("t_total").cast("double"))))
+    tf.join(broadcast(dfc), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("sc", round(idf * sat, 12)
+        .cast(org.apache.spark.sql.types.DecimalType(30, 14)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).cast("double").as("raw"))
+      .select(col("doc_id"), round(col("raw"), 6).as("bm25"))
+  }
+
+  /** Reciprocal-rank fusion of a (doc_id, bm25) score table with a
+    * (doc_id, cos_sim, rank_v) vector top-k: text top-100 via
+    * TakeOrderedAndProject, row_number ranks over the bounded set, fused
+    * rrf = Σ 1/(60+rank), top-20. Shared by batch and streaming hybrid. */
+  private[graft] def rrfFuse(bm: DataFrame, vecTop: DataFrame): DataFrame = {
+    val textTop = bm.orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+      .withColumn("rank_t", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+    textTop.select(col("doc_id"), col("bm25"), col("rank_t"))
+      .join(vecTop.select(col("doc_id"), col("cos_sim"), col("rank_v")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25"), col("cos_sim"),
+        col("rank_t").cast("long").as("rank_t"),
+        col("rank_v").cast("long").as("rank_v"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rank_t")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** The hybrid queries' vector side: exact cosine top-k of the corpus
+    * (vec_id ≠ 0) against the query vector (vec_id = 0), served by a
+    * train-once PERSISTED exact-search IVF index (the
+    * llm_ann_search_topk_persisted machinery — exact for ANY codebook, so
+    * results are identical to a brute-force scan and the batch query's
+    * DuckDB twin needs no change). Returns (doc_id, cos_sim, rank_v). */
+  private[graft] def hybridVectorTop(s: SparkSession, d: String,
+      k: Int = 100): DataFrame = {
+    val idx = annIndexDir(d, "ivfhybrid")
+    val built = new java.io.File(s"$idx/assign/_SUCCESS").exists() &&
+      new java.io.File(s"$idx/centroids/_SUCCESS").exists()
+    if (!built) {
+      val corpus = embDouble(s, d).filter(col("vec_id") =!= 0)
+        .localCheckpoint(true)
+      writeIvfIndex(corpus, idx, nlist = ivfNlistExact(corpus.count()), iters = 0)
+      releaseCheckpoint(corpus)
+    }
+    val (cent, assign) = readIvfIndex(s, idx)
+    exactSearchTopKIndexed(embDouble(s, d).filter(col("vec_id") === 0),
+      cent, assign, k)
+      .select(col("nbr").as("doc_id"), col("cos_sim"), col("rnk").as("rank_v"))
+  }
+
   /** Unpersist the block-store copy behind an eager localCheckpoint'd frame
     * (the checkpoint RDD is the frame's only plan leaf, possibly under a
     * projection). Explicit retirement: the ContextCleaner otherwise reclaims
@@ -2102,14 +2173,20 @@ object LlmOps {
     // Hybrid retrieval — the RAG-stack composition: BM25 over the query
     // terms fused with cosine retrieval against a query vector via
     // reciprocal-rank fusion (rrf = Σ 1/(60+rank), Cormack et al. 2009).
-    // Ranks are computed over each side's top-100 — extracted by
-    // orderBy+limit, which compiles to TakeOrderedAndProject (distributed
-    // top-k, no global sort), so the global row_number windows below run
-    // on a BOUNDED 100-row set regardless of corpus size. Both ranks
-    // order by the 6-dp-rounded score with a doc_id tie-break — a total
-    // order both engines agree on (bm25's 12-dp-rounded ln parity and the
-    // cosine parity are the oracle-proven llm_bm25 / llm_sim patterns);
-    // the fusion itself is two exact double divisions and one addition.
+    // Ranks are computed over each side's top-100 — the text side by
+    // orderBy+limit (TakeOrderedAndProject: distributed top-k, no global
+    // sort), the vector side by the PERSISTED exact-search IVF index
+    // (hybridVectorTop — train-once, cell-pruned, provably exact for any
+    // codebook, so the brute-force DuckDB twin is unchanged), so the
+    // global row_number windows run on BOUNDED 100-row sets regardless of
+    // corpus size. Both ranks order by the 6-dp-rounded score with a
+    // doc_id tie-break — a total order both engines agree on (bm25's
+    // 12-dp-rounded ln parity and the cosine parity are the oracle-proven
+    // llm_bm25 / llm_sim patterns); the fusion itself is two exact double
+    // divisions and one addition. The BM25 scoring and RRF fusion bodies
+    // are SHARED with the streaming sink (StreamOps.startHybridSearchSink)
+    // via bm25FromStats/rrfFuse, so streaming/batch equivalence is
+    // structural.
     "llm_hybrid_search" -> { (s, d) =>
       graft.functions.VectorFunctions.register(s)
       val qTerms = Seq("merge", "vector", "stream")
@@ -2123,45 +2200,7 @@ object LlmOps {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val tot = toks.agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("t_total"))
-      val idf = log(
-        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0))
-      val sat = (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-          lit(0.75) * ((col("dl") * col("n_docs")).cast("double") /
-            col("t_total").cast("double"))))
-      val bm = tf.join(broadcast(dfc), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(tot))
-        .withColumn("sc", round(idf * sat, 12)
-          .cast(org.apache.spark.sql.types.DecimalType(30, 14)))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("sc")).cast("double").as("raw"))
-        .select(col("doc_id"), round(col("raw"), 6).as("bm25"))
-      val textTop = bm.orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
-        .withColumn("rank_t", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
-      val e = embDouble(s, d)
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("emb").as("emb_b"), col("ssq").as("ssq_b"))
-      val cos = e.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("emb").as("emb_a"), col("ssq").as("ssq_a"))
-        .crossJoin(broadcast(qv))
-        .withColumn("cos_sim", round(cosExpr, 6))
-        .select(col("vec_id"), col("cos_sim"))
-      val vecTop = cos.orderBy(col("cos_sim").desc, col("vec_id").asc).limit(100)
-        .withColumn("rank_v", row_number().over(
-          Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
-      textTop.select(col("doc_id"), col("bm25"), col("rank_t"))
-        .join(vecTop.select(col("vec_id").as("doc_id"), col("cos_sim"), col("rank_v")),
-          Seq("doc_id"), "full_outer")
-        .select(col("doc_id"), col("bm25"), col("cos_sim"),
-          col("rank_t").cast("long").as("rank_t"),
-          col("rank_v").cast("long").as("rank_v"),
-          round(coalesce(lit(1.0) / (lit(60) + col("rank_t")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)), 6).as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id").asc)
-        .limit(20)
+      rrfFuse(bm25FromStats(tf, dfc, dl, tot), hybridVectorTop(s, d))
     },
 
     // Unigram rarity scoring — the frequency-based slice of LM-quality

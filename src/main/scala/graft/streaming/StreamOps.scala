@@ -277,6 +277,80 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming hybrid retrieval — the incremental form of
+    * `llm_hybrid_search`: each micro-batch of (doc_id, text) rows appends
+    * its EXACT INTEGER BM25 stats (per-doc length; per-doc-term query-term
+    * frequency) to a persistent stats store, and the CURRENT hybrid
+    * top-20 standings (BM25 over the accumulated corpus ⊕ cosine top-100
+    * from the train-once persisted ANN index, RRF-fused) are rewritten
+    * under `outPath/current` after every batch.
+    *
+    * Batch-equivalence is STRUCTURAL, not approximate: the scoring and
+    * fusion run through the same LlmOps.bm25FromStats / rrfFuse /
+    * hybridVectorTop bodies the declared (oracle-backed) batch query
+    * uses, over stats that accumulate losslessly (tf/dl are integers, and
+    * df / n_docs / t_total are re-derived from the accumulated rows each
+    * batch, never incrementally mutated) — so after the last batch the
+    * output is bit-identical to the batch query on the same documents
+    * (StreamingSpec pins it, including across a kill/restart).
+    *
+    * Idempotence (foreachBatch is at-least-once + idempotent writes):
+    * stats land in batch-scoped directories (`b<id>` overwrite), the
+    * standings read filters batch_id <= current, and the standings
+    * rewrite is a full overwrite — a replayed batch converges.
+    *
+    * Scale notes (100 TB stream): per batch, the stats append is map-only
+    * over the batch (the token stream is filtered to the |q| query terms
+    * BEFORE its one aggregation); the standings recompute reads the
+    * accumulated per-DOC stat rows — at most |q|+1 skinny rows per doc,
+    * independent of document size — and the vector side reads the
+    * persisted index, never the raw embeddings. A deployment re-ranking
+    * per batch over billions of docs would keep the same store and fold
+    * the df/tot re-derivation into a metadata table; the fusion windows
+    * stay bounded at 100 rows either way. */
+  def startHybridSearchSink(docs: DataFrame, sfDir: String, outPath: String,
+      statsPath: String, checkpoint: String,
+      qTerms: Seq[String] = Seq("merge", "vector", "stream")): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.VectorFunctions.register(spark)
+        val b = batch.persist()
+        try {
+          val toks = b.select(col("doc_id"),
+            split(lower(col("text")), " ").as("toks"))
+          toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+              lit(id).as("batch_id"))
+            .write.mode("overwrite").parquet(s"$statsPath/docs/b$id")
+          toks.select(col("doc_id"), explode(col("toks")).as("term"))
+            .filter(col("term").isInCollection(qTerms))
+            .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite").parquet(s"$statsPath/terms/b$id")
+          // standings from the ACCUMULATED stats (this batch included);
+          // the <= filter keeps a replay from seeing a later half-written
+          // batch directory
+          val dlAll = spark.read.parquet(s"$statsPath/docs/b*")
+            .filter(col("batch_id") <= id).select(col("doc_id"), col("dl"))
+          val tfAll = spark.read.parquet(s"$statsPath/terms/b*")
+            .filter(col("batch_id") <= id)
+            .select(col("doc_id"), col("term"), col("tf"))
+          val dfc = tfAll.select(col("doc_id"), col("term")).distinct()
+            .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          val tot = dlAll.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl")).as("t_total"))
+          val standings = graft.ops.LlmOps.rrfFuse(
+            graft.ops.LlmOps.bm25FromStats(tfAll, dfc, dlAll, tot),
+            graft.ops.LlmOps.hybridVectorTop(spark, sfDir))
+          // stage then overwrite: the standings read nothing from
+          // outPath, so a plain overwrite is safe and idempotent
+          standings.write.mode("overwrite").parquet(s"$outPath/current")
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+
   case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, id: Long,
       is_probe: Boolean)
   case class AsOfEvent(ts_ms: Long, id: Long)

@@ -827,4 +827,85 @@ class StreamingSpec extends SparkSpec {
         "recovered state must answer with the latest pre-kill event")
     } finally q2.stop()
   }
+
+  test("as-of join strict-timer edge: watermark landing EXACTLY on a probe defers one batch") {
+    // Spark fires an event-time timer only when timeoutTimestamp <
+    // watermark STRICTLY, while the handler's ready split answers at
+    // pts <= wm. When the watermark lands exactly on pending.min and the
+    // key then goes silent, the answer defers one extra watermark advance
+    // (arming earlier is invalid — the timestamp must be > wm). This test
+    // pins that documented deferral: the answer is NOT lost, and arrives
+    // correct on the next advance.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pMem = MemoryStream[(Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Timestamp, Long)]
+    val out = StreamOps.streamAsOfJoin(
+      pMem.toDF().toDF("user_id", "p_ts"),
+      eMem.toDF().toDF("user_id", "ts", "event_id"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_edge")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: probe + event enter state while the watermark is still at
+      // the floor (the two MemoryStreams commit as separate micro-batches,
+      // so the probe MUST be in state before any watermark-driving row —
+      // otherwise a later-batch probe is answered by the ready split and
+      // the timer edge never engages)
+      eMem.addData((1L, t("2024-01-01 00:10:00"), 5L))
+      pMem.addData((1L, t("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      // batch 2: the driver row at 00:30 lands the watermark at EXACTLY
+      // the probe's 00:20; key 1 receives no data, so only the timer could
+      // answer — and 00:20 < 00:20 is false (strict), so it defers
+      eMem.addData((9L, t("2024-01-01 00:30:00"), 99L))
+      q.processAllAvailable()
+      assert(spark.table("asof_edge").count() === 0,
+        "wm == p_ts with a silent key must defer (strict timer), not answer")
+      // one more advance (wm → 00:20:01 > 00:20) fires the armed timer
+      eMem.addData((9L, t("2024-01-01 00:30:01"), 100L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_edge").collect().filter(_.getLong(0) == 1L)
+      assert(rows.length === 1, s"deferred answer lost: ${rows.mkString(",")}")
+      assert(rows.head.getLong(2) === 5L, "deferred answer must still be correct")
+    } finally q.stop()
+  }
+
+  test("streaming hybrid retrieval: incremental stats converge to the batch query, across a kill/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid").toString
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamOps.startHybridSearchSink(
+      mem.toDF().toDF("doc_id", "text"), sf,
+      s"$dir/out", s"$dir/stats", s"$dir/ckpt")
+    val (c1, rest) = docs.splitAt(150)
+    val q1 = start()
+    mem.addData(c1); q1.processAllAvailable()
+    // mid-stream standings are a live, well-formed top-20 over the 150
+    // docs seen so far
+    val mid = spark.read.parquet(s"$dir/out/current")
+    assert(mid.count() === 20)
+    assert(mid.filter(col("rank_t").isNotNull)
+      .filter(col("doc_id") >= 150).count() === 0,
+      "mid-stream text ranks must only cover ingested docs")
+    q1.stop() // kill: batch-1 stats live only in the parquet store
+    val q2 = start()
+    try {
+      val (c2, c3) = rest.splitAt(200)
+      mem.addData(c2); q2.processAllAvailable()
+      mem.addData(c3); q2.processAllAvailable()
+      // after the full corpus has streamed through, the standings are
+      // bit-identical to the declared (oracle-backed) batch query
+      val got = spark.read.parquet(s"$dir/out/current")
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .collect().map(_.toSeq.toList).toList
+      val want = graft.SparkEntry.queries("llm_hybrid_search")(spark, sf)
+        .collect().map(_.toSeq.toList).toList
+      assert(got === want,
+        "streamed standings diverged from the batch hybrid query")
+    } finally q2.stop()
+  }
 }
