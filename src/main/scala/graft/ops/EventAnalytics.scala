@@ -346,6 +346,47 @@ object EventAnalytics {
           col("price_old").cast("double").as("price_old"),
           col("price_new").cast("double").as("price_new"))
         .orderBy(col("key").asc)
+    },
+
+    // Multi-touch marketing attribution: each click/view/signup touch is
+    // credited to the user's NEXT purchase (the first purchase strictly
+    // after it in (ts, event_id) order — a first_value over the
+    // 1-FOLLOWING..UNBOUNDED frame, never a self-join). Per conversion the
+    // touching channels get first-/last-touch flags and a linear credit of
+    // cnt/n, kept exact as integer MICRO-credits — (10⁶·cnt) div n, all
+    // operands non-negative so Spark `div` ≡ DuckDB `//` — then summed per
+    // channel. Plan shape: one user_id-partitioned window pass for the
+    // next-conversion id, one (user_id, conv_id)-partitioned pass for the
+    // per-conversion count/ranks (one shuffle, three frames), then two
+    // map-side-combinable groupBys. At 100 TB every stage keys on user_id
+    // (no global window, no join) and the output is |channels| rows.
+    "attr_multi_touch" -> { (s, d) =>
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(1, Window.unboundedFollowing)
+      val touches = Tables.events(s, d)
+        .withColumn("conv_id",
+          first(when(col("event_type") === "purchase", col("event_id")),
+            ignoreNulls = true).over(wNext))
+        .filter(col("event_type").isin("click", "view", "signup") &&
+          col("conv_id").isNotNull)
+      val part = Window.partitionBy(col("user_id"), col("conv_id"))
+      val ordF = part.orderBy(col("ts").asc, col("event_id").asc)
+      val ordL = part.orderBy(col("ts").desc, col("event_id").desc)
+      touches
+        .withColumn("n", count(lit(1)).over(part))
+        .withColumn("rn_f", row_number().over(ordF))
+        .withColumn("rn_l", row_number().over(ordL))
+        .groupBy(col("user_id"), col("conv_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), first(col("n")).as("n"),
+          max(when(col("rn_f") === 1, 1L).otherwise(0L)).as("is_first"),
+          max(when(col("rn_l") === 1, 1L).otherwise(0L)).as("is_last"))
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("is_first")).as("first_touch"),
+          sum(col("is_last")).as("last_touch"),
+          sum(expr("(1000000 * cnt) div n")).as("linear_micro"))
+        .orderBy(col("channel").asc)
     }
   )
 
@@ -586,6 +627,39 @@ object EventAnalytics {
         |       CAST(price_old AS DOUBLE) AS price_old,
         |       CAST(price_new AS DOUBLE) AS price_new
         |FROM diff WHERE change_type <> 'unchanged'
-        |ORDER BY key ASC NULLS FIRST""".stripMargin
+        |ORDER BY key ASC NULLS FIRST""".stripMargin,
+
+    // Linear credit stays exact: (10⁶·cnt) // n of non-negative BIGINTs
+    // per conversion, summed — no floating-point fraction ever enters.
+    "attr_multi_touch" ->
+      """WITH conv AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |         first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |                     IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS conv_id
+        |  FROM events),
+        |t AS (SELECT * FROM conv
+        |      WHERE event_type IN ('click', 'view', 'signup')
+        |        AND conv_id IS NOT NULL),
+        |r AS (SELECT user_id, conv_id, event_type,
+        |             count(*) OVER (PARTITION BY user_id, conv_id) AS n,
+        |             row_number() OVER (PARTITION BY user_id, conv_id
+        |                                ORDER BY ts ASC, event_id ASC) AS rn_f,
+        |             row_number() OVER (PARTITION BY user_id, conv_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rn_l
+        |      FROM t),
+        |pc AS (SELECT user_id, conv_id, event_type,
+        |              CAST(count(*) AS BIGINT) AS cnt, first(n) AS n,
+        |              max(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS is_first,
+        |              max(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS is_last
+        |       FROM r GROUP BY user_id, conv_id, event_type)
+        |SELECT event_type AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(is_first) AS BIGINT) AS first_touch,
+        |       CAST(sum(is_last) AS BIGINT) AS last_touch,
+        |       CAST(sum((1000000 * cnt) // n) AS BIGINT) AS linear_micro
+        |FROM pc GROUP BY event_type
+        |ORDER BY channel ASC NULLS FIRST""".stripMargin
   )
 }

@@ -177,6 +177,57 @@ object LlmOps {
       .withColumn("ssq", expr("graft_dot(emb, emb)"))
   }
 
+  /** One Lloyd assignment step over integer-quantized vectors: exact BIGINT
+    * squared-L2 distance via a zip_with fold, argmin as the round-3
+    * min(struct(dist, cid)) aggregation — partial aggregation folds the
+    * k-way broadcast fan-out map-side, so the shuffle carries ONE row per
+    * vector, not k. `q` is key-constant under vec_id, so first() is
+    * value-deterministic. */
+  private def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)),
+          | CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("q")).as("q"))
+
+  /** Exact integer k-means (`llm_cluster_kmeans`): Lloyd's algorithm made
+    * bit-identical across engines by working on a NON-NEGATIVE integer grid
+    * — q_i = floor((x_i + 2) · 1024), exact for |x| < 2 (fixture range is
+    * ±0.58; the +2 shift keeps every coordinate, hence every coordinate
+    * SUM, positive, so the centroid-mean floor division satisfies Spark
+    * `div` ≡ DuckDB `//` per the repo's integer-division rule, and the
+    * shift cancels inside every distance). Distances are exact BIGINT
+    * (≤ 64·4096² ≈ 10⁹ per pair); the centroid update is one (cid, pos)
+    * groupBy of floor-div means re-packed by sorted position (the
+    * ivfCodebook shape, integerized). Init = the k lowest vec_ids; the
+    * round count is a constant of the QUERY, unrolled in the oracle as
+    * chained CTEs, so there is no driver-side convergence read and all
+    * rounds chain as ONE lazy plan. A cluster that loses all members
+    * simply drops out of the codebook — both engines agree because the
+    * update is a plain groupBy over assignments. Scale: the codebook is k
+    * rows (a broadcast at any corpus size); each round is one broadcast
+    * fan-out + two map-side-combinable groupBys — the canonical
+    * distributed Lloyd shape, nothing driver-bound. */
+  private[ops] def kmeansFixed(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = e.orderBy(col("vec_id").asc).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("vec_id").asc)).cast("long"))
+      .select(col("cid"), col("q").as("cq"))
+    for (_ <- 1 to iters) {
+      cent = kmeansAssign(e, cent)
+        .select(col("m.cid").as("cid"), posexplode(col("q")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(col) div count(1)").as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("cq"))
+    }
+    kmeansAssign(e, cent)
+      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.dist").as("dist"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** Cosine over precomputed (emb, ssq) pair columns — identical operation
     * order to DuckDB's list_cosine_similarity after double promotion
     * (parity verified, SURVEY.md §5.3); the dot product is a native codegen
@@ -1706,6 +1757,22 @@ object LlmOps {
         .orderBy(col("vec_id").asc)
     },
 
+    // Topic clustering for corpus curation: exact integer k-means over the
+    // embedding table (k = 8, 2 Lloyd rounds, lowest-vec_id init) — the
+    // cluster-then-balance step of data-mixture curation, bit-identical
+    // across engines via the quantized-grid arithmetic in kmeansFixed.
+    "llm_cluster_kmeans" -> { (s, d) =>
+      // Referenced iters+2 times (init + each round + final assignment) —
+      // checkpoint once so the quantization projection isn't re-scanned.
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          """transform(embedding,
+            | x -> CAST(floor((CAST(x AS DOUBLE) + 2.0D) * 1024.0D) AS BIGINT))"""
+            .stripMargin.replace("\n", " ")).as("q"))
+        .localCheckpoint(true)
+      kmeansFixed(q, k = 8, iters = 2)
+    },
+
     // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     // communities of embedding near-duplicates — connected components over
     // the EXACT cos >= 0.4 pair graph (prunedCosinePairs, so community
@@ -2372,6 +2439,58 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first 3
+    // merge rules over the word-count HISTOGRAM — the real trainer shape
+    // (GPT-2 style, merges never cross word boundaries): the corpus
+    // aggregates ONCE to (word, count) and every round runs over distinct
+    // words only, so at 100 TB the iteration touches |vocab| rows, not the
+    // corpus. Words are encoded as delimiter-anchored token strings
+    // ("|t₁.|t₂.…"): the merge is then one plain leftmost-non-overlapping
+    // replace('|l.|r.' → '|lr.') — anchored on BOTH sides so a token can
+    // never match another token's prefix/suffix, and with no shared
+    // boundary characters, so an adjacent repeat chain merges greedily
+    // left-to-right IDENTICALLY in Spark and DuckDB (the '|tok.' encoding
+    // exists precisely because RE2 has no lookaround for a regex-boundary
+    // form; fixture text is '|'/'.'-free). The winning pair is
+    // deterministic: max freq, ties broken (lhs, rhs) ascending, and the
+    // pair travels into the next round as a broadcast 1-row frame — the
+    // round count is a constant of the query (unrolled CTEs in the
+    // oracle), NO driver-side read anywhere.
+    "llm_bpe_train" -> { (s, d) =>
+      def pairs(e: DataFrame): DataFrame = e
+        .select(expr("filter(split(s, '[.]'), x -> x != '')").as("t"), col("wcnt"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            | i -> struct(substring(t[i - 1], 2) AS l, substring(t[i], 2) AS r))"""
+            .stripMargin.replace("\n", " "))).as("p"), col("wcnt"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("wcnt")).as("freq"))
+      def top1(p: DataFrame): DataFrame = p
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc).limit(1)
+      def merge(e: DataFrame, m: DataFrame): DataFrame = e
+        .crossJoin(broadcast(m.select(col("lhs"), col("rhs"))))
+        .select(expr(
+          """replace(s, concat('|', lhs, '.|', rhs, '.'),
+            |           concat('|', lhs, rhs, '.'))"""
+            .stripMargin.replace("\n", " ")).as("s"), col("wcnt"))
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+        .localCheckpoint(true)
+      var e = words.select(expr(
+        """array_join(transform(filter(split(word, ''), c -> c != ''),
+          | c -> concat('|', c, '.')), '')"""
+          .stripMargin.replace("\n", " ")).as("s"), col("wcnt"))
+      val merges = (1 to 3).map { rnd =>
+        val m = top1(pairs(e))
+        e = merge(e, m)
+        m.select(lit(rnd).as("rnd"), col("lhs"), col("rhs"), col("freq"))
+      }
+      merges.reduce(_.unionAll(_)).orderBy(col("rnd").asc)
+    },
+
     "llm_fingerprint" -> { (s, d) =>
       // polynomial rolling hash over characters — exact integer arithmetic,
       // reproducible in any engine (mod 1e9+7 keeps the fold in i64 range).
@@ -2751,6 +2870,45 @@ object LlmOps {
          |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vec_id = e.vec_id)
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
 
+    // Rounds unrolled as chained CTEs (aN = assignment, cN = centroid
+    // update) — the graph_pagerank oracle discipline. All arithmetic is
+    // non-negative BIGINT, so `//` here ≡ Spark's `div` exactly.
+    "llm_cluster_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor((CAST(x AS DOUBLE) + 2.0) * 1024.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cid,
+        |              q AS cq
+        |       FROM (SELECT * FROM q ORDER BY vec_id ASC LIMIT 8)),
+        |a0 AS (SELECT vec_id, first(q.q) AS q,
+        |         min(struct_pack(d := CAST(list_sum(list_transform(list_zip(q.q, c.cq),
+        |               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT), c := c.cid)) AS m
+        |       FROM q, c0 c GROUP BY vec_id),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cq FROM (
+        |         SELECT a.m['c'] AS cid, i AS pos,
+        |                CAST(sum(a.q[i]) AS BIGINT) // count(*) AS m
+        |         FROM a0 a, range(1, 65) t(i)
+        |         GROUP BY a.m['c'], i)
+        |       GROUP BY cid),
+        |a1 AS (SELECT vec_id, first(q.q) AS q,
+        |         min(struct_pack(d := CAST(list_sum(list_transform(list_zip(q.q, c.cq),
+        |               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT), c := c.cid)) AS m
+        |       FROM a0 q, c1 c GROUP BY vec_id),
+        |c2 AS (SELECT cid, list(m ORDER BY pos) AS cq FROM (
+        |         SELECT a.m['c'] AS cid, i AS pos,
+        |                CAST(sum(a.q[i]) AS BIGINT) // count(*) AS m
+        |         FROM a1 a, range(1, 65) t(i)
+        |         GROUP BY a.m['c'], i)
+        |       GROUP BY cid),
+        |a2 AS (SELECT vec_id,
+        |         min(struct_pack(d := CAST(list_sum(list_transform(list_zip(q.q, c.cq),
+        |               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT), c := c.cid)) AS m
+        |       FROM a1 q, c2 c GROUP BY vec_id)
+        |SELECT vec_id, m['c'] AS cluster, m['d'] AS dist FROM a2
+        |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+
     "llm_sample_stratified" ->
       """SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 1) AS h
         |FROM documents
@@ -3101,6 +3259,51 @@ object LlmOps {
         |       CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS chars_per_token
         |FROM documents
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Rounds unrolled as chained CTEs (pN pair counts → mN winning merge →
+    // eN recoded vocabulary); '|tok.' anchoring makes the replace-based
+    // merge engine-identical — see the Spark twin's rationale.
+    "llm_bpe_train" ->
+      """WITH w AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |e0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
+        |                c -> '|' || c || '.'), '') AS s, wcnt FROM w),
+        |p1 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+        |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
+        |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
+        |          FROM e0),
+        |         range(1, 20) g(i) WHERE i < len(t))
+        |  GROUP BY l, r),
+        |m1 AS (SELECT lhs, rhs, freq FROM p1
+        |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
+        |e1 AS (SELECT replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
+        |                         '|' || m.lhs || m.rhs || '.') AS s, wcnt
+        |       FROM e0, m1 m),
+        |p2 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+        |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
+        |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
+        |          FROM e1),
+        |         range(1, 20) g(i) WHERE i < len(t))
+        |  GROUP BY l, r),
+        |m2 AS (SELECT lhs, rhs, freq FROM p2
+        |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
+        |e2 AS (SELECT replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
+        |                         '|' || m.lhs || m.rhs || '.') AS s, wcnt
+        |       FROM e1, m2 m),
+        |p3 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+        |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
+        |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
+        |          FROM e2),
+        |         range(1, 20) g(i) WHERE i < len(t))
+        |  GROUP BY l, r),
+        |m3 AS (SELECT lhs, rhs, freq FROM p3
+        |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)
+        |SELECT 1 AS rnd, lhs, rhs, freq FROM m1
+        |UNION ALL SELECT 2, lhs, rhs, freq FROM m2
+        |UNION ALL SELECT 3, lhs, rhs, freq FROM m3
+        |ORDER BY rnd ASC NULLS FIRST""".stripMargin,
 
     "llm_fingerprint" ->
       """SELECT doc_id,

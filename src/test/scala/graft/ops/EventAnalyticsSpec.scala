@@ -263,4 +263,33 @@ class EventAnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("attribution: next-conversion scoping, first/last flags, exact linear micro-credits") {
+    import spark.implicits._
+    // Hand-traced plant:
+    //   user 1: click e1, view e2, [purchase e3], signup e4, click e5,
+    //           [purchase e6], view e7 (no later purchase -> dropped)
+    //   user 2: view e8, view e9, [purchase e10]
+    //   user 3: purchase e11 (untouched), view e12 (dropped)
+    // conv e3 = {click first, view last}, conv e6 = {signup first, click
+    // last}, conv e10 = {view x2, both flags}; linear = (1e6*cnt) div n.
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), 1L, "click"), (2L, t(5), 1L, "view"), (3L, t(10), 1L, "purchase"),
+      (4L, t(20), 1L, "signup"), (5L, t(25), 1L, "click"), (6L, t(30), 1L, "purchase"),
+      (7L, t(40), 1L, "view"),
+      (8L, t(0), 2L, "view"), (9L, t(5), 2L, "view"), (10L, t(6), 2L, "purchase"),
+      (11L, t(0), 3L, "purchase"), (12L, t(10), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("attr_events").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = EventAnalytics.queries.toMap.apply("attr_multi_touch")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows === Map(
+      "click" -> ((2L, 1L, 1L, 1000000L)),
+      "signup" -> ((1L, 1L, 0L, 500000L)),
+      "view" -> ((2L, 1L, 2L, 1500000L))))
+  }
 }

@@ -931,4 +931,51 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(again === byId)
   }
+
+  test("kmeans: separates planted groups, floor-div centroids, exact distances") {
+    import spark.implicits._
+    // Two well-separated planted groups; k = 2 seeds BOTH land in group A
+    // (lowest vec_ids), so convergence must come from the Lloyd rounds,
+    // not the init. Hand-traced: after 2 rounds c1 = [0,0] (mean of
+    // {0,1,2} with floor division: 1 div 3 = 0), c2 = [100,100]
+    // (301 div 3 = 100), so the final distances are {0,1,1, 0,1,1}.
+    val q = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(1L, 0L)), (2L, Seq(0L, 1L)),
+      (3L, Seq(100L, 100L)), (4L, Seq(101L, 100L)), (5L, Seq(100L, 101L)))
+      .toDF("vec_id", "q")
+    val rows = LlmOps.kmeansFixed(q, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Set(0L, 1L, 2L).map(rows(_)._1).size === 1, "group A must be one cluster")
+    assert(Set(3L, 4L, 5L).map(rows(_)._1).size === 1, "group B must be one cluster")
+    assert(rows(0L)._1 !== rows(3L)._1, "groups must separate")
+    assert(rows.view.mapValues(_._2).toMap ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("kmeans on the fixture: total assignment, k clusters, non-degenerate sizes") {
+    val rows = SparkEntry_queries("llm_cluster_kmeans").collect()
+    val fixtureIds = Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === fixtureIds, "every vector must be assigned")
+    val sizes = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(sizes.keySet.subsetOf((1L to 8L).toSet))
+    assert(sizes.size >= 2, "fixture must occupy more than one cluster")
+  }
+
+  test("bpe_train: greedy leftmost merge chain on a planted corpus") {
+    import spark.implicits._
+    // Histogram {aaab: 2, ab: 1}. Hand-traced BPE:
+    //   r1: pairs (a,a):4 [two per 'aaab'], (a,b):3 -> merge (a,a) @4,
+    //       and 'aaab' recodes GREEDY-LEFT to [aa,a,b] (not [a,aa,b]).
+    //   r2: (aa,a):2, (a,b):3 -> merge (a,b) @3; 'aaab' -> [aa,ab].
+    //   r3: (aa,ab):2 -> merge (aa,ab) @2.
+    val docs = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_docs").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val merges = LlmOps.queries.toMap.apply("llm_bpe_train")(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toList === List((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L)))
+  }
 }
