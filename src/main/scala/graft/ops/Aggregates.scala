@@ -166,6 +166,47 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc)
     },
 
+    // Higher moments — population skewness g1 and excess kurtosis g2 — from
+    // EXACT integer power sums, because the builtin skewness/kurtosis
+    // DEFINITIONS diverge across engines (Spark emits population g1/g2,
+    // DuckDB bias-corrected sample statistics), so no rounding can align
+    // them. l_quantity is integral (1..50), so S1..S4 = Σxᵏ are exact
+    // BIGINTs (S4 ≤ 50⁴·n); the central-moment combinations run in
+    // DECIMAL(38,0) (peak |n³·S4| ≈ 10²⁸ at sf0.1 ≪ 10³⁸, and DuckDB's
+    // HUGEINT bound likewise), and each output is deterministic IEEE
+    // arithmetic over exactly-converted integers: g1 = √n·m3 / (m2·√m2)
+    // (IEEE sqrt is correctly rounded, so both engines compute identical
+    // doubles), g2 = m4/m2² − 3 with an all-integer numerator and
+    // denominator (the nᵏ scalings cancel: m2 = n·M2, m3 = n²·M3,
+    // m4 = n³·M4, so m3/m2^1.5 = M3/(M2)^1.5·n⁰ — worked witness in
+    // AggregatesSpec). round(,6) matches the repo's double-stat discipline.
+    // ONE map-side-combinable aggregate over |flags| groups — at 100 TB
+    // this is a pure partial-agg scan, no shuffle beyond 3 groups.
+    "agg_skew_kurt" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), expr("CAST(l_quantity AS BIGINT)").as("iq"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("iq")).as("s1"),
+          sum(expr("iq * iq")).as("s2"),
+          sum(expr("iq * iq * iq")).as("s3"),
+          sum(expr("iq * iq * iq * iq")).as("s4"))
+        .withColumn("dn", col("n").cast("decimal(38,0)"))
+        .withColumn("m2", expr("dn * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+        .withColumn("m3", expr(
+          "dn * dn * s3 - 3 * dn * s1 * s2 + 2 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1"))
+        .withColumn("m4", expr(
+          "dn * dn * dn * s4 - 4 * dn * dn * s1 * s3" +
+            " + 6 * dn * CAST(s1 AS DECIMAL(38,0)) * s1 * s2" +
+            " - 3 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1 * s1"))
+        .select(col("l_returnflag"),
+          expr("round(CAST(m3 AS DOUBLE)" +
+            " / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 6)").as("skew_qty"),
+          expr("round(CAST(m4 AS DOUBLE) / CAST(m2 * m2 AS DOUBLE) - 3, 6)")
+            .as("kurt_qty"),
+          col("n"))
+        .orderBy(col("l_returnflag").asc)
+    },
+
     "agg_mode_bool" -> { (s, d) =>
       // mode() is deterministic here: the most frequent l_linenumber per
       // flag is unique in the fixture (verified) — ties would be
@@ -352,6 +393,30 @@ object Aggregates {
         |       count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    // Identical exact-power-sum algebra: DuckDB lifts the BIGINT sums to
+    // HUGEINT in the central-moment products (peak ~10²⁸ ≪ 10³⁸), and the
+    // final expressions are the same correctly-rounded IEEE ops.
+    "agg_skew_kurt" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS iq
+        |           FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n, sum(iq) AS s1,
+        |             sum(iq * iq) AS s2, sum(iq * iq * iq) AS s3,
+        |             sum(iq * iq * iq * iq) AS s4
+        |      FROM b GROUP BY l_returnflag),
+        |c AS (SELECT l_returnflag, n,
+        |             n * s2 - s1 * s1 AS m2,
+        |             n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+        |             n * n * n * s4 - 4 * n * n * s1 * s3
+        |               + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+        |      FROM m)
+        |SELECT l_returnflag,
+        |       round(CAST(m3 AS DOUBLE)
+        |             / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 6) AS skew_qty,
+        |       round(CAST(m4 AS DOUBLE) / CAST(m2 * m2 AS DOUBLE) - 3, 6) AS kurt_qty,
+        |       n
+        |FROM c
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
 
     "agg_mode_bool" ->

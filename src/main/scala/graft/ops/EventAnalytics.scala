@@ -314,6 +314,45 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
     },
 
+    // CUSUM changepoint / drift detection per event_type: the classic
+    // one-sided CUSUM s_t = max(0, s_{t-1} + (x_t − μ)) has the CLOSED FORM
+    // s_t = cum_t − min(0, min_{j≤t} cum_j) over the prefix sums cum of the
+    // deviations — so the "recursive" detector is two frames of ONE
+    // (event_type)-partitioned window pass, no per-row state. Values become
+    // exact integer micro-units (round(value·10⁴), the ts_ewma_dyadic
+    // convention), the reference level is the per-type integer floor mean
+    // μ = Σiv div n, and the alert threshold h = 10 × integer mean absolute
+    // deviation — every division has non-negative operands, so Spark `div`
+    // ≡ DuckDB `//`. Output = alarm ONSETS only (s crosses from ≤h to >h
+    // — the changepoints; a drifted detector then STAYS in alarm, so
+    // raw s>h rows would be most of the tail), via one more lag frame on
+    // the SAME window partition — still a single event_type shuffle.
+    // Scale: two map-side-combinable aggregates (|types| rows, broadcast
+    // back) + one window keyed on event_type — the same no-global-window
+    // shape as ts_mad_outliers.
+    "ts_cusum_changepoint" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      val mu = ev.groupBy(col("event_type"))
+        .agg(expr("sum(iv) div count(1)").as("mu"))
+      val dev = ev.join(broadcast(mu), Seq("event_type"))
+      val thr = dev.groupBy(col("event_type"))
+        .agg(expr("10 * (sum(abs(iv - mu)) div count(1))").as("h"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dev.join(broadcast(thr), Seq("event_type"))
+        .withColumn("cum", sum(col("iv") - col("mu")).over(w))
+        .withColumn("s_cusum",
+          col("cum") - least(lit(0L), min(col("cum")).over(w)))
+        .withColumn("prev_s", lag(col("s_cusum"), 1, 0L).over(wOrd))
+        .filter(col("s_cusum") > col("h") && col("prev_s") <= col("h"))
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("s_cusum"), col("h"))
+        .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
+    },
+
     // CDC snapshot diff — the lakehouse merge primitive: given yesterday's
     // and today's versions of a keyed table, emit the insert/update/delete
     // changeset. The two versions are derived deterministically from
@@ -601,6 +640,36 @@ object EventAnalytics {
          |WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
          |ORDER BY event_type ASC NULLS FIRST, ts ASC, event_id ASC""".stripMargin
     },
+
+    // Same closed-form CUSUM; DuckDB lifts sums/divisions to HUGEINT, so
+    // the output columns cast back to BIGINT (the graph_pagerank pattern).
+    "ts_cusum_changepoint" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS iv
+        |           FROM events),
+        |m AS (SELECT event_type, sum(iv) // count(*) AS mu
+        |      FROM b GROUP BY event_type),
+        |d AS (SELECT b.*, m.mu FROM b JOIN m USING (event_type)),
+        |t AS (SELECT event_type, 10 * (sum(abs(iv - mu)) // count(*)) AS h
+        |      FROM d GROUP BY event_type),
+        |c AS (SELECT d.event_type, d.ts, d.event_id, t.h,
+        |             sum(iv - mu) OVER (PARTITION BY d.event_type
+        |               ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d JOIN t USING (event_type)),
+        |f AS (SELECT event_type, ts, event_id, h,
+        |             cum - least(0, min(cum) OVER (PARTITION BY event_type
+        |               ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_cusum
+        |      FROM c),
+        |g AS (SELECT *, lag(s_cusum, 1, 0) OVER (PARTITION BY event_type
+        |               ORDER BY ts, event_id) AS prev_s
+        |      FROM f)
+        |SELECT event_type, ts, event_id,
+        |       CAST(s_cusum AS BIGINT) AS s_cusum, CAST(h AS BIGINT) AS h
+        |FROM g WHERE s_cusum > h AND prev_s <= h
+        |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
+        |         event_id ASC NULLS FIRST""".stripMargin,
 
     "cdc_snapshot_diff" ->
       """WITH snap_old AS (

@@ -238,6 +238,47 @@ object Graph {
       .orderBy(col("n_triangles").asc)
   }
 
+  /** Bounded-hop weighted single-source shortest paths (multi-seed) over a
+    * weighted (a < b, w) edge list: `iters` synchronous Bellman–Ford rounds
+    * in pure INTEGER arithmetic. Edge length = 10⁶ div w (both operands
+    * non-negative, so Spark `div` ≡ DuckDB `//`): frequent co-occurrence =
+    * short edge, the standard proximity metric. dist₀ = 0 at seeds, INF
+    * (10¹⁵) elsewhere; distₖ(v) = min over in-edges (u,v) of
+    * distₖ₋₁(u) + len(u,v) — a ZERO-length SELF-LOOP per vertex makes that
+    * single min also carry v's own previous distance, so each round is ONE
+    * vertex-keyed join + ONE min-groupBy with the dist frame referenced
+    * exactly ONCE (the pagerankFixed plan shape: no left-join-back, no
+    * per-round checkpoint, all rounds chained as one lazy plan probing a
+    * repartition(u).localCheckpoint edge list exchange-free). Overflow:
+    * every finite path cost ≤ iters·10⁶ and the sentinel sums to at most
+    * INF + iters·10⁶ ≪ 2⁶³. The round count is a constant of the query
+    * (unrolled as chained CTEs in the oracle); rows with dist = INF (not
+    * reached within `iters` hops) are filtered at output, so the result is
+    * the exact ≤iters-hop weighted distance field of the seed set. */
+  def ssspWeighted(wedges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val INF = 1000000000000000L
+    val dirs = wedges.select(col("a").as("u"), col("b").as("v"),
+        expr("1000000 div w").as("len"))
+      .unionAll(wedges.select(col("b").as("u"), col("a").as("v"),
+        expr("1000000 div w").as("len")))
+    val verts = dirs.select(col("u")).distinct()
+    val und = dirs
+      .unionAll(verts.select(col("u"), col("u").as("v"), lit(0L).as("len")))
+      .repartition(col("u"))
+      .localCheckpoint(true)
+    var dist = verts.join(broadcast(seeds), verts("u") === seeds("seed"), "left")
+      .select(col("u").as("v"),
+        when(col("seed").isNotNull, lit(0L)).otherwise(lit(INF)).as("dist"))
+    (1 to iters).foreach { _ =>
+      dist = und.join(dist.withColumnRenamed("v", "u"), Seq("u"))
+        .groupBy(col("v"))
+        .agg(min(col("dist") + col("len")).as("dist"))
+    }
+    dist.filter(col("dist") < lit(INF))
+      .select(col("v").as("part"), col("dist").as("dist4"))
+      .orderBy(col("part").asc)
+  }
+
   /** Per-seed distinct 1-hop / ≤2-hop reachability counts (seed itself
     * excluded) over a canonical (a < b) edge list: (seed_part, reach1,
     * reach2). Two frontier joins + one min-hop aggregate; the hop marker
@@ -321,6 +362,17 @@ object Graph {
     // triangleStrength.
     "graph_triangle_strength" -> { (s, d) =>
       triangleStrength(coEdgesWeighted(s, d).localCheckpoint(true))
+    },
+
+    // ≤4-hop weighted shortest-path distance field from the p_size = 1
+    // parts (integer Bellman–Ford, edge length 10⁶ div w) — see
+    // ssspWeighted.
+    "graph_sssp_weighted" -> { (s, d) =>
+      ssspWeighted(
+        coEdgesWeighted(s, d).localCheckpoint(true),
+        Tables.part(s, d).filter(col("p_size") === 1)
+          .select(col("p_partkey").as("seed")),
+        iters = 4)
     }
   )
 
@@ -420,6 +472,32 @@ object Graph {
         |                   JOIN we e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
         |       CAST(strength AS BIGINT) AS strength
-        |FROM tri ORDER BY n_triangles ASC NULLS FIRST""".stripMargin
+        |FROM tri ORDER BY n_triangles ASC NULLS FIRST""".stripMargin,
+
+    // The identical integer Bellman–Ford recurrence with the 4 rounds
+    // UNROLLED as chained CTEs and the same zero-length self-loop trick
+    // (one min aggregate per round carries both relaxation and keep-old).
+    "graph_sssp_weighted" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""d$k AS (SELECT und.v, min(p.dist + und.len) AS dist
+           |      FROM und JOIN d${k - 1} p ON p.v = und.u
+           |      GROUP BY und.v)""".stripMargin
+      }
+      s"""$wedgeCte,
+         |dirs AS (SELECT a AS u, b AS v, 1000000 // w AS len FROM we
+         |         UNION ALL SELECT b, a, 1000000 // w FROM we),
+         |verts AS (SELECT DISTINCT u FROM dirs),
+         |und AS (SELECT u, v, len FROM dirs
+         |        UNION ALL SELECT u, u, 0 FROM verts),
+         |seeds AS (SELECT p_partkey AS seed FROM part WHERE p_size = 1),
+         |d0 AS (SELECT verts.u AS v,
+         |              CASE WHEN s.seed IS NOT NULL THEN 0
+         |                   ELSE 1000000000000000 END AS dist
+         |       FROM verts LEFT JOIN seeds s ON s.seed = verts.u),
+         |${rounds.mkString(",\n")}
+         |SELECT v AS part, CAST(dist AS BIGINT) AS dist4 FROM d4
+         |WHERE dist < 1000000000000000
+         |ORDER BY part ASC NULLS FIRST""".stripMargin
+    }
   )
 }

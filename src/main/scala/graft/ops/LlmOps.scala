@@ -2153,6 +2153,53 @@ object LlmOps {
         .orderBy(col("bucket").asc)
     },
 
+    // Word co-occurrence association mining (the corpus-analysis shape
+    // behind PMI/collocation tables): document-level co-occurrence counts
+    // among the TOP-50 document-frequency words, scored by lift =
+    // n_docs·c(a,b) / (c(a)·c(b)) — the PMI argument without the log, so
+    // the score is ONE double division of exact integers (SURVEY §5.3's
+    // transcendental-free ratio rule). The top-k cut bounds the per-doc
+    // pair fan-out at C(50,2): pairs are generated IN-ROW from each doc's
+    // sorted present-top-word array (the Graph.coEdges HOF slice/transform
+    // trick — no token-table self-join, which would fan out on common
+    // words quadratically). The global row_number runs over the |vocab|-
+    // sized df aggregate, never over token rows, and vocabulary size is
+    // corpus-sublinear — at 100 TB the only big shuffles are the two
+    // token-keyed groupBys. Tie-break (dfc desc, term asc) is total, so
+    // the top-50 cut is deterministic in both engines.
+    "llm_word_cooccur_lift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        expr("array_distinct(split(lower(text), ' '))").as("toks"))
+      val dfc = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      val top = dfc.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("dfc").desc, col("term").asc)))
+        .filter(col("rn") <= 50)
+        .select(col("term"), col("dfc"))
+      val present = dfc.join(broadcast(top.select(col("term"))), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("term"))).as("ws"))
+      val pairs = present.select(explode(expr(
+          "flatten(transform(ws, (x, i) -> " +
+            "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS a, y AS b))))"))
+          .as("e"))
+        .groupBy(col("e.a").as("w_a"), col("e.b").as("w_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(broadcast(top.select(col("term").as("w_a"), col("dfc").as("c_a"))),
+          Seq("w_a"))
+        .join(broadcast(top.select(col("term").as("w_b"), col("dfc").as("c_b"))),
+          Seq("w_b"))
+        .crossJoin(broadcast(n))
+        .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("round(CAST(n_docs * c_ab AS DOUBLE) / CAST(c_a * c_b AS DOUBLE), 6)")
+            .as("lift"))
+        .orderBy(col("w_a").asc, col("w_b").asc)
+    },
+
     "llm_tokenize_tf" -> { (s, d) =>
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("cnt").desc, col("term").asc)
@@ -3009,6 +3056,32 @@ object LlmOps {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+
+    // The pair CTE is the naive doc-level self-join — valid as an oracle
+    // because the top-50 cut bounds it; the Spark side generates pairs
+    // in-row instead.
+    "llm_word_cooccur_lift" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*) AS dfc FROM toks GROUP BY term),
+        |top AS (SELECT term, dfc FROM (
+        |          SELECT term, dfc,
+        |                 row_number() OVER (ORDER BY dfc DESC, term ASC) AS rn
+        |          FROM df)
+        |        WHERE rn <= 50),
+        |pt AS (SELECT t.doc_id, t.term FROM toks t JOIN top USING (term)),
+        |pairs AS (SELECT x.term AS w_a, y.term AS w_b, count(*) AS c_ab
+        |          FROM pt x JOIN pt y ON x.doc_id = y.doc_id AND x.term < y.term
+        |          GROUP BY x.term, y.term
+        |          HAVING count(*) >= 5),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT w_a, w_b, c_ab, a.dfc AS c_a, b.dfc AS c_b,
+        |       round(CAST(n_docs * c_ab AS DOUBLE)
+        |             / CAST(a.dfc * b.dfc AS DOUBLE), 6) AS lift
+        |FROM pairs JOIN top a ON a.term = w_a JOIN top b ON b.term = w_b
+        |CROSS JOIN n
+        |ORDER BY w_a ASC NULLS FIRST, w_b ASC NULLS FIRST""".stripMargin,
 
     "llm_tokenize_tf" ->
       """WITH terms AS (

@@ -241,6 +241,38 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cusum: closed form matches a sequential max(0, s + d) fold per type") {
+    // The query computes s_t = cum_t − min(0, running-min(cum)) in one
+    // window pass; the DEFINITION is the sequential recursion. Fold the
+    // fixture events the slow way and compare the alert sets exactly.
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getLong(3)))
+    def tsKey(t: java.time.LocalDateTime): (Long, Int) =
+      (t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano)
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val n = rows.length.toLong
+      val mu = rows.map(_._4).sum / n // non-negative sum: floorDiv == /
+      val h = 10L * (rows.map(r => math.abs(r._4 - mu)).sum / n)
+      var s = 0L
+      rows.sortBy(r => (tsKey(r._2), r._3)).flatMap { r =>
+        val prev = s
+        s = math.max(0L, s + (r._4 - mu))
+        if (s > h && prev <= h) Some((tpe, r._2, r._3, s, h)) else None
+      }
+    }.sortBy(r => (r._1, tsKey(r._2), r._3))
+    val got = graft.SparkEntry.queries("ts_cusum_changepoint")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(expect.nonEmpty, "fixture should trigger at least one alert")
+    assert(got === expect)
+  }
+
   test("cdc: residue classes map to exactly their change type, update factor 1.1") {
     val rows = q("cdc_snapshot_diff").collect()
     val byKey = rows.groupBy(_.getLong(0))

@@ -149,4 +149,36 @@ class GraphSpec extends SparkSpec {
       assert(got.values.forall(_ >= 150000000000L))
     }
   }
+
+  test("bounded-hop weighted sssp matches a naive Bellman-Ford relaxation") {
+    import spark.implicits._
+    val INF = 1000000000000000L
+    for (seed <- 41L to 43L) {
+      val w = randomWeighted(n = 60, m = 240, seed = seed)
+      val und = w.toSeq.flatMap { case ((a, b), wt) =>
+        val len = 1000000L / wt // non-negative: / == div == //
+        Seq((a, b, len), (b, a, len))
+      }
+      val inTo = und.groupBy(_._2)
+      val verts = und.map(_._1).distinct
+      val seedSet = verts.filter(_ % 17 == 0).toSet
+      assert(seedSet.nonEmpty)
+      var dist = verts.map(v => v -> (if (seedSet(v)) 0L else INF)).toMap
+      (1 to 4).foreach { _ =>
+        dist = verts.map { v =>
+          val relax = inTo.getOrElse(v, Seq.empty)
+            .map { case (u, _, len) => dist(u) + len }
+          v -> (relax :+ dist(v)).min
+        }.toMap
+      }
+      val expect = dist.filter(_._2 < INF).toSeq.sorted
+      val got = Graph.ssspWeighted(wedgeDf(w),
+          seedSet.toSeq.sorted.toDF("seed"), iters = 4)
+        .collect().map(r => (r.getAs[Long]("part"), r.getAs[Long]("dist4")))
+        .toSeq
+      assert(got === expect, s"seed=$seed sssp differs")
+      // seeds themselves are at distance 0 and every output is reachable
+      seedSet.foreach(sd => assert(got.contains((sd, 0L)), s"seed=$seed missing $sd"))
+    }
+  }
 }
