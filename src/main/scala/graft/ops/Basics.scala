@@ -136,6 +136,23 @@ object Basics {
         .select(col("p_partkey"), col("q_price"), col("q_size"),
           Scale.zOrderKey(8, col("q_price"), col("q_size")).as("zkey"))
         .orderBy(col("p_partkey").asc)
+    },
+
+    // Hilbert layout key over the same quantized (retailprice, size) plane
+    // — the locality-superior OPTIMIZE alternative (consecutive keys are
+    // always ADJACENT cells; ScaleSpec pins the unit-step walk property
+    // and a reference-implementation differential). The unrolled xy2d walk
+    // is pure bitwise/CASE codegen; oracle = the identical 8 steps as
+    // chained CTEs with per-step column names. See Scale.hilbertKey.
+    "scale_hilbert_key" -> { (s, d) =>
+      val q = Tables.part(s, d)
+        .withColumn("q_price",
+          Scale.zQuantize(col("p_retailprice"), 900.0, 2000.0, bits = 8))
+        .withColumn("q_size",
+          Scale.zQuantize(col("p_size"), 1.0, 50.0, bits = 8))
+      Scale.hilbertKey(q, 8, "q_price", "q_size", "hkey")
+        .select(col("p_partkey"), col("q_price"), col("q_size"), col("hkey"))
+        .orderBy(col("p_partkey").asc)
     }
   )
 
@@ -216,6 +233,36 @@ object Basics {
         |         ((q_price & (1 << b)) << b) + ((q_size & (1 << b)) << (b + 1))),
         |         (a, x) -> a + x) AS BIGINT) AS zkey
         |FROM q
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+
+    // The identical unrolled xy2d walk; per-step column names (x1..x8)
+    // dodge any lateral-alias ambiguity, and the full-grid complement
+    // (255 − v) mirrors the Spark side exactly.
+    "scale_hilbert_key" -> {
+      val steps = (7 to 0 by -1).zipWithIndex.map { case (k, i) =>
+        val s = 1L << k
+        s"""s${i + 1} AS (SELECT p_partkey, q_price, q_size,
+           |  d$i + ${s * s} * xor(3 * (CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END),
+           |                       CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END) AS d${i + 1},
+           |  CASE WHEN (y$i & $s) = 0 THEN
+           |         CASE WHEN (x$i & $s) > 0 THEN 255 - y$i ELSE y$i END
+           |       ELSE x$i END AS x${i + 1},
+           |  CASE WHEN (y$i & $s) = 0 THEN
+           |         CASE WHEN (x$i & $s) > 0 THEN 255 - x$i ELSE x$i END
+           |       ELSE y$i END AS y${i + 1}
+           |  FROM s$i)""".stripMargin
+      }
+      s"""WITH q AS (
+        |  SELECT p_partkey,
+        |         least(255, greatest(0, CAST(floor((CAST(p_retailprice AS DOUBLE) - 900.0) / 1100.0 * 255) AS BIGINT))) AS q_price,
+        |         least(255, greatest(0, CAST(floor((CAST(p_size AS DOUBLE) - 1.0) / 49.0 * 255) AS BIGINT))) AS q_size
+        |  FROM part),
+        |s0 AS (SELECT p_partkey, q_price, q_size, q_price AS x0, q_size AS y0,
+        |              CAST(0 AS BIGINT) AS d0 FROM q),
+        |${steps.mkString(",\n")}
+        |SELECT p_partkey, q_price, q_size, CAST(d8 AS BIGINT) AS hkey
+        |FROM s8
         |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin
+    }
   )
 }

@@ -353,6 +353,35 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
     },
 
+    // Exact 5-point rolling median per event_type — the standard robust
+    // smoother (median filters reject spikes a moving average smears).
+    // Values become exact integer micro-units (round(value·10⁴), the
+    // ts_ewma_dyadic convention); the window is the 5 rows ending at the
+    // current one under the deterministic (ts, event_id) order, and the
+    // median is element 3 of the sorted 5-array — an ODD width, so the
+    // median is an exact data value (never an interpolation, which each
+    // engine rounds its own way). Only FULL windows emit (lag-4 non-null),
+    // so every output is defined identically in both engines; the single
+    // output double is one division of an exact integer by 10⁴. All five
+    // lags sit on one window spec → a single WindowExec pass, one shuffle
+    // by event_type, no self-join.
+    "ts_rolling_median" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+        .withColumn("l4", lag(col("iv"), 4).over(w))
+        .withColumn("arr", array(col("iv"),
+          lag(col("iv"), 1).over(w), lag(col("iv"), 2).over(w),
+          lag(col("iv"), 3).over(w), col("l4")))
+        .filter(col("l4").isNotNull)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          (element_at(sort_array(col("arr")), 3).cast("double") / lit(10000d))
+            .as("med_value"))
+        .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
+    },
+
     // CDC snapshot diff — the lakehouse merge primitive: given yesterday's
     // and today's versions of a keyed table, emit the insert/update/delete
     // changeset. The two versions are derived deterministically from
@@ -385,6 +414,66 @@ object EventAnalytics {
           col("price_old").cast("double").as("price_old"),
           col("price_new").cast("double").as("price_new"))
         .orderBy(col("key").asc)
+    },
+
+    // SCD2 MERGE apply — the step AFTER cdc_snapshot_diff in a lakehouse
+    // pipeline: fold the day-2 changeset into a type-2 dimension, emitting
+    // the full post-merge version history. Same deterministic snapshots as
+    // cdc_snapshot_diff; per key the merge emits
+    //   - a version-1 row for every key in the old snapshot (valid from
+    //     day 1, CLOSED at day 2 iff the key was updated or deleted),
+    //   - a current row for every updated (version 2) or inserted
+    //     (version 1) key, valid from day 2.
+    // Both rows come out of ONE full-outer join pass: an in-row 2-element
+    // struct array explodes into candidate rows and null-price candidates
+    // drop — no second scan, no union of two join branches. Prices stay
+    // exact DECIMAL through classification (the =!= compare) and cast
+    // double only at output; is_current ≡ valid_to IS NULL. At 100 TB this
+    // is the foreachBatch-MERGE batch twin: one key-partitioned shuffle,
+    // map-side row expansion, no window.
+    "cdc_scd2_merge" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val snapOld = o.filter(col("o_orderkey") % 10 =!= 7)
+        .select(col("o_orderkey").as("key"),
+          Tables.dec2(col("o_totalprice")).as("price_old"))
+      val snapNew = o.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey").as("key"),
+          when(col("o_orderkey") % 5 === 0,
+            Tables.dec2(col("o_totalprice")) * lit(1.10).cast("decimal(3,2)"))
+            .otherwise(Tables.dec2(col("o_totalprice")) * lit(1.00).cast("decimal(3,2)"))
+            .as("price_new"))
+      val ct = when(col("price_old").isNull, lit("insert"))
+        .when(col("price_new").isNull, lit("delete"))
+        .when(col("price_old").cast("decimal(20,4)") =!=
+          col("price_new").cast("decimal(20,4)"), lit("update"))
+        .otherwise(lit("unchanged"))
+      // TIMESTAMP (not DATE): the fixture's own date columns are
+      // timestamps, and the driver's pandas comparator types Spark DATE as
+      // object vs DuckDB DATE as datetime64 — timestamps agree on both.
+      val d1 = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+      val d2 = lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+      snapOld.join(snapNew, Seq("key"), "full_outer")
+        .withColumn("change_type", ct)
+        .select(col("key"), explode(array(
+          struct(lit(1L).as("version"),
+            col("price_old").cast("decimal(14,4)").as("price"),
+            d1.as("valid_from"),
+            when(col("change_type").isin("update", "delete"), d2)
+              .otherwise(lit(null).cast("timestamp_ntz")).as("valid_to")),
+          struct(when(col("change_type") === "insert", lit(1L)).otherwise(lit(2L))
+            .as("version"),
+            when(col("change_type").isin("insert", "update"),
+              col("price_new").cast("decimal(14,4)")).otherwise(lit(null))
+              .as("price"),
+            d2.as("valid_from"),
+            lit(null).cast("timestamp_ntz").as("valid_to")))).as("r"))
+        .filter(col("r.price").isNotNull)
+        .select(col("key"), col("r.version").as("version"),
+          col("r.price").cast("double").as("price"),
+          col("r.valid_from").as("valid_from"), col("r.valid_to").as("valid_to"),
+          col("r.valid_to").isNull.as("is_current"))
+        .orderBy(col("key").asc, col("version").asc)
     },
 
     // Multi-touch marketing attribution: each click/view/signup touch is
@@ -670,6 +759,64 @@ object EventAnalytics {
         |FROM g WHERE s_cusum > h AND prev_s <= h
         |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
         |         event_id ASC NULLS FIRST""".stripMargin,
+
+    // Identical 5-row frames via explicit lags; the median is DuckDB's
+    // 1-based list_sort(...)[3] ≡ Spark element_at(sort_array, 3) — an
+    // exact integer, so the one double division matches bit-for-bit.
+    "ts_rolling_median" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS iv
+        |           FROM events),
+        |l AS (SELECT event_type, ts, event_id, iv,
+        |             lag(iv, 1) OVER w AS l1, lag(iv, 2) OVER w AS l2,
+        |             lag(iv, 3) OVER w AS l3, lag(iv, 4) OVER w AS l4
+        |      FROM b
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC))
+        |SELECT event_type, ts, event_id,
+        |       CAST(list_sort([iv, l1, l2, l3, l4])[3] AS DOUBLE) / 10000 AS med_value
+        |FROM l WHERE l4 IS NOT NULL
+        |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
+        |         event_id ASC NULLS FIRST""".stripMargin,
+
+    // Same snapshots/classification as cdc_snapshot_diff; the two merge
+    // candidates come from a UNION ALL over the one joined CTE (SQL has no
+    // explode; the filters mirror the Spark-side null-price drop).
+    "cdc_scd2_merge" ->
+      """WITH snap_old AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price_old
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |), snap_new AS (
+        |  SELECT o_orderkey AS key,
+        |         CASE WHEN o_orderkey % 5 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.10 AS DECIMAL(3,2))
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.00 AS DECIMAL(3,2))
+        |         END AS price_new
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |), j AS (
+        |  SELECT coalesce(o.key, n.key) AS key, o.price_old, n.price_new,
+        |         CASE WHEN o.price_old IS NULL THEN 'insert'
+        |              WHEN n.price_new IS NULL THEN 'delete'
+        |              WHEN CAST(o.price_old AS DECIMAL(20,4)) <>
+        |                   CAST(n.price_new AS DECIMAL(20,4)) THEN 'update'
+        |              ELSE 'unchanged' END AS change_type
+        |  FROM snap_old o FULL JOIN snap_new n ON o.key = n.key
+        |), m AS (
+        |  SELECT key, 1 AS version, CAST(price_old AS DECIMAL(14,4)) AS price,
+        |         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |         CASE WHEN change_type IN ('update', 'delete')
+        |              THEN TIMESTAMP '2024-01-02 00:00:00' END AS valid_to
+        |  FROM j WHERE price_old IS NOT NULL
+        |  UNION ALL
+        |  SELECT key, CASE WHEN change_type = 'insert' THEN 1 ELSE 2 END,
+        |         CAST(price_new AS DECIMAL(14,4)),
+        |         TIMESTAMP '2024-01-02 00:00:00', NULL
+        |  FROM j WHERE change_type IN ('insert', 'update'))
+        |SELECT key, CAST(version AS BIGINT) AS version,
+        |       CAST(price AS DOUBLE) AS price, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM m
+        |ORDER BY key ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin,
 
     "cdc_snapshot_diff" ->
       """WITH snap_old AS (

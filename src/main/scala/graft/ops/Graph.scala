@@ -279,6 +279,69 @@ object Graph {
       .orderBy(col("part").asc)
   }
 
+  /** The strong-tie backbone: co-occurrence edges with multiplicity ≥ 2
+    * (parts that appeared together in at least two orders). Thresholding
+    * the weighted list is a free filter on the [[coEdgesWeighted]]
+    * aggregate — same single shuffle — and it is what makes component /
+    * link-prediction structure non-trivial: the w ≥ 1 graph is one giant
+    * near-clique at every scale, while the backbone fragments into real
+    * communities (sf0.01: 1.9k vertices / 3.4k edges; sf0.1: 2.3k
+    * components). The standard graph-mining move (backbone extraction)
+    * and the standard scale move too — the filter drops ~97% of edges
+    * before any iterative work touches them. */
+  private def backbone(s: SparkSession, d: String): DataFrame =
+    coEdgesWeighted(s, d).filter(col("w") >= 2).select(col("a"), col("b"))
+
+  /** Connected components of an undirected (a < b) edge list: every
+    * edge-incident vertex labeled with the smallest vertex id reachable
+    * from it, plus its component size. Delegates to the shared
+    * min-label-propagation-with-pointer-jumping engine
+    * ([[LlmOps.labelPropagate]] — O(log diameter) rounds, driver reads
+    * only a scalar convergence count per round); component size is a
+    * groupBy + equi-join back, not a window, so a giant component is an
+    * AQE-splittable join key rather than one pinned window partition. */
+  def components(edges: DataFrame): DataFrame = {
+    val verts = edges.select(col("a").as("doc_id"))
+      .unionAll(edges.select(col("b").as("doc_id")))
+      .distinct()
+    val labels = LlmOps.labelPropagate(
+        verts, edges.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .localCheckpoint(true)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("comp_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id").as("part"), col("cluster_id").as("component"),
+        col("comp_size"))
+      .orderBy(col("part").asc)
+  }
+
+  /** Common-neighbor link prediction over an undirected (a < b) edge list:
+    * every NON-adjacent pair with at least one common neighbor, scored by
+    * the common-neighbor count — the classic link-prediction baseline
+    * (Liben-Nowell & Kleinberg). Wedges are generated IN-ROW from each
+    * vertex's sorted neighbor array (the [[coEdges]] pair fan-out idiom):
+    * one groupBy(u) builds adjacency, one explode emits each wedge once
+    * (pairs are in sorted order, so a < b by construction), one count
+    * aggregate scores pairs, and a left-anti join against the edge list
+    * removes existing ties. Work is Σ deg(deg−1)/2 over the BACKBONE
+    * (13k wedges at sf0.01), not the raw graph — and at 100 TB the
+    * Σdeg² term is controlled the standard way: threshold/hub-cap the
+    * adjacency before wedge fan-out, exactly what [[backbone]] does. */
+  def commonNeighborPairs(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val adj = und.groupBy(col("u"))
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+    val pairs = adj.select(explode(expr(
+        "flatten(transform(nbrs, (x, i) -> " +
+          "transform(slice(nbrs, i + 2, size(nbrs)), y -> struct(x AS a, y AS b))))"))
+        .as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("cn"))
+    pairs.join(edges, Seq("a", "b"), "left_anti")
+      .orderBy(col("cn").desc, col("a").asc, col("b").asc)
+  }
+
   /** Per-seed distinct 1-hop / ≤2-hop reachability counts (seed itself
     * excluded) over a canonical (a < b) edge list: (seed_part, reach1,
     * reach2). Two frontier joins + one min-hop aggregate; the hop marker
@@ -373,6 +436,18 @@ object Graph {
         Tables.part(s, d).filter(col("p_size") === 1)
           .select(col("p_partkey").as("seed")),
         iters = 4)
+    },
+
+    // Connected components of the w >= 2 strong-tie backbone — see
+    // components / backbone.
+    "graph_components" -> { (s, d) =>
+      components(backbone(s, d).localCheckpoint(true))
+    },
+
+    // Common-neighbor link prediction on the backbone: non-adjacent pairs
+    // scored by shared-neighbor count — see commonNeighborPairs.
+    "graph_common_neighbors" -> { (s, d) =>
+      commonNeighborPairs(backbone(s, d).localCheckpoint(true))
     }
   )
 
@@ -498,6 +573,47 @@ object Graph {
          |SELECT v AS part, CAST(dist AS BIGINT) AS dist4 FROM d4
          |WHERE dist < 1000000000000000
          |ORDER BY part ASC NULLS FIRST""".stripMargin
-    }
+    },
+
+    // Exact components via recursive transitive closure (the recursive
+    // term needs no aggregation, so a plain UNION closure is legal SQL),
+    // then component = min reachable id — the same fixed point the
+    // Spark-side label propagation converges to. Closure size is
+    // Σ |component|² over the BACKBONE's communities (≤ ~3.5M pairs at
+    // sf0.01), which is exactly why the query runs on the thresholded
+    // graph.
+    "graph_components" ->
+      """WITH RECURSIVE
+        |items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |we AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+        |       FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY x.pk, y.pk),
+        |bb AS (SELECT a, b FROM we WHERE w >= 2),
+        |und AS (SELECT a AS u, b AS v FROM bb UNION ALL SELECT b, a FROM bb),
+        |reach(v, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        |  UNION
+        |  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v),
+        |lab AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+        |sz AS (SELECT component, count(*) AS comp_size FROM lab GROUP BY component)
+        |SELECT lab.v AS part, lab.component AS component,
+        |       CAST(sz.comp_size AS BIGINT) AS comp_size
+        |FROM lab JOIN sz USING (component)
+        |ORDER BY part ASC NULLS FIRST""".stripMargin,
+
+    // Wedge join (x.u = y.u, x.v < y.v) counts each unordered
+    // common-neighbor pair once per shared neighbor; the left anti join
+    // removes pairs that are already backbone edges.
+    "graph_common_neighbors" ->
+      s"""$wedgeCte,
+        |bb AS (SELECT a, b FROM we WHERE w >= 2),
+        |und AS (SELECT a AS u, b AS v FROM bb UNION ALL SELECT b, a FROM bb),
+        |w2 AS (SELECT x.v AS a, y.v AS b, count(*) AS cn
+        |       FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+        |       GROUP BY x.v, y.v)
+        |SELECT w2.a, w2.b, CAST(w2.cn AS BIGINT) AS cn
+        |FROM w2 LEFT JOIN bb ON bb.a = w2.a AND bb.b = w2.b
+        |WHERE bb.a IS NULL
+        |ORDER BY cn DESC NULLS LAST, w2.a ASC NULLS FIRST, w2.b ASC NULLS FIRST""".stripMargin
   )
 }

@@ -1866,6 +1866,50 @@ object LlmOps {
         .unionByName(assignToCentroid(batch, centroids).select(cols: _*)))
     },
 
+    // Index COMPACTION — the step that closes the llm_sim_ann_ivf_upsert
+    // maintenance cycle: the upsert path unions the persisted inverted
+    // file with the day's encoded delta AT QUERY TIME, which is the right
+    // read path for the first day but accumulates one union (and one
+    // batch-filtered embeddings scan) per un-compacted delta. Compaction
+    // folds base + delta into ONE new cid-partitioned index under its own
+    // signature-keyed dir — a pure index-to-index job (the raw embeddings
+    // are read once, for the delta, and only while compacting) — after
+    // which queries scan a single layout: no per-query union, no
+    // embeddings scan at all (LlmOpsSpec asserts the finalized plan reads
+    // only the compacted index, and that rows stay identical to BOTH the
+    // upsert path and a full re-encode). Same staleness rule as upsert:
+    // the codebook is carried over verbatim, so compaction never changes
+    // answers on the exact cell-routed paths — retraining remains a
+    // separate, drift-triggered event. Rows-only like its siblings.
+    "llm_sim_ann_ivf_compact" -> { (s, d) =>
+      val idx = annIndexDir(d, "ivfbase")
+      val baseBuilt = new java.io.File(s"$idx/assign/_SUCCESS").exists() &&
+        new java.io.File(s"$idx/centroids/_SUCCESS").exists()
+      if (!baseBuilt) {
+        val base = embDouble(s, d).filter(col("vec_id") % 10 =!= 0)
+          .localCheckpoint(true)
+        writeIvfIndex(base, idx, nlist = ivfNlist(base.count()), iters = 2)
+        releaseCheckpoint(base)
+      }
+      val cidx = annIndexDir(d, "ivfcompact")
+      val compacted = new java.io.File(s"$cidx/assign/_SUCCESS").exists() &&
+        new java.io.File(s"$cidx/centroids/_SUCCESS").exists()
+      if (!compacted) {
+        val (centroids, assign) = readIvfIndex(s, idx)
+        val batch = embDouble(s, d).filter(col("vec_id") % 10 === 0)
+        val cols = Seq("vec_id", "label", "cid", "emb", "ssq", "cang").map(col)
+        // cast cid on both arms: parquet partition discovery types the
+        // base side's cid as INT regardless of the writer's type
+        centroids.write.mode("overwrite").parquet(s"$cidx/centroids")
+        assign.select(cols: _*).withColumn("cid", col("cid").cast("int"))
+          .unionByName(assignToCentroid(batch, centroids).select(cols: _*)
+            .withColumn("cid", col("cid").cast("int")))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$cidx/assign")
+      }
+      val (_, merged) = readIvfIndex(s, cidx)
+      ivfPairs(merged)
+    },
+
     // IVF-PQ-style ANN — product-quantized pair scoring (rows-only: the
     // score is an approximation with no DuckDB twin; LlmOpsSpec pins
     // determinism, code-table shape and fixture recall vs the exact
@@ -1938,6 +1982,36 @@ object LlmOps {
         .filter(when(col("lang") === "en", col("h") < "8")
           .otherwise(col("h") < "4"))
         .select(col("doc_id"), col("lang"), col("h"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // Temperature-balanced language sampling — the multilingual-corpus
+    // rebalancing step (downsample high-resource languages toward
+    // p_lang ∝ n_lang^α, here α = ½): per language the expected keep count
+    // is min(n, 4·⌊√n⌋), so English ('en' is ~42% of the fixture) keeps a
+    // smaller FRACTION than the low-resource languages while still
+    // contributing the most rows. Fully deterministic and cross-engine
+    // exact: membership is a pure function of doc_id via the Knuth
+    // multiplicative hash u = (doc_id · 2654435761) mod 2³², kept iff
+    // u < (2³² · min(4·⌊√n⌋, n)) div n — all integer arithmetic on
+    // non-negative operands (Spark `div` ≡ DuckDB `//`), no RNG state.
+    // √n is the ONE non-integer step and is safe: IEEE-754 sqrt is
+    // correctly rounded in both engines, and for integer n that rounding
+    // can only cross an integer k at n = k² exactly (|√n − k| ≥ 1/(2k) ≫
+    // ulp otherwise), so ⌊√n⌋ agrees everywhere. At 100 TB the per-lang
+    // counts are one map-side-combined aggregate broadcast back, and the
+    // keep test is a pushdown-friendly scalar filter — no shuffle of the
+    // corpus, no sampleBy seed drift across partitionings.
+    "llm_sample_temperature" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val thr = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ws", floor(sqrt(col("n"))).cast("long"))
+        .select(col("lang"),
+          expr("(4294967296 * least(4 * ws, n)) div n").as("thr"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .filter(expr("(doc_id * 2654435761) % 4294967296") < col("thr"))
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id").asc)
     },
 
@@ -2961,6 +3035,20 @@ object LlmOps {
         |FROM documents
         |WHERE CASE WHEN lang = 'en' THEN substr(md5(doc_id::VARCHAR), 1, 1) < '8'
         |           ELSE substr(md5(doc_id::VARCHAR), 1, 1) < '4' END
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Same integer keep test; `//` is DuckDB floor division ≡ Spark `div`
+    // on this non-negative domain, and ⌊√n⌋ agrees cross-engine (IEEE
+    // correctly-rounded sqrt — see the Spark-side note).
+    "llm_sample_temperature" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |thr AS (SELECT lang,
+        |               (4294967296 * least(4 * CAST(floor(sqrt(n)) AS BIGINT), n)) // n
+        |                 AS thr
+        |        FROM cnt)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE (d.doc_id * 2654435761) % 4294967296 < thr
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_pack_sequences" ->

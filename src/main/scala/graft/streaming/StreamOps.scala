@@ -646,6 +646,96 @@ object StreamOps {
     }
   }
 
+  case class CusumIn(event_type: String, ts: java.sql.Timestamp,
+      event_id: Long, iv: Long)
+  /** Pending row at MICROSECOND fidelity (the fixture's ts has micros and
+    * the CUSUM fold order is (ts, event_id) — ms-resolution state would
+    * collapse distinct instants into arrival-order ties). */
+  case class CusumPend(ts_us: Long, event_id: Long, iv: Long)
+  case class CusumBuf(cum: Long, min_cum: Long, prev_s: Long,
+      pending: List[CusumPend])
+  case class CusumAlert(event_type: String, ts: java.sql.Timestamp,
+      event_id: Long, s_cusum: Long, h: Long)
+
+  private def tsToUs(t: java.sql.Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp((us / 1000000L) * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming CUSUM changepoint detector — the streaming twin of the
+    * batch `ts_cusum_changepoint`: per event_type, fold the one-sided
+    * CUSUM recursion s ← max(0, s + (iv − μ)) over the event-time order
+    * and emit ALARM ONSETS (s crosses from ≤ h to > h) only.
+    *
+    * μ and h come from a TRAINED REFERENCE PROFILE (`ref`: event_type →
+    * (μ, h)) — the standard monitoring deployment, where the reference
+    * level is fit on history by the batch job and the detector watches
+    * live traffic against it (a detector that re-fits μ on the stream it
+    * is judging would drift its own alarm line). Unknown keys run with
+    * (0, Long.MaxValue): folded but never alarming.
+    *
+    * Order correctness under out-of-order arrival: CUSUM is
+    * order-SENSITIVE, so rows buffer in state and fold only once CERTAIN —
+    * strictly below the watermark, where the contract says no earlier row
+    * can still arrive (an equal-ts row still can, hence strict; the same
+    * at-or-below rule as the silence detector's gap collapse). Folded
+    * rows collapse into the O(1) summary (cum, running-min cum, prev s);
+    * state per key is that summary plus the in-horizon buffer — bounded by
+    * the watermark delay, never by stream length. A pending buffer arms an
+    * event-time timer at wm + 1 so the fold resumes on watermark advance
+    * even if the key goes silent (the strict-timer deferral note on
+    * topkHandle applies). StreamingSpec pins bit-equality of the alert
+    * stream against the batch query and state durability across a
+    * kill/restart. */
+  def streamCusum(events: DataFrame, ref: Map[String, (Long, Long)],
+      watermark: String = "10 minutes"): Dataset[CusumAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      .withWatermark("ts", watermark)
+      .as[CusumIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumBuf, CusumAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, rows: Iterator[CusumIn], state: GroupState[CusumBuf]) =>
+          cusumHandle(tpe, rows, state,
+            ref.getOrElse(tpe, (0L, Long.MaxValue)))
+      }
+  }
+
+  private[streaming] def cusumHandle(tpe: String, rows: Iterator[CusumIn],
+      state: GroupState[CusumBuf], muH: (Long, Long)): Iterator[CusumAlert] = {
+    val (mu, h) = muH
+    val prev = state.getOption.getOrElse(CusumBuf(0L, 0L, 0L, Nil))
+    val all = prev.pending ++
+      rows.map(r => CusumPend(tsToUs(r.ts), r.event_id, r.iv))
+    val wm = state.getCurrentWatermarkMs()
+    val (ready, pending) = all.partition(_.ts_us / 1000 < wm)
+    var cum = prev.cum
+    var minCum = prev.min_cum
+    var prevS = prev.prev_s
+    val out = List.newBuilder[CusumAlert]
+    ready.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+      cum += p.iv - mu
+      if (cum < minCum) minCum = cum
+      val s = cum - math.min(0L, minCum)
+      if (s > h && prevS <= h)
+        out += CusumAlert(tpe, usToTs(p.ts_us), p.event_id, s, h)
+      prevS = s
+    }
+    // The summary persists for the key's lifetime BY DESIGN: a drift
+    // detector's baseline is its whole history, and the summary is O(1)
+    // per key (|event_type| keys). Only the buffer is horizon-bounded.
+    state.update(CusumBuf(cum, minCum, prevS, pending))
+    if (pending.nonEmpty)
+      state.setTimeoutTimestamp(wm + 1)
+    out.result().iterator
+  }
+
   case class AsOfFwdBuf(events: List[AsOfEvent], probes: List[Long])
 
   /** Streaming FORWARD as-of join: each probe (user_id, p_ts) answers with

@@ -61,6 +61,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("sample_temperature: membership is the pure doc_id hash test, rates invert the skew") {
+    val kept = q("llm_sample_temperature").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.groupBy(_._2).map { case (l, v) => l -> v.length.toLong }
+    val thr = n.map { case (l, c) =>
+      val ws = math.sqrt(c.toDouble).toLong
+      l -> (4294967296L * math.min(4 * ws, c)) / c
+    }
+    // exact membership: kept iff the Knuth hash clears the lang threshold
+    val expect = docs.filter { case (id, l) =>
+      (id * 2654435761L) % 4294967296L < thr(l)
+    }.sortBy(_._1).toSeq
+    assert(kept.toSeq === expect)
+    // temperature flattening: the dominant language keeps the smallest
+    // fraction, and every language keeps at least one document
+    val frac = kept.groupBy(_._2).map { case (l, v) => l -> v.length.toDouble / n(l) }
+    assert(n.keySet === frac.keySet)
+    val enFrac = frac("en")
+    frac.foreach { case (l, f) => if (l != "en") assert(enFrac < f, s"$l") }
+  }
+
   test("zorder_key: the interleave is invertible back to both quantized coordinates") {
     val rows = q("scale_zorder_key").collect()
     assert(rows.nonEmpty)

@@ -273,6 +273,56 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("rolling median: differential against a sequential 5-window scan per type") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getLong(3)))
+    def tsKey(t: java.time.LocalDateTime): (Long, Int) =
+      (t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano)
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val ord = rows.sortBy(r => (tsKey(r._2), r._3))
+      ord.sliding(5).filter(_.length == 5).map { w5 =>
+        val r = w5.last
+        (tpe, r._2, r._3, w5.map(_._4).sorted.apply(2).toDouble / 10000d)
+      }
+    }.sortBy(r => (r._1, tsKey(r._2), r._3))
+    val got = q("ts_rolling_median").collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(expect.nonEmpty)
+    assert(got === expect)
+    // a median filter output is always one of its window's input values —
+    // spot the invariant globally: every med is an actual fixture value
+    val vals = ev.map(_._4.toDouble / 10000d).toSet
+    assert(got.forall(r => vals.contains(r._4)))
+  }
+
+  test("scd2 merge: version history consistent with the changeset classes") {
+    val rows = q("cdc_scd2_merge").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.getAs[java.time.LocalDateTime](4)), r.getBoolean(5)))
+    val byKey = rows.groupBy(_._1)
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    (0L until nOrders).foreach { k =>
+      val vs = byKey.getOrElse(k, Array.empty).sortBy(_._2)
+      if (k % 10 == 3) { // delete: one closed row, nothing current
+        assert(vs.length == 1 && vs(0)._2 == 1 && !vs(0)._5 && vs(0)._4.nonEmpty, s"k=$k")
+      } else if (k % 10 == 7) { // insert: one current version-1 row
+        assert(vs.length == 1 && vs(0)._2 == 1 && vs(0)._5 && vs(0)._4.isEmpty, s"k=$k")
+      } else if (k % 5 == 0) { // update: closed v1 + current v2, +10%
+        assert(vs.length == 2 && !vs(0)._5 && vs(1)._5 && vs(1)._2 == 2, s"k=$k")
+        assert(math.abs(vs(1)._3 - vs(0)._3 * 1.10) < 1e-6, s"k=$k")
+      } else { // unchanged: one open version-1 row
+        assert(vs.length == 1 && vs(0)._2 == 1 && vs(0)._5 && vs(0)._4.isEmpty, s"k=$k")
+      }
+    }
+    // exactly one current row per surviving key, none for deletes
+    rows.filter(_._5).groupBy(_._1).values.foreach(v => assert(v.length == 1))
+  }
+
   test("cdc: residue classes map to exactly their change type, update factor 1.1") {
     val rows = q("cdc_snapshot_diff").collect()
     val byKey = rows.groupBy(_.getLong(0))

@@ -150,6 +150,55 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("components match a driver-side union-find on seeded random graphs") {
+    for (seed <- 51L to 53L) {
+      // sparse (m < n) so the graph fragments into many components
+      val edges = randomEdges(n = 120, m = 60, seed = seed)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2))
+      val comp = verts.map(v => v -> find(v)).toMap
+      val sizes = comp.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val expect = verts.toSeq.sorted.map(v => (v, comp(v), sizes(comp(v))))
+      val got = Graph.components(edgeDf(edges)).collect()
+        .map(r => (r.getAs[Long]("part"), r.getAs[Long]("component"),
+          r.getAs[Long]("comp_size"))).toSeq
+      assert(got === expect, s"seed=$seed components differ")
+      // the label propagation labels every component by its min member
+      assert(got.forall { case (v, c, _) => c <= v })
+    }
+  }
+
+  test("common-neighbor pairs match a naive wedge counter; no edge leaks through") {
+    for (seed <- 61L to 62L) {
+      val edges = randomEdges(n = 60, m = 120, seed = seed)
+      val und = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val naive = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      und.foreach { case (_, nbrs) =>
+        val ns = nbrs.toSeq.sorted
+        for (i <- ns.indices; j <- (i + 1) until ns.size)
+          naive((ns(i), ns(j))) = naive.getOrElse((ns(i), ns(j)), 0L) + 1L
+      }
+      val expect = naive.toSeq.filterNot { case (p, _) => edges.contains(p) }
+        .map { case ((a, b), cn) => (a, b, cn) }
+        .sortBy { case (a, b, cn) => (-cn, a, b) }
+      val got = Graph.commonNeighborPairs(edgeDf(edges)).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("cn")))
+        .toSeq
+      assert(got === expect, s"seed=$seed predicted pairs differ")
+      // anti-join really removed every existing edge
+      assert(got.forall { case (a, b, _) => !edges.contains((a, b)) })
+    }
+  }
+
   test("bounded-hop weighted sssp matches a naive Bellman-Ford relaxation") {
     import spark.implicits._
     val INF = 1000000000000000L

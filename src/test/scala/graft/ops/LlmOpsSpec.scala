@@ -121,6 +121,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF compaction: rows identical to the upsert path, plan reads only the compacted index") {
+    val upsertRows = SparkEntry_queries("llm_sim_ann_ivf_upsert")
+      .collect().map(_.toSeq.toList).toList
+    val compactQ = SparkEntry_queries("llm_sim_ann_ivf_compact")
+    // first run may build the compacted index (reads the delta once);
+    // re-create the Dataset so the inspected plan is the steady state
+    compactQ.collect()
+    val compact = SparkEntry_queries("llm_sim_ann_ivf_compact")
+    val rows = compact.collect().map(_.toSeq.toList).toList
+    assert(rows.nonEmpty, "compacted index produced no pairs")
+    assert(rows === upsertRows,
+      "compacted index diverged from the upsert-union read path")
+    // steady state scans ONLY the compacted index: no base index, no
+    // per-query union, and no embeddings.parquet anywhere in the plan
+    val planStr = compact.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_ivfcompact_index_"),
+      "expected the compacted-index scan in the executed plan")
+    assert(!planStr.contains("embeddings.parquet"),
+      "compacted query must never re-read the raw embeddings")
+  }
+
   test("semantic dedup: one representative per community, kept set within the pairwise survivors") {
     val sem = SparkEntry_queries("llm_dedup_semantic").collect()
     val byCluster = sem.groupBy(_.getLong(1))

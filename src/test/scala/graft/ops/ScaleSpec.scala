@@ -52,6 +52,42 @@ class ScaleSpec extends SparkSpec {
     assert(zLayout.count() === 65536L && rowMajor.count() === 65536L)
   }
 
+  test("hilbertKey: exhaustive grid is a unit-step space-filling walk matching xy2d") {
+    import spark.implicits._
+    // Driver-side reference: the textbook xy2d (public-domain algorithm).
+    def xy2d(n: Int, x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val bits = 4
+    val n = 1 << bits
+    val grid = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val got = Scale.hilbertKey(grid.toDF("x", "y"), bits, "x", "y", "h")
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("h")))
+    got.foreach { case (x, y, h) =>
+      assert(h === xy2d(n, x.toInt, y.toInt), s"($x,$y)")
+    }
+    // space-filling bijection: keys are exactly 0 .. n^2-1
+    val byKey = got.sortBy(_._3)
+    assert(byKey.map(_._3).toSeq === (0L until (n.toLong * n)).toSeq)
+    // THE Hilbert property (what z-order lacks): every consecutive pair of
+    // keys is Manhattan-adjacent, so any key range is a connected blob
+    byKey.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L, s"jump at ($x1,$y1)")
+    }
+  }
+
   test("AQE alone splits a skewed shuffle join — salting is for when AQE can't see the skew") {
     // Demonstrates the decision rule in Scale.saltedJoin's scaladoc: for a
     // plain batch equi-join, AQE's OptimizeSkewedJoin detects the hot

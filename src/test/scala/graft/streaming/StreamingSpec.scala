@@ -870,6 +870,91 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: alert stream equals the batch changepoint query on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Reference profile (mu, h) per type — fit on history by the batch
+    // job, exactly the batch query's integer derivation.
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val ref = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val n = rows.length.toLong
+      val mu = rows.map(_._5).sum / n
+      tpe -> (mu, 10L * (rows.map(r => math.abs(r._5 - mu)).sum / n))
+    }
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamCusum(mem.toDF(), ref)
+      .writeStream.format("memory").queryName("cusum_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three chronological chunks (each above the running watermark —
+      // in-contract), SHUFFLED within each chunk: arrival order inside a
+      // batch is not a contract, the buffered event-time sort is
+      val sorted = ev.sortBy(r =>
+        (r._2.toEpochSecond(java.time.ZoneOffset.UTC), r._2.getNano, r._3))
+      val rnd = new scala.util.Random(7)
+      sorted.grouped((sorted.length + 2) / 3).foreach { chunk =>
+        mem.addData(rnd.shuffle(chunk.toSeq).map(r =>
+          Ev(r._3, Timestamp.valueOf(r._2), 0L, r._1, r._4)))
+        q.processAllAvailable()
+      }
+      // flush: a far-future sentinel of an UNKNOWN type (h = MaxValue in
+      // the handler — folded, never alarming) drives the watermark past
+      // every fixture row
+      mem.addData(Seq(Ev(0, t("2030-01-01 00:00:00"), 0, "zz_flush", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_equiv").collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[Timestamp]("ts").toLocalDateTime,
+          r.getAs[Long]("event_id"), r.getAs[Long]("s_cusum"), r.getAs[Long]("h")))
+        .toSet
+      val batch = graft.SparkEntry.queries("ts_cusum_changepoint")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch,
+        s"stream/batch diverged: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM state survives a kill/restart: buffered rows and the fold summary persist") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum_ckpt").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    // mu = 0, h = 25000: each 1.0-valued event adds 10000 to s, so the
+    // third event in event-time order (00:02) crosses 25000 -> one onset.
+    val ref = Map("err" -> (0L, 25000L))
+    val mem = MemoryStream[Ev]
+    def start() = StreamOps.streamCusum(mem.toDF(), ref)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    mem.addData(Seq(
+      Ev(1, t("2024-01-01 00:00:00"), 0, "err", 1.0),
+      Ev(2, t("2024-01-01 00:01:00"), 0, "err", 1.0),
+      Ev(3, t("2024-01-01 00:02:00"), 0, "err", 1.0)))
+    q1.processAllAvailable()
+    q1.stop() // kill: all three rows exist ONLY in the recovered state
+    val q2 = start()
+    try {
+      mem.addData(Seq(Ev(9, t("2024-01-01 06:00:00"), 0, "err", 1.0)))
+      q2.processAllAvailable() // recovered buffer folds as wm advances
+      val alerts = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("s_cusum")))
+      assert(alerts.toList === List((t("2024-01-01 00:02:00"), 3L, 30000L)),
+        s"recovered CUSUM state wrong: ${alerts.toList}")
+    } finally q2.stop()
+  }
+
   test("streaming hybrid retrieval: incremental stats converge to the batch query, across a kill/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
