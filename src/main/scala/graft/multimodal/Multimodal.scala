@@ -196,6 +196,57 @@ object Multimodal {
     }
   }
 
+  /** Documents → a FULLY-VALID pixel-bearing PNG table: every document
+    * becomes a real [[encodePng]] image (signature, IHDR, deflated IDAT,
+    * IEND — decodable by any conformant reader) whose pixel bytes are the
+    * document's ASCII text CYCLED over the w·h·ch buffer. Cycling makes
+    * the pixel CONTENT closed-form: Σ pixels = (N div L)·Σ text-bytes +
+    * prefix-sum(N mod L) with N = w·h·ch, L = |text| — so the full decode
+    * path (inflate + unfilter + pixel walk) is DuckDB-oracle-checkable
+    * (`mm_pixel_stats`) even though no SQL engine can read a PNG: the
+    * oracle recomputes the sums from `documents.text` alone. Dimensions
+    * derive from doc_id (w = id%64+8, h = id%48+8, RGB even ids / RGBA
+    * odd) — small enough that the whole sf0.1 table is ~40 MB of pixels. */
+  def syntheticPixelTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = math.floorMod(id, 64).toInt + 8
+      val h = math.floorMod(id, 48).toInt + 8
+      val ch = if (id % 2 == 0) 3 else 4
+      val n = w * h * ch
+      val px = new Array[Byte](n)
+      var i = 0
+      while (i < n) { px(i) = bytes(i % bytes.length); i += 1 }
+      MediaRow(id, "image", encodePng(w, h, ch, px))
+    }
+  }
+
+  case class PixelStats(media_id: Long, width: Long, height: Long,
+      channels: Long, pix_sum: Long)
+
+  /** Decoded per-image pixel statistics over a [[syntheticPixelTable]]-style
+    * table: REAL [[decodePng]] per payload (chunk walk → inflate →
+    * unfilter), then an exact integer sum over every decoded pixel byte.
+    * Partition-preserving batch map; the payload never shuffles — only the
+    * 5-column stats row leaves the partition. Throws on an undecodable
+    * payload rather than silently skipping: this table is pixel-bearing by
+    * construction, so a decode failure is corruption, not a media type. */
+  def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (w, h, ch, px) = decodePng(r.payload).getOrElse(
+        throw new IllegalStateException(
+          s"undecodable pixel-table payload for media_id=${r.media_id}"))
+      var s = 0L
+      var i = 0
+      while (i < px.length) { s += px(i) & 0xff; i += 1 }
+      PixelStats(r.media_id, w.toLong, h.toLong, ch.toLong, s)
+    })
+  }
+
   /** Decode step: batch-at-a-time over partitions — the Scala analogue of
     * mapInPandas. No shuffle: partitioning of the input is preserved.
     * Header-bearing payloads (PNG/JPEG) decode REAL dimensions; anything

@@ -353,6 +353,25 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
     },
 
+    // Hour-of-day seasonal profile per event_type — the diurnal baseline a
+    // monitoring/forecasting pipeline fits first (and the reference level
+    // a seasonal CUSUM would subtract). One map-side-combinable aggregate
+    // over (type, hour(ts)); |types|·24 output rows at any scale. The mean
+    // is ONE double division of exact integers (micro-unit sum over
+    // n·10⁴); min/max are selections of input doubles — no rounding
+    // discipline needed anywhere.
+    "ts_seasonal_profile" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+          col("value"), expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("iv")).cast("double") /
+            (count(lit(1)) * lit(10000L)).cast("double")).as("mean_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy(col("event_type").asc, col("hod").asc)
+    },
+
     // Exact 5-point rolling median per event_type — the standard robust
     // smoother (median filters reject spikes a moving average smears).
     // Values become exact integer micro-units (round(value·10⁴), the
@@ -759,6 +778,16 @@ object EventAnalytics {
         |FROM g WHERE s_cusum > h AND prev_s <= h
         |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
         |         event_id ASC NULLS FIRST""".stripMargin,
+
+    "ts_seasonal_profile" ->
+      """WITH b AS (SELECT event_type, hour(ts) AS hod, value,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS iv
+        |           FROM events)
+        |SELECT event_type, CAST(hod AS BIGINT) AS hod, count(*) AS n,
+        |       CAST(sum(iv) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE) AS mean_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM b GROUP BY event_type, hod
+        |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin,
 
     // Identical 5-row frames via explicit lags; the median is DuckDB's
     // 1-based list_sort(...)[3] ≡ Spark element_at(sort_array, 3) — an

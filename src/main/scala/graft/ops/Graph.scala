@@ -327,7 +327,12 @@ object Graph {
     * (13k wedges at sf0.01), not the raw graph — and at 100 TB the
     * Σdeg² term is controlled the standard way: threshold/hub-cap the
     * adjacency before wedge fan-out, exactly what [[backbone]] does. */
-  def commonNeighborPairs(edges: DataFrame): DataFrame = {
+  def commonNeighborPairs(edges: DataFrame): DataFrame =
+    cnPairs(edges).orderBy(col("cn").desc, col("a").asc, col("b").asc)
+
+  /** Unordered non-adjacent (a, b, cn) pairs — the shared body of
+    * [[commonNeighborPairs]] and [[jaccardLink]]. */
+  private def cnPairs(edges: DataFrame): DataFrame = {
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
     val adj = und.groupBy(col("u"))
@@ -339,7 +344,29 @@ object Graph {
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).cast("long").as("cn"))
     pairs.join(edges, Seq("a", "b"), "left_anti")
-      .orderBy(col("cn").desc, col("a").asc, col("b").asc)
+  }
+
+  /** Jaccard-normalized link prediction over an undirected (a < b) edge
+    * list: the [[commonNeighborPairs]] candidates rescored by neighborhood
+    * Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — for non-adjacent pairs the union
+    * is deg(a) + deg(b) − cn, so the score is ONE double division of exact
+    * integers (cross-engine bit-identical; the normalization demotes
+    * hub-to-hub pairs raw counts over-rank). Same wedge fan-out + two
+    * broadcast degree joins; ordering is (jac desc, a, b) — a different
+    * ranking than the raw-count query, which is the point. */
+  def jaccardLink(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("deg"))
+    val da = deg.select(col("v").as("a"), col("deg").as("da"))
+    val db = deg.select(col("v").as("b"), col("deg").as("db"))
+    cnPairs(edges)
+      .join(broadcast(da), Seq("a")).join(broadcast(db), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        (col("da") + col("db") - col("cn")).as("union_size"),
+        (col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double")).as("jac"))
+      .orderBy(col("jac").desc, col("a").asc, col("b").asc)
   }
 
   /** Per-seed distinct 1-hop / ≤2-hop reachability counts (seed itself
@@ -448,6 +475,11 @@ object Graph {
     // scored by shared-neighbor count — see commonNeighborPairs.
     "graph_common_neighbors" -> { (s, d) =>
       commonNeighborPairs(backbone(s, d).localCheckpoint(true))
+    },
+
+    // Jaccard-normalized link prediction on the backbone — see jaccardLink.
+    "graph_jaccard_link" -> { (s, d) =>
+      jaccardLink(backbone(s, d).localCheckpoint(true))
     }
   )
 
@@ -614,6 +646,26 @@ object Graph {
         |SELECT w2.a, w2.b, CAST(w2.cn AS BIGINT) AS cn
         |FROM w2 LEFT JOIN bb ON bb.a = w2.a AND bb.b = w2.b
         |WHERE bb.a IS NULL
-        |ORDER BY cn DESC NULLS LAST, w2.a ASC NULLS FIRST, w2.b ASC NULLS FIRST""".stripMargin
+        |ORDER BY cn DESC NULLS LAST, w2.a ASC NULLS FIRST, w2.b ASC NULLS FIRST""".stripMargin,
+
+    // Same wedge candidates, rescored by |N∩| / |N∪| = cn / (da + db − cn);
+    // the one double division of exact integers matches bit-for-bit.
+    "graph_jaccard_link" ->
+      s"""$wedgeCte,
+        |bb AS (SELECT a, b FROM we WHERE w >= 2),
+        |und AS (SELECT a AS u, b AS v FROM bb UNION ALL SELECT b, a FROM bb),
+        |dg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+        |w2 AS (SELECT x.v AS a, y.v AS b, count(*) AS cn
+        |       FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+        |       GROUP BY x.v, y.v)
+        |SELECT w2.a, w2.b, CAST(w2.cn AS BIGINT) AS cn,
+        |       CAST(d1.deg + d2.deg - w2.cn AS BIGINT) AS union_size,
+        |       CAST(w2.cn AS DOUBLE) / CAST(d1.deg + d2.deg - w2.cn AS DOUBLE) AS jac
+        |FROM w2
+        |JOIN dg d1 ON d1.u = w2.a
+        |JOIN dg d2 ON d2.u = w2.b
+        |LEFT JOIN bb ON bb.a = w2.a AND bb.b = w2.b
+        |WHERE bb.a IS NULL
+        |ORDER BY jac DESC NULLS LAST, w2.a ASC NULLS FIRST, w2.b ASC NULLS FIRST""".stripMargin
   )
 }

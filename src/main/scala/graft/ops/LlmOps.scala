@@ -2694,6 +2694,24 @@ object LlmOps {
         .orderBy(col("media_id").asc)
     },
 
+    // FULL pixel decode, oracle-checked: the pixel table's payloads are
+    // complete PNGs (deflated IDAT, filtered scanlines) whose pixel bytes
+    // cycle the document text, so Σ pixels has a closed form the oracle
+    // recomputes from documents.text in SQL — the inflate/unfilter/walk
+    // pipeline is pinned cross-engine even though DuckDB cannot read a
+    // PNG. See Multimodal.syntheticPixelTable / pixelStats.
+    "mm_pixel_stats" -> { (s, d) =>
+      graft.multimodal.Multimodal.pixelStats(
+        graft.multimodal.Multimodal.syntheticPixelTable(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("pix_sum"),
+          (col("pix_sum").cast("double") /
+            (col("width") * col("height") * col("channels")).cast("double"))
+            .as("pix_mean"))
+        .orderBy(col("media_id").asc)
+    },
+
     "llm_multimodal_join" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -3524,6 +3542,32 @@ object LlmOps {
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) AS channels,
         |       CAST(octet_length(encode(text)) + 33 AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+
+    // Closed-form pixel sums: the pixel buffer cycles the ASCII text, so
+    // Σ pixels = (N // L)·Σ codes + prefix(N % L). `ascii(text[i])` is the
+    // byte value because the fixture text is printable ASCII.
+    "mm_pixel_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(text) + 1), i -> ascii(text[i])) AS codes,
+        |         len(text) AS L,
+        |         (doc_id % 64) + 8 AS w, (doc_id % 48) + 8 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, h, ch, L, codes, w * h * ch AS n,
+        |             list_sum(codes) AS s_all
+        |      FROM b),
+        |p AS (SELECT doc_id, w, h, ch, n,
+        |             (n // L) * s_all +
+        |             CASE WHEN n % L = 0 THEN 0
+        |                  ELSE list_sum(codes[1:(n % L)]) END AS pix_sum
+        |      FROM c)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height, CAST(ch AS BIGINT) AS channels,
+        |       CAST(pix_sum AS BIGINT) AS pix_sum,
+        |       CAST(pix_sum AS DOUBLE) / CAST(n AS DOUBLE) AS pix_mean
+        |FROM p
         |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
 
     "llm_multimodal_join" ->

@@ -229,6 +229,30 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_.payload.toSeq).toSeq === resized.map(_.payload.toSeq).toSeq)
   }
 
+  test("pixel table: every payload is a fully-valid PNG whose decoded sum matches the closed form") {
+    import spark.implicits._
+    val docs = Seq((0L, "ab cd"), (1L, "xyz"), (63L, "hello world"))
+      .toDF("doc_id", "text")
+    val stats = Multimodal.pixelStats(Multimodal.syntheticPixelTable(docs))
+      .collect().map(s => s.media_id -> s).toMap
+    Seq((0L, "ab cd"), (1L, "xyz"), (63L, "hello world")).foreach { case (id, text) =>
+      val st = stats(id)
+      val (w, h, ch) = (math.floorMod(id, 64) + 8, math.floorMod(id, 48) + 8,
+        if (id % 2 == 0) 3L else 4L)
+      assert((st.width, st.height, st.channels) === (w, h, ch), s"id=$id dims")
+      // closed form: cycled text bytes over n positions
+      val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+      val n = (w * h * ch).toInt
+      val expect = (n / bytes.length).toLong * bytes.sum +
+        bytes.take(n % bytes.length).sum
+      assert(st.pix_sum === expect, s"id=$id pixel sum")
+    }
+    // and the payloads survive an independent re-decode (full round-trip)
+    Multimodal.syntheticPixelTable(docs).collect().foreach { r =>
+      assert(Multimodal.decodePng(r.payload).nonEmpty, s"media ${r.media_id}")
+    }
+  }
+
   test("PNG decode refuses what it cannot faithfully decode") {
     // header-only fixture PNGs (pngWrap appends raw text, no IDAT) → None
     val wrapped = Multimodal.pngWrap(10, 10, 2, "hello world".getBytes("UTF-8"))

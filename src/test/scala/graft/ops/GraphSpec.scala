@@ -199,6 +199,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("jaccard link scores match the naive |intersect|/|union| on seeded graphs") {
+    for (seed <- 71L to 72L) {
+      val edges = randomEdges(n = 60, m = 120, seed = seed)
+      val und = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val naive = (for {
+        (a, na) <- und.toSeq
+        (b, nb) <- und.toSeq
+        if a < b && !edges.contains((a, b))
+        cn = (na & nb).size if cn > 0
+      } yield {
+        val union = na.size + nb.size - cn
+        (a, b, cn.toLong, union.toLong, cn.toDouble / union)
+      }).sortBy { case (a, b, _, _, j) => (-j, a, b) }
+      val got = Graph.jaccardLink(edgeDf(edges)).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("cn"),
+          r.getAs[Long]("union_size"), r.getAs[Double]("jac"))).toSeq
+      assert(got === naive, s"seed=$seed jaccard differs")
+      // jaccard is a probability; 1.0 is reachable only by twin vertices
+      // (identical neighborhoods), which non-adjacency does not preclude
+      assert(got.forall { case (_, _, _, _, j) => j > 0.0 && j <= 1.0 })
+    }
+  }
+
   test("bounded-hop weighted sssp matches a naive Bellman-Ford relaxation") {
     import spark.implicits._
     val INF = 1000000000000000L
