@@ -1230,6 +1230,45 @@ object LlmOps {
     (all, rounds)
   }
 
+  /** The 3 learned BPE merges (rnd, lhs, rhs, freq) — Sennrich-style
+    * training over the word-count histogram; shared by `llm_bpe_train`
+    * (which just orders it) and `llm_bpe_encode` (which applies it).
+    * See llm_bpe_train's scaladoc for the delimiter-anchoring rationale. */
+  private def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    def pairs(e: DataFrame): DataFrame = e
+      .select(expr("filter(split(s, '[.]'), x -> x != '')").as("t"), col("wcnt"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          | i -> struct(substring(t[i - 1], 2) AS l, substring(t[i], 2) AS r))"""
+          .stripMargin.replace("\n", " "))).as("p"), col("wcnt"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum(col("wcnt")).as("freq"))
+    def top1(p: DataFrame): DataFrame = p
+      .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc).limit(1)
+    def merge(e: DataFrame, m: DataFrame): DataFrame = e
+      .crossJoin(broadcast(m.select(col("lhs"), col("rhs"))))
+      .select(expr(
+        """replace(s, concat('|', lhs, '.|', rhs, '.'),
+          |           concat('|', lhs, rhs, '.'))"""
+          .stripMargin.replace("\n", " ")).as("s"), col("wcnt"))
+    val words = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .localCheckpoint(true)
+    var e = words.select(expr(
+      """array_join(transform(filter(split(word, ''), c -> c != ''),
+        | c -> concat('|', c, '.')), '')"""
+        .stripMargin.replace("\n", " ")).as("s"), col("wcnt"))
+    val merges = (1 to 3).map { rnd =>
+      val m = top1(pairs(e))
+      e = merge(e, m)
+      m.select(lit(rnd).as("rnd"), col("lhs"), col("rhs"), col("freq"))
+    }
+    merges.reduce(_.unionAll(_))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "llm_dedup_exact" -> { (s, d) =>
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
@@ -2578,38 +2617,43 @@ object LlmOps {
     // round count is a constant of the query (unrolled CTEs in the
     // oracle), NO driver-side read anywhere.
     "llm_bpe_train" -> { (s, d) =>
-      def pairs(e: DataFrame): DataFrame = e
-        .select(expr("filter(split(s, '[.]'), x -> x != '')").as("t"), col("wcnt"))
-        .filter(size(col("t")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(1, size(t) - 1),
-            | i -> struct(substring(t[i - 1], 2) AS l, substring(t[i], 2) AS r))"""
-            .stripMargin.replace("\n", " "))).as("p"), col("wcnt"))
-        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(sum(col("wcnt")).as("freq"))
-      def top1(p: DataFrame): DataFrame = p
-        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc).limit(1)
-      def merge(e: DataFrame, m: DataFrame): DataFrame = e
-        .crossJoin(broadcast(m.select(col("lhs"), col("rhs"))))
-        .select(expr(
-          """replace(s, concat('|', lhs, '.|', rhs, '.'),
-            |           concat('|', lhs, rhs, '.'))"""
-            .stripMargin.replace("\n", " ")).as("s"), col("wcnt"))
-      val words = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
-        .localCheckpoint(true)
-      var e = words.select(expr(
-        """array_join(transform(filter(split(word, ''), c -> c != ''),
-          | c -> concat('|', c, '.')), '')"""
-          .stripMargin.replace("\n", " ")).as("s"), col("wcnt"))
-      val merges = (1 to 3).map { rnd =>
-        val m = top1(pairs(e))
-        e = merge(e, m)
-        m.select(lit(rnd).as("rnd"), col("lhs"), col("rhs"), col("freq"))
-      }
-      merges.reduce(_.unionAll(_)).orderBy(col("rnd").asc)
+      bpeMerges(s, d).orderBy(col("rnd").asc)
+    },
+
+    // BPE tokenizer APPLICATION — the composition llm_bpe_train trains
+    // for: the 3 learned merges collapse into ONE broadcast array row
+    // (sort_array(collect_list) — no driver read), every document encodes
+    // into the same delimiter-anchored token string the trainer recodes,
+    // and the merges apply IN RANK ORDER as an aggregate() fold of the
+    // anchored replace (rank order is the BPE apply contract — applying a
+    // later merge first could consume a pair an earlier rule should own).
+    // Token count = the '.' markers left standing; the md5 pins the full
+    // tokenization, not just its length. Oracle = the train oracle's CTE
+    // chain continued onto documents with the same three chained replaces.
+    // 100 TB shape: training touches |vocab| rows once; application is a
+    // map-only projection over the corpus under a 3-row broadcast.
+    "llm_bpe_encode" -> { (s, d) =>
+      val marr = bpeMerges(s, d)
+        .agg(expr("sort_array(collect_list(struct(rnd, lhs, rhs)))").as("ms"))
+      Tables.documents(s, d)
+        .crossJoin(broadcast(marr))
+        .withColumn("enc0", expr(
+          """array_join(transform(filter(split(lower(text), ' '), w -> w != ''),
+            | w -> array_join(transform(filter(split(w, ''), c -> c != ''),
+            |   c -> concat('|', c, '.')), '')), ' ')"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("enc", expr(
+          """aggregate(ms, enc0, (acc, m) ->
+            | replace(acc, concat('|', m.lhs, '.|', m.rhs, '.'),
+            |              concat('|', m.lhs, m.rhs, '.')))"""
+            .stripMargin.replace("\n", " ")))
+        .select(col("doc_id"),
+          (length(col("enc")) - length(regexp_replace(col("enc"), "[.]", "")))
+            .cast("long").as("bpe_tokens"),
+          expr("CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS BIGINT)")
+            .as("ws_tokens"),
+          md5(col("enc")).as("enc_md5"))
+        .orderBy(col("doc_id").asc)
     },
 
     "llm_fingerprint" -> { (s, d) =>
@@ -2743,6 +2787,47 @@ object LlmOps {
       |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label_a, b.label AS label_b,
       |             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
       |      FROM e a JOIN e b ON a.vec_id < b.vec_id)""".stripMargin
+
+  /** The BPE training CTE chain (word histogram → e0 encoding → three
+    * pN/mN/eN rounds), shared by the llm_bpe_train and llm_bpe_encode
+    * oracles. Ends at m3 with no trailing comma. */
+  private val bpeMergeCtes =
+    """WITH w AS (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |e0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
+      |                c -> '|' || c || '.'), '') AS s, wcnt FROM w),
+      |p1 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+      |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
+      |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
+      |          FROM e0),
+      |         range(1, 20) g(i) WHERE i < len(t))
+      |  GROUP BY l, r),
+      |m1 AS (SELECT lhs, rhs, freq FROM p1
+      |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
+      |e1 AS (SELECT replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
+      |                         '|' || m.lhs || m.rhs || '.') AS s, wcnt
+      |       FROM e0, m1 m),
+      |p2 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+      |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
+      |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
+      |          FROM e1),
+      |         range(1, 20) g(i) WHERE i < len(t))
+      |  GROUP BY l, r),
+      |m2 AS (SELECT lhs, rhs, freq FROM p2
+      |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
+      |e2 AS (SELECT replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
+      |                         '|' || m.lhs || m.rhs || '.') AS s, wcnt
+      |       FROM e1, m2 m),
+      |p3 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+      |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
+      |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
+      |          FROM e2),
+      |         range(1, 20) g(i) WHERE i < len(t))
+      |  GROUP BY l, r),
+      |m3 AS (SELECT lhs, rhs, freq FROM p3
+      |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_dedup_exact" ->
@@ -3443,46 +3528,41 @@ object LlmOps {
     // eN recoded vocabulary); '|tok.' anchoring makes the replace-based
     // merge engine-identical — see the Spark twin's rationale.
     "llm_bpe_train" ->
-      """WITH w AS (
-        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt FROM (
-        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY w),
-        |e0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
-        |                c -> '|' || c || '.'), '') AS s, wcnt FROM w),
-        |p1 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
-        |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
-        |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
-        |          FROM e0),
-        |         range(1, 20) g(i) WHERE i < len(t))
-        |  GROUP BY l, r),
-        |m1 AS (SELECT lhs, rhs, freq FROM p1
-        |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
-        |e1 AS (SELECT replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
-        |                         '|' || m.lhs || m.rhs || '.') AS s, wcnt
-        |       FROM e0, m1 m),
-        |p2 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
-        |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
-        |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
-        |          FROM e1),
-        |         range(1, 20) g(i) WHERE i < len(t))
-        |  GROUP BY l, r),
-        |m2 AS (SELECT lhs, rhs, freq FROM p2
-        |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
-        |e2 AS (SELECT replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
-        |                         '|' || m.lhs || m.rhs || '.') AS s, wcnt
-        |       FROM e1, m2 m),
-        |p3 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
-        |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
-        |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
-        |          FROM e2),
-        |         range(1, 20) g(i) WHERE i < len(t))
-        |  GROUP BY l, r),
-        |m3 AS (SELECT lhs, rhs, freq FROM p3
-        |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)
+      s"""$bpeMergeCtes
         |SELECT 1 AS rnd, lhs, rhs, freq FROM m1
         |UNION ALL SELECT 2, lhs, rhs, freq FROM m2
         |UNION ALL SELECT 3, lhs, rhs, freq FROM m3
         |ORDER BY rnd ASC NULLS FIRST""".stripMargin,
+
+    // The train chain continued onto documents: the same three anchored
+    // replaces applied in rank order, md5 over the final token string.
+    "llm_bpe_encode" ->
+      s"""$bpeMergeCtes,
+        |d0 AS (SELECT doc_id,
+        |         array_to_string(list_transform(
+        |           list_filter(string_split(lower(text), ' '), x -> x <> ''),
+        |           wd -> array_to_string(list_transform(string_split(wd, ''),
+        |             c -> '|' || c || '.'), '')), ' ') AS s,
+        |         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |           AS BIGINT) AS ws_tokens
+        |       FROM documents),
+        |d1 AS (SELECT doc_id, ws_tokens,
+        |              replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
+        |                         '|' || m.lhs || m.rhs || '.') AS s
+        |       FROM d0, m1 m),
+        |d2 AS (SELECT doc_id, ws_tokens,
+        |              replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
+        |                         '|' || m.lhs || m.rhs || '.') AS s
+        |       FROM d1, m2 m),
+        |d3 AS (SELECT doc_id, ws_tokens,
+        |              replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
+        |                         '|' || m.lhs || m.rhs || '.') AS s
+        |       FROM d2, m3 m)
+        |SELECT doc_id,
+        |       CAST(len(s) - len(replace(s, '.', '')) AS BIGINT) AS bpe_tokens,
+        |       ws_tokens, md5(s) AS enc_md5
+        |FROM d3
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_fingerprint" ->
       """SELECT doc_id,
