@@ -275,6 +275,24 @@ object Aggregates {
         .agg(count(lit(1)).as("n"),
           Tables.dsumD(col("o_totalprice")).as("sum_total"))
         .orderBy(col("bin").asc)
+    },
+
+    // Ordered string aggregation (LISTAGG/string_agg): per nation the
+    // comma-joined DISTINCT market-segment list in lexicographic order.
+    // Determinism: collect_set is partition-order-dependent but
+    // sort_array canonicalizes BEFORE the join, so the string is
+    // engine/partitioning-independent — the only portable way to emit an
+    // aggregated string cross-engine. Map-side partial aggregation still
+    // applies (set-union partials); the value size is bounded by the
+    // distinct-segment domain, the usual LISTAGG caveat at scale.
+    "agg_string_concat" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          expr("array_join(sort_array(collect_set(c_mktsegment)), ',')")
+            .as("segments"),
+          expr("CAST(size(collect_set(c_mktsegment)) AS BIGINT)").as("n_segments"))
+        .orderBy(col("c_nationkey").asc)
     }
   )
 
@@ -476,6 +494,18 @@ object Aggregates {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_total
         |FROM orders
         |GROUP BY 1
-        |ORDER BY bin ASC NULLS FIRST""".stripMargin
+        |ORDER BY bin ASC NULLS FIRST""".stripMargin,
+
+    // string_agg over the DISTINCT sorted values ≡ Spark's
+    // array_join(sort_array(collect_set)) — both canonicalize before the
+    // join, so the strings match byte-for-byte.
+    "agg_string_concat" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment ASC)
+        |         AS segments,
+        |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin
   )
 }

@@ -353,6 +353,56 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
     },
 
+    // Classical additive time-series decomposition x = trend + seasonal +
+    // residual over the dense hourly count series per event_type — the
+    // composition ts_gapfill_ffill (dense spine) + ts_seasonal_profile
+    // (hour-of-day means) feed into. All-INTEGER micro-unit arithmetic, so
+    // the decomposition is bit-identical across engines:
+    //  - trend = centered 25-hour moving average, full windows only:
+    //    trend_micro = (10⁶·Σ₂₅x) div 25 (non-negative, Spark div ≡ DuckDB //).
+    //  - detrended d = 10⁶·x − trend_micro (NEGATIVE in troughs, so the
+    //    seasonal floor-mean uses the OFFSET trick: floor((Σd + n·C)/n) − C
+    //    with C = 10¹² keeps every cross-engine division on the
+    //    non-negative domain where truncation and floor agree — the
+    //    integer-division rule's extension to signed numerators).
+    //  - seasonal = per (type, hour-of-day) floor-mean of d; residual =
+    //    d − seasonal.
+    // Scale: the spine is |types|×|hours| (metadata-sized), one window
+    // pass keyed by type, one tiny (type, 24) aggregate broadcast back.
+    "ts_decompose_additive" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val trunc = (c: org.apache.spark.sql.Column) =>
+        date_trunc("hour", c).cast("timestamp_ntz")
+      val agg = ev.groupBy(col("event_type"), trunc(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("x"))
+      val bounds = ev.agg(trunc(min(col("ts"))).as("lo"), trunc(max(col("ts"))).as("hi"))
+      val hours = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+      val dense = ev.select(col("event_type")).distinct().crossJoin(hours)
+        .join(agg, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"), coalesce(col("x"), lit(0L)).as("x"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+        .rowsBetween(-12, 12)
+      val t1 = dense
+        .withColumn("w_n", count(lit(1)).over(wT))
+        .withColumn("sum25", sum(col("x")).over(wT))
+        .withColumn("trend_micro",
+          when(col("w_n") === 25, expr("(1000000 * sum25) div 25")))
+        .withColumn("d", col("x") * lit(1000000L) - col("trend_micro"))
+      val seas = t1.filter(col("d").isNotNull)
+        .groupBy(col("event_type").as("s_type"),
+          hour(col("hr")).cast("long").as("hod"))
+        .agg(expr("(sum(d + 1000000000000) div count(1)) - 1000000000000")
+          .as("seasonal_micro"))
+      t1.join(broadcast(seas),
+          t1("event_type") === col("s_type") &&
+            hour(t1("hr")).cast("long") === col("hod"), "left")
+        .select(col("event_type"), col("hr"), col("x"), col("trend_micro"),
+          col("seasonal_micro"),
+          (col("d") - col("seasonal_micro")).as("resid_micro"))
+        .orderBy(col("event_type").asc, col("hr").asc)
+    },
+
     // Hour-of-day seasonal profile per event_type — the diurnal baseline a
     // monitoring/forecasting pipeline fits first (and the reference level
     // a seasonal CUSUM would subtract). One map-side-combinable aggregate
@@ -778,6 +828,50 @@ object EventAnalytics {
         |FROM g WHERE s_cusum > h AND prev_s <= h
         |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
         |         event_id ASC NULLS FIRST""".stripMargin,
+
+    // Same spine + windows; the offset trick keeps every `//` on the
+    // non-negative domain (see the Spark twin's rationale).
+    "ts_decompose_additive" ->
+      """WITH spine AS (
+        |  SELECT t.event_type, h.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |       (SELECT date_trunc('hour', min(ts)) FROM events),
+        |       (SELECT date_trunc('hour', max(ts)) FROM events),
+        |       INTERVAL 1 HOUR)) AS hr) h
+        |), agg AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT s.event_type, s.hr, COALESCE(a.x, 0) AS x
+        |  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr
+        |), t1 AS (
+        |  SELECT event_type, hr, x,
+        |         count(*) OVER w AS w_n, sum(x) OVER w AS sum25
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), t2 AS (
+        |  SELECT event_type, hr, x,
+        |         CASE WHEN w_n = 25 THEN (1000000 * sum25) // 25 END AS trend_micro
+        |  FROM t1
+        |), t3 AS (
+        |  SELECT event_type, hr, x, trend_micro,
+        |         1000000 * x - trend_micro AS d
+        |  FROM t2
+        |), seas AS (
+        |  SELECT event_type AS s_type, hour(hr) AS hod,
+        |         (sum(d + 1000000000000) // count(*)) - 1000000000000 AS seasonal_micro
+        |  FROM t3 WHERE d IS NOT NULL GROUP BY event_type, hour(hr)
+        |)
+        |SELECT t3.event_type, t3.hr, t3.x,
+        |       CAST(t3.trend_micro AS BIGINT) AS trend_micro,
+        |       CAST(seas.seasonal_micro AS BIGINT) AS seasonal_micro,
+        |       CAST(t3.d - seas.seasonal_micro AS BIGINT) AS resid_micro
+        |FROM t3 LEFT JOIN seas
+        |  ON seas.s_type = t3.event_type AND seas.hod = hour(t3.hr)
+        |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
 
     "ts_seasonal_profile" ->
       """WITH b AS (SELECT event_type, hour(ts) AS hod, value,

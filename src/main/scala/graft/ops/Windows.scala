@@ -113,6 +113,30 @@ object Windows {
     // windows over ONE (user_id, ts) ordering — Catalyst plans them in a
     // single WindowExec pass over a single shuffle+sort, the right shape
     // at any scale (sessions never cross users).
+    // Running DISTINCT count — the per-key count(DISTINCT) shape that
+    // cannot ride a plain window aggregate (no distinct in frames):
+    // flag each (user, event_type)'s FIRST occurrence under the total
+    // order (row_number = 1 over one window), then a running sum of flags
+    // over the user's timeline (a second window). Two shuffles, both on
+    // small keys — the standard distributed form; no join-back (per the
+    // round-5 dense_rank rule, a first-seen flag + running sum is the
+    // frame-friendly equivalent when the output must be cumulative).
+    "win_running_distinct" -> { (s, d) =>
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("fs",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_distinct_types", sum(col("fs")).over(wRun))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("n_distinct_types"))
+        .orderBy(col("user_id").asc, col("ts").asc, col("event_id").asc)
+    },
+
     "win_sessionize" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -216,6 +240,21 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+
+    "win_running_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                ORDER BY ts ASC, event_id ASC) = 1
+        |              THEN 1 ELSE 0 END AS fs
+        |  FROM events)
+        |SELECT user_id, ts, event_id, event_type,
+        |       CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS n_distinct_types
+        |FROM f
+        |ORDER BY user_id ASC NULLS FIRST, ts ASC NULLS FIRST,
+        |         event_id ASC NULLS FIRST""".stripMargin,
 
     "win_sessionize" ->
       """WITH g AS (
