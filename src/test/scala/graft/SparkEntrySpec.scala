@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(all.size === SparkEntry.queries.size)
   }
 
-  test("every oracle key has a query; rows-only queries are the known seven") {
+  test("every oracle key has a query; rows-only queries are the known eight") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
@@ -33,12 +33,14 @@ class SparkEntrySpec extends AnyFunSuite {
     // llm_dedup_containment_lsh left this set in round 5 when its
     // candidates became the lossless prefix filter (exact → full-corpus
     // oracle).
-    // llm_sim_ann_ivf_upsert joined in round 7: the incremental-index
-    // route through the same fixed-codebook machinery (upsert ≡ full
-    // re-encode asserted structurally in LlmOpsSpec).
+    // llm_sim_ann_ivf_upsert and _compact joined in round 7: the
+    // incremental-index route and its compaction step through the same
+    // fixed-codebook machinery (upsert ≡ full re-encode and
+    // compact ≡ upsert, both asserted structurally in LlmOpsSpec).
     assert(rowsOnly === Set("llm_dedup_simhash", "llm_sim_ann_lsh",
       "llm_sim_ann_ivf", "llm_sim_ann_pq", "llm_sim_ann_ivf_persisted",
-      "llm_sim_ann_pq_persisted", "llm_sim_ann_ivf_upsert"),
+      "llm_sim_ann_pq_persisted", "llm_sim_ann_ivf_upsert",
+      "llm_sim_ann_ivf_compact"),
       s"unexpected oracle-less queries: ${rowsOnly.mkString(", ")}")
   }
 
