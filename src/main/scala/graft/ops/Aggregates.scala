@@ -277,6 +277,25 @@ object Aggregates {
         .orderBy(col("bin").asc)
     },
 
+    // Exact MODE with a deterministic tie-break (most frequent market
+    // segment per nation; ties resolve to the lexicographically smallest
+    // segment): two map-side-combinable groupBys — counts, then the
+    // round-3 argmin idiom min(struct(-cnt, segment)) — never a window
+    // over the raw rows, and never the builtin mode() whose tie choice is
+    // engine-dependent.
+    "agg_mode" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("c_nationkey"))
+        .agg(min(struct((-col("cnt")).as("negc"), col("c_mktsegment").as("seg")))
+          .as("m"),
+          sum(col("cnt")).as("n"))
+        .select(col("c_nationkey"), col("m.seg").as("mode_segment"),
+          (-col("m.negc")).as("mode_count"), col("n"))
+        .orderBy(col("c_nationkey").asc)
+    },
+
     // Ordered string aggregation (LISTAGG/string_agg): per nation the
     // comma-joined DISTINCT market-segment list in lexicographic order.
     // Determinism: collect_set is partition-order-dependent but
@@ -495,6 +514,21 @@ object Aggregates {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin ASC NULLS FIRST""".stripMargin,
+
+    // The same argmin: row_number over (cnt DESC, segment ASC) = 1.
+    "agg_mode" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM customer GROUP BY 1, 2),
+        |r AS (SELECT c_nationkey, c_mktsegment, cnt,
+        |             sum(cnt) OVER (PARTITION BY c_nationkey) AS n,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+        |      FROM c)
+        |SELECT c_nationkey, c_mktsegment AS mode_segment,
+        |       cnt AS mode_count, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1
+        |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin,
 
     // string_agg over the DISTINCT sorted values ≡ Spark's
     // array_join(sort_array(collect_set)) — both canonicalize before the

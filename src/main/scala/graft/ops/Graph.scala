@@ -480,6 +480,27 @@ object Graph {
     // Jaccard-normalized link prediction on the backbone — see jaccardLink.
     "graph_jaccard_link" -> { (s, d) =>
       jaccardLink(backbone(s, d).localCheckpoint(true))
+    },
+
+    // Degree distribution of the FULL co-occurrence graph — the first
+    // structural profile any graph pipeline computes (and the input to
+    // power-law fitting): (degree, n_vertices, share). Two
+    // map-side-combinable groupBys; the share is one double division of
+    // exact integers against the broadcast vertex total.
+    "graph_degree_hist" -> { (s, d) =>
+      // one checkpoint each: the edge list feeds both union arms, and the
+      // degree table feeds both the histogram and the total
+      val e = coEdges(s, d).localCheckpoint(true)
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+      val tot = deg.agg(count(lit(1)).as("n_total"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("deg"), col("n_vertices"),
+          (col("n_vertices").cast("double") / col("n_total").cast("double"))
+            .as("share"))
+        .orderBy(col("deg").asc)
     }
   )
 
@@ -666,6 +687,18 @@ object Graph {
         |JOIN dg d2 ON d2.u = w2.b
         |LEFT JOIN bb ON bb.a = w2.a AND bb.b = w2.b
         |WHERE bb.a IS NULL
-        |ORDER BY jac DESC NULLS LAST, w2.a ASC NULLS FIRST, w2.b ASC NULLS FIRST""".stripMargin
+        |ORDER BY jac DESC NULLS LAST, w2.a ASC NULLS FIRST, w2.b ASC NULLS FIRST""".stripMargin,
+
+    "graph_degree_hist" ->
+      s"""$edgeCte,
+        |und AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+        |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+        |h AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+        |      FROM dg GROUP BY deg),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dg)
+        |SELECT deg, n_vertices,
+        |       CAST(n_vertices AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM h, t
+        |ORDER BY deg ASC NULLS FIRST""".stripMargin
   )
 }
