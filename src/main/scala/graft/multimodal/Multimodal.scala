@@ -361,8 +361,20 @@ object Multimodal {
     * (filter type 0 on every scanline — deterministic: Deflater with a
     * fixed level, no timestamps) + IEND, all CRCs per the spec. The exact
     * inverse of [[decodePng]] (round-trip spec-pinned). */
-  def encodePng(width: Int, height: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+  def encodePng(width: Int, height: Int, channels: Int, pixels: Array[Byte]): Array[Byte] =
+    encodePngWith(width, height, channels, pixels,
+      filterType = 0, level = java.util.zip.Deflater.DEFAULT_COMPRESSION)
+
+  /** [[encodePng]] with an explicit per-scanline filter type (0 = None,
+    * 2 = Up — the two that need no bytes-per-pixel bookkeeping) and an
+    * explicit deflate level. Two calls with different (filterType, level)
+    * produce DIFFERENT container bytes for the SAME pixels — exactly the
+    * "one image, many encodings" situation a content-dedup pipeline must
+    * see through ([[pixelDigest]] / `mm_dedup_pixels`). */
+  def encodePngWith(width: Int, height: Int, channels: Int, pixels: Array[Byte],
+      filterType: Int, level: Int): Array[Byte] = {
     require(width > 0 && height > 0, "png dims must be positive")
+    require(filterType == 0 || filterType == 2, s"unsupported filter type $filterType")
     val colorType = channels match {
       case 1 => 0; case 3 => 2; case 2 => 4; case 4 => 6
       case n => throw new IllegalArgumentException(s"unsupported channel count $n")
@@ -372,11 +384,22 @@ object Multimodal {
     val raw = new Array[Byte]((stride + 1) * height)
     var y = 0
     while (y < height) {
-      // filter byte 0 already zero-initialized
-      System.arraycopy(pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+      val off = y * (stride + 1)
+      raw(off) = filterType.toByte
+      if (filterType == 0) {
+        System.arraycopy(pixels, y * stride, raw, off + 1, stride)
+      } else {
+        // Up filter (spec §9.2): raw = pixel − pixel-above, mod 256
+        var i = 0
+        while (i < stride) {
+          val up = if (y > 0) pixels((y - 1) * stride + i) & 0xff else 0
+          raw(off + 1 + i) = (((pixels(y * stride + i) & 0xff) - up) & 0xff).toByte
+          i += 1
+        }
+      }
       y += 1
     }
-    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val deflater = new java.util.zip.Deflater(level)
     val zipped = new java.io.ByteArrayOutputStream()
     val dos = new java.util.zip.DeflaterOutputStream(zipped, deflater)
     dos.write(raw); dos.close(); deflater.end()
@@ -467,4 +490,119 @@ object Multimodal {
           s" i -> i % $everyN = 0 AND i < n_frames)")))
       .select(col("media_id"), col("media_type"), col("frame_idx"),
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+
+  case class PhashRow(media_id: Long, width: Long, height: Long,
+      channels: Long, phash: String)
+
+  /** 8×8 average hash over decoded pixels — the classic perceptual image
+    * signature, in its EXACT integer form: luma of block (by, bx) is the
+    * byte sum over rows [by·h/8, (by+1)·h/8) × cols [bx·w/8, (bx+1)·w/8)
+    * (all channels — a channel-weighted luma would only rescale every
+    * comparison identically), and bit i = 1 iff
+    * blockSum · (w·h) > totalSum · blockPixels — the strict cross-
+    * multiplied form of blockMean > globalMean, so the 64-bit signature is
+    * bit-deterministic on any engine. Returned as a 64-char '0'/'1' string
+    * (a packed i64 would overflow SIGNED BIGINT when bit 63 is set). */
+  def averageHash(w: Int, h: Int, ch: Int, px: Array[Byte]): String = {
+    var total = 0L
+    var i = 0
+    while (i < px.length) { total += px(i) & 0xff; i += 1 }
+    val npix = w.toLong * h
+    val sb = new java.lang.StringBuilder(64)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var k = (y * w + x0) * ch
+          val end = (y * w + x1) * ch
+          while (k < end) { s += px(k) & 0xff; k += 1 }
+          y += 1
+        }
+        val bp = (y1 - y0).toLong * (x1 - x0)
+        sb.append(if (s * npix > total * bp) '1' else '0')
+        bx += 1
+      }
+      by += 1
+    }
+    sb.toString
+  }
+
+  /** Per-image perceptual hash over a pixel-bearing table: REAL
+    * [[decodePng]] then [[averageHash]] — partition-preserving batch map,
+    * payload bytes never shuffled (only the 64-char signature leaves the
+    * partition). Throws on undecodable payloads, same contract as
+    * [[pixelStats]]. */
+  def pixelPhash(media: Dataset[MediaRow]): Dataset[PhashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (w, h, ch, px) = decodePng(r.payload).getOrElse(
+        throw new IllegalStateException(
+          s"undecodable pixel-table payload for media_id=${r.media_id}"))
+      PhashRow(r.media_id, w.toLong, h.toLong, ch.toLong, averageHash(w, h, ch, px))
+    })
+  }
+
+  /** Documents → TWO renditions per document of the SAME pixel buffer
+    * (the [[syntheticPixelTable]] cycled-text buffer and dims), encoded
+    * differently: media_id 2·doc_id is filter-None at deflate level 9,
+    * media_id 2·doc_id+1 is filter-Up at level 1. Container bytes differ
+    * rendition-to-rendition (different filters AND different deflate
+    * streams); decoded pixels are identical — the fixture for
+    * content-addressed image dedup (`mm_dedup_pixels`), and the Up
+    * rendition makes the decoder's unfilter path load-bearing in an
+    * oracle-backed query. */
+  def renditionTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = math.floorMod(id, 64).toInt + 8
+      val h = math.floorMod(id, 48).toInt + 8
+      val ch = if (id % 2 == 0) 3 else 4
+      val n = w * h * ch
+      val px = new Array[Byte](n)
+      var i = 0
+      while (i < n) { px(i) = bytes(i % bytes.length); i += 1 }
+      Seq(
+        MediaRow(2 * id, "image", encodePngWith(w, h, ch, px, filterType = 0, level = 9)),
+        MediaRow(2 * id + 1, "image", encodePngWith(w, h, ch, px, filterType = 2, level = 1)))
+    }
+  }
+
+  case class PixelDigest(media_id: Long, width: Long, height: Long,
+      channels: Long, pix_md5: String)
+
+  /** Content digest of the DECODED pixels (not the container bytes): two
+    * renditions of one image — different filter strategy, different
+    * compression level, byte-wise different files — digest identically,
+    * which is what lets a 100 TB multimodal pipeline dedup by content
+    * across re-encodes. MD5 hex (lowercase) to match SQL engines' md5(). */
+  def pixelDigest(media: Dataset[MediaRow]): Dataset[PixelDigest] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h, ch, px) = decodePng(r.payload).getOrElse(
+          throw new IllegalStateException(
+            s"undecodable pixel-table payload for media_id=${r.media_id}"))
+        md.reset()
+        val dig = md.digest(px)
+        val sb = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < dig.length) {
+          sb.append(Character.forDigit((dig(i) >> 4) & 0xf, 16))
+          sb.append(Character.forDigit(dig(i) & 0xf, 16))
+          i += 1
+        }
+        PixelDigest(r.media_id, w.toLong, h.toLong, ch.toLong, sb.toString)
+      }
+    }
+  }
 }

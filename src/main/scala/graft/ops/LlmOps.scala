@@ -2756,6 +2756,43 @@ object LlmOps {
         .orderBy(col("media_id").asc)
     },
 
+    // Perceptual hash over REAL decoded pixels: 8×8 integer average hash
+    // (Multimodal.averageHash) of every pixel-table image. The oracle
+    // recomputes all 64 block sums from documents.text alone — each block
+    // row is a CONTIGUOUS span of the cycled pixel buffer, so
+    // blockSum = Σ_rows S(end) − S(start) with S(k) = (k div L)·Σcodes +
+    // prefix(k mod L); a wrong filter reconstruction, block boundary, or
+    // tie order flips bits and hash-mismatches.
+    "mm_phash" -> { (s, d) =>
+      graft.multimodal.Multimodal.pixelPhash(
+        graft.multimodal.Multimodal.syntheticPixelTable(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("phash"))
+        .orderBy(col("media_id").asc)
+    },
+
+    // Content-addressed image dedup: every document is encoded TWICE with
+    // different container bytes (filter None @ deflate 9 vs filter Up @
+    // deflate 1 — Multimodal.renditionTable) and the decoded pixels are
+    // md5-grouped. The decoder must see through both encodings — the Up
+    // rendition makes unfiltering load-bearing — and the oracle predicts
+    // every digest in closed form: md5(left(repeat(text, …), n)), because
+    // the pixel buffer IS the cycled text. Scale: payloads never shuffle
+    // (digest computed in the decode map); the groupBy carries 32-byte
+    // digests, the universal dedup shuffle shape at 100 TB.
+    "mm_dedup_pixels" -> { (s, d) =>
+      graft.multimodal.Multimodal.pixelDigest(
+        graft.multimodal.Multimodal.renditionTable(Tables.documents(s, d)))
+        .toDF()
+        .groupBy(col("pix_md5"), col("width"), col("height"), col("channels"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("media_id")).as("first_media"),
+          expr("array_join(transform(sort_array(collect_list(media_id))," +
+            " x -> cast(x AS string)), ',')").as("media_ids"))
+        .orderBy(col("first_media").asc)
+    },
+
     "llm_multimodal_join" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -3649,6 +3686,76 @@ object LlmOps {
         |       CAST(pix_sum AS DOUBLE) / CAST(n AS DOUBLE) AS pix_mean
         |FROM p
         |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+
+    // 8×8 average hash recomputed pixel-free: every block row is a
+    // contiguous span of the cycled buffer, so block sums come from the
+    // cyclic prefix-sum closed form S(k) = (k // L)·T + P[k % L]; bit =
+    // strict cross-multiplied mean comparison, same as the Spark kernel.
+    "mm_phash" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, len(text) AS L,
+        |         (doc_id % 64) + 8 AS w, (doc_id % 48) + 8 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(range(1, L + 1)) AS i, text FROM b),
+        |ps AS (SELECT doc_id, i,
+        |              sum(ascii(text[CAST(i AS INT)])) OVER (PARTITION BY doc_id ORDER BY i) AS s
+        |       FROM u),
+        |pl AS (SELECT doc_id, list(s ORDER BY i) AS P, max(s) AS T FROM ps GROUP BY doc_id),
+        |g AS (SELECT b.doc_id, b.w, b.h, b.ch, b.L, pl.P, pl.T,
+        |             ((b.w * b.h * b.ch) // b.L) * pl.T +
+        |             CASE WHEN (b.w * b.h * b.ch) % b.L = 0 THEN 0
+        |                  ELSE pl.P[CAST((b.w * b.h * b.ch) % b.L AS INT)] END AS total
+        |      FROM b JOIN pl USING (doc_id)),
+        |blk AS (SELECT doc_id, w, h, ch, L, P, T, total,
+        |               unnest(range(0, 64)) AS bi
+        |        FROM g),
+        |bs AS (SELECT doc_id, w, h, ch, total, bi,
+        |              ((bi // 8) * h) // 8 AS y0, (((bi // 8) + 1) * h) // 8 AS y1,
+        |              ((bi % 8) * w) // 8 AS x0, (((bi % 8) + 1) * w) // 8 AS x1,
+        |              list_sum(list_transform(range(((bi // 8) * h) // 8, (((bi // 8) + 1) * h) // 8),
+        |                y -> ( ((y * w + (((bi % 8) + 1) * w) // 8) * ch // L) * T
+        |                       + CASE WHEN (y * w + (((bi % 8) + 1) * w) // 8) * ch % L = 0 THEN 0
+        |                              ELSE P[CAST((y * w + (((bi % 8) + 1) * w) // 8) * ch % L AS INT)] END )
+        |                     - ( ((y * w + ((bi % 8) * w) // 8) * ch // L) * T
+        |                       + CASE WHEN (y * w + ((bi % 8) * w) // 8) * ch % L = 0 THEN 0
+        |                              ELSE P[CAST((y * w + ((bi % 8) * w) // 8) * ch % L AS INT)] END )
+        |              )) AS bsum
+        |       FROM blk),
+        |bits AS (SELECT doc_id, w, h, ch, bi,
+        |                CASE WHEN bsum * (w * h) > total * ((y1 - y0) * (x1 - x0))
+        |                     THEN '1' ELSE '0' END AS bit
+        |         FROM bs)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       array_to_string(list(bit ORDER BY bi), '') AS phash
+        |FROM bits GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+
+    // Pixel digests in closed form: the decoded buffer IS the text cycled
+    // over n = w·h·ch bytes, i.e. left(repeat(text, ⌈n/L⌉), n) — printable
+    // ASCII, so string md5 ≡ byte md5. Group like the Spark side so the
+    // twin stays correct even if two docs ever shared text AND dims.
+    "mm_dedup_pixels" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, len(text) AS L,
+        |         (doc_id % 64) + 8 AS w, (doc_id % 48) + 8 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, h, ch,
+        |             md5(left(repeat(text, CAST((w * h * ch + L - 1) // L AS INT)),
+        |                      CAST(w * h * ch AS INT))) AS pix_md5
+        |      FROM b),
+        |m AS (SELECT pix_md5, w, h, ch,
+        |             unnest([doc_id * 2, doc_id * 2 + 1]) AS media_id
+        |      FROM d)
+        |SELECT pix_md5, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(min(media_id) AS BIGINT) AS first_media,
+        |       string_agg(media_id::VARCHAR, ',' ORDER BY media_id) AS media_ids
+        |FROM m GROUP BY 1, 2, 3, 4
+        |ORDER BY first_media ASC NULLS FIRST""".stripMargin,
 
     "llm_multimodal_join" ->
       """SELECT doc_id, lang, label, event_type, n_chars, len(embedding) AS dim

@@ -267,6 +267,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng("not a png at all".getBytes("UTF-8")) === None)
   }
 
+  test("encodePngWith: Up filter and any level round-trip the exact pixels") {
+    val w = 7; val h = 4; val ch = 3
+    val px = Array.tabulate(w * h * ch)(i => ((i * 53 + 9) % 256).toByte)
+    val a = Multimodal.encodePngWith(w, h, ch, px, filterType = 0, level = 9)
+    val b = Multimodal.encodePngWith(w, h, ch, px, filterType = 2, level = 1)
+    // genuinely different container bytes, identical decoded pixels
+    assert(!java.util.Arrays.equals(a, b))
+    for (p <- Seq(a, b)) {
+      val Some((dw, dh, dch, dpx)) = Multimodal.decodePng(p)
+      assert((dw, dh, dch) === ((w, h, ch)))
+      assert(dpx.toSeq === px.toSeq)
+    }
+  }
+
+  test("rendition table deduplicates by pixel digest: every doc yields exactly 2 copies") {
+    val dig = Multimodal.pixelDigest(
+      Multimodal.renditionTable(Tables.documents(spark, sf).limit(40))).toDF()
+    val grouped = dig.groupBy("pix_md5")
+      .agg(count(lit(1)).as("n"), min("media_id").as("lo"), max("media_id").as("hi"))
+      .collect()
+    assert(grouped.nonEmpty)
+    grouped.foreach { r =>
+      assert(r.getLong(1) === 2L, "both renditions digest identically")
+      assert(r.getLong(3) === r.getLong(2) + 1, "renditions are 2k and 2k+1")
+    }
+    // digest is the md5 of the cycled text, computable independently
+    val docs = Tables.documents(spark, sf).limit(40)
+      .select("doc_id", "text").collect()
+    val byDoc = dig.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    docs.foreach { r =>
+      val id = r.getLong(0); val text = r.getString(1)
+      val bytes = text.getBytes("UTF-8")
+      val w = math.floorMod(id, 64).toInt + 8
+      val h = math.floorMod(id, 48).toInt + 8
+      val c = if (id % 2 == 0) 3 else 4
+      val buf = Array.tabulate(w * h * c)(i => bytes(i % bytes.length))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = md.digest(buf).map(x => f"${x & 0xff}%02x").mkString
+      assert(byDoc(2 * id) === expect)
+      assert(byDoc(2 * id + 1) === expect)
+    }
+  }
+
+  test("averageHash golden: hand-built gradient and flat images hash as computed by hand") {
+    // flat image: every block mean EQUALS the global mean, strict > ⇒ all 0
+    val flat = Array.fill(16 * 16)(100.toByte)
+    assert(Multimodal.averageHash(16, 16, 1, flat) === "0" * 64)
+    // left-dark/right-bright split at x=8: right half blocks (bx ≥ 4) are 1
+    val split = Array.tabulate(16 * 16)(i => if (i % 16 < 8) 10.toByte else 200.toByte)
+    val expected = (0 until 64).map(b => if (b % 8 >= 4) '1' else '0').mkString
+    assert(Multimodal.averageHash(16, 16, 1, split) === expected)
+    // hash is resolution-dependent data, but deterministic: same buffer twice
+    val px = Array.tabulate(24 * 16 * 3)(i => ((i * 31) % 256).toByte)
+    assert(Multimodal.averageHash(24, 16, 3, px) === Multimodal.averageHash(24, 16, 3, px))
+  }
+
   test("frame sampling emits every n-th bounded slice") {
     val frames = Multimodal.sampleFrames(media().toDF(), frameBytes = 50, everyN = 2)
     val byId = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
