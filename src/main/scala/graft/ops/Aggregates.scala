@@ -77,6 +77,30 @@ object Aggregates {
         .orderBy(col("o_custkey").asc)
     },
 
+    // Incremental aggregate maintenance (the materialized-view merge
+    // algebra): the historical partition and the new-day delta are
+    // aggregated SEPARATELY into mergeable partials (count, decimal sum),
+    // then folded by a second-level aggregate — merge(partial(A),
+    // partial(B)) ≡ agg(A ∪ B), which the oracle computes directly over
+    // the union. This is the 100 TB nightly-refresh shape: the base
+    // partials are a tiny summary table read back from storage, only the
+    // delta scans new data, and both levels are map-side combinable. The
+    // sums stay DECIMAL(38,4) through the merge; double only at output.
+    "agg_incremental_merge" -> { (s, d) =>
+      val split = lit("2000-01-01").cast("timestamp_ntz")
+      val o = Tables.orders(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            expr("sum(CAST(o_totalprice AS DECIMAL(38,4)))").as("s"))
+      partial(o.filter(col("o_orderdate") < split))
+        .unionAll(partial(o.filter(col("o_orderdate") >= split)))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("s")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority").asc)
+    },
+
     "agg_count_distinct" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
@@ -370,6 +394,15 @@ object Aggregates {
         |GROUP BY o_custkey
         |HAVING count(*) >= 15
         |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin,
+
+    // Merging partials is algebra, not semantics: the oracle aggregates
+    // the union directly.
+    "agg_incremental_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

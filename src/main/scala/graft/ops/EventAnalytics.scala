@@ -353,6 +353,35 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
     },
 
+    // Maximum drawdown per event type — the classic risk statistic: the
+    // deepest drop from a running peak, with the trough row that realizes
+    // it. Same integer-micro discipline as ts_cusum_changepoint (iv =
+    // round(value·10⁴)), so peak − value is exact BIGINT subtraction and
+    // the only double is the final ÷10⁴ projection. Two windows, BOTH
+    // sharded by event_type (never a global order): the running peak is
+    // rows-unbounded-preceding max, and the trough selection is a
+    // row_number over (dd DESC, ts, event_id) — the deterministic
+    // earliest-trough tie-break. At 100 TB each type's stream sorts
+    // within its partition; nothing crosses types.
+    "ts_max_drawdown" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("peak", max(col("iv")).over(wCum))
+        .withColumn("dd", col("peak") - col("iv"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("dd").desc, col("ts").asc, col("event_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          (col("dd").cast("double") / lit(10000.0)).as("max_drawdown"),
+          (col("peak").cast("double") / lit(10000.0)).as("peak_value"),
+          col("ts").as("trough_ts"), col("event_id").as("trough_event"))
+        .orderBy(col("event_type").asc)
+    },
+
     // Classical additive time-series decomposition x = trend + seasonal +
     // residual over the dense hourly count series per event_type — the
     // composition ts_gapfill_ffill (dense spine) + ts_seasonal_profile
@@ -828,6 +857,29 @@ object EventAnalytics {
         |FROM g WHERE s_cusum > h AND prev_s <= h
         |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
         |         event_id ASC NULLS FIRST""".stripMargin,
+
+    // Identical window algebra; the only doubles are the two final ÷10⁴
+    // projections (each one division of an exact BIGINT — the bare-literal
+    // trap means the divisor must be CAST AS DOUBLE on this side).
+    "ts_max_drawdown" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS iv
+        |           FROM events),
+        |p AS (SELECT event_type, ts, event_id, iv,
+        |             max(iv) OVER (PARTITION BY event_type
+        |               ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM b),
+        |dd AS (SELECT event_type, ts, event_id, peak, peak - iv AS dd FROM p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |               ORDER BY dd DESC, ts ASC, event_id ASC) AS rn
+        |      FROM dd)
+        |SELECT event_type,
+        |       CAST(dd AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS max_drawdown,
+        |       CAST(peak AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS peak_value,
+        |       ts AS trough_ts, event_id AS trough_event
+        |FROM r WHERE rn = 1
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
 
     // Same spine + windows; the offset trick keeps every `//` on the
     // non-negative domain (see the Spark twin's rationale).

@@ -307,6 +307,45 @@ object Joins {
         .orderBy(col("revenue").desc, col("n_name").asc)
     },
 
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // nations by ship year. The nation pair filter lands on supplier and
+    // customer BEFORE either touches a fact table — the dimension chain
+    // collapses to two tiny broadcast sides (a few % of each dim), so the
+    // only big work is the lineitem⋈orders fact join, date-pruned at the
+    // scan. The (supp, cust) pair predicate evaluates inside the fact
+    // join's projection, not as a post-join filter stage, and the final
+    // aggregate is a 4-group rollup — nothing scales with |lineitem|
+    // except the one fact shuffle. Exact decimal revenue, double at
+    // output only.
+    "join_multiway_q7" -> { (s, d) =>
+      val lo = lit("1996-01-01").cast("timestamp_ntz")
+      val hi = lit("1998-01-01").cast("timestamp_ntz")
+      val nations = Seq("NATION_11", "NATION_12")
+      val sup = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).filter(col("n_name").isInCollection(nations)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(Tables.nation(s, d).filter(col("n_name").isInCollection(nations)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+          "AS DOUBLE)").as("revenue"))
+        .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
+    },
+
     // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
     // driver-checked path): both sides live as catalog tables bucketed 8
     // ways on the join key, so the forced sort-merge join reads bucket i
@@ -390,6 +429,25 @@ object Joins {
         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_11', 'NATION_12')
+        |  AND n2.n_name IN ('NATION_11', 'NATION_12')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+        |         l_year ASC NULLS FIRST""".stripMargin,
 
     // Bucketing is layout, not semantics: the oracle is the plain join.
     "join_bucketed_colocated" ->

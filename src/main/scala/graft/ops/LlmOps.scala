@@ -2430,6 +2430,42 @@ object LlmOps {
       rrfFuse(bm25FromStats(tf, dfc, dl, tot), hybridVectorTop(s, d))
     },
 
+    // Positional inverted-index PHRASE search: find every occurrence of
+    // the corpus's most-document-frequent bigram. The instance table
+    // (doc, w1, w2, pos) is ONE in-row fan-out over the token array — no
+    // token-table self-join, no shuffle to form bigrams — and doubles as
+    // the positional postings index: ranking is a (w1, w2)-keyed groupBy,
+    // and the lookup is a broadcast semi-filter of the single winning
+    // phrase against it. At 100 TB the instance table IS the persisted
+    // positional index (bucketed by term pair); a phrase probe touches
+    // only the matching postings, never the corpus text. The top-1 ranking
+    // runs as TakeOrderedAndProject over the aggregated df counts
+    // (ties broken lexicographically — engine-independent).
+    "llm_phrase_search" -> { (s, d) =>
+      val inst = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+        // get() not [i+1]: the last token has no successor (round-5 rule);
+        // pos is the 1-based position of w1.
+        .select(col("doc_id"), explode(expr(
+          "filter(transform(ts, (x, i) -> struct(x AS w1, get(ts, i + 1) AS w2, i + 1 AS pos))," +
+            " b -> b.w2 IS NOT NULL)")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"),
+          col("b.pos").as("pos"))
+        .localCheckpoint(true) // reused: df ranking + postings lookup
+      val top = inst.groupBy(col("w1"), col("w2"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("w1").asc, col("w2").asc)
+        .limit(1)
+        .select(col("w1"), col("w2"))
+      inst.join(broadcast(top), Seq("w1", "w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_hits"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("phrase"),
+          col("n_hits"), col("first_pos"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // Unigram rarity scoring — the frequency-based slice of LM-quality
     // filtering (a document dominated by rare tokens is noise; one with
     // none is boilerplate): per doc, the fraction of tokens rarer than
@@ -3421,6 +3457,24 @@ object LlmOps {
         |SELECT doc_id, bm25, cos_sim, rank_t, rank_v, rrf
         |FROM f ORDER BY rrf DESC NULLS LAST, doc_id ASC
         |LIMIT 20""".stripMargin,
+
+    // Same bigram-instance algebra: i ranges 1..len-1 (1-based), w1 at
+    // ts[i] so pos = i matches the Spark side's 0-based i + 1.
+    "llm_phrase_search" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |             FROM documents),
+        |ix AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok),
+        |f AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+        |             ts[CAST(i + 1 AS INT)] AS w2, i AS pos
+        |      FROM ix),
+        |top AS (SELECT w1, w2 FROM f GROUP BY w1, w2
+        |        ORDER BY count(DISTINCT doc_id) DESC, w1 ASC, w2 ASC LIMIT 1)
+        |SELECT f.doc_id, f.w1 || ' ' || f.w2 AS phrase,
+        |       CAST(count(*) AS BIGINT) AS n_hits,
+        |       CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM f JOIN top USING (w1, w2)
+        |GROUP BY 1, 2
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_unigram_rarity" ->
       """WITH terms AS (
