@@ -2466,6 +2466,48 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // Retrieval EVALUATION — the metric stage every retrieval pipeline
+    // ships with: score the lexical ranking against vector ground truth.
+    // Relevant set = exact-cosine top-10 for the query (vec_id 0, served
+    // by the persisted exact-search index — identical to brute force);
+    // retrieved = the BM25@100 ranking of the hybrid query's terms.
+    // recall@10 and MRR@100 are pure rank arithmetic: each reciprocal
+    // 1/rank_t is ONE double division rounded to 12 places and
+    // decimal-summed (partition-order-independent), misses contribute 0,
+    // and the two final ratios are single double divisions. Scale: both
+    // inputs are top-k tables (≤100 rows each) — the eval join costs
+    // nothing at any corpus size; only the scoring stages scan data.
+    "llm_eval_mrr" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val rel = hybridVectorTop(s, d, k = 10).select(col("doc_id"))
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val qt = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isInCollection(Seq("merge", "vector", "stream")))
+      val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = qt.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("t_total"))
+      val ranked = bm25FromStats(tf, dfc, dl, tot)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank_t", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank_t"))
+      rel.join(ranked, Seq("doc_id"), "left_outer")
+        .agg(count(lit(1)).as("n_relevant"),
+          sum(when(col("rank_t") <= 10, 1L).otherwise(0L)).as("hits_at_10"),
+          sum(coalesce(round(lit(1.0) / col("rank_t"), 12), lit(0.0))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 14))).as("rrsum"))
+        .select(col("n_relevant"), col("hits_at_10"),
+          round(col("hits_at_10").cast("double") /
+            col("n_relevant").cast("double"), 6).as("recall_at_10"),
+          round(col("rrsum").cast("double") /
+            col("n_relevant").cast("double"), 6).as("mrr"))
+        .orderBy(col("n_relevant").asc)
+    },
+
     // Unigram rarity scoring — the frequency-based slice of LM-quality
     // filtering (a document dominated by rare tokens is noise; one with
     // none is boilerplate): per doc, the fraction of tokens rarer than
@@ -3475,6 +3517,64 @@ object LlmOps {
         |FROM f JOIN top USING (w1, w2)
         |GROUP BY 1, 2
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The hybrid oracle's bm25 + cosine CTEs, re-aimed at evaluation:
+    // ground truth = cosine top-10 (rounded scores, vec_id tie-break),
+    // retrieved = bm25 top-100 ranking; misses score 0.
+    "llm_eval_mrr" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(len(t)) AS BIGINT) AS t_total FROM tok),
+        |qf AS (SELECT doc_id, term FROM
+        |         (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('merge', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qf GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln((CAST(tot.n_docs - df.df AS DOUBLE) + 0.5) /
+        |              (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+        |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+        |            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl.dl * tot.n_docs AS DOUBLE) /
+        |              CAST(tot.t_total AS DOUBLE))))), 12)
+        |           AS DECIMAL(30, 14)) AS sc
+        |       FROM tf JOIN df USING (term)
+        |            JOIN dl ON tf.doc_id = dl.doc_id
+        |            CROSS JOIN tot),
+        |bm AS (SELECT doc_id, round(CAST(sum(sc) AS DOUBLE), 6) AS bm25
+        |       FROM sc GROUP BY doc_id),
+        |tt AS (SELECT doc_id, bm25 FROM bm
+        |       ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 100),
+        |tr AS (SELECT doc_id,
+        |              row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+        |                                 doc_id ASC) AS rank_t
+        |       FROM tt),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id,
+        |              round(list_cosine_similarity(e.emb, qv.qemb), 6) AS cos_sim
+        |       FROM e, qv WHERE e.vec_id <> 0),
+        |rel AS (SELECT vec_id AS doc_id FROM cs
+        |        ORDER BY cos_sim DESC NULLS LAST, vec_id ASC LIMIT 10),
+        |j AS (SELECT rel.doc_id, tr.rank_t
+        |      FROM rel LEFT JOIN tr ON rel.doc_id = tr.doc_id),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant,
+        |             CAST(sum(CASE WHEN rank_t <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS hits_at_10,
+        |             sum(CAST(coalesce(round(CAST(1.0 AS DOUBLE) / rank_t, 12), 0)
+        |                      AS DECIMAL(30, 14))) AS rrsum
+        |      FROM j)
+        |SELECT n_relevant, hits_at_10,
+        |       round(CAST(hits_at_10 AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6)
+        |         AS recall_at_10,
+        |       round(CAST(rrsum AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6) AS mrr
+        |FROM a
+        |ORDER BY n_relevant ASC NULLS FIRST""".stripMargin,
 
     "llm_unigram_rarity" ->
       """WITH terms AS (
