@@ -279,6 +279,53 @@ object Graph {
       .orderBy(col("part").asc)
   }
 
+  /** Per-vertex clustering coefficient over a canonical (a < b) edge
+    * list: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) = triangles
+    * through v — the local transitivity profile (the vertex-level
+    * refinement of [[triangleCensus]]). Same degree-oriented O(m^1.5)
+    * plan: each triangle x<y<z (rank order) materializes ONCE, at edge
+    * x→y, as an element of N⁺(x) ∩ N⁺(y) — but unlike the census the
+    * THIRD corner needs attribution, so the per-edge intersection is
+    * computed as an array (builtin codegen'd array_intersect over the
+    * sorted O(√m) adjacency slices) and credited three ways: size to
+    * src, size to dst, one explode for the z corners. The per-edge
+    * intersection frame is checkpointed once (|E| rows + Σ|∩| = 3·#tri
+    * array cells) so the three arms don't re-run the adjacency joins;
+    * at cluster scale the same three-arm union pipelines from the
+    * bucketed adjacency layout without materialization. cc is ONE
+    * rounded double division of exact integers per vertex. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("v").as("a"), col("deg").as("da"))
+    val db = deg.select(col("v").as("b"), col("deg").as("db"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = edges.join(broadcast(da), "a").join(broadcast(db), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("nbrs_u"), col("nbrs_v")).as("zs"))
+      .localCheckpoint(true)
+    val tv = tri.select(col("src").as("v"), size(col("zs")).cast("long").as("t"))
+      .unionAll(tri.select(col("dst").as("v"), size(col("zs")).cast("long").as("t")))
+      .unionAll(tri.select(explode(col("zs")).as("v"), lit(1L).as("t")))
+      .groupBy(col("v")).agg(sum(col("t")).as("tri"))
+    deg.join(tv, Seq("v"), "left_outer")
+      .select(col("v").as("part"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"), col("deg"),
+        when(col("deg") >= 2,
+          round((coalesce(col("tri"), lit(0L)) * lit(2L)).cast("double") /
+            (col("deg") * (col("deg") - lit(1L))).cast("double"), 6))
+          .otherwise(lit(0.0)).as("cc"))
+      .orderBy(col("part").asc)
+  }
+
   /** The strong-tie backbone: co-occurrence edges with multiplicity ≥ 2
     * (parts that appeared together in at least two orders). Thresholding
     * the weighted list is a free filter on the [[coEdgesWeighted]]
@@ -480,6 +527,12 @@ object Graph {
     // Jaccard-normalized link prediction on the backbone — see jaccardLink.
     "graph_jaccard_link" -> { (s, d) =>
       jaccardLink(backbone(s, d).localCheckpoint(true))
+    },
+
+    // Per-vertex clustering coefficient of the full co-occurrence graph —
+    // see clusteringCoeff.
+    "graph_clustering_coeff" -> { (s, d) =>
+      clusteringCoeff(coEdges(s, d).localCheckpoint(true))
     },
 
     // Degree distribution of the FULL co-occurrence graph — the first
@@ -688,6 +741,32 @@ object Graph {
         |LEFT JOIN bb ON bb.a = w2.a AND bb.b = w2.b
         |WHERE bb.a IS NULL
         |ORDER BY jac DESC NULLS LAST, w2.a ASC NULLS FIRST, w2.b ASC NULLS FIRST""".stripMargin,
+
+    // Orientation-free corner attribution: the x<y<z triangle join emits
+    // each of its three corners once; cc is one rounded double division.
+    "graph_clustering_coeff" ->
+      s"""$edgeCte,
+        |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |dg AS (SELECT u AS v, count(*) AS deg FROM und GROUP BY u),
+        |corners AS (
+        |  SELECT e1.a AS v FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |  UNION ALL
+        |  SELECT e1.b FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |  UNION ALL
+        |  SELECT e2.b FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tv AS (SELECT v, count(*) AS tri FROM corners GROUP BY v)
+        |SELECT dg.v AS part,
+        |       CAST(coalesce(tv.tri, 0) AS BIGINT) AS n_tri,
+        |       CAST(dg.deg AS BIGINT) AS deg,
+        |       CASE WHEN dg.deg >= 2
+        |            THEN round(CAST(2 * coalesce(tv.tri, 0) AS DOUBLE) /
+        |                       CAST(dg.deg * (dg.deg - 1) AS DOUBLE), 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS cc
+        |FROM dg LEFT JOIN tv ON dg.v = tv.v
+        |ORDER BY part ASC NULLS FIRST""".stripMargin,
 
     "graph_degree_hist" ->
       s"""$edgeCte,

@@ -49,6 +49,33 @@ class GraphSpec extends SparkSpec {
     assert(row.getAs[Long]("n_nodes") === 21L)
   }
 
+  test("clustering coefficient matches a naive per-vertex counter on seeded graphs") {
+    for (seed <- 1L to 3L) {
+      val edges = randomEdges(n = 50, m = 220, seed = seed)
+      val und = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val rows = Graph.clusteringCoeff(edgeDf(edges)).collect()
+      assert(rows.map(_.getAs[Long]("part")).toSet === und.keySet)
+      rows.foreach { r =>
+        val v = r.getAs[Long]("part")
+        val nb = und(v).toSeq
+        val naiveTri = (for {
+          i <- nb.indices; j <- (i + 1) until nb.size
+          x = nb(i).min(nb(j)); y = nb(i).max(nb(j))
+          if edges.contains((x, y))
+        } yield 1).size.toLong
+        val deg = nb.size.toLong
+        assert(r.getAs[Long]("deg") === deg, s"seed=$seed v=$v deg")
+        assert(r.getAs[Long]("n_tri") === naiveTri, s"seed=$seed v=$v tri")
+        val expCc = if (deg >= 2)
+          BigDecimal(2.0 * naiveTri / (deg * (deg - 1)).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+        assert(math.abs(r.getAs[Double]("cc") - expCc) < 1e-9, s"seed=$seed v=$v cc")
+      }
+    }
+  }
+
   test("khop reach matches naive BFS radii on a seeded random graph") {
     import spark.implicits._
     val edges = randomEdges(n = 80, m = 200, seed = 7L)
