@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.Tables
-import graft.Tables.dsumD
+import graft.Tables.{dsumD, dec2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -287,6 +288,47 @@ object Aggregates {
         .orderBy(col("o_orderstatus").asc)
     },
 
+    // Winsorized mean — the robust-statistics aggregate: clamp each value
+    // into the group's exact [P5, P95] band, then average. The bounds are
+    // RANK SELECTIONS, not interpolated percentiles (engines disagree on
+    // interpolation): k_lo = ⌈5n/100⌉ and k_hi = ⌈95n/100⌉ in pure
+    // integer arithmetic, the value AT that rank picked by a conditional
+    // aggregate over one group-sharded window. Clamping and summing stay
+    // exact DECIMAL; the mean is one double division at output. Plan
+    // shape: one window pass for ranks, a 3-row broadcast join-back of
+    // the group bounds (the ts_mad_outliers idiom), one final aggregate —
+    // at 100 TB the window shards by the group key and the bounds table
+    // stays tiny by construction.
+    "agg_winsorized_mean" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          dec2(col("o_totalprice")).as("price"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("price").asc, col("o_orderkey").asc)
+      val ranked = o
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("o_orderstatus"))).cast("long"))
+      val bounds = ranked
+        .groupBy(col("o_orderstatus"))
+        .agg(max(when(col("r") === expr("(n * 5 + 99) div 100"), col("price")))
+            .as("lo"),
+          max(when(col("r") === expr("(n * 95 + 99) div 100"), col("price")))
+            .as("hi"))
+      o.join(broadcast(bounds), Seq("o_orderstatus"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lo")).as("lo_d"), min(col("hi")).as("hi_d"),
+          sum(greatest(col("lo"), least(col("hi"), col("price"))))
+            .as("wsum"))
+        .select(col("o_orderstatus"), col("n"),
+          col("lo_d").cast("double").as("p05"),
+          col("hi_d").cast("double").as("p95"),
+          round(col("wsum").cast("double") / col("n").cast("double"), 6)
+            .as("wins_mean"))
+        .orderBy(col("o_orderstatus").asc)
+    },
+
     // Equi-width histogram of order totals: 10 bins of 50k with the
     // overflow clamped into the top bin. The bin id is a plain projection,
     // so this is one map-side-combined groupBy — the distributed histogram
@@ -538,6 +580,30 @@ object Aggregates {
         |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM orders
         |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    // Same rank-selection algebra (never an interpolating quantile);
+    // the clamp and sum stay DECIMAL until the final double division.
+    "agg_winsorized_mean" ->
+      """WITH o AS (SELECT o_orderstatus, o_orderkey,
+        |                  CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |           FROM orders),
+        |rk AS (SELECT o_orderstatus, price,
+        |              row_number() OVER (PARTITION BY o_orderstatus
+        |                ORDER BY price ASC, o_orderkey ASC) AS r,
+        |              count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |       FROM o),
+        |b AS (SELECT o_orderstatus,
+        |             max(CASE WHEN r = (n * 5 + 99) // 100 THEN price END) AS lo,
+        |             max(CASE WHEN r = (n * 95 + 99) // 100 THEN price END) AS hi
+        |      FROM rk GROUP BY o_orderstatus)
+        |SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(b.lo) AS DOUBLE) AS p05,
+        |       CAST(min(b.hi) AS DOUBLE) AS p95,
+        |       round(CAST(sum(greatest(b.lo, least(b.hi, o.price))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS wins_mean
+        |FROM o JOIN b USING (o_orderstatus)
+        |GROUP BY o.o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "agg_histogram" ->
