@@ -196,6 +196,30 @@ object Joins {
         .orderBy(col("user_id").asc, col("p_ts").asc)
     },
 
+    // Backward as-of with a STALENESS BOUND — the merge_asof/kdb-aj
+    // tolerance knob on the native exec's batch path (streaming forward
+    // as-of already requires it; this pins the batch semantics with an
+    // oracle): a match older than 2 days is no match, so those probes
+    // surface NULL instead of silently stale data — the freshness
+    // contract a feature-store lookup needs. Tolerance is exact integer
+    // microseconds, same unit as the exec's cursor arithmetic.
+    "join_asof_tolerance" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("user_id")).distinct()
+        .withColumn("p_ts", explode(array(
+          lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+          lit("2024-01-20 00:00:00").cast("timestamp_ntz"))))
+      val right = ev.select(col("user_id").as("e_user_id"),
+        col("ts").as("e_ts"), col("event_id").as("e_event_id"))
+      graft.plans.AsOfJoin(probes, right,
+          "user_id", "p_ts", "e_user_id", "e_ts", "e_event_id",
+          tolerance = 2L * 86400L * 1000000L,
+          direction = graft.plans.AsOfDirection.Backward)
+        .select(col("user_id"), col("p_ts"),
+          col("e_event_id").as("event_id"), col("e_ts").as("ts"))
+        .orderBy(col("user_id").asc, col("p_ts").asc)
+    },
+
     // Nearest as-of: closest event on either side of the probe, equidistant
     // ties to the backward (earlier) row — pandas merge_asof semantics. The
     // oracle ranks the full per-user candidate set by |Δt| in integer
@@ -528,6 +552,24 @@ object Joins {
         |         row_number() OVER (PARTITION BY p.user_id, p.p_ts
         |                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
         |  FROM probes p LEFT JOIN events e ON e.user_id = p.user_id AND e.ts <= p.p_ts
+        |)
+        |SELECT user_id, p_ts, event_id, ts FROM j WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, p_ts ASC NULLS FIRST""".stripMargin,
+
+    // The backward oracle with the staleness bound folded into the
+    // candidate predicate: too-old matches never qualify, so the LEFT
+    // JOIN's NULL row wins for stale probes.
+    "join_asof_tolerance" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id, p_ts
+        |  FROM events, (VALUES (TIMESTAMP '2024-01-10 00:00:00'),
+        |                       (TIMESTAMP '2024-01-20 00:00:00')) v(p_ts)
+        |), j AS (
+        |  SELECT p.user_id, p.p_ts, e.event_id, e.ts,
+        |         row_number() OVER (PARTITION BY p.user_id, p.p_ts
+        |                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
+        |  FROM probes p LEFT JOIN events e ON e.user_id = p.user_id
+        |    AND e.ts <= p.p_ts AND e.ts >= p.p_ts - INTERVAL 2 DAY
         |)
         |SELECT user_id, p_ts, event_id, ts FROM j WHERE rn = 1
         |ORDER BY user_id ASC NULLS FIRST, p_ts ASC NULLS FIRST""".stripMargin,
