@@ -71,6 +71,49 @@ class PlanSpec extends SparkSpec {
       s"the supplier⋈nation⋈region dim chain must broadcast:\n$plan")
   }
 
+  test("join_multiway_q7: both nation-filtered dims broadcast, ship window pushed to lineitem") {
+    val plan = physicalPlan("join_multiway_q7")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"),
+      s"the ship-date window must reach the lineitem scan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"supplier and customer sides must both broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in Q7:\n$plan")
+  }
+
+  test("llm_phrase_search: the postings probe is a broadcast hash join, never a BNLJ") {
+    val df = SparkEntry.queries("llm_phrase_search")(spark, sf)
+    df.collect() // AQE-finalized plan (round-4 rule)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the winning phrase must probe postings via broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop in the phrase lookup:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-df bigram must be a top-k, not a global sort:\n$plan")
+  }
+
+  test("agg_winsorized_mean: bounds join back via broadcast, clamp never nested-loops") {
+    val plan = physicalPlan("agg_winsorized_mean")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 3-row bounds table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop in the winsorize join-back:\n$plan")
+  }
+
+  test("join_asof_tolerance runs on the custom AsOfJoinExec") {
+    val df = SparkEntry.queries("join_asof_tolerance")(spark, sf)
+    df.collect() // AQE-finalized plan (round-4 rule)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom operator missing from:\n$plan")
+    assert(!plan.contains("WindowExec"),
+      "tolerance variant must not fall back to the window idiom")
+  }
+
   test("ts_ewma_dyadic evaluates all 16 taps in ONE WindowExec pass") {
     val plan = physicalPlan("ts_ewma_dyadic")
     val windows = plan.linesIterator.count(l => l.contains("Window [")
