@@ -2850,6 +2850,30 @@ object LlmOps {
         .orderBy(col("media_id").asc)
     },
 
+    // REAL resize, oracle-checked end-to-end: decode → integer aspect-fit
+    // into (16, 12) → nearest-neighbor resample → re-ENCODE → decode again
+    // → pixel stats. Every stage is the real codec (Multimodal
+    // .resizeImages / pixelStats); the oracle replays the aspect-fit
+    // arithmetic and evaluates each resampled pixel as ONE modular lookup
+    // into the cycled text (out pixel (y,x,c) reads source index
+    // ((⌊y·h/oh⌋·w + ⌊x·w/ow⌋)·ch + c) mod L) — ≤ 768 lookups per image.
+    // A wrong rounding direction, a flipped aspect test, or a re-encode
+    // corruption all hash-mismatch. Images already inside the box pass
+    // through untouched (the oracle's closed-form original-sum branch).
+    "mm_resize_stats" -> { (s, d) =>
+      graft.multimodal.Multimodal.pixelStats(
+        graft.multimodal.Multimodal.resizeImages(
+          graft.multimodal.Multimodal.syntheticPixelTable(Tables.documents(s, d)),
+          maxW = 16, maxH = 12))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("pix_sum"),
+          (col("pix_sum").cast("double") /
+            (col("width") * col("height") * col("channels")).cast("double"))
+            .as("pix_mean"))
+        .orderBy(col("media_id").asc)
+    },
+
     // Content-addressed image dedup: every document is encoded TWICE with
     // different container bytes (filter None @ deflate 9 vs filter Up @
     // deflate 1 — Multimodal.renditionTable) and the decoded pixels are
@@ -3884,6 +3908,46 @@ object LlmOps {
         |       CAST(ch AS BIGINT) AS channels,
         |       array_to_string(list(bit ORDER BY bi), '') AS phash
         |FROM bits GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+
+    // Aspect-fit + nearest-neighbor resample replayed in SQL: each output
+    // pixel is one modular lookup into the cycled text; the pass-through
+    // branch reuses the mm_pixel_stats closed form.
+    "mm_resize_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, len(text) AS L,
+        |         (doc_id % 64) + 8 AS w, (doc_id % 48) + 8 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, h, ch, L,
+        |             list_transform(range(1, L + 1),
+        |                            i -> ascii(text[CAST(i AS INT)])) AS codes
+        |      FROM b),
+        |z AS (SELECT doc_id, w, h, ch, L, codes, list_sum(codes) AS T,
+        |             CASE WHEN w <= 16 AND h <= 12 THEN w
+        |                  WHEN 16 * h <= 12 * w THEN 16
+        |                  ELSE greatest(1, (w * 12) // h) END AS ow,
+        |             CASE WHEN w <= 16 AND h <= 12 THEN h
+        |                  WHEN 16 * h <= 12 * w THEN greatest(1, (h * 16) // w)
+        |                  ELSE 12 END AS oh
+        |      FROM c),
+        |s AS (SELECT doc_id, ow, oh, ch,
+        |             CASE WHEN w <= 16 AND h <= 12 THEN
+        |               ((w * h * ch) // L) * T +
+        |               CASE WHEN (w * h * ch) % L = 0 THEN 0
+        |                    ELSE list_sum(codes[1:CAST((w * h * ch) % L AS INT)]) END
+        |             ELSE
+        |               list_sum(list_transform(range(0, ow * oh * ch), k ->
+        |                 codes[CAST(((((k // (ch * ow)) * h // oh) * w
+        |                              + ((k // ch) % ow) * w // ow) * ch
+        |                             + k % ch) % L + 1 AS INT)]))
+        |             END AS pix_sum
+        |      FROM z)
+        |SELECT doc_id AS media_id, CAST(ow AS BIGINT) AS width,
+        |       CAST(oh AS BIGINT) AS height, CAST(ch AS BIGINT) AS channels,
+        |       CAST(pix_sum AS BIGINT) AS pix_sum,
+        |       CAST(pix_sum AS DOUBLE) / CAST(ow * oh * ch AS DOUBLE) AS pix_mean
+        |FROM s
         |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
 
     // Pixel digests in closed form: the decoded buffer IS the text cycled
