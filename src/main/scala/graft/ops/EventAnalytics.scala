@@ -353,6 +353,36 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
     },
 
+    // Drawdown ALERT ONSETS — the monitoring form of ts_max_drawdown:
+    // fire where the drop from the running peak first exceeds the
+    // per-type threshold h = 5 × mean-absolute-deviation — the same
+    // robust scale measure ts_cusum_changepoint trains (drawdowns grow
+    // with sequence length, so the monitor multiplier sits lower than
+    // the cumulative-sum detector's 10×). prev_dd via lag makes each crossing
+    // fire exactly once; everything before the final ÷ stays integer
+    // micro-units. streamDrawdown is the structural streaming twin
+    // (StreamingSpec pins alert-stream bit-equality on the fixture).
+    "ts_drawdown_alerts" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      val mu = ev.groupBy(col("event_type"))
+        .agg(expr("sum(iv) div count(1)").as("mu"))
+      val thr = ev.join(broadcast(mu), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(expr("5 * (sum(abs(iv - mu)) div count(1))").as("h"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.join(broadcast(thr), Seq("event_type"))
+        .withColumn("dd", max(col("iv")).over(wCum) - col("iv"))
+        .withColumn("prev_dd", lag(col("dd"), 1, 0L).over(wOrd))
+        .filter(col("dd") > col("h") && col("prev_dd") <= col("h"))
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("dd"), col("h"))
+        .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
+    },
+
     // Maximum drawdown per event type — the classic risk statistic: the
     // deepest drop from a running peak, with the trough row that realizes
     // it. Same integer-micro discipline as ts_cusum_changepoint (iv =
@@ -855,6 +885,29 @@ object EventAnalytics {
         |SELECT event_type, ts, event_id,
         |       CAST(s_cusum AS BIGINT) AS s_cusum, CAST(h AS BIGINT) AS h
         |FROM g WHERE s_cusum > h AND prev_s <= h
+        |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
+        |         event_id ASC NULLS FIRST""".stripMargin,
+
+    // The cusum-threshold calibration over the drawdown fold; all BIGINT.
+    "ts_drawdown_alerts" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS iv
+        |           FROM events),
+        |m AS (SELECT event_type, sum(iv) // count(*) AS mu
+        |      FROM b GROUP BY event_type),
+        |t AS (SELECT b.event_type, 5 * (sum(abs(iv - mu)) // count(*)) AS h
+        |      FROM b JOIN m USING (event_type) GROUP BY b.event_type),
+        |p AS (SELECT b.event_type, ts, event_id, t.h,
+        |             max(iv) OVER (PARTITION BY b.event_type
+        |               ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - iv AS dd
+        |      FROM b JOIN t ON b.event_type = t.event_type),
+        |g AS (SELECT *, lag(dd, 1, 0) OVER (PARTITION BY event_type
+        |               ORDER BY ts, event_id) AS prev_dd
+        |      FROM p)
+        |SELECT event_type, ts, event_id,
+        |       CAST(dd AS BIGINT) AS dd, CAST(h AS BIGINT) AS h
+        |FROM g WHERE dd > h AND prev_dd <= h
         |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
         |         event_id ASC NULLS FIRST""".stripMargin,
 

@@ -736,6 +736,69 @@ object StreamOps {
     out.result().iterator
   }
 
+  case class DrawdownBuf(peak: Long, prev_dd: Long,
+      pending: List[CusumPend])
+  case class DrawdownAlert(event_type: String, ts: java.sql.Timestamp,
+      event_id: Long, dd: Long, h: Long)
+
+  /** Streaming drawdown monitor — the streaming twin of the batch
+    * `ts_drawdown_alerts`: per event_type, track the running peak of the
+    * integer-micro value stream and emit ALERT ONSETS where the drop from
+    * that peak first exceeds the trained threshold h (the
+    * 5×mean-absolute-deviation calibration of the batch query, fit on
+    * history by the batch job). Unknown keys run with h =
+    * Long.MaxValue: folded but never alarming — flush sentinels are safe.
+    *
+    * Shares the [[streamCusum]] order-correctness machinery verbatim: the
+    * fold is order-sensitive, so rows buffer in state and fold only
+    * STRICTLY below the watermark in (ts, event_id) order; folded rows
+    * collapse into the O(1) (peak, prev_dd) summary; a pending buffer
+    * arms an event-time timer at wm + 1. The summary persists for the
+    * key's lifetime by design — a drawdown monitor's peak IS its whole
+    * history. StreamingSpec pins alert-stream bit-equality against the
+    * batch query on the fixture. */
+  def streamDrawdown(events: DataFrame, ref: Map[String, Long],
+      watermark: String = "10 minutes"): Dataset[DrawdownAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      .withWatermark("ts", watermark)
+      .as[CusumIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DrawdownBuf, DrawdownAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, rows: Iterator[CusumIn], state: GroupState[DrawdownBuf]) =>
+          drawdownHandle(tpe, rows, state,
+            ref.getOrElse(tpe, Long.MaxValue))
+      }
+  }
+
+  private[streaming] def drawdownHandle(tpe: String, rows: Iterator[CusumIn],
+      state: GroupState[DrawdownBuf], h: Long): Iterator[DrawdownAlert] = {
+    // peak starts at MinValue so the first folded row sets peak = iv and
+    // dd = 0 — exactly the batch window's first-row semantics.
+    val prev = state.getOption.getOrElse(DrawdownBuf(Long.MinValue, 0L, Nil))
+    val all = prev.pending ++
+      rows.map(r => CusumPend(tsToUs(r.ts), r.event_id, r.iv))
+    val wm = state.getCurrentWatermarkMs()
+    val (ready, pending) = all.partition(_.ts_us / 1000 < wm)
+    var peak = prev.peak
+    var prevDd = prev.prev_dd
+    val out = List.newBuilder[DrawdownAlert]
+    ready.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+      if (p.iv > peak) peak = p.iv
+      val dd = peak - p.iv
+      if (dd > h && prevDd <= h)
+        out += DrawdownAlert(tpe, usToTs(p.ts_us), p.event_id, dd, h)
+      prevDd = dd
+    }
+    state.update(DrawdownBuf(peak, prevDd, pending))
+    if (pending.nonEmpty)
+      state.setTimeoutTimestamp(wm + 1)
+    out.result().iterator
+  }
+
   case class AsOfFwdBuf(events: List[AsOfEvent], probes: List[Long])
 
   /** Streaming FORWARD as-of join: each probe (user_id, p_ts) answers with

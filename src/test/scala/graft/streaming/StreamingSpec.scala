@@ -923,6 +923,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drawdown: alert stream equals the batch query on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // h per type: the batch query's integer 5×mean-abs-dev calibration
+    val ref = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val n = rows.length.toLong
+      val mu = rows.map(_._5).sum / n
+      tpe -> 5L * (rows.map(r => math.abs(r._5 - mu)).sum / n)
+    }
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamDrawdown(mem.toDF(), ref)
+      .writeStream.format("memory").queryName("dd_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val sorted = ev.sortBy(r =>
+        (r._2.toEpochSecond(java.time.ZoneOffset.UTC), r._2.getNano, r._3))
+      val rnd = new scala.util.Random(11)
+      sorted.grouped((sorted.length + 2) / 3).foreach { chunk =>
+        mem.addData(rnd.shuffle(chunk.toSeq).map(r =>
+          Ev(r._3, Timestamp.valueOf(r._2), 0L, r._1, r._4)))
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(Ev(0, t("2030-01-01 00:00:00"), 0, "zz_flush", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("dd_equiv").collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[Timestamp]("ts").toLocalDateTime,
+          r.getAs[Long]("event_id"), r.getAs[Long]("dd"), r.getAs[Long]("h")))
+        .toSet
+      val batch = graft.SparkEntry.queries("ts_drawdown_alerts")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch,
+        s"stream/batch diverged: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
+  test("streaming drawdown state survives a kill/restart: the peak persists across runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd_ckpt").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    // h = 15000: the 3.0 peak exists ONLY in pre-kill state; the post-
+    // restart 1.0 row draws down 20000 > h and must alert against it.
+    val ref = Map("err" -> 15000L)
+    val mem = MemoryStream[Ev]
+    def start() = StreamOps.streamDrawdown(mem.toDF(), ref)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    mem.addData(Seq(
+      Ev(1, t("2024-01-01 00:00:00"), 0, "err", 3.0),
+      Ev(2, t("2024-01-01 00:01:00"), 0, "err", 2.9)))
+    q1.processAllAvailable()
+    q1.stop() // kill: the 30000-micro peak lives only in recovered state
+    val q2 = start()
+    try {
+      mem.addData(Seq(Ev(3, t("2024-01-01 00:02:00"), 0, "err", 1.0)))
+      q2.processAllAvailable()
+      mem.addData(Seq(Ev(9, t("2024-01-01 06:00:00"), 0, "err", 3.5)))
+      q2.processAllAvailable() // watermark passes 00:02 -> folds the drop
+      val alerts = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("dd")))
+      assert(alerts.toList === List((t("2024-01-01 00:02:00"), 3L, 20000L)),
+        s"recovered drawdown state wrong: ${alerts.toList}")
+    } finally q2.stop()
+  }
+
   test("streaming CUSUM state survives a kill/restart: buffered rows and the fold summary persist") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
