@@ -1270,6 +1270,58 @@ object LlmOps {
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // The end-to-end curation CAPSTONE — the four stages every training
+    // corpus passes through, composed in one declared plan: exact dedup
+    // (canonical keeper = lowest doc_id per normalized-text digest) →
+    // quality scoring with the per-language top-90% cut over the
+    // SURVIVORS → deterministic hash split assignment → sequence packing
+    // within (split, lang). Each stage is the already-oracle-backed
+    // algebra of its standalone query; composing them pins the
+    // inter-stage contracts (the quality rank is over deduped docs only;
+    // packing offsets restart per split) that no single-stage query can
+    // see. Plan: three lang/digest-sharded window passes + projections,
+    // no joins, no driver state — the whole pipeline is one lazy plan.
+    "llm_curation_pipeline" -> { (s, d) =>
+      val wDup = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+      val deduped = Tables.documents(s, d)
+        .withColumn("h", sha2(lower(trim(col("text"))), 256))
+        .withColumn("rn_dup", row_number().over(wDup))
+        .filter(col("rn_dup") === 1)
+      val scored = deduped
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("ttr",
+          expr("size(array_distinct(toks))").cast("double") / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'))")
+            .cast("double") / col("n_toks"))
+        .withColumn("quality",
+          round(least(lit(1.0), col("n_toks") / 50.0) * 0.4 +
+            col("ttr") * 0.3 + col("stop_ratio") * 0.3, 6))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+      val rankW = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      val langW = Window.partitionBy(col("lang"))
+      val kept = scored
+        .withColumn("rn", row_number().over(rankW).cast("long"))
+        .withColumn("n", count(lit(1)).over(langW))
+        .filter(col("rn") <= ceil(col("n") * 0.9))
+      val assigned = kept
+        .withColumn("hh", substring(md5(col("doc_id").cast("string")), 1, 2))
+        .withColumn("split",
+          when(col("hh") < "cc", "train")
+            .when(col("hh") < "e6", "val").otherwise("test"))
+      val wPack = Window.partitionBy(col("split"), col("lang"))
+        .orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      assigned
+        .withColumn("cum", sum(col("n_tok")).over(wPack))
+        .select(col("doc_id"), col("lang"), col("split"), col("quality"),
+          col("n_tok"),
+          floor((col("cum") - col("n_tok")) / 4096L).cast("long").as("chunk_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
     "llm_dedup_exact" -> { (s, d) =>
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
       Tables.documents(s, d)
@@ -2976,6 +3028,49 @@ object LlmOps {
         |                            ORDER BY doc_id ASC) AS rn
         |  FROM documents) t
         |WHERE rn = 1
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The four stage oracles chained as CTEs. Dedup groups on the
+    // normalized text itself (equal texts ⇔ equal digests, and
+    // llm_dedup_exact already pins the sha2 path); everything downstream
+    // is the standalone queries' algebra over the surviving rows.
+    "llm_curation_pipeline" ->
+      """WITH keep AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |           row_number() OVER (PARTITION BY lower(trim(text))
+        |                              ORDER BY doc_id ASC) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |t AS (SELECT doc_id, lang,
+        |        string_split(lower(text), ' ') AS toks,
+        |        len(string_split(lower(text), ' '))::DOUBLE AS n_toks
+        |      FROM keep),
+        |q AS (SELECT doc_id, lang,
+        |        round(least(1.0, n_toks / 50.0) * 0.4 +
+        |              (len(list_distinct(toks))::DOUBLE / n_toks) * 0.3 +
+        |              (len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'))::DOUBLE / n_toks) * 0.3,
+        |              6) AS quality,
+        |        CAST(len(toks) AS BIGINT) AS n_tok
+        |      FROM t),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY quality DESC, doc_id ASC) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM q),
+        |k AS (SELECT doc_id, lang, quality, n_tok FROM r
+        |      WHERE rn <= ceil(n * 0.9)),
+        |a AS (SELECT *,
+        |        CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+        |             WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM k),
+        |c AS (SELECT *,
+        |        sum(n_tok) OVER (PARTITION BY split, lang ORDER BY doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM a)
+        |SELECT doc_id, lang, split, quality, n_tok,
+        |       CAST(floor((cum - n_tok) / 4096) AS BIGINT) AS chunk_id
+        |FROM c
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     // LSH with 32 bands × 2 rows has P(miss) < 1e-14 for the s >= 0.8 pairs
