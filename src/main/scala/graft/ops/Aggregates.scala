@@ -288,6 +288,35 @@ object Aggregates {
         .orderBy(col("o_orderstatus").asc)
     },
 
+    // Gini coefficient of order totals per status — the standard
+    // inequality/concentration metric (how skewed is revenue across
+    // orders). Closed form over the SORTED values: G = (2·Σ i·xᵢ −
+    // (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ ascending at rank i. Prices scale to
+    // integer cents (2-dp money, exact), ranks come from one
+    // status-sharded window, and both the numerator and denominator are
+    // exact BIGINTs — the whole statistic is ONE double division.
+    // Overflow: Σ i·x ≤ n²·max_cents ≈ 150k²·10⁸ ≈ 2·10¹⁸ at sf0.1 ...
+    // within 2⁶³ with the n² term dominating; a 100 TB deployment
+    // shards by a finer group key or scales to DECIMAL(38,0) sums (the
+    // shape is unchanged — rank window + one aggregate).
+    "agg_gini" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cents").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(col("i") * col("cents")).as("six"))
+        .select(col("o_orderstatus"), col("n"),
+          (col("sx").cast("double") / lit(100.0)).as("total"),
+          round((lit(2L) * col("six") - (col("n") + lit(1L)) * col("sx"))
+            .cast("double") /
+            (col("n") * col("sx")).cast("double"), 9).as("gini"))
+        .orderBy(col("o_orderstatus").asc)
+    },
+
     // Winsorized mean — the robust-statistics aggregate: clamp each value
     // into the group's exact [P5, P95] band, then average. The bounds are
     // RANK SELECTIONS, not interpolated percentiles (engines disagree on
@@ -580,6 +609,27 @@ object Aggregates {
         |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM orders
         |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    // Same closed form; DuckDB's HUGEINT sums cast straight to DOUBLE for
+    // the single division (divisors CAST AS DOUBLE per the bare-literal
+    // rule).
+    "agg_gini" ->
+      """WITH b AS (SELECT o_orderstatus, o_orderkey,
+        |                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |           FROM orders),
+        |r AS (SELECT o_orderstatus, cents,
+        |             row_number() OVER (PARTITION BY o_orderstatus
+        |               ORDER BY cents ASC, o_orderkey ASC) AS i
+        |      FROM b),
+        |g AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |             sum(cents) AS sx, sum(i * cents) AS six
+        |      FROM r GROUP BY 1)
+        |SELECT o_orderstatus, n,
+        |       CAST(sx AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total,
+        |       round(CAST(2 * six - (n + 1) * sx AS DOUBLE) /
+        |             CAST(n * sx AS DOUBLE), 9) AS gini
+        |FROM g
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     // Same rank-selection algebra (never an interpolating quantile);

@@ -2560,6 +2560,52 @@ object LlmOps {
         .orderBy(col("n_relevant").asc)
     },
 
+    // RAG context ASSEMBLY — the stage after retrieval: the top-5 BM25
+    // documents concatenate in rank order into a 256-token context
+    // window, each document contributing take = clamp(budget − consumed,
+    // 0, n_tok) tokens (a document straddling the budget is CUT at the
+    // token boundary, later ranks contribute nothing). The output is the
+    // per-rank packing plan plus ctx_md5 — the digest of the assembled
+    // trimmed context — so the full string assembly is oracle-pinned
+    // without shipping kilobyte rows. Scale: assembly runs on the ≤5-row
+    // top-k table; only retrieval scans the corpus.
+    "llm_rag_context" -> { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val qt = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isInCollection(Seq("merge", "vector", "stream")))
+      val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = qt.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("t_total"))
+      val ranked = bm25FromStats(tf, dfc, dl, tot)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(5)
+        .withColumn("rank_t", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      val plan = ranked
+        .join(Tables.documents(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("cum", sum(col("n_tok")).over(
+          Window.orderBy(col("rank_t").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("take_tok",
+          greatest(lit(0L), least(col("n_tok"),
+            lit(256L) - (col("cum") - col("n_tok")))))
+        .withColumn("frag", expr(
+          "array_join(slice(tk, 1, cast(take_tok AS int)), ' ')"))
+      val ctx = plan
+        .agg(expr("md5(array_join(transform(filter(" +
+          "array_sort(collect_list(struct(rank_t, frag)))," +
+          " x -> length(x.frag) > 0), x -> x.frag), ' '))").as("ctx_md5"))
+      plan.crossJoin(broadcast(ctx))
+        .select(col("rank_t"), col("doc_id"), col("bm25"), col("n_tok"),
+          col("take_tok"), col("ctx_md5"))
+        .orderBy(col("rank_t").asc)
+    },
+
     // Unigram rarity scoring — the frequency-based slice of LM-quality
     // filtering (a document dominated by rare tokens is noise; one with
     // none is boilerplate): per doc, the fraction of tokens rarer than
@@ -3636,6 +3682,62 @@ object LlmOps {
         |FROM f JOIN top USING (w1, w2)
         |GROUP BY 1, 2
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The bm25 CTEs re-aimed at assembly: the same top-k ranking, then
+    // the token-budget packing plan and the digest of the trimmed
+    // concatenation (string_agg in rank order over non-empty fragments).
+    "llm_rag_context" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(len(t)) AS BIGINT) AS t_total FROM tok),
+        |qf AS (SELECT doc_id, term FROM
+        |         (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('merge', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qf GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln((CAST(tot.n_docs - df.df AS DOUBLE) + 0.5) /
+        |              (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+        |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+        |            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl.dl * tot.n_docs AS DOUBLE) /
+        |              CAST(tot.t_total AS DOUBLE))))), 12)
+        |           AS DECIMAL(30, 14)) AS sc
+        |       FROM tf JOIN df USING (term)
+        |            JOIN dl ON tf.doc_id = dl.doc_id
+        |            CROSS JOIN tot),
+        |bm AS (SELECT doc_id, round(CAST(sum(sc) AS DOUBLE), 6) AS bm25
+        |       FROM sc GROUP BY doc_id),
+        |tt AS (SELECT doc_id, bm25 FROM bm
+        |       ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 5),
+        |tr AS (SELECT doc_id, bm25,
+        |              row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+        |                                 doc_id ASC) AS rank_t
+        |       FROM tt),
+        |p AS (SELECT tr.rank_t, tr.doc_id, tr.bm25,
+        |             string_split(text, ' ') AS tk,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM tr JOIN documents USING (doc_id)),
+        |c AS (SELECT *, sum(n_tok) OVER (ORDER BY rank_t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM p),
+        |t2 AS (SELECT *,
+        |         greatest(0, least(n_tok, 256 - (cum - n_tok))) AS take_tok
+        |       FROM c),
+        |f AS (SELECT *,
+        |        array_to_string(tk[1:CAST(take_tok AS INT)], ' ') AS frag
+        |      FROM t2),
+        |m AS (SELECT md5(string_agg(frag, ' ' ORDER BY rank_t)
+        |                 FILTER (WHERE len(frag) > 0)) AS ctx_md5 FROM f)
+        |SELECT CAST(rank_t AS BIGINT) AS rank_t, doc_id, bm25, n_tok,
+        |       CAST(take_tok AS BIGINT) AS take_tok, m.ctx_md5
+        |FROM f, m
+        |ORDER BY rank_t ASC NULLS FIRST""".stripMargin,
 
     // The hybrid oracle's bm25 + cosine CTEs, re-aimed at evaluation:
     // ground truth = cosine top-10 (rounded scores, vec_id tie-break),
