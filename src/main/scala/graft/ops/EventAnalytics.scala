@@ -462,6 +462,60 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("hr").asc)
     },
 
+    // Strength of seasonality per event_type — the STL diagnostic
+    // F_s = 1 − Var(residual)/Var(detrended) over the
+    // ts_decompose_additive components (full-trend rows only): how much
+    // of the detrended variation the diurnal profile explains. Variances
+    // use the n·Σx² − (Σx)² form with the micro-unit sums carried in
+    // DECIMAL(38,0) (n·Σd² ≈ 10²¹ overflows BIGINT; DuckDB's HUGEINT
+    // matches), so F_s is exact integers until one double division,
+    // subtracted from 1.0 and rounded to 9. Same plan shape as the
+    // decomposition it diagnoses plus one tiny per-type aggregate.
+    "ts_seasonal_strength" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val trunc = (c: org.apache.spark.sql.Column) =>
+        date_trunc("hour", c).cast("timestamp_ntz")
+      val agg = ev.groupBy(col("event_type"), trunc(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("x"))
+      val bounds = ev.agg(trunc(min(col("ts"))).as("lo"), trunc(max(col("ts"))).as("hi"))
+      val hours = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+      val dense = ev.select(col("event_type")).distinct().crossJoin(hours)
+        .join(agg, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"), coalesce(col("x"), lit(0L)).as("x"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+        .rowsBetween(-12, 12)
+      val t1 = dense
+        .withColumn("w_n", count(lit(1)).over(wT))
+        .withColumn("sum25", sum(col("x")).over(wT))
+        .withColumn("trend_micro",
+          when(col("w_n") === 25, expr("(1000000 * sum25) div 25")))
+        .withColumn("d", col("x") * lit(1000000L) - col("trend_micro"))
+      val seas = t1.filter(col("d").isNotNull)
+        .groupBy(col("event_type").as("s_type"),
+          hour(col("hr")).cast("long").as("hod"))
+        .agg(expr("(sum(d + 1000000000000) div count(1)) - 1000000000000")
+          .as("seasonal_micro"))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      t1.filter(col("d").isNotNull)
+        .join(broadcast(seas),
+          t1("event_type") === col("s_type") &&
+            hour(t1("hr")).cast("long") === col("hod"))
+        .withColumn("r", col("d") - col("seasonal_micro"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d").cast(dec38)).as("sd"),
+          sum((col("d") * col("d")).cast(dec38)).as("sdd"),
+          sum(col("r").cast(dec38)).as("sr"),
+          sum((col("r") * col("r")).cast(dec38)).as("srr"))
+        .select(col("event_type"), col("n"),
+          round(lit(1.0) -
+            (col("n") * col("srr") - col("sr") * col("sr")).cast("double") /
+            (col("n") * col("sdd") - col("sd") * col("sd")).cast("double"),
+            9).as("f_seasonal"))
+        .orderBy(col("event_type").asc)
+    },
+
     // Hour-of-day seasonal profile per event_type — the diurnal baseline a
     // monitoring/forecasting pipeline fits first (and the reference level
     // a seasonal CUSUM would subtract). One map-side-combinable aggregate
@@ -977,6 +1031,59 @@ object EventAnalytics {
         |FROM t3 LEFT JOIN seas
         |  ON seas.s_type = t3.event_type AND seas.hod = hour(t3.hr)
         |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
+
+    // The decompose CTE chain + one per-type variance-ratio aggregate;
+    // DuckDB's HUGEINT sums mirror the Spark DECIMAL(38,0) discipline.
+    "ts_seasonal_strength" ->
+      """WITH spine AS (
+        |  SELECT t.event_type, h.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |       (SELECT date_trunc('hour', min(ts)) FROM events),
+        |       (SELECT date_trunc('hour', max(ts)) FROM events),
+        |       INTERVAL 1 HOUR)) AS hr) h
+        |), agg AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT s.event_type, s.hr, COALESCE(a.x, 0) AS x
+        |  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr
+        |), t1 AS (
+        |  SELECT event_type, hr, x,
+        |         count(*) OVER w AS w_n, sum(x) OVER w AS sum25
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), t2 AS (
+        |  SELECT event_type, hr, x,
+        |         CASE WHEN w_n = 25 THEN (1000000 * sum25) // 25 END AS trend_micro
+        |  FROM t1
+        |), t3 AS (
+        |  SELECT event_type, hr, x, trend_micro,
+        |         1000000 * x - trend_micro AS d
+        |  FROM t2
+        |), seas AS (
+        |  SELECT event_type AS s_type, hour(hr) AS hod,
+        |         (sum(d + 1000000000000) // count(*)) - 1000000000000 AS seasonal_micro
+        |  FROM t3 WHERE d IS NOT NULL GROUP BY event_type, hour(hr)
+        |), comp AS (
+        |  SELECT t3.event_type, t3.d, t3.d - seas.seasonal_micro AS r
+        |  FROM t3 JOIN seas
+        |    ON seas.s_type = t3.event_type AND seas.hod = hour(t3.hr)
+        |  WHERE t3.d IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(d) AS sd, sum(d * d) AS sdd,
+        |         sum(r) AS sr, sum(r * r) AS srr
+        |  FROM comp GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |       round(CAST(1.0 AS DOUBLE) -
+        |             CAST(n * srr - sr * sr AS DOUBLE) /
+        |             CAST(n * sdd - sd * sd AS DOUBLE), 9) AS f_seasonal
+        |FROM g
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
 
     "ts_seasonal_profile" ->
       """WITH b AS (SELECT event_type, hour(ts) AS hod, value,

@@ -326,6 +326,39 @@ object Graph {
       .orderBy(col("part").asc)
   }
 
+  /** Degree assortativity of a canonical (a < b) edge list: the Pearson
+    * correlation of endpoint degrees over the 2|E| directed edge samples
+    * (each undirected edge contributes both orientations — the standard
+    * Newman formulation). Every sum is an exact BIGINT (deg ≤ a few
+    * hundred here; a 100 TB deployment hub-caps degrees before this
+    * census, which also bounds Σxy ≤ 2m·cap² ≪ 2⁶³), so the coefficient
+    * is numerator / √(variance product) evaluated in THREE IEEE
+    * operations on exact integers (two casts+multiply, one sqrt, one
+    * divide — each correctly rounded, hence cross-engine identical),
+    * rounded to 9. Plan: one degree aggregate + two broadcast joins +
+    * one global sum — no window, no driver state. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("v").as("a"), col("deg").as("da"))
+    val db = deg.select(col("v").as("b"), col("deg").as("db"))
+    val joined = edges.join(broadcast(da), "a").join(broadcast(db), "b")
+    val samples = joined.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(joined.select(col("db").as("x"), col("da").as("y")))
+    samples.agg(count(lit(1)).as("m2"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("m2"),
+        round((col("m2") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m2") * col("syy") - col("sy") * col("sy")).cast("double")),
+          9).as("assort"))
+      .orderBy(col("m2").asc)
+  }
+
   /** The strong-tie backbone: co-occurrence edges with multiplicity ≥ 2
     * (parts that appeared together in at least two orders). Thresholding
     * the weighted list is a free filter on the [[coEdgesWeighted]]
@@ -535,6 +568,12 @@ object Graph {
       clusteringCoeff(coEdges(s, d).localCheckpoint(true))
     },
 
+    // Degree assortativity of the full co-occurrence graph — see
+    // assortativity.
+    "graph_assortativity" -> { (s, d) =>
+      assortativity(coEdges(s, d).localCheckpoint(true))
+    },
+
     // Degree distribution of the FULL co-occurrence graph — the first
     // structural profile any graph pipeline computes (and the input to
     // power-law fitting): (degree, n_vertices, share). Two
@@ -741,6 +780,30 @@ object Graph {
         |LEFT JOIN bb ON bb.a = w2.a AND bb.b = w2.b
         |WHERE bb.a IS NULL
         |ORDER BY jac DESC NULLS LAST, w2.a ASC NULLS FIRST, w2.b ASC NULLS FIRST""".stripMargin,
+
+    // Both orientations sampled; Newman's r evaluated in the same three
+    // IEEE steps on exact-integer sums.
+    "graph_assortativity" ->
+      s"""$edgeCte,
+        |dg AS (SELECT v, count(*) AS deg FROM
+        |         (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |       GROUP BY v),
+        |j AS (SELECT x.deg AS xd, y.deg AS yd
+        |      FROM e JOIN dg x ON e.a = x.v JOIN dg y ON e.b = y.v),
+        |s AS (SELECT xd AS x, yd AS y FROM j
+        |      UNION ALL SELECT yd, xd FROM j),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y * y) AS BIGINT) AS syy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM s)
+        |SELECT m2,
+        |       round(CAST(m2 * sxy - sx * sy AS DOUBLE) /
+        |             sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE) *
+        |                  CAST(m2 * syy - sy * sy AS DOUBLE)), 9) AS assort
+        |FROM g
+        |ORDER BY m2 ASC NULLS FIRST""".stripMargin,
 
     // Orientation-free corner attribution: the x<y<z triangle join emits
     // each of its three corners once; cc is one rounded double division.
