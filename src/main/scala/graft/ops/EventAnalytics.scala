@@ -68,6 +68,53 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("hr").asc)
     },
 
+    // Conversion LATENCY per funnel step — the timing companion of
+    // win_funnel_steps: for users who completed view→click (and
+    // click→purchase), the step delay in exact integer microseconds,
+    // summarized per step as n / mean / exact-median / min / max. The
+    // median is a RANK SELECTION at ⌈n/2⌉ (the agg_winsorized_mean
+    // idiom — never an interpolating percentile), the mean is one
+    // double division, min/max are selections: no float discipline
+    // anywhere. One step-sharded window over the ≤|users| step table.
+    "win_funnel_latency" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val cl = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts") &&
+          col("ts") <= col("v_ts") + expr("interval 24 hours"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(cl, Seq("user_id"))
+        .filter(col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + expr("interval 24 hours"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val steps = v.join(cl, Seq("user_id"))
+        .select(lit("1_view_click").as("step"), col("user_id"),
+          expr("timestampdiff(MICROSECOND, v_ts, c_ts)").as("delta_us"))
+        .unionAll(cl.join(p, Seq("user_id"))
+          .select(lit("2_click_purchase").as("step"), col("user_id"),
+            expr("timestampdiff(MICROSECOND, c_ts, p_ts)").as("delta_us")))
+      val w = Window.partitionBy(col("step"))
+        .orderBy(col("delta_us").asc, col("user_id").asc)
+      steps
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("step"))).cast("long"))
+        .groupBy(col("step"))
+        .agg(max(col("n")).as("n"),
+          sum(col("delta_us")).as("sum_us"),
+          max(when(col("r") === expr("(n + 1) div 2"), col("delta_us")))
+            .as("p50_us"),
+          min(col("delta_us")).as("min_us"), max(col("delta_us")).as("max_us"))
+        .select(col("step"), col("n"),
+          round(col("sum_us").cast("double") / col("n").cast("double"), 6)
+            .as("mean_us"),
+          col("p50_us"), col("min_us"), col("max_us"))
+        .orderBy(col("step").asc)
+    },
+
     // Sequential conversion funnel view → click → purchase with a 24 h
     // step deadline: first view per user, then the first click strictly
     // after it (within 24 h), then the first purchase strictly after that
@@ -721,6 +768,49 @@ object EventAnalytics {
         |            AS DOUBLE) AS sum_value_ffill
         |FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr
         |ORDER BY s.event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
+
+    // Same funnel CTEs; deltas via date_diff microseconds, median via
+    // the same rank selection.
+    "win_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), cl AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN cl ON e.user_id = cl.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts
+        |    AND e.ts <= cl.c_ts + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id
+        |), steps AS (
+        |  SELECT '1_view_click' AS step, v.user_id,
+        |         date_diff('microsecond', v.v_ts, cl.c_ts) AS delta_us
+        |  FROM v JOIN cl ON v.user_id = cl.user_id
+        |  UNION ALL
+        |  SELECT '2_click_purchase', cl.user_id,
+        |         date_diff('microsecond', cl.c_ts, p.p_ts)
+        |  FROM cl JOIN p ON cl.user_id = p.user_id
+        |), r AS (
+        |  SELECT step, user_id, delta_us,
+        |         row_number() OVER (PARTITION BY step
+        |           ORDER BY delta_us ASC, user_id ASC) AS r,
+        |         count(*) OVER (PARTITION BY step) AS n
+        |  FROM steps
+        |)
+        |SELECT step, CAST(max(n) AS BIGINT) AS n,
+        |       round(CAST(sum(delta_us) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+        |         AS mean_us,
+        |       CAST(max(CASE WHEN r = (n + 1) // 2 THEN delta_us END) AS BIGINT)
+        |         AS p50_us,
+        |       CAST(min(delta_us) AS BIGINT) AS min_us,
+        |       CAST(max(delta_us) AS BIGINT) AS max_us
+        |FROM r GROUP BY step
+        |ORDER BY step ASC NULLS FIRST""".stripMargin,
 
     "win_funnel_steps" ->
       """WITH v AS (

@@ -2560,6 +2560,50 @@ object LlmOps {
         .orderBy(col("n_relevant").asc)
     },
 
+    // nDCG@10 — the graded companion of llm_eval_mrr: cosine ground
+    // truth graded rel = 11 − rank_v (10 down to 1), the BM25@10 ranking
+    // scored by DCG/IDCG. Discount weights use ln(i+1) instead of
+    // log2(i+1) — a constant factor that CANCELS in the ratio, chosen
+    // because the repo's cross-engine ln discipline (round to 12, carry
+    // in DECIMAL(30,14)) is already proven by the bm25 family; each
+    // gain is one rounded double division. Both inputs are ≤10-row
+    // top-k tables, so the metric costs nothing at corpus scale.
+    "llm_eval_ndcg" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val rel = hybridVectorTop(s, d, k = 10)
+        .select(col("doc_id"), (lit(11L) - col("rank_v")).as("rel"))
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val qt = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isInCollection(Seq("merge", "vector", "stream")))
+      val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = qt.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("t_total"))
+      val ranked = bm25FromStats(tf, dfc, dl, tot)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank_t", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("rank_t"))
+      val dec = org.apache.spark.sql.types.DecimalType(30, 14)
+      val dcg = ranked.join(rel, Seq("doc_id"), "left_outer")
+        .agg(sum((coalesce(col("rel"), lit(0L)) *
+          round(lit(1.0) / log(col("rank_t") + lit(1L)), 12)).cast(dec))
+          .as("dcg"))
+      val idcg = rel
+        .agg(sum((col("rel") *
+          round(lit(1.0) / log(lit(12L) - col("rel")), 12)).cast(dec))
+          .as("idcg"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(round(col("dcg").cast("double"), 6).as("dcg"),
+          round(col("idcg").cast("double"), 6).as("idcg"),
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+            .as("ndcg"))
+        .orderBy(col("ndcg").asc)
+    },
+
     // RAG context ASSEMBLY — the stage after retrieval: the top-5 BM25
     // documents concatenate in rank order into a 256-token context
     // window, each document contributing take = clamp(budget − consumed,
@@ -3682,6 +3726,66 @@ object LlmOps {
         |FROM f JOIN top USING (w1, w2)
         |GROUP BY 1, 2
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Graded twin of the mrr oracle: ln-discounted gains (the constant
+    // factor vs log2 cancels in the ratio), round-12 + DECIMAL(30,14).
+    "llm_eval_ndcg" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(len(t)) AS BIGINT) AS t_total FROM tok),
+        |qf AS (SELECT doc_id, term FROM
+        |         (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('merge', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qf GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln((CAST(tot.n_docs - df.df AS DOUBLE) + 0.5) /
+        |              (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+        |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+        |            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl.dl * tot.n_docs AS DOUBLE) /
+        |              CAST(tot.t_total AS DOUBLE))))), 12)
+        |           AS DECIMAL(30, 14)) AS sc
+        |       FROM tf JOIN df USING (term)
+        |            JOIN dl ON tf.doc_id = dl.doc_id
+        |            CROSS JOIN tot),
+        |bm AS (SELECT doc_id, round(CAST(sum(sc) AS DOUBLE), 6) AS bm25
+        |       FROM sc GROUP BY doc_id),
+        |tt AS (SELECT doc_id, bm25 FROM bm
+        |       ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 10),
+        |tr AS (SELECT doc_id,
+        |              CAST(row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+        |                                      doc_id ASC) AS BIGINT) AS rank_t
+        |       FROM tt),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id,
+        |              round(list_cosine_similarity(e.emb, qv.qemb), 6) AS cos_sim
+        |       FROM e, qv WHERE e.vec_id <> 0),
+        |vt AS (SELECT vec_id, cos_sim FROM cs
+        |       ORDER BY cos_sim DESC NULLS LAST, vec_id ASC LIMIT 10),
+        |rel AS (SELECT vec_id AS doc_id,
+        |               CAST(11 - row_number() OVER (ORDER BY cos_sim DESC NULLS LAST,
+        |                                            vec_id ASC) AS BIGINT) AS rel
+        |        FROM vt),
+        |dc AS (SELECT sum(CAST(coalesce(rel.rel, 0) *
+        |                 round(CAST(1.0 AS DOUBLE) / ln(tr.rank_t + 1), 12)
+        |                 AS DECIMAL(30, 14))) AS dcg
+        |       FROM tr LEFT JOIN rel USING (doc_id)),
+        |ic AS (SELECT sum(CAST(rel *
+        |                 round(CAST(1.0 AS DOUBLE) / ln(12 - rel), 12)
+        |                 AS DECIMAL(30, 14))) AS idcg
+        |       FROM rel)
+        |SELECT round(CAST(dcg AS DOUBLE), 6) AS dcg,
+        |       round(CAST(idcg AS DOUBLE), 6) AS idcg,
+        |       round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+        |FROM dc, ic
+        |ORDER BY ndcg ASC NULLS FIRST""".stripMargin,
 
     // The bm25 CTEs re-aimed at assembly: the same top-k ranking, then
     // the token-budget packing plan and the digest of the trimmed

@@ -75,6 +75,32 @@ object Scalars {
           col("ship_lag_days").asc)
     },
 
+    // Business-day arithmetic — the operational-SLA form of date_arith:
+    // weekdays between order and ship dates via the cumulative closed
+    // form B(m) = 5·(m div 7) + least(m mod 7, 5) with m = epochDay + 3
+    // (shifted so m ≡ 0 mod 7 ⟺ Monday; non-negative for any modern
+    // date, so Spark div ≡ DuckDB //). busdays = B(ship) − B(order) —
+    // pure integer arithmetic, no calendar UDF, no per-day explode; the
+    // per-priority mean is one double division of exact integers.
+    "date_business_days" -> { (s, d) =>
+      val withM = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("m1", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long") + lit(3L))
+        .withColumn("m2", datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long") + lit(3L))
+      withM
+        .withColumn("busdays",
+          (expr("5 * (m2 div 7)") + least(expr("m2 % 7"), lit(5L))) -
+            (expr("5 * (m1 div 7)") + least(expr("m1 % 7"), lit(5L))))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("busdays")).as("sum_busdays"))
+        .select(col("o_orderpriority"), col("n"), col("sum_busdays"),
+          round(col("sum_busdays").cast("double") / col("n").cast("double"), 6)
+            .as("avg_busdays"))
+        .orderBy(col("o_orderpriority").asc)
+    },
+
     "ts_unix_convert" -> { (s, d) =>
       val ts = col("ts").cast("timestamp")
       Tables.events(s, d)
@@ -306,6 +332,25 @@ object Scalars {
         |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    // Same cumulative-weekday closed form; epochDay via date_diff from
+    // the epoch, everything non-negative so // matches div.
+    "date_business_days" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3 AS m1,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 3 AS m2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (SELECT o_orderpriority,
+        |             (5 * (m2 // 7) + least(m2 % 7, 5)) -
+        |             (5 * (m1 // 7) + least(m1 % 7, 5)) AS busdays
+        |      FROM j)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(busdays) AS BIGINT) AS sum_busdays,
+        |       round(CAST(sum(busdays) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS avg_busdays
+        |FROM b GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "date_arith" ->
       """SELECT l_orderkey, l_linenumber,
