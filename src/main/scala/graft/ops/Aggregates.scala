@@ -407,6 +407,36 @@ object Aggregates {
             .as("segments"),
           expr("CAST(size(collect_set(c_mktsegment)) AS BIGINT)").as("n_segments"))
         .orderBy(col("c_nationkey").asc)
+    },
+
+    // Shannon entropy of each source's language mix — the mixture-health
+    // diagnostic next to llm_domain_mix's share table (and the ln-bearing
+    // companion of the Simpson index: here the ln IS the metric, so the
+    // repo's proven ln discipline applies instead of avoiding it).
+    // H = Σ c·ln(n/c) / n in nats: each ln runs once per (source, lang)
+    // GROUP (≤ 5 rows per source, never per document), is rounded to 12
+    // and carried as DECIMAL(30,14) scaled EXACTLY by the integer count —
+    // so partial-aggregation merge order can't move a bit — and the
+    // output is one double division + round(6). Two hash aggregates over
+    // the corpus: docs→(source,lang) counts (map-side combined), then the
+    // group total via ONE window over the ≤100-row counts table feeding a
+    // groupBy(source) — no join-back, no second corpus pass.
+    "agg_entropy" -> { (s, d) =>
+      // (20,14)×(12,0) → DECIMAL(33,14): inside both engines' 38-digit cap,
+      // so the product is exact — wider operands would trip Spark's
+      // precision-loss rescale (39 → 38 silently drops a scale digit).
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      counts.groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(round(log(col("n").cast("double") / col("c")), 12)
+            .cast(DecimalType(20, 14)) * col("c").cast(DecimalType(12, 0)))
+            .as("hsum"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          round(col("hsum").cast("double") / col("n_docs"), 6).as("entropy"))
+        .orderBy(col("source").asc)
     }
   )
 
@@ -689,6 +719,19 @@ object Aggregates {
         |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
         |FROM customer
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin
+        |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "agg_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c
+        |           FROM documents GROUP BY source, lang),
+        |w AS (SELECT source, c,
+        |             sum(c) OVER (PARTITION BY source) AS n FROM c)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |       count(*) AS n_langs,
+        |       round(CAST(sum(CAST(round(ln(CAST(n AS DOUBLE) / c), 12) AS DECIMAL(20,14)) * CAST(c AS DECIMAL(12,0))) AS DOUBLE)
+        |             / CAST(max(n) AS BIGINT), 6) AS entropy
+        |FROM w
+        |GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }

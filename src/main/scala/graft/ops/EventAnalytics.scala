@@ -744,6 +744,44 @@ object EventAnalytics {
           sum(col("is_last")).as("last_touch"),
           sum(expr("(1000000 * cnt) div n")).as("linear_micro"))
         .orderBy(col("channel").asc)
+    },
+
+    // Bollinger-band breakout detection: per event type, a 20-point
+    // rolling window (full windows only) flags rows outside
+    // mean ± 2σ (population σ). Cross-engine discipline: values quantize
+    // to iv = round(v·10⁴) (the ts_rolling_median idiom), the window
+    // carries exact BIGINT Σiv and Σiv², and the band test is the
+    // DENOMINATOR-CLEARED integer form |n·iv − Σiv| > 2·√(n·Σiv² − (Σiv)²)
+    // — the only FP ops are the (IEEE-correctly-rounded) sqrt and the two
+    // rounded output projections, so alarms are bit-identical in both
+    // engines with no per-row division. Scale: one window pass sharded by
+    // event_type (same shape as every ts_* query — at 100 TB the
+    // partition key would be (series_id) with millions of shards); output
+    // is breakout rows only.
+    "ts_bollinger_breakout" -> { (s, d) =>
+      val n = 20
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-(n - 1), Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("iv")).over(w))
+        .withColumn("s2", sum(col("iv") * col("iv")).over(w))
+        .filter(col("cnt") === n)
+        .withColumn("dev", lit(n) * col("iv") - col("s1"))
+        .withColumn("thr",
+          lit(2.0d) * sqrt((lit(n) * col("s2") - col("s1") * col("s1"))
+            .cast("double")))
+        .filter(abs(col("dev")).cast("double") > col("thr"))
+        .select(col("event_type"), col("ts"), col("event_id"),
+          (col("iv").cast("double") / lit(10000d)).as("q_value"),
+          round(col("s1").cast("double") / lit(n * 10000d), 6).as("band_mean"),
+          round(sqrt((lit(n) * col("s2") - col("s1") * col("s1"))
+            .cast("double")) / lit(n * 10000d), 6).as("band_sd"),
+          when(col("dev") > 0, lit("up")).otherwise(lit("down")).as("direction"))
+        .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
     }
   )
 
@@ -1301,6 +1339,29 @@ object EventAnalytics {
         |       CAST(sum(is_last) AS BIGINT) AS last_touch,
         |       CAST(sum((1000000 * cnt) // n) AS BIGINT) AS linear_micro
         |FROM pc GROUP BY event_type
-        |ORDER BY channel ASC NULLS FIRST""".stripMargin
+        |ORDER BY channel ASC NULLS FIRST""".stripMargin,
+
+    "ts_bollinger_breakout" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS iv
+        |           FROM events),
+        |w AS (SELECT event_type, ts, event_id, iv,
+        |             count(*) OVER win AS cnt,
+        |             sum(iv) OVER win AS s1,
+        |             sum(iv * iv) OVER win AS s2
+        |      FROM b
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, ts, event_id,
+        |       CAST(iv AS DOUBLE) / 10000 AS q_value,
+        |       round(CAST(s1 AS DOUBLE) / 200000, 6) AS band_mean,
+        |       round(sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE)) / 200000, 6) AS band_sd,
+        |       CASE WHEN 20 * iv - s1 > 0 THEN 'up' ELSE 'down' END AS direction
+        |FROM w
+        |WHERE cnt = 20
+        |  AND abs(CAST(20 * iv - s1 AS DOUBLE)) >
+        |      2.0 * sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE))
+        |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
+        |         event_id ASC NULLS FIRST""".stripMargin
   )
 }

@@ -593,8 +593,65 @@ object Graph {
           (col("n_vertices").cast("double") / col("n_total").cast("double"))
             .as("share"))
         .orderBy(col("deg").asc)
+    },
+
+    // 8-round 80-core peel of the full co-occurrence graph (converges in
+    // ≤ 5 rounds at every fixture scale — the spec pins the fixed point) —
+    // see kcorePeel.
+    "graph_kcore" -> { (s, d) =>
+      kcorePeel(coEdges(s, d).localCheckpoint(true), k = 80, rounds = 8)
     }
   )
+
+  /** Bounded-round k-core peel: `rounds` synchronous rounds of "drop every
+    * vertex with degree < k, and every edge touching one" — after
+    * convergence the survivors ARE the k-core (maximal subgraph of min
+    * degree ≥ k), and the round bound makes the semantics a constant of
+    * the QUERY (the bounded-hop Bellman–Ford precedent), so the oracle is
+    * the same `rounds` rounds unrolled as chained CTEs. Spark stops early
+    * on a driver-side SCALAR count (the labelPropagate discipline — never
+    * row data): a converged round changes nothing, so early-stop ≡ the
+    * full unroll. Output: surviving vertices with their residual in-core
+    * degree.
+    *
+    * Scale: each round is ONE degree groupBy + two left_semi joins, all
+    * keyed on a vertex id, over a MONOTONICALLY SHRINKING edge list — the
+    * peel shuffles the survivor subgraph, never the original corpus,
+    * after round 1 (at 100 TB the edge list would be bucketed by vertex
+    * so the semi joins co-locate). Per-round eager checkpoints break the
+    * 3-references-per-round plan blow-up (e feeds deg and both join
+    * sides); each retires via releaseCheckpoint as soon as the next
+    * round's checkpoint job has consumed it, the final one stays alive
+    * for the caller's execution (khopReach precedent). */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges
+    var done = false
+    var round = 0
+    while (round < rounds && !done) {
+      // deg feeds the convergence scalar AND both semi-join sides —
+      // checkpoint so the degree shuffle runs once per round.
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
+      if (deg.filter(col("dg") < k).limit(1).count() == 0L) {
+        done = true // converged: every later round is the identity
+      } else {
+        val keep = deg.filter(col("dg") >= k).select(col("v"))
+        val next = e
+          .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        LlmOps.releaseCheckpoint(e)
+        e = next
+      }
+      LlmOps.releaseCheckpoint(deg)
+      round += 1
+    }
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("part"), col("core_deg"))
+      .orderBy(col("part").asc)
+  }
 
   private val edgeCte =
     """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -841,6 +898,33 @@ object Graph {
         |SELECT deg, n_vertices,
         |       CAST(n_vertices AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
         |FROM h, t
-        |ORDER BY deg ASC NULLS FIRST""".stripMargin
+        |ORDER BY deg ASC NULLS FIRST""".stripMargin,
+
+    // The identical peel with the 8 rounds UNROLLED as chained CTEs (a
+    // recursive CTE cannot recompute the degree aggregate per step);
+    // post-convergence rounds are the identity, so the early-stopping
+    // Spark loop and the full unroll agree — the pagerank precedent.
+    "graph_kcore" -> {
+      // AS MATERIALIZED: each round references its predecessor three
+      // times (degree build + both join sides) — DuckDB's default CTE
+      // inlining would re-evaluate the chain exponentially (3⁸ scans of
+      // lineitem ⇒ fd exhaustion); materialization makes the unroll
+      // linear, mirroring the Spark loop's per-round checkpoint.
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT v, count(*) AS dg
+           |      FROM (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+           |      GROUP BY v),
+           |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+           |      JOIN d$i da ON da.v = a JOIN d$i db ON db.v = b
+           |      WHERE da.dg >= 80 AND db.dg >= 80)""".stripMargin
+      }
+      s"""$edgeCte,
+         |e0 AS MATERIALIZED (SELECT a, b FROM e),
+         |${rounds.mkString(",\n")}
+         |SELECT v AS part, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8)
+         |GROUP BY v
+         |ORDER BY part ASC NULLS FIRST""".stripMargin
+    }
   )
 }

@@ -370,6 +370,59 @@ object Joins {
         .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
     },
 
+    // Null-safe equi-join (`<=>` ↔ IS NOT DISTINCT FROM): the dimension-
+    // lookup-with-unknowns shape — error events carry a NULL bucket key and
+    // must land on the dim's sentinel "unknown" row instead of dropping out
+    // (a plain equi-join loses every NULL row silently). `<=>` is a real
+    // equi-join key for Catalyst, so this stays a broadcast-hash join, not
+    // a BNLJ. Scale: NULL is ONE key value — if the null share is large it
+    // is the classic skew key; here the dim side is an 11-row broadcast so
+    // every partition probes locally and no shuffle of the fact occurs.
+    "join_null_safe" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("bucket",
+          when(col("event_type") === "error", lit(null).cast("long"))
+            .otherwise(get_json_object(col("props"), "$.k").cast("long") % 10))
+      val dim = s.range(0, 10)
+        .select(col("id").as("bucket"),
+          concat(lit("bucket_"), col("id")).as("bucket_name"))
+        .unionAll(s.range(1).select(lit(null).cast("long").as("bucket"),
+          lit("unknown").as("bucket_name")))
+      ev.join(broadcast(dim), ev("bucket") <=> dim("bucket"))
+        .groupBy(col("bucket_name"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 10000, 0) AS BIGINT)")).as("sum_v10k"))
+        .orderBy(col("bucket_name").asc)
+    },
+
+    // TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    // customer, top 20. The canonical plan at 100 TB: the l_returnflag
+    // filter pushes to the lineitem scan (the 'R' stripe is ~⅓ of rows),
+    // orders⋈lineitem shuffles on orderkey, the result shuffles ONCE on
+    // custkey into the customer join + groupBy (customer attributes ride
+    // the aggregate keys, so no second customer pass), nation is a
+    // broadcast. Top-20 is TakeOrderedAndProject — no global sort.
+    "join_multiway_q10" -> { (s, d) =>
+      val lo = lit("1996-01-01").cast("timestamp_ntz")
+      val hi = lit("1996-07-01").cast("timestamp_ntz")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(rev, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+          "AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
     // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
     // driver-checked path): both sides live as catalog tables bucketed 8
     // ways on the join key, so the forced sort-merge join reads bucket i
@@ -453,6 +506,34 @@ object Joins {
         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH ev AS (SELECT CASE WHEN event_type = 'error' THEN NULL
+        |                        ELSE CAST(json_extract_string(props, 'k') AS BIGINT) % 10 END AS bucket,
+        |                   CAST(round(value * 10000, 0) AS BIGINT) AS iv
+        |            FROM events),
+        |dim AS (SELECT CAST(range AS BIGINT) AS bucket,
+        |               'bucket_' || range AS bucket_name FROM range(0, 10)
+        |        UNION ALL SELECT NULL, 'unknown')
+        |SELECT bucket_name, count(*) AS n_events,
+        |       CAST(sum(iv) AS BIGINT) AS sum_v10k
+        |FROM ev JOIN dim ON ev.bucket IS NOT DISTINCT FROM dim.bucket
+        |GROUP BY bucket_name
+        |ORDER BY bucket_name ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
 
     "join_multiway_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -3049,6 +3049,44 @@ object LlmOps {
           col("packed.event_type").as("event_type"),
           col("n_chars"), size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("doc_id").asc)
+    },
+
+    // Keyword extraction — the per-doc TAGGING stage downstream of
+    // llm_tfidf's score table: candidate terms (length ≥ 4 after
+    // lowercasing) scored tf·ln(N/df) (the proven tfidf discipline:
+    // exact-integer inputs, round 6), top-3 per document by
+    // (score DESC, term ASC) — the rounded score + term tie-break makes
+    // the rank total — then assembled into ONE comma-joined keyword
+    // string in rank order. The rank-ordered LISTAGG is cross-engine
+    // safe for the agg_string_concat reason: the order is fully
+    // determined before aggregation (collect_list → array_sort by the
+    // (rn, term) struct ↔ string_agg ORDER BY rn), not partition order.
+    // Scale: the length filter prunes the token stream BEFORE the
+    // (doc_id, term) shuffle; df is one map-side-combined groupBy; the
+    // per-doc window shards on doc_id; assembly runs on ≤ 3 rows/doc.
+    "llm_keyword_extract" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+        .filter(length(col("term")) >= 4)
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_keywords"),
+          expr("array_join(transform(array_sort(collect_list(struct(rn, term)))," +
+            " x -> x.term), ',')").as("keywords"),
+          max(when(col("rn") === 1, col("score"))).as("top_score"))
+        .orderBy(col("doc_id").asc)
     }
   )
 
@@ -4281,6 +4319,33 @@ object LlmOps {
         |FROM documents
         |JOIN embeddings ON doc_id = vec_id
         |JOIN events ON doc_id = event_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_keyword_extract" ->
+      """WITH terms AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents,
+        |       unnest(string_split(lower(text), ' ')) AS t(term)
+        |  WHERE length(t.term) >= 4),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |         round(CAST(tf AS DOUBLE) *
+        |               ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, count(*) AS n_keywords,
+        |       string_agg(term, ',' ORDER BY rn ASC) AS keywords,
+        |       max(CASE WHEN rn = 1 THEN score END) AS top_score
+        |FROM ranked WHERE rn <= 3
+        |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   )
 }

@@ -281,4 +281,47 @@ class GraphSpec extends SparkSpec {
       seedSet.foreach(sd => assert(got.contains((sd, 0L)), s"seed=$seed missing $sd"))
     }
   }
+
+  /** Naive synchronous peel: one round drops every vertex with deg < k. */
+  private def peelRounds(edges: Set[(Long, Long)], k: Int,
+      rounds: Int): Set[(Long, Long)] = {
+    var es = edges
+    var r = 0
+    var changed = true
+    while (r < rounds && changed) {
+      val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, l) => v -> l.size }
+      val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      changed = next != es
+      es = next
+      r += 1
+    }
+    es
+  }
+
+  private def coreDegrees(es: Set[(Long, Long)]): Map[Long, Long] =
+    es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, l) => v -> l.size.toLong }
+
+  test("k-core peel matches a naive peel-to-convergence on seeded graphs") {
+    for (seed <- 11L to 13L; k <- Seq(3, 5, 8)) {
+      val edges = randomEdges(n = 40, m = 170, seed = seed)
+      val expect = coreDegrees(peelRounds(edges, k, rounds = 1000))
+      val got = Graph.kcorePeel(edgeDf(edges), k, rounds = 40).collect()
+        .map(r => r.getAs[Long]("part") -> r.getAs[Long]("core_deg")).toMap
+      assert(got === expect, s"seed=$seed k=$k kcore differs")
+      // every survivor meets the core bound — the defining invariant
+      assert(got.values.forall(_ >= k), s"seed=$seed k=$k sub-k survivor")
+    }
+  }
+
+  test("bounded-round k-core peel truncates exactly like the unrolled recurrence") {
+    val edges = randomEdges(n = 40, m = 120, seed = 99L)
+    for (r <- 1 to 3) {
+      val expect = coreDegrees(peelRounds(edges, k = 4, rounds = r))
+      val got = Graph.kcorePeel(edgeDf(edges), k = 4, rounds = r).collect()
+        .map(row => row.getAs[Long]("part") -> row.getAs[Long]("core_deg")).toMap
+      assert(got === expect, s"rounds=$r truncated peel differs")
+    }
+  }
 }
