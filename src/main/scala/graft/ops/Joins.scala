@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.Tables.dsumD
+import graft.Tables.{dsumD, dec2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -423,6 +423,32 @@ object Joins {
         .limit(20)
     },
 
+    // TPC-H Q18-shaped large-order report — the HAVING-subquery semi-join
+    // shape: orders qualify through an AGGREGATE predicate
+    // (sum(l_quantity) > 240), not a row predicate, so the qualifying-key
+    // set must be computed before any join. Plan at 100 TB: ONE
+    // map-side-combined groupBy(l_orderkey) produces the (few) qualifying
+    // orders WITH their quantity sum — the classic Q18 trap is joining
+    // lineitem back a second time for the sum; carrying qsum out of the
+    // HAVING aggregate makes the big fact pass single-scan. Orders join
+    // on the shuffled orderkey; customer is the broadcast dim; top-100 is
+    // TakeOrderedAndProject. Quantities sum in exact DECIMAL.
+    "join_multiway_q18" -> { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("qsum"))
+        .filter(col("qsum") > lit(240).cast("decimal(12,2)"))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("qsum").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
     // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
     // driver-checked path): both sides live as catalog tables bucketed 8
     // ways on the join key, so the forced sort-merge join reads bucket i
@@ -534,6 +560,17 @@ object Joins {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
         |LIMIT 20""".stripMargin,
+
+    "join_multiway_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(qsum AS DOUBLE) AS sum_qty
+        |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qsum
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 240) big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
 
     "join_multiway_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

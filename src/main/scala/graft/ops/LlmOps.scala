@@ -3051,6 +3051,36 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // Unigram-LM perplexity proxy — the CCNet-style quality signal
+    // llm_unigram_rarity's transcendental-free ratios approximate: each
+    // token's surprisal under the corpus unigram LM is ln(T/C(t)) (T =
+    // corpus token count, C(t) = the token's corpus frequency — both
+    // exact integer aggregates), and the per-doc score is the mean. High
+    // mean surprisal = improbable text (gibberish / OOD); low = boilerplate.
+    // Determinism: one ln per JOINED TOKEN row but of exact-integer
+    // ratios, rounded to 12 and DECIMAL-summed (partition-order-proof),
+    // one double division + round(6) at output. ppl itself would be
+    // exp(mean) — monotone in the mean, so the proxy ranks identically
+    // without a second transcendental. Scale: token→frequency join is
+    // broadcast (vocab ≪ corpus), the per-doc groupBy is the only
+    // shuffle of the token stream.
+    "llm_perplexity_proxy" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(30, 14)
+      val terms = Tables.documents(s, d).select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      val cf = terms.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      val tot = cf.agg(sum(col("cf")).as("t_total"))
+      terms.join(broadcast(cf), Seq("term")).crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(round(log(col("t_total").cast("double") /
+            col("cf").cast("double")), 12).cast(dec)).as("ssum"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("ssum").cast("double") / col("n_tok").cast("double"), 6)
+            .as("mean_surprisal"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // Keyword extraction — the per-doc TAGGING stage downstream of
     // llm_tfidf's score table: candidate terms (length ≥ 4 after
     // lowercasing) scored tf·ln(N/df) (the proven tfidf discipline:
@@ -4319,6 +4349,20 @@ object LlmOps {
         |FROM documents
         |JOIN embeddings ON doc_id = vec_id
         |JOIN events ON doc_id = event_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_perplexity_proxy" ->
+      """WITH terms AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents,
+        |       unnest(string_split(lower(text), ' ')) AS t(term)),
+        |cf AS (SELECT term, count(*) AS cf FROM terms GROUP BY term),
+        |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t_total FROM cf)
+        |SELECT doc_id, count(*) AS n_tok,
+        |       round(CAST(sum(CAST(round(ln(CAST(t_total AS DOUBLE) / CAST(cf AS DOUBLE)), 12) AS DECIMAL(30,14))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS mean_surprisal
+        |FROM terms JOIN cf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_keyword_extract" ->
