@@ -3051,6 +3051,38 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // Hard-negative mining — the contrastive-training-data stage after
+    // retrieval evaluation: candidates that rank HIGH lexically (BM25
+    // top-100) but are NOT semantically relevant (absent from the exact
+    // cosine top-10 ground truth) are exactly the "hard negatives" a
+    // dual-encoder trains against. One left_anti of the ≤100-row BM25
+    // top-k table against the ≤10-row relevance set — both sides already
+    // TakeOrderedAndProject-reduced, so the mining costs nothing at
+    // corpus scale regardless of corpus size; scoring reuses the proven
+    // bm25FromStats/exact-search bodies verbatim.
+    "llm_hard_negatives" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val qt = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isInCollection(Seq("merge", "vector", "stream")))
+      val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = qt.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("t_total"))
+      val ranked = bm25FromStats(tf, dfc, dl, tot)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank_t", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      val rel = hybridVectorTop(s, d, k = 10).select(col("doc_id"))
+      ranked.join(rel, Seq("doc_id"), "left_anti")
+        .orderBy(col("rank_t").asc).limit(5)
+        .select(col("rank_t"), col("doc_id"), col("bm25"))
+        .orderBy(col("rank_t").asc)
+    },
+
     // Unigram-LM perplexity proxy — the CCNet-style quality signal
     // llm_unigram_rarity's transcendental-free ratios approximate: each
     // token's surprisal under the corpus unigram LM is ln(T/C(t)) (T =
@@ -4350,6 +4382,52 @@ object LlmOps {
         |JOIN embeddings ON doc_id = vec_id
         |JOIN events ON doc_id = event_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_hard_negatives" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(len(t)) AS BIGINT) AS t_total FROM tok),
+        |qf AS (SELECT doc_id, term FROM
+        |         (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('merge', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qf GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln((CAST(tot.n_docs - df.df AS DOUBLE) + 0.5) /
+        |              (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+        |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+        |            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl.dl * tot.n_docs AS DOUBLE) /
+        |              CAST(tot.t_total AS DOUBLE))))), 12)
+        |           AS DECIMAL(30, 14)) AS sc
+        |       FROM tf JOIN df USING (term)
+        |            JOIN dl ON tf.doc_id = dl.doc_id
+        |            CROSS JOIN tot),
+        |bm AS (SELECT doc_id, round(CAST(sum(sc) AS DOUBLE), 6) AS bm25
+        |       FROM sc GROUP BY doc_id),
+        |tt AS (SELECT doc_id, bm25 FROM bm
+        |       ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 100),
+        |tr AS (SELECT doc_id, bm25,
+        |              row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+        |                                 doc_id ASC) AS rank_t
+        |       FROM tt),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id,
+        |              round(list_cosine_similarity(e.emb, qv.qemb), 6) AS cos_sim
+        |       FROM e, qv WHERE e.vec_id <> 0),
+        |rel AS (SELECT vec_id AS doc_id FROM cs
+        |        ORDER BY cos_sim DESC NULLS LAST, vec_id ASC LIMIT 10)
+        |SELECT CAST(rank_t AS BIGINT) AS rank_t, doc_id, bm25
+        |FROM tr
+        |WHERE doc_id NOT IN (SELECT doc_id FROM rel)
+        |ORDER BY rank_t ASC NULLS FIRST
+        |LIMIT 5""".stripMargin,
 
     "llm_perplexity_proxy" ->
       """WITH terms AS (

@@ -799,6 +799,69 @@ object StreamOps {
     out.result().iterator
   }
 
+  case class BollBuf(last: List[Long], pending: List[CusumPend])
+  case class BollAlert(event_type: String, ts: java.sql.Timestamp,
+      event_id: Long, iv: Long, dev: Long, var_n: Long, direction: String)
+
+  /** Streaming Bollinger-band breakout monitor — the streaming twin of the
+    * batch `ts_bollinger_breakout`: per event_type, a 20-point rolling
+    * window flags rows outside mean ± 2σ, in the batch query's
+    * denominator-cleared integer form |n·iv − Σiv| > 2·√(n·Σiv² − (Σiv)²)
+    * (dev and var_n are emitted as the exact BIGINTs, the sqrt is the one
+    * IEEE FP op — the alert stream is bit-comparable to the batch rows).
+    *
+    * Shares the [[streamCusum]] order-correctness machinery verbatim:
+    * the fold is order-sensitive, so rows buffer in state and fold only
+    * STRICTLY below the watermark in (ts, event_id) order; folded rows
+    * collapse into the last n−1 quantized values — the state is O(n) per
+    * key by construction (a sliding window's summary IS its window),
+    * plus the horizon-bounded pending buffer; a pending buffer arms an
+    * event-time timer at wm + 1. Unknown/sentinel keys are safe with no
+    * reference profile: a key alarms only after n folded rows. */
+  def streamBollinger(events: DataFrame, n: Int = 20,
+      watermark: String = "10 minutes"): Dataset[BollAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      .withWatermark("ts", watermark)
+      .as[CusumIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BollBuf, BollAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, rows: Iterator[CusumIn], state: GroupState[BollBuf]) =>
+          bollingerHandle(tpe, rows, state, n)
+      }
+  }
+
+  private[streaming] def bollingerHandle(tpe: String, rows: Iterator[CusumIn],
+      state: GroupState[BollBuf], n: Int): Iterator[BollAlert] = {
+    val prev = state.getOption.getOrElse(BollBuf(Nil, Nil))
+    val all = prev.pending ++
+      rows.map(r => CusumPend(tsToUs(r.ts), r.event_id, r.iv))
+    val wm = state.getCurrentWatermarkMs()
+    val (ready, pending) = all.partition(_.ts_us / 1000 < wm)
+    var last = prev.last // most recent n−1 folded values, oldest first
+    val out = List.newBuilder[BollAlert]
+    ready.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+      if (last.size == n - 1) { // full window = n−1 predecessors + current
+        val win = p.iv :: last
+        val s1 = win.sum
+        val s2 = win.map(v => v * v).sum
+        val dev = n * p.iv - s1
+        val varN = n * s2 - s1 * s1
+        if (math.abs(dev).toDouble > 2.0d * math.sqrt(varN.toDouble))
+          out += BollAlert(tpe, usToTs(p.ts_us), p.event_id, p.iv, dev, varN,
+            if (dev > 0) "up" else "down")
+      }
+      last = (last :+ p.iv).takeRight(n - 1)
+    }
+    state.update(BollBuf(last, pending))
+    if (pending.nonEmpty)
+      state.setTimeoutTimestamp(wm + 1)
+    out.result().iterator
+  }
+
   case class AsOfFwdBuf(events: List[AsOfEvent], probes: List[Long])
 
   /** Streaming FORWARD as-of join: each probe (user_id, p_ts) answers with

@@ -1034,6 +1034,88 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming Bollinger: alert stream equals the batch breakout query on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3)))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamBollinger(mem.toDF())
+      .writeStream.format("memory").queryName("boll_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val sorted = ev.sortBy(r =>
+        (r._2.toEpochSecond(java.time.ZoneOffset.UTC), r._2.getNano, r._3))
+      val rnd = new scala.util.Random(13)
+      sorted.grouped((sorted.length + 2) / 3).foreach { chunk =>
+        mem.addData(rnd.shuffle(chunk.toSeq).map(r =>
+          Ev(r._3, Timestamp.valueOf(r._2), 0L, r._1, r._4)))
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(Ev(0, t("2030-01-01 00:00:00"), 0, "zz_flush", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("boll_equiv").collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[Timestamp]("ts").toLocalDateTime,
+          r.getAs[Long]("event_id"),
+          r.getAs[Long]("iv").toDouble / 10000d,
+          r.getAs[String]("direction")))
+        .toSet
+      val batch = graft.SparkEntry.queries("ts_bollinger_breakout")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+          r.getLong(2), r.getAs[Double]("q_value"),
+          r.getAs[String]("direction")))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch,
+        s"stream/batch diverged: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+      // the integer band test must hold exactly on every emitted alert
+      spark.table("boll_equiv").collect().foreach { r =>
+        val dev = r.getAs[Long]("dev"); val vN = r.getAs[Long]("var_n")
+        assert(math.abs(dev).toDouble > 2.0d * math.sqrt(vN.toDouble))
+        assert((dev > 0) === (r.getAs[String]("direction") == "up"))
+      }
+    } finally q.stop()
+  }
+
+  test("streaming Bollinger state survives a kill/restart: the rolling window persists") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_boll_ckpt").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    // n = 6: five 1.0-rows then one 9.0-row — dev = 5·(y−x) = 400000 beats
+    // thr = 2·√5·|y−x| ≈ 357771 (a 3-point window can NEVER alert:
+    // max |dev|/√var_n = (n−1)/√n < 2 for n ≤ 5).
+    val mem = MemoryStream[Ev]
+    def start() = StreamOps.streamBollinger(mem.toDF(), n = 6)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    mem.addData((1 to 5).map(i =>
+      Ev(i.toLong, t(f"2024-01-01 00:0${i - 1}:00"), 0, "err", 1.0)))
+    q1.processAllAvailable()
+    q1.stop() // kill: all five window rows exist ONLY in the recovered state
+    val q2 = start()
+    try {
+      mem.addData(Seq(Ev(6, t("2024-01-01 00:05:00"), 0, "err", 9.0)))
+      q2.processAllAvailable() // still pending: wm < 00:00
+      mem.addData(Seq(Ev(9, t("2024-01-01 06:00:00"), 0, "zz_flush", 0.0)))
+      q2.processAllAvailable() // wm 05:50 folds all six in event-time order
+      val alerts = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("dev"), r.getAs[Long]("var_n"),
+          r.getAs[String]("direction")))
+      assert(alerts.toList ===
+        List((t("2024-01-01 00:05:00"), 6L, 400000L, 32000000000L, "up")),
+        s"recovered Bollinger window wrong: ${alerts.toList}")
+    } finally q2.stop()
+  }
+
   test("streaming hybrid retrieval: incremental stats converge to the batch query, across a kill/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
