@@ -624,32 +624,61 @@ object Graph {
     * round's checkpoint job has consumed it, the final one stays alive
     * for the caller's execution (khopReach precedent). */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges
+    // DELTA form: the naive peel recomputes degrees from the full edge
+    // list every round (~4 full-edge shuffles × rounds — 10.2 s at
+    // sf0.1). Degrees change ONLY along edges incident to the
+    // newly-removed set Δ, so each round probes the immutable adjacency
+    // checkpoint with a BROADCAST of Δ (map-only — edges are
+    // never re-shuffled, shrunk, or re-checkpointed) and
+    // shuffles nothing but the |Δ|·deḡ-row decrement set and the
+    // |V|-row degree table. No edge-set maintenance is needed at all:
+    // a decrement aimed at an ALREADY-DEAD endpoint (its vertex left the
+    // degree table in an earlier round) self-filters through the deg
+    // anti/left joins, and each edge decrements each endpoint at most
+    // once (its other endpoint is removed exactly once). The survivors'
+    // running degree IS the output — no final recompute. The broadcast
+    // hint is the fixture-scale choice (Δ is ≤ |V| ids); at cluster
+    // scale with a dense first-round removal, drop the hint and the
+    // v-keyed probe sort-merges against the bucketed adjacency table.
+    // Edge-probe rounds (measured AGAINST adjacency packing here: the
+    // khop-style packed form pays a collect_list shuffle + an
+    // array-column checkpoint — the round-5 "array persists are slower
+    // than recompute" trap — and re-benched ~2x slower than probing the
+    // flat edge checkpoint twice per round).
+    val e = edges
+    var deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
     var done = false
     var round = 0
     while (round < rounds && !done) {
-      // deg feeds the convergence scalar AND both semi-join sides —
-      // checkpoint so the degree shuffle runs once per round.
-      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-        .localCheckpoint(true)
-      if (deg.filter(col("dg") < k).limit(1).count() == 0L) {
+      // delta re-derives from the checkpointed 1-row-per-vertex deg frame
+      // at each of its references - a map-only filter, never a shuffle.
+      val delta = deg.filter(col("dg") < k).select(col("v"))
+      if (delta.limit(1).count() == 0L) {
         done = true // converged: every later round is the identity
       } else {
-        val keep = deg.filter(col("dg") >= k).select(col("v"))
-        val next = e
-          .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        val dec = e.join(broadcast(delta.select(col("v").as("a"))), Seq("a"))
+          .select(col("b").as("v"))
+          .unionAll(e.join(broadcast(delta.select(col("v").as("b"))), Seq("b"))
+            .select(col("a").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("rm"))
+        val nextDeg = deg.join(broadcast(delta), Seq("v"), "left_anti")
+          .join(dec, Seq("v"), "left_outer")
+          .select(col("v"), (col("dg") - coalesce(col("rm"), lit(0L))).as("dg"))
           .localCheckpoint(true)
-        LlmOps.releaseCheckpoint(e)
-        e = next
+        LlmOps.releaseCheckpoint(deg)
+        deg = nextDeg
       }
-      LlmOps.releaseCheckpoint(deg)
       round += 1
     }
-    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
-      .select(col("v").as("part"), col("core_deg"))
+    // the final deg/e checkpoints stay alive for the caller's execution
+    // (khopReach precedent). dg > 0: a TRUNCATED run may carry vertices
+    // whose last neighbor died this round — the recompute form (and the
+    // oracle, which reads degrees off the final edge set) never lists
+    // them; at convergence every row has dg ≥ k so the filter is a no-op.
+    deg.filter(col("dg") > 0)
+      .select(col("v").as("part"), col("dg").as("core_deg"))
       .orderBy(col("part").asc)
   }
 
