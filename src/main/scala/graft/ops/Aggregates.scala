@@ -409,6 +409,38 @@ object Aggregates {
         .orderBy(col("c_nationkey").asc)
     },
 
+    // Exact lower weighted median — the robust-statistics sibling of
+    // agg_winsorized_mean: per return flag, the quantity-weighted median
+    // of line prices, i.e. the first price (in (price, orderkey,
+    // linenumber) order — the unique tie-break makes it total) whose
+    // running weight reaches half the group's total. All-integer: prices
+    // in exact cents, weights in exact quantity-centi units, the pick
+    // condition 2·cumw ≥ W is integer, and the flagged set is a SUFFIX
+    // of the sort order so the answer is ONE min(struct) aggregate over
+    // it — the argmin idiom, map-side combinable, no second window. One
+    // group-sharded window pass computes cumw and W together (same
+    // partition key, two frames — a single shuffle).
+    "agg_weighted_median" -> { (s, d) =>
+      val sortKeys = Seq(col("pc").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(sortKeys: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val flagged = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("pc"),
+          expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").as("wq"))
+        .withColumn("cumw", sum(col("wq")).over(wCum))
+        .withColumn("wtot", sum(col("wq")).over(wAll))
+        .filter(lit(2L) * col("cumw") >= col("wtot"))
+      flagged.groupBy(col("l_returnflag"))
+        .agg(max(col("wtot")).as("w_total"),
+          min(struct(col("pc"), col("l_orderkey"), col("l_linenumber"))).as("m"))
+        .select(col("l_returnflag"), col("w_total"),
+          (col("m.pc").cast("double") / lit(100d)).as("wmedian_price"))
+        .orderBy(col("l_returnflag").asc)
+    },
+
     // Shannon entropy of each source's language mix — the mixture-health
     // diagnostic next to llm_domain_mix's share table (and the ln-bearing
     // companion of the Simpson index: here the ln IS the metric, so the
@@ -720,6 +752,27 @@ object Aggregates {
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag,
+        |                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+        |                  CAST(round(l_quantity * 100, 0) AS BIGINT) AS wq,
+        |                  l_orderkey, l_linenumber
+        |           FROM lineitem),
+        |w AS (SELECT l_returnflag, pc, l_orderkey, l_linenumber,
+        |             sum(wq) OVER (PARTITION BY l_returnflag
+        |               ORDER BY pc ASC, l_orderkey ASC, l_linenumber ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |             sum(wq) OVER (PARTITION BY l_returnflag) AS wtot
+        |      FROM b),
+        |f AS (SELECT l_returnflag, pc, wtot,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |               ORDER BY pc ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |      FROM w WHERE 2 * cumw >= wtot)
+        |SELECT l_returnflag, CAST(wtot AS BIGINT) AS w_total,
+        |       CAST(pc AS DOUBLE) / 100 AS wmedian_price
+        |FROM f WHERE rn = 1
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
 
     "agg_entropy" ->
       """WITH c AS (SELECT source, lang, count(*) AS c

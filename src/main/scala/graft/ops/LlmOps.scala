@@ -3051,6 +3051,34 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // T5-style span corruption — deterministic training-data
+    // augmentation: token i of document d masks to '<X>' iff
+    // Knuth-hash(d·4096 + i) ≡ 0 (mod 5), the llm_sample_temperature
+    // multiplicative-hash idiom (pure BIGINT arithmetic, ≤ 1.1e17 —
+    // exact in both engines; Spark's 0-based transform index shifts to
+    // DuckDB's 1-based lambda index). Expected mask rate 1/5 with no RNG
+    // state — reruns and retries produce the identical corpus, the
+    // property a distributed augmentation pipeline actually needs. The
+    // corrupted text is pinned by md5 (the llm_bpe_encode precedent);
+    // n_masked counts '<X>' cells in the SAME transformed array in both
+    // engines, so the metric is consistent by construction. Map-only at
+    // any scale.
+    "llm_span_corruption" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .withColumn("ct", expr(
+          "transform(t, (x, i) -> CASE WHEN " +
+            "((2654435761 * (doc_id * 4096 + i + 1)) % 4294967296) % 5 = 0 " +
+            "THEN '<X>' ELSE x END)"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tok"),
+          expr("CAST(size(filter(ct, x -> x = '<X>')) AS BIGINT)").as("n_masked"),
+          expr("round(CAST(size(filter(ct, x -> x = '<X>')) AS DOUBLE) / " +
+            "CAST(size(t) AS DOUBLE), 6)").as("mask_frac"),
+          md5(array_join(col("ct"), " ")).as("corrupted_md5"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // Hard-negative mining — the contrastive-training-data stage after
     // retrieval evaluation: candidates that rank HIGH lexically (BM25
     // top-100) but are NOT semantically relevant (absent from the exact
@@ -4381,6 +4409,22 @@ object LlmOps {
         |FROM documents
         |JOIN embeddings ON doc_id = vec_id
         |JOIN events ON doc_id = event_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_span_corruption" ->
+      """WITH b AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |           FROM documents),
+        |c AS (SELECT doc_id, t,
+        |             list_transform(t, (x, i) -> CASE WHEN
+        |               ((2654435761 * (doc_id * 4096 + i)) % 4294967296) % 5 = 0
+        |               THEN '<X>' ELSE x END) AS ct
+        |      FROM b)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |       CAST(len(list_filter(ct, x -> x = '<X>')) AS BIGINT) AS n_masked,
+        |       round(CAST(len(list_filter(ct, x -> x = '<X>')) AS DOUBLE) /
+        |             CAST(len(t) AS DOUBLE), 6) AS mask_frac,
+        |       md5(array_to_string(ct, ' ')) AS corrupted_md5
+        |FROM c
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_hard_negatives" ->
