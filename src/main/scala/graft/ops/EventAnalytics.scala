@@ -746,6 +746,62 @@ object EventAnalytics {
         .orderBy(col("channel").asc)
     },
 
+    // STL-style anomaly detection — the composition the decompose family
+    // exists for: flag hours where the RESIDUAL (x − trend − seasonal,
+    // the ts_decompose_additive pipeline verbatim, integer micro-units)
+    // exceeds 3× the per-type MAD of residuals. The MAD is an EXACT
+    // rank-selected lower median of |resid| (the agg_winsorized_mean
+    // rank-pick discipline — never an interpolating quantile), so the
+    // whole query is integer-exact with no FP at all. Plan: the
+    // decompose's spine/window passes + one rank window over the
+    // residual table + a |types|-row broadcast join-back.
+    "ts_residual_outliers" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val trunc = (c: org.apache.spark.sql.Column) =>
+        date_trunc("hour", c).cast("timestamp_ntz")
+      val agg = ev.groupBy(col("event_type"), trunc(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("x"))
+      val bounds = ev.agg(trunc(min(col("ts"))).as("lo"), trunc(max(col("ts"))).as("hi"))
+      val hours = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+      val dense = ev.select(col("event_type")).distinct().crossJoin(hours)
+        .join(agg, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"), coalesce(col("x"), lit(0L)).as("x"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+        .rowsBetween(-12, 12)
+      val t1 = dense
+        .withColumn("w_n", count(lit(1)).over(wT))
+        .withColumn("sum25", sum(col("x")).over(wT))
+        .withColumn("trend_micro",
+          when(col("w_n") === 25, expr("(1000000 * sum25) div 25")))
+        .withColumn("d", col("x") * lit(1000000L) - col("trend_micro"))
+      val seas = t1.filter(col("d").isNotNull)
+        .groupBy(col("event_type").as("s_type"),
+          hour(col("hr")).cast("long").as("hod"))
+        .agg(expr("(sum(d + 1000000000000) div count(1)) - 1000000000000")
+          .as("seasonal_micro"))
+      val r = t1.join(broadcast(seas),
+          t1("event_type") === col("s_type") &&
+            hour(t1("hr")).cast("long") === col("hod"))
+        .filter(col("d").isNotNull)
+        .select(col("event_type"), col("hr"), col("x"),
+          (col("d") - col("seasonal_micro")).as("resid_micro"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("resid_micro")).asc, col("hr").asc)
+      val wAll = Window.partitionBy(col("event_type"))
+      val mad = r
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type").as("m_type"),
+          abs(col("resid_micro")).as("mad_micro"))
+      r.join(broadcast(mad), col("event_type") === col("m_type"))
+        .filter(abs(col("resid_micro")) > lit(3L) * col("mad_micro"))
+        .select(col("event_type"), col("hr"), col("x"),
+          col("resid_micro"), col("mad_micro"))
+        .orderBy(col("event_type").asc, col("hr").asc)
+    },
+
     // Bollinger-band breakout detection: per event type, a 20-point
     // rolling window (full windows only) flags rows outside
     // mean ± 2σ (population σ). Cross-engine discipline: values quantize
@@ -1340,6 +1396,57 @@ object EventAnalytics {
         |       CAST(sum((1000000 * cnt) // n) AS BIGINT) AS linear_micro
         |FROM pc GROUP BY event_type
         |ORDER BY channel ASC NULLS FIRST""".stripMargin,
+
+    "ts_residual_outliers" ->
+      """WITH spine AS (
+        |  SELECT t.event_type, h.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |       (SELECT date_trunc('hour', min(ts)) FROM events),
+        |       (SELECT date_trunc('hour', max(ts)) FROM events),
+        |       INTERVAL 1 HOUR)) AS hr) h
+        |), agg AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT s.event_type, s.hr, COALESCE(a.x, 0) AS x
+        |  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr
+        |), t1 AS (
+        |  SELECT event_type, hr, x,
+        |         count(*) OVER w AS w_n, sum(x) OVER w AS sum25
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), t3 AS (
+        |  SELECT event_type, hr, x,
+        |         1000000 * x -
+        |           (CASE WHEN w_n = 25 THEN (1000000 * sum25) // 25 END) AS d
+        |  FROM t1
+        |), seas AS (
+        |  SELECT event_type AS s_type, hour(hr) AS hod,
+        |         (sum(d + 1000000000000) // count(*)) - 1000000000000 AS seasonal_micro
+        |  FROM t3 WHERE d IS NOT NULL GROUP BY event_type, hour(hr)
+        |), r AS (
+        |  SELECT event_type, hr, x, d - seasonal_micro AS resid
+        |  FROM t3 JOIN seas ON event_type = s_type AND hour(hr) = hod
+        |  WHERE d IS NOT NULL
+        |), rk AS (
+        |  SELECT event_type, abs(resid) AS ar,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY abs(resid) ASC, hr ASC) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM r
+        |), mad AS (
+        |  SELECT event_type AS m_type, ar AS mad_micro FROM rk
+        |  WHERE rn = (n + 1) // 2
+        |)
+        |SELECT r.event_type, r.hr, r.x,
+        |       CAST(resid AS BIGINT) AS resid_micro,
+        |       CAST(mad_micro AS BIGINT) AS mad_micro
+        |FROM r JOIN mad ON r.event_type = m_type
+        |WHERE abs(resid) > 3 * mad_micro
+        |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
 
     "ts_bollinger_breakout" ->
       """WITH b AS (SELECT event_type, ts, event_id,
