@@ -2327,20 +2327,20 @@ object LlmOps {
     // pair fan-out at C(50,2): pairs are generated IN-ROW from each doc's
     // sorted present-top-word array (the Graph.coEdges HOF slice/transform
     // trick — no token-table self-join, which would fan out on common
-    // words quadratically). The global row_number runs over the |vocab|-
-    // sized df aggregate, never over token rows, and vocabulary size is
-    // corpus-sublinear — at 100 TB the only big shuffles are the two
-    // token-keyed groupBys. Tie-break (dfc desc, term asc) is total, so
-    // the top-50 cut is deterministic in both engines.
+    // words quadratically). The top-50 cut is orderBy+limit — a
+    // distributed TakeOrderedAndProject over the |vocab|-sized df
+    // aggregate (each task keeps its local top 50; the driver merges
+    // 50·P rows), never a global-ordering window, which would funnel a
+    // web-scale 10⁸–10⁹-row vocabulary through ONE task. Tie-break
+    // (dfc desc, term asc) is total, so the cut is deterministic in
+    // both engines and identical to the oracle's row_number form.
     "llm_word_cooccur_lift" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
         expr("array_distinct(split(lower(text), ' '))").as("toks"))
       val dfc = toks.select(col("doc_id"), explode(col("toks")).as("term"))
       val top = dfc.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("dfc").desc, col("term").asc)))
-        .filter(col("rn") <= 50)
+        .orderBy(col("dfc").desc, col("term").asc).limit(50)
         .select(col("term"), col("dfc"))
       val present = dfc.join(broadcast(top.select(col("term"))), Seq("term"))
         .groupBy(col("doc_id"))
@@ -3054,9 +3054,13 @@ object LlmOps {
     // T5-style span corruption — deterministic training-data
     // augmentation: token i of document d masks to '<X>' iff
     // Knuth-hash(d·4096 + i) ≡ 0 (mod 5), the llm_sample_temperature
-    // multiplicative-hash idiom (pure BIGINT arithmetic, ≤ 1.1e17 —
-    // exact in both engines; Spark's 0-based transform index shifts to
-    // DuckDB's 1-based lambda index). Expected mask rate 1/5 with no RNG
+    // multiplicative-hash idiom. The key folds mod 2³¹ BEFORE the
+    // multiply, so the product is ≤ 2654435761·(2³¹−1) ≈ 5.7e18 < 2⁶³
+    // for ANY doc_id — pure BIGINT arithmetic, exact in both engines
+    // (ANSI Spark and DuckDB both throw on BIGINT overflow rather than
+    // wrap, so the unreduced form would abort past doc_id ≈ 8.5e5).
+    // Spark's 0-based transform index shifts to DuckDB's 1-based
+    // lambda index. Expected mask rate 1/5 with no RNG
     // state — reruns and retries produce the identical corpus, the
     // property a distributed augmentation pipeline actually needs. The
     // corrupted text is pinned by md5 (the llm_bpe_encode precedent);
@@ -3068,7 +3072,8 @@ object LlmOps {
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
         .withColumn("ct", expr(
           "transform(t, (x, i) -> CASE WHEN " +
-            "((2654435761 * (doc_id * 4096 + i + 1)) % 4294967296) % 5 = 0 " +
+            "((2654435761 * ((doc_id * 4096 + i + 1) % 2147483648)) " +
+            "% 4294967296) % 5 = 0 " +
             "THEN '<X>' ELSE x END)"))
         .select(col("doc_id"),
           size(col("t")).cast("long").as("n_tok"),
@@ -4416,7 +4421,8 @@ object LlmOps {
         |           FROM documents),
         |c AS (SELECT doc_id, t,
         |             list_transform(t, (x, i) -> CASE WHEN
-        |               ((2654435761 * (doc_id * 4096 + i)) % 4294967296) % 5 = 0
+        |               ((2654435761 * ((doc_id * 4096 + i) % 2147483648))
+        |                % 4294967296) % 5 = 0
         |               THEN '<X>' ELSE x END) AS ct
         |      FROM b)
         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,

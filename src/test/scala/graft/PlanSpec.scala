@@ -130,6 +130,21 @@ class PlanSpec extends SparkSpec {
         s"instead):\n$plan")
   }
 
+  test("llm_word_cooccur_lift cuts the vocab top-50 via TakeOrderedAndProject, not a global window") {
+    // The df-rank cut runs over the WHOLE vocabulary table — at web scale
+    // that is 10⁸–10⁹ rows, so a global-ordering WindowExec (one task
+    // sorts everything) is the failure mode; orderBy+limit compiles to a
+    // distributed TakeOrderedAndProject (each task keeps its local top
+    // 50). The only windows allowed in this plan are the bounded ones.
+    val df = SparkEntry.queries("llm_word_cooccur_lift")(spark, sf)
+    df.collect() // AQE-finalize before inspecting (round-4 rule)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-50 must be a distributed top-k:\n$plan")
+    assert(!plan.contains("WindowExec"),
+      s"no unbounded global-ordering window allowed in the cooccur plan:\n$plan")
+  }
+
   test("win_row_number_topk gets a WindowGroupLimit (per-group top-k prune before the sort)") {
     // Spark 4's InferWindowGroupLimit turns `row_number() <= k` into a
     // WindowGroupLimit, so each partition keeps only k candidate rows per
