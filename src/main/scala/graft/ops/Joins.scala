@@ -449,6 +449,74 @@ object Joins {
         .limit(100)
     },
 
+    // TPC-H Q2-shaped correlated min-cost lookup (the fixture has no
+    // partsupp, so lineitem plays the supply table): for each small part,
+    // the supplier(s) offering the MINIMUM extendedprice — selected by a
+    // correlated scalar subquery, the classic Q2 decorrelation stress.
+    // Written in SQL on temp views deliberately (the
+    // filter_correlated_subquery precedent) so Catalyst's
+    // RewriteCorrelatedScalarSubquery actually runs: the per-part min
+    // compiles to ONE map-side-combined aggregate over lineitem joined
+    // back on partkey — never a per-row subquery execution, which is the
+    // difference between one shuffle and |part| scans of lineitem at
+    // 100 TB. PlanSpec asserts the decorrelated aggregate + top-k plan.
+    // Ties at the min price keep all qualifying suppliers; the
+    // (min_price DESC, p_partkey, s_suppkey) order is total, so the
+    // LIMIT 100 cut is deterministic in both engines (prices are parquet
+    // doubles compared exactly, never re-derived).
+    "join_multiway_q2" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("graft_q2_part")
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q2_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q2_lineitem")
+      s.sql(
+        """SELECT p_partkey, p_brand, s_suppkey, s_name,
+          |       l_extendedprice AS min_price
+          |FROM graft_q2_part
+          |JOIN graft_q2_lineitem ON l_partkey = p_partkey
+          |JOIN graft_q2_supplier ON s_suppkey = l_suppkey
+          |WHERE p_size <= 5
+          |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+          |                         FROM graft_q2_lineitem l2
+          |                         WHERE l2.l_partkey = p_partkey)
+          |ORDER BY min_price DESC NULLS LAST, p_partkey ASC NULLS FIRST,
+          |         s_suppkey ASC NULLS FIRST
+          |LIMIT 100""".stripMargin)
+    },
+
+    // TPC-H Q21-shaped EXISTS + NOT-EXISTS self-join stack (suppliers who
+    // kept multi-supplier orders waiting): a supplier's returned line in a
+    // finished order counts iff ANOTHER supplier shipped in the same order
+    // (EXISTS) and NO other supplier's line was returned (NOT EXISTS) —
+    // returnflag standing in for the receipt>commit lateness column the
+    // fixture lacks. The decorrelation stress nothing else covers: BOTH
+    // subqueries correlate to the outer lineitem on orderkey with a
+    // suppkey inequality, and must compile to a LeftSemi and a LeftAnti
+    // join over ONE orderkey-shuffled self-join each — per-row subquery
+    // execution would re-scan lineitem per line. PlanSpec asserts both
+    // join types and no nested loops. count(*) per s_name with a total
+    // (numwait DESC, s_name) order makes the LIMIT 100 deterministic.
+    "join_multiway_q21" -> { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q21_supplier")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q21_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q21_lineitem")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM graft_q21_supplier
+          |JOIN graft_q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN graft_q21_orders ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS FIRST
+          |LIMIT 100""".stripMargin)
+    },
+
     // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
     // driver-checked path): both sides live as catalog tables bucketed 8
     // ways on the join key, so the forced sort-merge join reads bucket i
@@ -590,6 +658,37 @@ object Joins {
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
         |         l_year ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q2" ->
+      """SELECT p_partkey, p_brand, s_suppkey, s_name,
+        |       l_extendedprice AS min_price
+        |FROM part
+        |JOIN lineitem ON l_partkey = p_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size <= 5
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)
+        |ORDER BY min_price DESC NULLS LAST, p_partkey ASC NULLS FIRST,
+        |         s_suppkey ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
+
+    "join_multiway_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
 
     // Bucketing is layout, not semantics: the oracle is the plain join.
     "join_bucketed_colocated" ->

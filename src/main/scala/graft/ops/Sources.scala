@@ -77,6 +77,40 @@ object Sources {
         .orderBy(col("c_mktsegment").asc)
     },
 
+    // Dynamic partition pruning as a DECLARED query — the #1 scan lever
+    // at 100 TB (SURVEY §4): the fact lives as a dt=yyyy-MM partitioned
+    // layout (written once per source signature, the fmtDir discipline),
+    // the dim is a tiny FILE-BACKED month table (a LocalRelation dim
+    // constant-folds its filter away and the DPP rule never sees a
+    // filtered build side — the round-4 lesson), and the mth <= 3 dim
+    // filter reaches the fact scan only at RUNTIME, as a
+    // dynamicpruningexpression partition filter fed by the broadcast: the
+    // fact's dt value set is not known until the dim side is evaluated,
+    // so static pruning cannot do this. Reads ~3/12 of the partitions
+    // instead of all of them; PlanSpec asserts `dynamicpruning` on the
+    // finalized plan. Oracle = the identical join on the unpartitioned
+    // table, so losslessness of the layout+pruning is driver-checked.
+    "src_scan_partitioned_dpp" -> { (s, d) =>
+      val factDir = fmtDir(d, "orders", "dtpart")
+      if (!new java.io.File(s"$factDir/_SUCCESS").exists()) {
+        Tables.orders(s, d)
+          .withColumn("dt", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("dt").parquet(factDir)
+      }
+      val dimDir = fmtDir(d, "orders", "dppdim")
+      if (!new java.io.File(s"$dimDir/_SUCCESS").exists()) {
+        Tables.orders(s, d)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
+            month(col("o_orderdate")).cast("long").as("mth"))
+          .distinct()
+          .write.mode("overwrite").parquet(dimDir)
+      }
+      s.read.parquet(factDir)
+        .join(s.read.parquet(dimDir).filter(col("mth") <= 3), Seq("dt"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsumD(col("o_totalprice")).as("sum_price"))
+    },
+
     // ORC ingestion roundtrip, same contract as CSV/JSONL: re-encode a
     // fixture table once (signature-keyed cache dir), read it back through
     // the columnar ORC reader, prove value identity by sharing the parquet
@@ -143,6 +177,19 @@ object Sources {
         |FROM customer
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    // The oracle runs the same dim-filtered join over the UNPARTITIONED
+    // table: partition layout + DPP move the read set, never the rows.
+    "src_scan_partitioned_dpp" ->
+      """WITH f AS (SELECT o_totalprice, strftime(o_orderdate, '%Y-%m') AS dt
+        |           FROM orders),
+        |dim AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS dt,
+        |               CAST(month(o_orderdate) AS BIGINT) AS mth
+        |        FROM orders)
+        |SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM f JOIN dim USING (dt)
+        |WHERE mth <= 3""".stripMargin,
 
     "src_scan_orc_roundtrip" ->
       """SELECT p_brand, count(*) AS n,

@@ -83,6 +83,46 @@ class PlanSpec extends SparkSpec {
       s"no nested-loop join in Q7:\n$plan")
   }
 
+  test("src_scan_partitioned_dpp: the dim filter prunes fact partitions at runtime") {
+    val df = SparkEntry.queries("src_scan_partitioned_dpp")(spark, sf)
+    df.collect() // AQE-finalize before inspecting (round-4 rule)
+    // A dynamic-pruning SubqueryBroadcast nests its own AdaptiveSparkPlan,
+    // whose Final/Initial markers appear mid-tree — so don't split on the
+    // Initial marker (round-7 rule); search the whole string.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+    assert(plan.contains("PartitionFilters"),
+      s"dt must be a partition filter, not a row filter:\n$plan")
+  }
+
+  test("join_multiway_q2: the correlated min decorrelates to one aggregate, top-k without global sort") {
+    val df = SparkEntry.queries("join_multiway_q2")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"the per-part min must be a map-side-combined aggregate (decorrelated), " +
+        s"not a per-row subquery:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"Q2's LIMIT 100 must be a distributed top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in Q2:\n$plan")
+  }
+
+  test("join_multiway_q21: EXISTS/NOT-EXISTS compile to semi/anti joins, never per-row subqueries") {
+    val df = SparkEntry.queries("join_multiway_q21")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must compile to a left-semi join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must compile to a left-anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in Q21:\n$plan")
+  }
+
   test("llm_phrase_search: the postings probe is a broadcast hash join, never a BNLJ") {
     val df = SparkEntry.queries("llm_phrase_search")(spark, sf)
     df.collect() // AQE-finalized plan (round-4 rule)
