@@ -28,6 +28,48 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.001)
   }
 
+  test("hll sketch partials: persisted merge is exact, order/partitioning-independent, associative") {
+    // The declared query already proves merged ≡ direct via the oracle
+    // flag; this pins the MERGEABILITY properties a 100 TB profile job
+    // leans on: (a) the persisted partials survive a reshuffle with the
+    // identical union estimate, (b) merging in two stages (re-merge of
+    // merged sketches) equals the flat merge, (c) the partial files on
+    // disk really carry binary sketch blobs, not estimates.
+    graft.SparkEntry.queries("agg_hll_sketch_merge")(spark, sf).collect()
+    val dir = Aggregates.sketchDir(sf)
+    val partials = spark.read.parquet(dir)
+    assert(partials.schema("sk").dataType ===
+      org.apache.spark.sql.types.BinaryType, "partials must be raw sketch blobs")
+    def est(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flat = est(partials)
+    assert(est(partials.repartition(7)) === flat,
+      "union estimate must not depend on partitioning/arrival order")
+    // two-stage merge: fold each half into ONE sketch, then union the
+    // two per-half sketches — must equal the flat union of all partials
+    val twoStage = partials
+      .groupBy(col("o_orderpriority"), col("half"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoStage === flat, "re-merge of merged sketches must be lossless")
+    // merged-vs-direct: the union gadget may promote coupon-mode inputs
+    // to dense HLL earlier than a straight sketch, so the two estimators
+    // can differ near the sparse/dense boundary — bounded, not zero
+    // (the reason the declared flag is persist_exact, not merge_exact).
+    val direct = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), 12)).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    flat.foreach { case (k, m) =>
+      assert(math.abs(m - direct(k)).toDouble / direct(k) <= 0.02,
+        s"$k: merged $m vs direct ${direct(k)} diverged past 2%")
+    }
+  }
+
   /** Naive double-precision population g1 / excess g2 over a sample. */
   private def naiveMoments(xs: Seq[Long]): (Double, Double) = {
     val n = xs.length.toDouble
