@@ -575,6 +575,82 @@ object Multimodal {
     }
   }
 
+  /** Documents → cross-RESOLUTION rendition pairs of one BLOCK-STRUCTURED
+    * image: an 8×8 grid of constant-value blocks (value 48 or 112 by the
+    * parity of the doc's text byte j for grid cell j — printable ASCII, so
+    * the oracle's string md5 ≡ byte md5), encoded at full size (w, h
+    * multiples of 16) as media_id 2·doc_id and at EXACT HALF SIZE as
+    * 2·doc_id+1 — the half rendition runs the REAL pipeline (decode the
+    * full container → [[resampleNearest]] → re-encode), not a shortcut.
+    *
+    * Why block-structured, not the cycled-text pixels: the average hash
+    * is a LOW-frequency signature — on [[syntheticPixelTable]]'s
+    * pseudo-random text pixels a resize decorrelates the 64 block means
+    * (measured: mean Hamming ≈ 30/64, i.e. chance), which is the honest
+    * limit of aHash, not a bug. Real photos are low-frequency, which is
+    * where aHash earns its keep; this fixture models that regime, and
+    * makes the invariance EXACT: 8 | dims on both sides ⇒ every
+    * half-size sample sy = 2y lands in the source pixel's own grid cell,
+    * all 64 blocks have equal pixel counts, so block-mean comparisons
+    * reduce to 64·B[j] > ΣB at BOTH resolutions — bit-identical hashes
+    * by construction, recomputable from text alone (the mm_dedup_phash
+    * oracle). */
+  def crossResTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bl = bytes.length
+      val w = 16 * (math.floorMod(id, 4).toInt + 1)
+      val h = 16 * (math.floorMod(id, 3).toInt + 1)
+      val ch = if (id % 2 == 0) 3 else 4
+      val px = new Array[Byte](w * h * ch)
+      var i = 0
+      while (i < px.length) {
+        val p = i / ch
+        val j = ((p / w) * 8 / h) * 8 + ((p % w) * 8 / w)
+        px(i) = if ((bytes(j % bl) & 1) == 0) 48.toByte else 112.toByte
+        i += 1
+      }
+      val full = encodePng(w, h, ch, px)
+      val (dw, dh, dch, dpx) = decodePng(full).get
+      val half = encodePng(dw / 2, dh / 2, dch,
+        resampleNearest(dw, dh, dch, dpx, dw / 2, dh / 2))
+      Seq(MediaRow(2 * id, "image", full), MediaRow(2 * id + 1, "image", half))
+    }
+  }
+
+  case class PhashDigestRow(media_id: Long, width: Long, height: Long,
+      channels: Long, phash: String, pix_md5: String)
+
+  /** [[averageHash]] + MD5 content digest in ONE decode pass — the
+    * near-dup + exact-dup signatures a cross-resolution image dedup needs,
+    * without decoding the payload twice. Partition-preserving batch map;
+    * only the two signatures leave the partition. */
+  def phashDigest(media: Dataset[MediaRow]): Dataset[PhashDigestRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h, ch, px) = decodePng(r.payload).getOrElse(
+          throw new IllegalStateException(
+            s"undecodable pixel-table payload for media_id=${r.media_id}"))
+        md.reset()
+        val dig = md.digest(px)
+        val sb = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < dig.length) {
+          sb.append(Character.forDigit((dig(i) >> 4) & 0xf, 16))
+          sb.append(Character.forDigit(dig(i) & 0xf, 16))
+          i += 1
+        }
+        PhashDigestRow(r.media_id, w.toLong, h.toLong, ch.toLong,
+          averageHash(w, h, ch, px), sb.toString)
+      }
+    }
+  }
+
   case class PixelDigest(media_id: Long, width: Long, height: Long,
       channels: Long, pix_md5: String)
 

@@ -3037,6 +3037,34 @@ object LlmOps {
         .orderBy(col("first_media").asc)
     },
 
+    // Cross-RESOLUTION image near-dup dedup: each document's
+    // block-structured image exists at full size and at a REAL
+    // half-size resample (decode → resampleNearest → re-encode —
+    // Multimodal.crossResTable), and grouping by the perceptual hash
+    // reunites the pair while the exact pixel digest CANNOT
+    // (n_distinct_pixels = 2 in every group): the operator a 100 TB
+    // multimodal pipeline needs where mm_dedup_pixels' content
+    // addressing stops — re-encodes at new resolutions. Signature
+    // extraction is one decode pass per payload (phashDigest), payloads
+    // never shuffle, and the groupBy carries a 64-bit signature + a
+    // 32-byte digest — the universal dedup shuffle shape. Oracle: the
+    // block construction makes BOTH resolutions' hashes the closed form
+    // bit j = 64·B[j] > ΣB and both buffers exact printable strings
+    // (md5-able in SQL), so the whole decode→resize→hash→group pipeline
+    // is recomputed from documents.text alone.
+    "mm_dedup_phash" -> { (s, d) =>
+      graft.multimodal.Multimodal.phashDigest(
+        graft.multimodal.Multimodal.crossResTable(Tables.documents(s, d)))
+        .toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("pix_md5")).as("n_distinct_pixels"),
+          min(col("media_id")).as("first_media"),
+          expr("array_join(transform(sort_array(collect_list(media_id))," +
+            " x -> cast(x AS string)), ',')").as("media_ids"))
+        .orderBy(col("first_media").asc)
+    },
+
     "llm_multimodal_join" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -4407,6 +4435,50 @@ object LlmOps {
         |       CAST(min(media_id) AS BIGINT) AS first_media,
         |       string_agg(media_id::VARCHAR, ',' ORDER BY media_id) AS media_ids
         |FROM m GROUP BY 1, 2, 3, 4
+        |ORDER BY first_media ASC NULLS FIRST""".stripMargin,
+
+    // Cross-resolution phash dedup recomputed pixel-free: equal-sized
+    // 8×8 blocks collapse the bit rule to 64·B[j] > ΣB at BOTH
+    // resolutions (B[j] = 48/112 by text-byte parity), and each
+    // rendition's pixel buffer is an exact printable string (8 runs of
+    // chr(B) per scanline), so the md5s — which keep the pair APART for
+    // exact dedup — are computed literally.
+    "mm_dedup_phash" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, len(text) AS L,
+        |         16 * ((doc_id % 4) + 1) AS w, 16 * ((doc_id % 3) + 1) AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |bv AS (SELECT doc_id, w, h, ch,
+        |              list_transform(range(0, 64), j ->
+        |                CASE WHEN ascii(text[CAST(j % L + 1 AS INT)]) % 2 = 0
+        |                     THEN 48 ELSE 112 END) AS B
+        |       FROM b),
+        |ph AS (SELECT doc_id, w, h, ch, B,
+        |              array_to_string(list_transform(B, v ->
+        |                CASE WHEN 64 * v > list_sum(B) THEN '1' ELSE '0' END),
+        |                '') AS phash
+        |       FROM bv),
+        |rend AS (SELECT doc_id, phash, B, ch,
+        |                2 * doc_id + r AS media_id,
+        |                w // (r + 1) AS rw, h // (r + 1) AS rh
+        |         FROM ph, (VALUES (0), (1)) v(r)),
+        |rws AS (SELECT media_id, phash, B, ch, rw, rh,
+        |               unnest(range(0, rh)) AS y
+        |        FROM rend),
+        |rs AS (SELECT media_id, phash, y,
+        |              array_to_string(list_transform(range(0, 8), bx ->
+        |                repeat(chr(CAST(B[CAST((y * 8 // rh) * 8 + bx + 1 AS INT)] AS INT)),
+        |                       CAST((rw // 8) * ch AS INT))), '') AS row_str
+        |       FROM rws),
+        |dg AS (SELECT media_id, phash,
+        |              md5(string_agg(row_str, '' ORDER BY y)) AS pix_md5
+        |       FROM rs GROUP BY media_id, phash)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(count(DISTINCT pix_md5) AS BIGINT) AS n_distinct_pixels,
+        |       CAST(min(media_id) AS BIGINT) AS first_media,
+        |       string_agg(media_id::VARCHAR, ',' ORDER BY media_id) AS media_ids
+        |FROM dg GROUP BY phash
         |ORDER BY first_media ASC NULLS FIRST""".stripMargin,
 
     "llm_multimodal_join" ->

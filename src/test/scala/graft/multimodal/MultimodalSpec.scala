@@ -38,6 +38,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageHeader(wrapped) === Some((1023, 768, 3)))
   }
 
+  test("cross-res renditions: planted pair shares phash via the REAL resize path, md5s differ") {
+    import spark.implicits._
+    // one planted doc with a known parity pattern: byte j of the text
+    // drives grid cell j — 'a' (97, odd → 112) and 'b' (98, even → 48)
+    val text = ("ab" * 32) // 64 bytes: alternating high/low blocks
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val media = Multimodal.crossResTable(docs).collect().sortBy(_.media_id)
+    assert(media.map(_.media_id).toSeq === Seq(14L, 15L))
+    // the half rendition is a genuinely different container AND different
+    // decoded buffer (half the dims), produced by decode→resample→encode
+    val Some((fw, fh, fch, fpx)) = Multimodal.decodePng(media(0).payload)
+    val Some((hw, hh, hch, hpx)) = Multimodal.decodePng(media(1).payload)
+    assert((fw, fh) === (16 * 4, 16 * 2) && (hw, hh) === (fw / 2, fh / 2))
+    assert(fch === hch && !java.util.Arrays.equals(fpx, hpx))
+    // phash invariance is exact by construction; expected hash from the
+    // closed form 64·B[j] > ΣB: B alternates 112/48, mean 80 → bit = (j even)
+    val expected = (0 until 64).map(j => if (j % 2 == 0) '1' else '0').mkString
+    assert(Multimodal.averageHash(fw, fh, fch, fpx) === expected)
+    assert(Multimodal.averageHash(hw, hh, hch, hpx) === expected)
+    // the declared query's grouping: one phash group of both renditions,
+    // with TWO distinct exact digests — phash reunites what md5 cannot
+    val grouped = Multimodal.phashDigest(Multimodal.crossResTable(docs)).toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("pix_md5")).as("nd"))
+      .collect()
+    assert(grouped.length === 1)
+    assert(grouped(0).getAs[Long]("n") === 2L && grouped(0).getAs[Long]("nd") === 2L)
+  }
+
   test("JPEG golden header: SOF0 after skipped segments decodes exact dims") {
     // SOI, APP0 (len 4, skipped), DHT-lookalike skipped by length, then
     // SOF0: len 17, precision 8, height 240, width 320, 3 components
