@@ -364,6 +364,25 @@ object LlmOps {
     (s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/assign"))
   }
 
+  /** Encode RAW embedding rows (vec_id, label, embedding float array)
+    * against a STANDING codebook into inverted-file posting rows — the
+    * single encode seam shared by the batch upsert (`llm_sim_ann_ivf_upsert`
+    * via embDouble + assignToCentroid) and the streaming micro-batch
+    * ingest (StreamOps.startIvfUpsertSink). Assignment is a pure function
+    * of (vector, codebook), so micro-batched encode ≡ one-shot batch
+    * encode row-for-row regardless of how arrival slices the stream —
+    * StreamingSpec pins it, including across a kill/restart. */
+  private[graft] def encodeAgainstCodebook(batch: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(batch.sparkSession)
+    val e = batch.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("ssq", expr("graft_dot(emb, emb)"))
+    assignToCentroid(e, centroids)
+      .select(col("vec_id"), col("label"), col("cid"), col("emb"),
+        col("ssq"), col("cang"))
+  }
+
   /** Cache location for a dataset's ANN index (`kind` = ivf | pq), keyed
     * on the embeddings files' (name, size, mtime) signature so a
     * regenerated fixture never answers from a stale index. Queries are

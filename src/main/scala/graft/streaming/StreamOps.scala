@@ -351,6 +351,45 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming IVF index maintenance — the micro-batch twin of the batch
+    * `llm_sim_ann_ivf_upsert` path, i.e. the way a real vector-ingest
+    * deployment actually appends to a standing ANN index: each
+    * micro-batch of raw vectors (vec_id, label, embedding) is encoded
+    * against the PERSISTED codebook at `centroidsPath` (never retrained —
+    * the upsert staleness contract: the codebook affects efficiency only,
+    * never answers, on the exact cell-routed paths) and its posting rows
+    * land batch-scoped under `storePath/b<id>`. Reading
+    * `storePath/b*` ∪ the base index's assign table IS the upsert view;
+    * compaction (`llm_sim_ann_ivf_compact`) later folds the deltas in.
+    *
+    * Idempotence (foreachBatch is at-least-once + idempotent writes): the
+    * only write is an overwrite of the batch's own directory, and
+    * encoding is a pure function of (batch, codebook) — a replayed batch
+    * rewrites identical bytes. Batch-equivalence is STRUCTURAL: the
+    * encode body is LlmOps.encodeAgainstCodebook, the same seam the
+    * batch upsert runs, so the accumulated store equals the one-shot
+    * encode row-for-row however arrival slices the stream.
+    *
+    * Scale notes (100 TB stream): per batch the work is one broadcast
+    * codebook fan-out folded map-side (assignToCentroid's min(struct)
+    * argmin — the shuffle carries ONE row per vector), the standing
+    * corpus is never re-read or re-shuffled, and the raw embeddings are
+    * touched only for the arriving rows — the exact property the batch
+    * upsert plan-asserts. */
+  def startIvfUpsertSink(vectors: DataFrame, centroidsPath: String,
+      storePath: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val centroids = spark.read.parquet(centroidsPath)
+        graft.ops.LlmOps.encodeAgainstCodebook(batch, centroids)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$storePath/b$id")
+        ()
+      }
+      .start()
+
   case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, id: Long,
       is_probe: Boolean)
   case class AsOfEvent(ts_ms: Long, id: Long)

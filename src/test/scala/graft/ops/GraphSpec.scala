@@ -76,6 +76,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("assortativity matches a naive driver-side Newman r on seeded graphs") {
+    // the one graph query that had no second, independent check: recompute
+    // Newman's degree assortativity from scratch — degree map, both edge
+    // orientations as (x, y) samples, textbook Pearson over the samples —
+    // and compare to the distributed closed form at its rounded scale.
+    for (seed <- 1L to 3L) {
+      val edges = randomEdges(n = 60, m = 260, seed = seed)
+      val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val samples = edges.toSeq.flatMap { case (a, b) =>
+        Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+      val m2 = samples.size.toLong
+      val sx = samples.map(_._1).sum; val sy = samples.map(_._2).sum
+      val sxx = samples.map(s => s._1 * s._1).sum
+      val syy = samples.map(s => s._2 * s._2).sum
+      val sxy = samples.map(s => s._1 * s._2).sum
+      val naive = (m2 * sxy - sx * sy).toDouble /
+        math.sqrt((m2 * sxx - sx * sx).toDouble * (m2 * syy - sy * sy).toDouble)
+      val row = Graph.assortativity(edgeDf(edges)).collect().head
+      assert(row.getAs[Long]("m2") === m2, s"seed=$seed m2")
+      assert(math.abs(row.getAs[Double]("assort") -
+        BigDecimal(naive).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        <= 1e-9, s"seed=$seed r")
+    }
+    // closed-form witness: a star is perfectly disassortative, r = -1
+    val star = (1L to 15L).map(i => (0L, i)).toSet
+    val r = Graph.assortativity(edgeDf(star)).collect().head
+    assert(r.getAs[Double]("assort") === -1.0)
+  }
+
   test("khop reach matches naive BFS radii on a seeded random graph") {
     import spark.implicits._
     val edges = randomEdges(n = 80, m = 200, seed = 7L)

@@ -1116,6 +1116,65 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming IVF maintenance: micro-batch postings equal the one-shot encode, across a kill/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+    // standing index trained ONCE on the base corpus (vec_id % 10 != 0) —
+    // the same split the batch upsert query uses
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("ssq", expr("graft_dot(emb, emb)"))
+    val base = e.filter(col("vec_id") % 10 =!= 0).localCheckpoint(true)
+    graft.ops.LlmOps.writeIvfIndex(base, s"$dir/idx",
+      nlist = graft.ops.LlmOps.ivfNlist(base.count()), iters = 2)
+    // the ingest stream: the % 10 == 0 vectors as RAW floats, in 3 batches
+    val delta = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1).toSeq
+    assert(delta.nonEmpty)
+    val mem = MemoryStream[(Long, Int, Array[Float])]
+    def start() = StreamOps.startIvfUpsertSink(
+      mem.toDF().toDF("vec_id", "label", "embedding"),
+      s"$dir/idx/centroids", s"$dir/store", s"$dir/ckpt")
+    val (b1, rest) = delta.splitAt(delta.size / 3)
+    val q1 = start()
+    mem.addData(b1); q1.processAllAvailable()
+    q1.stop() // kill
+    // these vectors exist ONLY in the un-consumed source while the query
+    // is down — the restarted query must ingest them from the checkpoint
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    mem.addData(b2)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      mem.addData(b3); q2.processAllAvailable()
+      val centroids = spark.read.parquet(s"$dir/idx/centroids")
+      def norm(df: DataFrame) =
+        df.select(col("vec_id"), col("label"), col("cid"), col("ssq"),
+            col("cang"))
+          .orderBy(col("vec_id").asc).collect().map(_.toSeq.toList).toList
+      // the accumulated store ≡ the batch upsert path's one-shot encode of
+      // the same vectors against the same codebook (the shared
+      // encodeAgainstCodebook seam), independent of batch slicing and of
+      // the kill/restart boundary
+      val streamed = norm(spark.read.parquet(s"$dir/store/b*").drop("batch_id"))
+      val oneShot = norm(graft.ops.LlmOps.encodeAgainstCodebook(
+        graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"), col("label"), col("embedding")), centroids))
+      assert(streamed.size === delta.size, "store lost or duplicated vectors")
+      assert(streamed === oneShot,
+        "streamed postings diverged from the batch encode")
+      // and no batch ever re-read the standing corpus: the store carries
+      // only delta vec_ids
+      assert(spark.read.parquet(s"$dir/store/b*")
+        .filter(col("vec_id") % 10 =!= 0).count() === 0)
+    } finally q2.stop()
+  }
+
   test("streaming hybrid retrieval: incremental stats converge to the batch query, across a kill/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
