@@ -651,6 +651,87 @@ object Multimodal {
     }
   }
 
+  /** Documents → cross-FORMAT rendition pairs: ONE 64×64 grayscale
+    * block-structured image per document (8×8 grid of 8×8 cells — each
+    * cell exactly one JPEG MCU — valued 48/112 by text-byte parity, the
+    * [[crossResTable]] pattern), encoded BOTH as a real PNG
+    * (media_id 2·doc_id) and as a real baseline JPEG (2·doc_id+1,
+    * [[Jpeg.encodeGray]]). MCU-aligned constant cells make every JPEG
+    * block DC-only, and the flat q=16 table divides the shifted DC
+    * values 8·(48−128) and 8·(112−128) exactly, so the LOSSY codec is
+    * bit-exact on this content: both containers decode to the SAME pixel
+    * buffer, recomputable from text alone — the fixture for
+    * cross-format content dedup (`mm_dedup_formats`). */
+  def crossFormatTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bl = bytes.length
+      val px = new Array[Byte](64 * 64)
+      var i = 0
+      while (i < px.length) {
+        val j = (i / 64 / 8) * 8 + (i % 64) / 8
+        px(i) = if ((bytes(j % bl) & 1) == 0) 48.toByte else 112.toByte
+        i += 1
+      }
+      Seq(MediaRow(2 * id, "image", encodePng(64, 64, 1, px)),
+        MediaRow(2 * id + 1, "image", Jpeg.encodeGray(64, 64, px)))
+    }
+  }
+
+  /** Format-dispatching pixel decode: PNG first (signature check is
+    * cheap), then baseline JPEG. Returns the detected container format
+    * with the decoded plane data. */
+  def decodeAnyImage(p: Array[Byte]): Option[(String, (Int, Int, Int, Array[Byte]))] =
+    decodePng(p).map("png" -> _).orElse(Jpeg.decode(p).map("jpeg" -> _))
+
+  /** Pixel statistics through the REAL JPEG decoder — the [[pixelStats]]
+    * contract (partition-preserving, payload never shuffles, throws on
+    * undecodable) over baseline JPEG payloads. */
+  def jpegStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (w, h, ch, px) = Jpeg.decode(r.payload).getOrElse(
+        throw new IllegalStateException(
+          s"undecodable jpeg payload for media_id=${r.media_id}"))
+      var s = 0L
+      var i = 0
+      while (i < px.length) { s += px(i) & 0xff; i += 1 }
+      PixelStats(r.media_id, w.toLong, h.toLong, ch.toLong, s)
+    })
+  }
+
+  case class FormatDigest(media_id: Long, format: String, width: Long,
+      height: Long, channels: Long, pix_md5: String)
+
+  /** Content digest across CONTAINER FORMATS: each payload decodes through
+    * its own real codec ([[decodeAnyImage]]) and the PIXELS are md5'd —
+    * one decode pass, signatures only leave the partition. */
+  def formatDigest(media: Dataset[MediaRow]): Dataset[FormatDigest] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (fmt, (w, h, ch, px)) = decodeAnyImage(r.payload).getOrElse(
+          throw new IllegalStateException(
+            s"undecodable payload for media_id=${r.media_id}"))
+        md.reset()
+        val dig = md.digest(px)
+        val sb = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < dig.length) {
+          sb.append(Character.forDigit((dig(i) >> 4) & 0xf, 16))
+          sb.append(Character.forDigit(dig(i) & 0xf, 16))
+          i += 1
+        }
+        FormatDigest(r.media_id, fmt, w.toLong, h.toLong, ch.toLong, sb.toString)
+      }
+    }
+  }
+
   case class PixelDigest(media_id: Long, width: Long, height: Long,
       channels: Long, pix_md5: String)
 

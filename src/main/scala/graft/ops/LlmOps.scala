@@ -3084,6 +3084,55 @@ object LlmOps {
         .orderBy(col("first_media").asc)
     },
 
+    // REAL baseline-JPEG pixel decode, oracle-checked: the fixture's JPEG
+    // renditions (Jpeg.encodeGray over MCU-aligned block images) decode
+    // through the full entropy pipeline — marker walk, DHT canonical
+    // Huffman, byte-unstuffing, dequant, inverse zigzag, IDCT, level
+    // shift — and the pixel sums are pinned by a DuckDB twin computing
+    // the closed form 64·ΣB from documents.text alone: DC-only blocks +
+    // the exactly-dividing flat q=16 table make the lossy codec
+    // bit-exact on this content (a Huffman slip, a zigzag transposition,
+    // or an IDCT scale error all hash-mismatch). The JPEG sibling of
+    // mm_pixel_stats; payloads never shuffle.
+    "mm_jpeg_pixel_stats" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      graft.multimodal.Multimodal.jpegStats(
+        graft.multimodal.Multimodal.crossFormatTable(Tables.documents(s, d))
+          .filter(_.media_id % 2 == 1))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("pix_sum"),
+          (col("pix_sum").cast("double") /
+            (col("width") * col("height") * col("channels")).cast("double"))
+            .as("pix_mean"))
+        .orderBy(col("media_id").asc)
+    },
+
+    // Cross-FORMAT content dedup — the step after mm_dedup_pixels
+    // (re-encodes within one codec) and mm_dedup_phash (re-sizes): the
+    // SAME logical image stored as a PNG and as a baseline JPEG, each
+    // decoded by its own real codec (decodeAnyImage dispatch), grouped
+    // by pixel digest. n_formats = 2 in every group — content
+    // addressing sees through the container boundary, which no
+    // byte-level dedup can. One decode pass per payload; the groupBy
+    // carries a 32-byte digest + a format tag. Oracle: the grayscale
+    // buffer is an exact printable string (8 cell-rows of an 8-run
+    // scanline repeated 8×), so every digest and the grouping are
+    // recomputed literally from documents.text.
+    "mm_dedup_formats" -> { (s, d) =>
+      graft.multimodal.Multimodal.formatDigest(
+        graft.multimodal.Multimodal.crossFormatTable(Tables.documents(s, d)))
+        .toDF()
+        .groupBy(col("pix_md5"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("format")).as("n_formats"),
+          min(col("media_id")).as("first_media"),
+          expr("array_join(transform(sort_array(collect_list(media_id))," +
+            " x -> cast(x AS string)), ',')").as("media_ids"))
+        .orderBy(col("first_media").asc)
+    },
+
     "llm_multimodal_join" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -4498,6 +4547,49 @@ object LlmOps {
         |       CAST(min(media_id) AS BIGINT) AS first_media,
         |       string_agg(media_id::VARCHAR, ',' ORDER BY media_id) AS media_ids
         |FROM dg GROUP BY phash
+        |ORDER BY first_media ASC NULLS FIRST""".stripMargin,
+
+    // DC-only MCUs + the exactly-dividing flat quant table make the JPEG
+    // roundtrip lossless on this content, so the decoded sum has the same
+    // closed form as the construction: 64 pixels per grid cell.
+    "mm_jpeg_pixel_stats" ->
+      """WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |bv AS (SELECT doc_id,
+        |              list_transform(range(0, 64), j ->
+        |                CASE WHEN ascii(text[CAST(j % L + 1 AS INT)]) % 2 = 0
+        |                     THEN 48 ELSE 112 END) AS B
+        |       FROM b)
+        |SELECT 2 * doc_id + 1 AS media_id, CAST(64 AS BIGINT) AS width,
+        |       CAST(64 AS BIGINT) AS height, CAST(1 AS BIGINT) AS channels,
+        |       CAST(64 * list_sum(B) AS BIGINT) AS pix_sum,
+        |       CAST(64 * list_sum(B) AS DOUBLE) / CAST(4096 AS DOUBLE) AS pix_mean
+        |FROM bv
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+
+    // Every md5 group holds all renditions of the docs sharing a block
+    // pattern — always both parities of media_id, hence exactly the two
+    // container formats; the buffer itself is 8 cell-rows of an 8-run
+    // scanline repeated 8×, md5'd literally.
+    "mm_dedup_formats" ->
+      """WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |bv AS (SELECT doc_id,
+        |              list_transform(range(0, 64), j ->
+        |                CASE WHEN ascii(text[CAST(j % L + 1 AS INT)]) % 2 = 0
+        |                     THEN 48 ELSE 112 END) AS B
+        |       FROM b),
+        |buf AS (SELECT doc_id,
+        |               md5(array_to_string(list_transform(range(0, 8), cr ->
+        |                 repeat(array_to_string(list_transform(range(0, 8), bx ->
+        |                   repeat(chr(CAST(B[CAST(cr * 8 + bx + 1 AS INT)] AS INT)),
+        |                          8)), ''), 8)), '')) AS pix_md5
+        |        FROM bv),
+        |m AS (SELECT pix_md5, unnest([doc_id * 2, doc_id * 2 + 1]) AS media_id
+        |      FROM buf)
+        |SELECT pix_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(2 AS BIGINT) AS n_formats,
+        |       CAST(min(media_id) AS BIGINT) AS first_media,
+        |       string_agg(media_id::VARCHAR, ',' ORDER BY media_id) AS media_ids
+        |FROM m GROUP BY pix_md5
         |ORDER BY first_media ASC NULLS FIRST""".stripMargin,
 
     "llm_multimodal_join" ->

@@ -67,6 +67,72 @@ class MultimodalSpec extends SparkSpec {
     assert(grouped(0).getAs[Long]("n") === 2L && grouped(0).getAs[Long]("nd") === 2L)
   }
 
+  test("JPEG codec: block-image roundtrip is bit-exact and agrees with the JDK's independent decoder") {
+    // fixture-shaped content: MCU-aligned constant cells, values 48/112
+    val px = new Array[Byte](64 * 64)
+    for (i <- px.indices) {
+      val j = (i / 64 / 8) * 8 + (i % 64) / 8
+      px(i) = if (j % 3 == 0) 48.toByte else 112.toByte
+    }
+    val jpg = Jpeg.encodeGray(64, 64, px)
+    // our decoder: bit-exact roundtrip (DC-only blocks, q=16 divides)
+    val Some((w, h, ch, got)) = Jpeg.decode(jpg)
+    assert((w, h, ch) === (64, 64, 1))
+    assert(java.util.Arrays.equals(got, px), "roundtrip must be lossless on DC-only content")
+    // the JDK's ImageIO is a fully independent implementation: it must
+    // read our stream to the identical pixels
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img.getWidth === 64 && img.getHeight === 64)
+    val ref = img.getRaster
+    for (y <- 0 until 64; x <- 0 until 64)
+      assert(ref.getSample(x, y, 0) === (got(y * 64 + x) & 0xff),
+        s"ImageIO disagrees at ($x,$y)")
+  }
+
+  test("JPEG codec: decodes an ImageIO-ENCODED gradient (general AC path) within IDCT tolerance") {
+    // a smooth gradient exercises real AC coefficients, ZRL runs, and
+    // multi-category DC diffs — none of which the DC-only fixture hits
+    val w = 56; val h = 40 // non-multiple-of-8 width/height edge blocks too
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0,
+        (128 + 80 * math.sin(x / 6.0) * math.cos(y / 5.0)).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpg = bos.toByteArray
+    val Some((dw, dh, dch, got)) = Jpeg.decode(jpg)
+    assert((dw, dh, dch) === (w, h, 1))
+    // the spec permits per-decoder IDCT rounding differences; libjpeg's
+    // integer IDCT vs our double IDCT must agree within ±2 everywhere
+    // and ±0.5 on average
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg)).getRaster
+    var sumAbs = 0L
+    var maxAbs = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs(ref.getSample(x, y, 0) - (got(y * w + x) & 0xff))
+      sumAbs += d; maxAbs = math.max(maxAbs, d)
+    }
+    assert(maxAbs <= 2, s"max IDCT deviation $maxAbs")
+    assert(sumAbs.toDouble / (w * h) <= 0.5, s"mean IDCT deviation ${sumAbs.toDouble / (w * h)}")
+  }
+
+  test("cross-format renditions: PNG and JPEG of one image digest identically, containers differ") {
+    import spark.implicits._
+    val docs = Seq((3L, "ab" * 40)).toDF("doc_id", "text")
+    val media = Multimodal.crossFormatTable(docs).collect().sortBy(_.media_id)
+    assert(media.map(_.media_id).toSeq === Seq(6L, 7L))
+    // different containers (PNG signature vs JPEG SOI) …
+    assert((media(0).payload(0) & 0xff) === 0x89)
+    assert((media(1).payload(0) & 0xff) === 0xff && (media(1).payload(1) & 0xff) === 0xd8)
+    // … same decoded pixels through each format's own real codec
+    val digs = Multimodal.formatDigest(Multimodal.crossFormatTable(docs))
+      .collect().sortBy(_.media_id)
+    assert(digs.map(_.format).toSeq === Seq("png", "jpeg"))
+    assert(digs(0).pix_md5 === digs(1).pix_md5)
+  }
+
   test("JPEG golden header: SOF0 after skipped segments decodes exact dims") {
     // SOI, APP0 (len 4, skipped), DHT-lookalike skipped by length, then
     // SOF0: len 17, precision 8, height 240, width 320, 3 components
