@@ -517,6 +517,62 @@ object Joins {
           |LIMIT 100""".stripMargin)
     },
 
+    // TPC-H Q4-shaped order-priority check: orders in a quarter that had
+    // at least one LATE line (l_shipdate > o_orderdate + 60 days —
+    // standing in for the commit/receipt columns the fixture lacks). The
+    // decorrelation wrinkle Q21's pure-key EXISTS does not cover: the
+    // subquery predicate references the OUTER's non-key column
+    // (o_orderdate), so Catalyst must carry it into the semi-join as a
+    // residual condition on the l_orderkey = o_orderkey hash join — a
+    // per-row subquery would re-scan lineitem per order. PlanSpec asserts
+    // the LeftSemi and no nested loops; the date window pushes to the
+    // orders scan.
+    "join_multiway_q4" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("graft_q4_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q4_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM graft_q4_orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM graft_q4_lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // TPC-H Q22-shaped global-customer report: high-balance customers
+    // (above the positive-balance average — an UNCORRELATED scalar
+    // subquery, evaluated once and broadcast as a literal filter) with no
+    // orders at all (NOT EXISTS → LeftAnti on the custkey hash join),
+    // grouped by a country-code stand-in (c_nationkey mod 5). The
+    // remaining classic subquery composition after Q2 (correlated
+    // scalar) and Q21 (correlated EXISTS stack). Determinism: the
+    // average is the exact-decimal sum divided ONCE as double (the
+    // filter_scalar_subquery discipline), so the > cut is the identical
+    // IEEE comparison in both engines; totacctbal is dsumD-shaped.
+    "join_multiway_q22" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("graft_q22_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q22_orders")
+      s.sql(
+        """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+          |       count(*) AS numcust,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS totacctbal
+          |FROM graft_q22_customer c
+          |WHERE c_nationkey % 5 IN (0, 1, 2)
+          |  AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+          |                          / count(*)
+          |                   FROM graft_q22_customer
+          |                   WHERE c_acctbal > 0.00
+          |                     AND c_nationkey % 5 IN (0, 1, 2))
+          |  AND NOT EXISTS (SELECT 1 FROM graft_q22_orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderpriority = '1-URGENT')
+          |GROUP BY c_nationkey % 5
+          |ORDER BY cntrycode ASC NULLS FIRST""".stripMargin)
+    },
+
     // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
     // driver-checked path): both sides live as catalog tables bucketed 8
     // ways on the join key, so the forced sort-merge join reads bucket i
@@ -689,6 +745,34 @@ object Joins {
         |GROUP BY s_name
         |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS FIRST
         |LIMIT 100""".stripMargin,
+
+    "join_multiway_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q22" ->
+      """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+        |       count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_nationkey % 5 IN (0, 1, 2)
+        |  AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+        |                          / count(*)
+        |                   FROM customer
+        |                   WHERE c_acctbal > 0.00
+        |                     AND c_nationkey % 5 IN (0, 1, 2))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey % 5
+        |ORDER BY cntrycode ASC NULLS FIRST""".stripMargin,
 
     // Bucketing is layout, not semantics: the oracle is the plain join.
     "join_bucketed_colocated" ->

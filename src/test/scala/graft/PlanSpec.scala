@@ -123,6 +123,32 @@ class PlanSpec extends SparkSpec {
       s"no nested-loop join in Q21:\n$plan")
   }
 
+  test("join_multiway_q4: outer-column EXISTS compiles to a semi join with a residual condition") {
+    val df = SparkEntry.queries("join_multiway_q4")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must compile to a left-semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in Q4:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the quarter window must reach the orders scan:\n$plan")
+  }
+
+  test("join_multiway_q22: scalar avg evaluates once; NOT EXISTS compiles to an anti join") {
+    val df = SparkEntry.queries("join_multiway_q22")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must compile to a left-anti join:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"the average must be a once-evaluated scalar subquery:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in Q22:\n$plan")
+  }
+
   test("llm_phrase_search: the postings probe is a broadcast hash join, never a BNLJ") {
     val df = SparkEntry.queries("llm_phrase_search")(spark, sf)
     df.collect() // AQE-finalized plan (round-4 rule)
