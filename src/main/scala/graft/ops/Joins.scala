@@ -573,6 +573,62 @@ object Joins {
           |ORDER BY cntrycode ASC NULLS FIRST""".stripMargin)
     },
 
+    // TPC-H Q19-shaped disjunctive-predicate join (discounted revenue for
+    // three OR'd brand/size/quantity bands): the predicate-pushdown
+    // stress — the WHERE is an OR of conjunction groups referencing BOTH
+    // join sides, so no single conjunct is pushable as written; Catalyst's
+    // CNF conversion (PushExtraPredicateThroughJoin) must DERIVE the
+    // per-side implications — p_brand ∈ {…} ∧ p_size ≤ 15 to the part
+    // scan, the l_quantity band union to the lineitem scan — while the
+    // join itself stays the plain partkey hash join with the residual
+    // disjunction evaluated post-join. PlanSpec asserts the derived
+    // pushdowns and no nested loops. Exact-decimal revenue, one output
+    // row.
+    "join_multiway_q19" -> { (s, d) =>
+      val bands =
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#17" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(bands)
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+            "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+            "AS DOUBLE)").as("revenue"))
+    },
+
+    // TPC-H Q20-shaped excess-stock supplier probe — the DEEPEST nesting
+    // in the suite: an IN subquery whose aggregate HAVING contains a
+    // scalar subquery CORRELATED ON A GROUPING COLUMN (suppliers shipping
+    // > 10% of a small part's total volume). Catalyst must decorrelate
+    // the inner scalar into a partkey aggregate joined against the
+    // grouped rows, then turn the IN into a LeftSemi — per-row execution
+    // here would scan lineitem once per (supplier, part) group. All
+    // quantity arithmetic in exact DECIMAL; the 0.10 multiplier widens
+    // the decimal exactly in both engines, so the > cut is exact.
+    "join_multiway_q20" -> { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q20_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q20_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("graft_q20_part")
+      s.sql(
+        """SELECT s_suppkey, s_name
+          |FROM graft_q20_supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l.l_suppkey FROM graft_q20_lineitem l
+          |  WHERE l.l_partkey IN (SELECT p_partkey FROM graft_q20_part
+          |                        WHERE p_size <= 3)
+          |  GROUP BY l.l_suppkey, l.l_partkey
+          |  HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) > 0.10 * (
+          |    SELECT sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+          |    FROM graft_q20_lineitem l2
+          |    WHERE l2.l_partkey = l.l_partkey))
+          |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin)
+    },
+
     // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
     // driver-checked path): both sides live as catalog tables bucketed 8
     // ways on the join key, so the forced sort-merge join reads bucket i
@@ -773,6 +829,27 @@ object Joins {
         |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey % 5
         |ORDER BY cntrycode ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q19" ->
+      """SELECT count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "join_multiway_q20" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 3)
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) > 0.10 * (
+        |    SELECT sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey))
+        |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin,
 
     // Bucketing is layout, not semantics: the oracle is the plain join.
     "join_bucketed_colocated" ->

@@ -149,6 +149,38 @@ class PlanSpec extends SparkSpec {
       s"no nested-loop join in Q22:\n$plan")
   }
 
+  test("join_multiway_q19: per-side predicates derived from the OR-of-ANDs reach both scans") {
+    val df = SparkEntry.queries("join_multiway_q19")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // CNF conversion must derive p_brand/p_size implications for the part
+    // scan and the quantity band union for the lineitem scan
+    val partScan = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("p_brand")).toSeq
+    assert(partScan.nonEmpty,
+      s"no derived brand predicate pushed to the part scan:\n$plan")
+    val liScan = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("l_quantity")).toSeq
+    assert(liScan.nonEmpty,
+      s"no derived quantity band pushed to the lineitem scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q19 must stay an equi hash join with a residual disjunction:\n$plan")
+  }
+
+  test("join_multiway_q20: nested IN + grouped correlated scalar decorrelate to joins") {
+    val df = SparkEntry.queries("join_multiway_q20")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"both IN subqueries must compile to semi joins:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the correlated per-part total must be a map-side-combined aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in Q20:\n$plan")
+  }
+
   test("llm_phrase_search: the postings probe is a broadcast hash join, never a BNLJ") {
     val df = SparkEntry.queries("llm_phrase_search")(spark, sf)
     df.collect() // AQE-finalized plan (round-4 rule)
