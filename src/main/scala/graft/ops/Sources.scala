@@ -111,6 +111,36 @@ object Sources {
           dsumD(col("o_totalprice")).as("sum_price"))
     },
 
+    // SCHEMA EVOLUTION across parquet batches — the 100 TB reality that a
+    // long-lived table's early files lack columns added later: the
+    // pre-2000 batch is written WITHOUT o_orderpriority, the later batch
+    // WITH it, and the query reads both through mergeSchema (an explicit
+    // opt-in — schema merging is a footer pass over every file, so at
+    // scale the union schema lives in a catalog and this flag is the
+    // migration-time tool). Old rows surface NULL in the added column
+    // and are bucketed under a sentinel; the oracle replays the split
+    // from the unsplit table, so the write/merge/read cycle is proven
+    // lossless for both the shared and the added column.
+    "src_scan_schema_evolution" -> { (s, d) =>
+      val split = lit("2000-01-01").cast("timestamp_ntz")
+      val d1 = fmtDir(d, "orders", "sev_v1")
+      if (!new java.io.File(s"$d1/_SUCCESS").exists()) {
+        Tables.orders(s, d).filter(col("o_orderdate") < split)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(d1)
+      }
+      val d2 = fmtDir(d, "orders", "sev_v2")
+      if (!new java.io.File(s"$d2/_SUCCESS").exists()) {
+        Tables.orders(s, d).filter(col("o_orderdate") >= split)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(d2)
+      }
+      s.read.option("mergeSchema", "true").parquet(d1, d2)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("prio"))
+        .agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("prio").asc)
+    },
+
     // ORC ingestion roundtrip, same contract as CSV/JSONL: re-encode a
     // fixture table once (signature-keyed cache dir), read it back through
     // the columnar ORC reader, prove value identity by sharing the parquet
@@ -133,8 +163,10 @@ object Sources {
 
   /** Signature-keyed cache dir for a re-encoded copy of a fixture table —
     * the same (name, size, mtime) discipline as LlmOps.annIndexDir, so a
-    * regenerated fixture can never be answered from a stale re-encode. */
-  private def fmtDir(d: String, table: String, fmt: String): String = {
+    * regenerated fixture can never be answered from a stale re-encode.
+    * Shared with the other layout-rewriting queries (scale_zorder_skipping,
+    * src_scan_schema_evolution). */
+  private[ops] def fmtDir(d: String, table: String, fmt: String): String = {
     val src = new java.io.File(s"$d/$table.parquet")
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
     val sig = files.filter(_.isFile)
@@ -190,6 +222,15 @@ object Sources {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
         |FROM f JOIN dim USING (dt)
         |WHERE mth <= 3""".stripMargin,
+
+    "src_scan_schema_evolution" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |            THEN '<pre-schema>' ELSE o_orderpriority END AS prio,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY prio ASC NULLS FIRST""".stripMargin,
 
     "src_scan_orc_roundtrip" ->
       """SELECT p_brand, count(*) AS n,

@@ -52,6 +52,54 @@ class ScaleSpec extends SparkSpec {
     assert(zLayout.count() === 65536L && rowMajor.count() === 65536L)
   }
 
+  test("hilbert-clustered parquet prunes row groups on the trailing dimension; a 1-d sort cannot") {
+    // The END-TO-END data-skipping claim behind scale_zorder_skipping,
+    // measured on REAL parquet scan metrics (not in-memory partitions):
+    // the same events rows written 32-files-each two ways — clustered by
+    // the Hilbert key of (user, value) vs sorted by user_id alone — then
+    // a narrow VALUE band (user unconstrained, the trailing dimension)
+    // scans both. The pushed min/max row-group filter on `value` prunes
+    // most Hilbert files (each covers a compact value range) but nothing
+    // in the user-sorted layout (value spans the full domain in every
+    // file), so the scan's numOutputRows — rows surviving reader-level
+    // pruning, before Spark's post-scan Filter — must differ by a
+    // multiple. AQE is disabled for the measurement so the raw
+    // FileSourceScanExec node (and its metric) is reachable.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = graft.Tables.events(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val q = ev
+      .withColumn("q_user", Scale.zQuantize(col("user_id"), 0.0, 1500.0, bits = 8))
+      .withColumn("q_val", Scale.zQuantize(col("value"), 0.0, 600.0, bits = 8))
+    Scale.hilbertKey(q, 8, "q_user", "q_val", "hkey")
+      .repartitionByRange(32, col("hkey")).sortWithinPartitions(col("hkey"))
+      .drop("q_user", "q_val", "hkey")
+      .write.mode("overwrite").parquet(s"$base/hilbert")
+    ev.repartitionByRange(32, col("user_id")).sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(s"$base/linear")
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def scanned(dir: String): (Long, Long) = {
+        val df = spark.read.parquet(dir)
+          .filter(col("value") >= 50.0 && col("value") < 70.0)
+        val n = df.count() // drives execution; count's plan carries the scan
+        val agg = df.groupBy().count()
+        agg.collect()
+        val scan = agg.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f }.head
+        (scan.metrics("numOutputRows").value, n)
+      }
+      val (hRows, hTotal) = scanned(s"$base/hilbert")
+      val (lRows, lTotal) = scanned(s"$base/linear")
+      assert(hTotal === lTotal, "both layouts must hold the same rows")
+      assert(lRows >= ev.count() * 9 / 10,
+        s"user-sorted layout should read ~everything for a value band, read $lRows")
+      assert(hRows <= lRows / 3,
+        s"hilbert layout should prune to a fraction: $hRows vs $lRows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("hilbertKey: exhaustive grid is a unit-step space-filling walk matching xy2d") {
     import spark.implicits._
     // Driver-side reference: the textbook xy2d (public-domain algorithm).
