@@ -69,6 +69,58 @@ object Aggregates {
         .orderBy(col("col_name").asc)
     },
 
+    // Declarative data-quality constraint suite (the deequ/expectations
+    // shape every ingestion pipeline gates on): six column constraints —
+    // not-null, uniqueness, non-negativity, value domain, date range,
+    // plus a DELIBERATELY failing uniqueness check on a non-key column so
+    // the violation path is exercised, not just the zeros — evaluated in
+    // ONE aggregate pass over the table, and a referential-integrity
+    // constraint as a single left_anti count against the dim. Output is
+    // the audit row per constraint: (name, n_violations, pass). Scale:
+    // the whole suite costs one scan + one map-side-combined aggregate +
+    // one broadcast anti-join regardless of how many column constraints
+    // are declared — violations never materialize as rows (a 100 TB gate
+    // reports counts; sampling offending rows is a separate targeted
+    // query). The uniqueness checks ride count − countDistinct through
+    // Catalyst's Expand, the agg_profile_stats trade.
+    "dq_constraint_check" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val lo = lit("1990-01-01").cast("timestamp_ntz")
+      val hi = lit("2005-01-01").cast("timestamp_ntz")
+      val a = o.agg(
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_nn"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uk"),
+        sum(when(col("o_totalprice") < 0.0, 1L).otherwise(0L)).as("v_neg"),
+        sum(when(!col("o_orderstatus").isInCollection(Seq("F", "O", "P")), 1L)
+          .otherwise(0L)).as("v_dom"),
+        sum(when(col("o_orderdate") < lo || col("o_orderdate") >= hi, 1L)
+          .otherwise(0L)).as("v_rng"),
+        (count(lit(1)) - countDistinct(col("o_custkey"))).as("v_uc"))
+      val fk = o.join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      a.crossJoin(fk)
+        .select(explode(array(
+          struct(lit("domain_o_orderstatus").as("constraint_name"),
+            col("v_dom").as("n_violations")),
+          struct(lit("fk_o_custkey_customer").as("constraint_name"),
+            col("v_fk").as("n_violations")),
+          struct(lit("not_null_o_orderkey").as("constraint_name"),
+            col("v_nn").as("n_violations")),
+          struct(lit("nonneg_o_totalprice").as("constraint_name"),
+            col("v_neg").as("n_violations")),
+          struct(lit("range_o_orderdate").as("constraint_name"),
+            col("v_rng").as("n_violations")),
+          struct(lit("unique_o_custkey").as("constraint_name"),
+            col("v_uc").as("n_violations")),
+          struct(lit("unique_o_orderkey").as("constraint_name"),
+            col("v_uk").as("n_violations")))).as("c"))
+        .select(col("c.constraint_name").as("constraint_name"),
+          col("c.n_violations").as("n_violations"),
+          (col("c.n_violations") === 0L).as("pass"))
+        .orderBy(col("constraint_name").asc)
+    },
+
     "agg_having" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
@@ -541,6 +593,32 @@ object Aggregates {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "dq_constraint_check" ->
+      """WITH viol AS (
+        |  SELECT 'not_null_o_orderkey' AS constraint_name,
+        |         CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL SELECT 'unique_o_orderkey',
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'nonneg_o_totalprice',
+        |         CAST(count(*) FILTER (o_totalprice < 0.0) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'domain_o_orderstatus',
+        |         CAST(count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 'range_o_orderdate',
+        |         CAST(count(*) FILTER (o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+        |                               OR o_orderdate >= TIMESTAMP '2005-01-01 00:00:00') AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 'unique_o_custkey',
+        |         CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'fk_o_custkey_customer',
+        |         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |          WHERE c.c_custkey IS NULL))
+        |SELECT constraint_name, n_violations, n_violations = 0 AS pass
+        |FROM viol
+        |ORDER BY constraint_name ASC NULLS FIRST""".stripMargin,
+
     // Disk-merge ≡ inline-merge is exact by construction (lossless blob
     // roundtrip + set-semantics union), and the lgK=12 estimate sits
     // inside the 6%-or-2 bound — both flags deterministic TRUE.
