@@ -351,6 +351,45 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming data-quality GATE — the micro-batch twin of the batch
+    * `dq_constraint_check` audit, deployed the way ingestion pipelines
+    * actually gate: every micro-batch is split against a list of named
+    * row constraints; clean rows land under `outPath/b<id>`, violating
+    * rows land under `quarantinePath/b<id>` WITH the list of failed
+    * constraint names attached (`dq_failed`) — rejected data is never
+    * dropped silently, it is parked for inspection/repair, and the gate
+    * adds zero shuffles (both splits are map-only filters over the
+    * batch).
+    *
+    * Idempotence (foreachBatch is at-least-once + idempotent writes):
+    * both writes overwrite their own batch-scoped directory and the
+    * split is a pure function of the batch, so a replayed batch rewrites
+    * identical bytes. `constraints` are (name, violated-predicate)
+    * pairs, evaluated once per row via one array projection. */
+  def startDqGateSink(df: DataFrame, constraints: Seq[(String, org.apache.spark.sql.Column)],
+      outPath: String, quarantinePath: String, checkpoint: String): StreamingQuery = {
+    require(constraints.nonEmpty, "a gate needs at least one constraint")
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val failed = array(constraints.map { case (name, bad) =>
+          when(bad, lit(name)).otherwise(lit(null))
+        }: _*)
+        val tagged = batch.withColumn("dq_failed",
+          org.apache.spark.sql.functions.filter(failed, c => c.isNotNull))
+          .persist()
+        try {
+          tagged.filter(size(col("dq_failed")) === 0).drop("dq_failed")
+            .write.mode("overwrite").parquet(s"$outPath/b$id")
+          tagged.filter(size(col("dq_failed")) > 0)
+            .withColumn("dq_failed", array_join(col("dq_failed"), ","))
+            .write.mode("overwrite").parquet(s"$quarantinePath/b$id")
+        } finally tagged.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming IVF index maintenance — the micro-batch twin of the batch
     * `llm_sim_ann_ivf_upsert` path, i.e. the way a real vector-ingest
     * deployment actually appends to a standing ANN index: each

@@ -1116,6 +1116,44 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming DQ gate: violations quarantine with reasons, clean rows pass, restart loses nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dqgate").toString
+    // (id, status, price) rows; two constraints, one row failing each,
+    // one row failing BOTH
+    val mem = MemoryStream[(Long, String, Double)]
+    val constraints = Seq(
+      "domain_status" -> !col("status").isInCollection(Seq("F", "O", "P")),
+      "nonneg_price" -> (col("price") < 0.0))
+    def start() = StreamOps.startDqGateSink(
+      mem.toDF().toDF("id", "status", "price"), constraints,
+      s"$dir/out", s"$dir/quarantine", s"$dir/ckpt")
+    val q1 = start()
+    mem.addData(Seq((1L, "F", 10.0), (2L, "X", 5.0), (3L, "O", -1.0)))
+    q1.processAllAvailable()
+    q1.stop() // kill
+    // rows added while the gate is down must be recovered from the offset
+    mem.addData(Seq((4L, "P", 7.0), (5L, "Z", -2.0)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val clean = spark.read.parquet(s"$dir/out/b*")
+        .select(col("id")).as[Long].collect().sorted.toSeq
+      assert(clean === Seq(1L, 4L), s"clean set wrong: $clean")
+      val quar = spark.read.parquet(s"$dir/quarantine/b*")
+        .select(col("id"), col("dq_failed")).as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(quar === Seq(
+        2L -> "domain_status",
+        3L -> "nonneg_price",
+        5L -> "domain_status,nonneg_price"),
+        s"quarantine reasons wrong: $quar")
+      // nothing dropped, nothing duplicated across the restart boundary
+      assert(clean.size + quar.size === 5)
+    } finally q2.stop()
+  }
+
   test("streaming IVF maintenance: micro-batch postings equal the one-shot encode, across a kill/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
