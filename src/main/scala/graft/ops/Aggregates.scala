@@ -121,6 +121,22 @@ object Aggregates {
         .orderBy(col("constraint_name").asc)
     },
 
+    // TPC-H Q6-shaped forecasting-revenue scan: the pure
+    // filter-and-aggregate classic — no join, no group — whose entire
+    // cost at 100 TB is how little the scan reads: all three predicates
+    // (date window, discount band, quantity cut) push to parquet
+    // row-group stats, and the projection prunes to 4 columns. Revenue
+    // Σ price·discount in exact DECIMAL, double once at output.
+    "agg_filtered_revenue_q6" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+            "CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)").as("revenue"))
+    },
+
     "agg_having" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
@@ -593,6 +609,15 @@ object Aggregates {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "agg_filtered_revenue_q6" ->
+      """SELECT count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
     "dq_constraint_check" ->
       """WITH viol AS (
         |  SELECT 'not_null_o_orderkey' AS constraint_name,

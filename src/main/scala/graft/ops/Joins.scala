@@ -629,6 +629,96 @@ object Joins {
           |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin)
     },
 
+    // TPC-H Q12-shaped shipping-priority split (l_returnflag standing in
+    // for the shipmode column the fixture lacks): one fact⋈fact join with
+    // the year window pushed to the lineitem scan, then two CONDITIONAL
+    // sums per group — the conditional-aggregation composition pattern
+    // (no second pass, no pivot; the CASE folds into the partial
+    // aggregate map-side).
+    "join_multiway_q12" -> { (s, d) =>
+      val urgent = Seq("1-URGENT", "2-HIGH")
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority").isInCollection(urgent), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isInCollection(urgent), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag").asc)
+    },
+
+    // TPC-H Q13-shaped customer distribution — the count-of-counts shape
+    // with the Q13 trap intact: the order filter lives in the OUTER
+    // JOIN'S ON CLAUSE, not a WHERE (a WHERE would silently turn the
+    // outer join inner and drop the zero-order customers — the
+    // distribution's most important bucket). Two cascaded aggregates;
+    // count(o_orderkey) over the null-extended rows yields the honest 0.
+    "join_multiway_q13" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q15-shaped top supplier: quarterly revenue per supplier as a
+    // derived table, then the supplier(s) hitting the GLOBAL MAX via a
+    // scalar subquery over the same derivation. The classic
+    // aggregate-of-aggregate + scalar-subquery composition; the revenue
+    // comparison runs in EXACT DECIMAL on both sides of the equality (a
+    // double round-trip could split ties), cast to double only at
+    // output.
+    "join_multiway_q15" -> { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q15_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q15_lineitem")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          |             (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+          |  FROM graft_q15_lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+          |FROM graft_q15_supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin)
+    },
+
+    // TPC-H Q17-shaped small-quantity-order revenue: lines of one brand
+    // whose quantity is below 20% of that PART's average quantity — a
+    // correlated AVG scalar subquery (the third decorrelation flavor
+    // after Q2's min and Q20's grouped sum), folded by Catalyst into one
+    // partkey aggregate joined back to the brand-filtered lines.
+    // Determinism: l_quantity is integer-valued (fixture-wide, asserted
+    // by the oracle matching), so avg = exact-integer sum / count is the
+    // same double in any aggregation order, and 0.2 is cast to double
+    // explicitly on both engines (the bare-literal rule). Output is one
+    // double division of an exact decimal sum.
+    "join_multiway_q17" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("graft_q17_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q17_lineitem")
+      s.sql(
+        """SELECT count(*) AS n_lines,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          |         / CAST(7.0 AS DOUBLE) AS avg_yearly
+          |FROM graft_q17_lineitem l
+          |JOIN graft_q17_part ON p_partkey = l.l_partkey
+          |WHERE p_brand = 'Brand#2'
+          |  AND l.l_quantity < CAST(0.2 AS DOUBLE) * (
+          |    SELECT avg(l2.l_quantity) FROM graft_q17_lineitem l2
+          |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    },
+
     // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
     // driver-checked path): both sides live as catalog tables bucketed 8
     // ways on the join key, so the forced sort-merge join reads bucket i
@@ -850,6 +940,50 @@ object Joins {
         |    FROM lineitem l2
         |    WHERE l2.l_partkey = l.l_partkey))
         |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q12" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin,
+
+    "join_multiway_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q17" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         / CAST(7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part ON p_partkey = l.l_partkey
+        |WHERE p_brand = 'Brand#2'
+        |  AND l.l_quantity < CAST(0.2 AS DOUBLE) * (
+        |    SELECT avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
 
     // Bucketing is layout, not semantics: the oracle is the plain join.
     "join_bucketed_colocated" ->

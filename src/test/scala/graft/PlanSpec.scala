@@ -181,6 +181,23 @@ class PlanSpec extends SparkSpec {
       s"no nested-loop join in Q20:\n$plan")
   }
 
+  test("join_multiway_q13 keeps the ON-clause-filtered join OUTER; q17's correlated avg decorrelates") {
+    val q13 = SparkEntry.queries("join_multiway_q13")(spark, sf)
+    q13.collect()
+    val p13 = q13.queryExecution.executedPlan.toString
+    assert(p13.contains("LeftOuter"),
+      s"the ON-clause filter must not degrade the outer join to inner:\n$p13")
+    val q17 = SparkEntry.queries("join_multiway_q17")(spark, sf)
+    q17.collect()
+    val p17 = q17.queryExecution.executedPlan.toString
+    assert(p17.contains("partial_avg"),
+      s"the per-part average must be a map-side-combined aggregate " +
+        s"(decorrelated), not a per-row subquery:\n$p17")
+    assert(!p17.contains("CartesianProduct") &&
+      !p17.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in Q17:\n$p17")
+  }
+
   test("llm_phrase_search: the postings probe is a broadcast hash join, never a BNLJ") {
     val df = SparkEntry.queries("llm_phrase_search")(spark, sf)
     df.collect() // AQE-finalized plan (round-4 rule)
