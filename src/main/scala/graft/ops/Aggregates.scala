@@ -82,7 +82,12 @@ object Aggregates {
     // are declared — violations never materialize as rows (a 100 TB gate
     // reports counts; sampling offending rows is a separate targeted
     // query). The uniqueness checks ride count − countDistinct through
-    // Catalyst's Expand, the agg_profile_stats trade.
+    // Catalyst's Expand, the agg_profile_stats trade. NULL semantics
+    // (three-valued, shared with StreamOps.startDqGateSink and the SQL
+    // oracle): a NULL gated value makes a domain/range predicate NULL,
+    // which `when` counts as not-violated — nullness is its own
+    // constraint (the not-null check), never an implicit violation of
+    // every range check.
     "dq_constraint_check" -> { (s, d) =>
       val o = Tables.orders(s, d)
       val lo = lit("1990-01-01").cast("timestamp_ntz")

@@ -719,6 +719,178 @@ object Joins {
           |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
     },
 
+    // TPC-H Q8 shape (national market share): of the AMERICA-customer
+    // STANDARD-part trade over two years, what fraction of each year's
+    // volume did NATION_3's suppliers ship? Completes the conditional-
+    // ratio-over-a-star family: an 8-table join where every dimension
+    // chain (customer→nation→region, supplier→nation, part) collapses to
+    // broadcasts and the only big work is the lineitem⋈orders fact
+    // shuffle — at 100 TB AQE picks build sides, and the year grouping is
+    // 2 rows out of the fact join. Determinism: both the nation-filtered
+    // and total volumes are EXACT decimal sums (the conditional sum's
+    // ELSE is decimal 0, so no NULL-group hole), each cast to double
+    // once, and the share is ONE double division (the cross-engine ratio
+    // rule). year() is cast BIGINT on both engines (Spark INT vs DuckDB
+    // BIGINT).
+    "join_multiway_q8" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("graft_q8_part")
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q8_supplier")
+      Tables.customer(s, d).createOrReplaceTempView("graft_q8_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q8_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q8_lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("graft_q8_nation")
+      Tables.region(s, d).createOrReplaceTempView("graft_q8_region")
+      s.sql(
+        """SELECT o_year,
+          |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+          |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+          |         / CAST(sum(vol) AS DOUBLE) AS mkt_share
+          |FROM (
+          |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          |              (CAST(1.00 AS DECIMAL(3,2)) -
+          |               CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS vol,
+          |         n2.n_name AS supp_nation
+          |  FROM graft_q8_part
+          |  JOIN graft_q8_lineitem ON l_partkey = p_partkey
+          |  JOIN graft_q8_orders ON l_orderkey = o_orderkey
+          |  JOIN graft_q8_customer ON o_custkey = c_custkey
+          |  JOIN graft_q8_nation n1 ON c_nationkey = n1.n_nationkey
+          |  JOIN graft_q8_region ON n1.n_regionkey = r_regionkey
+          |  JOIN graft_q8_supplier ON l_suppkey = s_suppkey
+          |  JOIN graft_q8_nation n2 ON s_nationkey = n2.n_nationkey
+          |  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+          |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+          |GROUP BY o_year
+          |ORDER BY o_year ASC NULLS FIRST""".stripMargin)
+    },
+
+    // TPC-H Q9 shape (product-type profit by nation and year): profit =
+    // revenue − cost over every 'bolt' part, attributed to the SUPPLIER's
+    // nation — p_retailprice × 0.50 × quantity standing in for the
+    // ps_supplycost × quantity the fixture's missing partsupp would
+    // carry. The all-fact star: part (name-filtered, pushed to the scan)
+    // and supplier⋈nation broadcast; lineitem⋈orders is the one big
+    // shuffle; the group is (nation, year) — 25×6 rows out. Determinism:
+    // revenue keeps scale 4, cost keeps scale 6 (price(12,2) × 0.50(3,2)
+    // × qty(12,2)), both cast lossless to DECIMAL(24,6) before the exact
+    // subtraction; ONE cast to double at output.
+    "join_multiway_q9" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("graft_q9_part")
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q9_supplier")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q9_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q9_lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("graft_q9_nation")
+      s.sql(
+        """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |       CAST(sum(
+          |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          |              (CAST(1.00 AS DECIMAL(3,2)) -
+          |               CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,6)) -
+          |         CAST(CAST(p_retailprice AS DECIMAL(12,2)) *
+          |              CAST(0.50 AS DECIMAL(3,2)) *
+          |              CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,6))
+          |       ) AS DOUBLE) AS sum_profit
+          |FROM graft_q9_part
+          |JOIN graft_q9_lineitem ON l_partkey = p_partkey
+          |JOIN graft_q9_supplier ON l_suppkey = s_suppkey
+          |JOIN graft_q9_orders ON l_orderkey = o_orderkey
+          |JOIN graft_q9_nation ON s_nationkey = n_nationkey
+          |WHERE p_name LIKE '%bolt%'
+          |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+          |ORDER BY nation ASC NULLS FIRST, o_year DESC NULLS LAST""".stripMargin)
+    },
+
+    // TPC-H Q11 shape (important stock): per-part inventory value held by
+    // two nations' suppliers, kept only where a part's value exceeds a
+    // GLOBAL threshold — the uncorrelated-scalar-subquery-in-HAVING
+    // composition (the subquery aggregates the SAME grouped frame the
+    // filter applies to, so Catalyst runs the groupBy once per reference
+    // and the threshold arrives as a one-row broadcast literal).
+    // TPC-H's own fraction scales ∝1/SF (a fixed cut is vacuous at
+    // sf0.1 — the round-8 vacuity rule); the scale-free restatement
+    // keeps parts above 2× the MEAN part value (~10% of parts at every
+    // fixture scale). Determinism: value is exact integer cents × qty
+    // (BIGINT through sf100; DECIMAL(38,0) is the 100 TB widening), and
+    // the threshold is the all-integer floor-division (2·Σ) div n —
+    // Spark `div` ≡ DuckDB `//` on non-negative values, zero doubles
+    // anywhere in the query.
+    "join_multiway_q11" -> { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q11_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q11_lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("graft_q11_nation")
+      s.sql(
+        """WITH v AS (
+          |  SELECT l_partkey,
+          |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+          |             CAST(l_quantity AS BIGINT)) AS val
+          |  FROM graft_q11_lineitem
+          |  JOIN graft_q11_supplier ON l_suppkey = s_suppkey
+          |  JOIN graft_q11_nation ON s_nationkey = n_nationkey
+          |  WHERE n_name IN ('NATION_3', 'NATION_7')
+          |  GROUP BY l_partkey)
+          |SELECT l_partkey, val AS part_value
+          |FROM v
+          |WHERE val > (SELECT (2 * sum(val)) div count(*) FROM v)
+          |ORDER BY part_value DESC NULLS LAST, l_partkey ASC NULLS FIRST""".stripMargin)
+    },
+
+    // TPC-H Q14 shape (promotion effect): the share of one ship-month's
+    // revenue earned by PROMO-type parts, as the canonical single-row
+    // conditional-ratio report. The month filter prunes the lineitem scan
+    // (min/max row-group skipping at 100 TB), part broadcasts, and the
+    // whole query is one map-side-combined aggregate — no group key at
+    // all. Determinism: both decimal sums exact (conditional ELSE is
+    // decimal 0), each cast to double once, then 100 × promo / total
+    // evaluates left-associatively as the identical two IEEE ops in both
+    // engines.
+    "join_multiway_q14" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("graft_q14_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q14_lineitem")
+      s.sql(
+        """SELECT count(*) AS n_lines,
+          |       CAST(100 AS DOUBLE) *
+          |       CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol
+          |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+          |         / CAST(sum(vol) AS DOUBLE) AS promo_revenue
+          |FROM (
+          |  SELECT p_type,
+          |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          |              (CAST(1.00 AS DECIMAL(3,2)) -
+          |               CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS vol
+          |  FROM graft_q14_lineitem
+          |  JOIN graft_q14_part ON l_partkey = p_partkey
+          |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00')""".stripMargin)
+    },
+
+    // TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    // suppliers ship each surviving (brand, type, size) bucket, excluding
+    // a blocklist of suppliers via NOT IN — the null-aware anti-join
+    // decorrelation no other query exercises (Catalyst compiles the NOT
+    // IN subquery to a broadcast null-aware anti join, never a per-row
+    // probe; PlanSpec asserts it). The brand/type/size predicates push to
+    // the part scan, the blocklist is a 6-row broadcast, and the distinct
+    // count shuffles (brand, type, size, suppkey) once through Expand.
+    "join_multiway_q16" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("graft_q16_part")
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q16_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q16_lineitem")
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          |       count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM graft_q16_part
+          |JOIN graft_q16_lineitem ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_supplier
+          |                        WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS FIRST,
+          |         p_type ASC NULLS FIRST, p_size ASC NULLS FIRST""".stripMargin)
+    },
+
     // Bucketed co-located fact ⋈ fact (Scale.writeBucketed wired into a
     // driver-checked path): both sides live as catalog tables bucketed 8
     // ways on the join key, so the forced sort-merge join reads bucket i
@@ -984,6 +1156,94 @@ object Joins {
         |  AND l.l_quantity < CAST(0.2 AS DOUBLE) * (
         |    SELECT avg(l2.l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "join_multiway_q8" ->
+      """SELECT o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |         / CAST(sum(vol) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |              (CAST(1.00 AS DECIMAL(3,2)) -
+        |               CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS vol,
+        |         n2.n_name AS supp_nation
+        |  FROM part
+        |  JOIN lineitem ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY o_year
+        |ORDER BY o_year ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |              (CAST(1.00 AS DECIMAL(3,2)) -
+        |               CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,6)) -
+        |         CAST(CAST(p_retailprice AS DECIMAL(12,2)) *
+        |              CAST(0.50 AS DECIMAL(3,2)) *
+        |              CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,6))
+        |       ) AS DOUBLE) AS sum_profit
+        |FROM part
+        |JOIN lineitem ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+        |ORDER BY nation ASC NULLS FIRST, o_year DESC NULLS LAST""".stripMargin,
+
+    "join_multiway_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                  CAST(l_quantity AS BIGINT)) AS BIGINT) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, val AS part_value
+        |FROM v
+        |WHERE val > (SELECT (2 * sum(val)) // count(*) FROM v)
+        |ORDER BY part_value DESC NULLS LAST, l_partkey ASC NULLS FIRST""".stripMargin,
+
+    "join_multiway_q14" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(100 AS DOUBLE) *
+        |       CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |         / CAST(sum(vol) AS DOUBLE) AS promo_revenue
+        |FROM (
+        |  SELECT p_type,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |              (CAST(1.00 AS DECIMAL(3,2)) -
+        |               CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00')""".stripMargin,
+
+    "join_multiway_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS FIRST,
+        |         p_type ASC NULLS FIRST, p_size ASC NULLS FIRST""".stripMargin,
 
     // Bucketing is layout, not semantics: the oracle is the plain join.
     "join_bucketed_colocated" ->

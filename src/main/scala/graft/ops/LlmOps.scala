@@ -367,7 +367,7 @@ object LlmOps {
   /** Encode RAW embedding rows (vec_id, label, embedding float array)
     * against a STANDING codebook into inverted-file posting rows — the
     * single encode seam shared by the batch upsert (`llm_sim_ann_ivf_upsert`
-    * via embDouble + assignToCentroid) and the streaming micro-batch
+    * calls this directly on its delta rows) and the streaming micro-batch
     * ingest (StreamOps.startIvfUpsertSink). Assignment is a pure function
     * of (vector, codebook), so micro-batched encode ≡ one-shot batch
     * encode row-for-row regardless of how arrival slices the stream —
@@ -1970,10 +1970,13 @@ object LlmOps {
         releaseCheckpoint(base)
       }
       val (centroids, assign) = readIvfIndex(s, idx)
-      val batch = embDouble(s, d).filter(col("vec_id") % 10 === 0)
+      // Delta encode goes through encodeAgainstCodebook — the SAME seam
+      // the streaming micro-batch ingest runs — so batch ≡ streamed
+      // equivalence is structural, not a parallel-maintenance promise.
+      val batch = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
       val cols = Seq("vec_id", "label", "cid", "emb", "ssq", "cang").map(col)
       ivfPairs(assign.select(cols: _*)
-        .unionByName(assignToCentroid(batch, centroids).select(cols: _*)))
+        .unionByName(encodeAgainstCodebook(batch, centroids).select(cols: _*)))
     },
 
     // Index COMPACTION — the step that closes the llm_sim_ann_ivf_upsert

@@ -365,10 +365,22 @@ object StreamOps {
     * both writes overwrite their own batch-scoped directory and the
     * split is a pure function of the batch, so a replayed batch rewrites
     * identical bytes. `constraints` are (name, violated-predicate)
-    * pairs, evaluated once per row via one array projection. */
+    * pairs, evaluated once per row via one array projection.
+    *
+    * NULL semantics (three-valued, SAME as the batch `dq_constraint_check`
+    * twin and its SQL oracle): a NULL in a gated column makes a
+    * domain/range predicate evaluate to NULL, which `when` treats as
+    * not-violated — so a NULL PASSES every constraint except an explicit
+    * `isNull` one. That is the deliberate SQL-native contract: nullness
+    * is its own constraint, not an implicit violation of every range
+    * check. Gate authors who want NULL-rejects add
+    * `("x_not_null", col("x").isNull)` per gated column, or write the
+    * predicate as `coalesce(bad, lit(true))` to fail closed. */
   def startDqGateSink(df: DataFrame, constraints: Seq[(String, org.apache.spark.sql.Column)],
       outPath: String, quarantinePath: String, checkpoint: String): StreamingQuery = {
     require(constraints.nonEmpty, "a gate needs at least one constraint")
+    require(!df.columns.contains("dq_failed"),
+      "input already carries a dq_failed column — the gate would clobber it")
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>

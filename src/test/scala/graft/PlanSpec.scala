@@ -198,6 +198,47 @@ class PlanSpec extends SparkSpec {
       s"no nested-loop join in Q17:\n$p17")
   }
 
+  test("join_multiway_q16: NOT IN compiles to a null-aware anti join, never a per-row probe") {
+    val df = SparkEntry.queries("join_multiway_q16")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN must compile to an anti join:\n$plan")
+    // BroadcastHashJoinExec prints isNullAwareAntiJoin as the trailing
+    // boolean: "LeftAnti, BuildRight, true".
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"the anti join must carry NOT IN's null-aware semantics:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in Q16:\n$plan")
+  }
+
+  test("join_multiway_q8/q9: every dimension chain broadcasts; no nested loops") {
+    for (name <- Seq("join_multiway_q8", "join_multiway_q9")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: dims must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: no nested-loop join:\n$plan")
+    }
+  }
+
+  test("join_multiway_q11: the HAVING threshold is one reused scalar, not a per-row subquery") {
+    val df = SparkEntry.queries("join_multiway_q11")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // The CTE is referenced twice (grouped frame + its global sum); the
+    // threshold must arrive as a scalar subquery broadcast into the
+    // filter — never a join per part row.
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"threshold must be a scalar subquery:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join in Q11:\n$plan")
+  }
+
   test("llm_phrase_search: the postings probe is a broadcast hash join, never a BNLJ") {
     val df = SparkEntry.queries("llm_phrase_search")(spark, sf)
     df.collect() // AQE-finalized plan (round-4 rule)

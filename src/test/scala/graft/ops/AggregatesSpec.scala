@@ -64,9 +64,13 @@ class AggregatesSpec extends SparkSpec {
       .groupBy(col("o_orderpriority"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), 12)).as("e"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Bound matches the declared query's 6%-or-2 rule (NOT a hard 2%):
+    // the divergence is cardinality-sensitive near the lgK=12
+    // sparse/dense boundary, so a fixture regeneration that shifts
+    // per-group cardinalities must not flake this test.
     flat.foreach { case (k, m) =>
-      assert(math.abs(m - direct(k)).toDouble / direct(k) <= 0.02,
-        s"$k: merged $m vs direct ${direct(k)} diverged past 2%")
+      assert(math.abs(m - direct(k)).toDouble <= math.max(2.0, 0.06 * direct(k)),
+        s"$k: merged $m vs direct ${direct(k)} diverged past 6%-or-2")
     }
   }
 
