@@ -237,6 +237,106 @@ object Aggregates {
         .orderBy(col("o_orderpriority").asc)
     },
 
+    // Theta-sketch SET ALGEBRA over persisted partials — the question HLL
+    // cannot answer: segment-overlap distinct counts (|A∩B|, |A\B|)
+    // WITHOUT joining the raw rows of A and B. The 100 TB shape:
+    // per-(segment, epoch) compact theta blobs (~8 B/retained key) are
+    // persisted once, signature-keyed like the HLL partials; every
+    // overlap question is then answered from the k-row summary table —
+    // union/intersection/difference are O(k) blob operations on the
+    // driver-sized pair frame (5 segments → 10 pairs), the raw fact
+    // table is never rescanned and never self-joined. Oracle-backed
+    // EXACTLY (not flag-bounded): theta sketches are deterministic
+    // (k smallest MurmurHash3 values, no RNG) and below the lgK=14
+    // nominal (16384) they are in exact mode, where estimates equal
+    // true distinct counts — per-segment distinct customers peak at
+    // ~12.9k and two-segment unions ~14.7k at sf0.1, both under
+    // nominal (ThetaSketchSpec covers the >nominal estimation path on
+    // a synthetic corpus, plus reshuffle/re-merge invariance).
+    // persist_exact = disk-merged ≡ inline-merged estimate, TRUE by
+    // construction (lossless blob roundtrip, order-independent union).
+    "agg_theta_sketch_setops" -> { (s, d) =>
+      import graft.functions.ThetaSketch
+      val o = Tables.orders(s, d)
+      val split = lit("2000-01-01").cast("timestamp_ntz")
+      def partial(df: DataFrame, half: Int) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(ThetaSketch.thetaSketchAgg(col("o_custkey")).as("sk"))
+          .withColumn("half", lit(half))
+      def inlinePartials =
+        partial(o.filter(col("o_orderdate") < split), 0)
+          .unionByName(partial(o.filter(col("o_orderdate") >= split), 1))
+      val dir = sketchDir(d, "thetasketch")
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        inlinePartials.write.mode("overwrite").parquet(dir)
+      def merged(partials: DataFrame, out: String) =
+        partials.groupBy(col("o_orderpriority"))
+          .agg(ThetaSketch.thetaUnionAgg(col("sk")).as(out))
+      val est = udf(ThetaSketch.estimate)
+      val uni = udf(ThetaSketch.unionEst)
+      val inter = udf(ThetaSketch.intersectEst)
+      val anotb = udf(ThetaSketch.aNotBEst)
+      val per = merged(s.read.parquet(dir), "sk_d")
+        .join(merged(inlinePartials, "sk_i"), Seq("o_orderpriority"))
+        .select(col("o_orderpriority").as("p"), col("sk_d"),
+          (est(col("sk_d")) === est(col("sk_i"))).as("pe"))
+      val a = per.select(col("p").as("pri_a"), col("sk_d").as("ska"), col("pe").as("pea"))
+      val b = per.select(col("p").as("pri_b"), col("sk_d").as("skb"), col("pe").as("peb"))
+      a.join(b, col("pri_a") < col("pri_b"))
+        .select(col("pri_a"), col("pri_b"),
+          est(col("ska")).as("n_a"), est(col("skb")).as("n_b"),
+          uni(col("ska"), col("skb")).as("n_union"),
+          inter(col("ska"), col("skb")).as("n_intersect"),
+          anotb(col("ska"), col("skb")).as("n_anotb"),
+          (col("pea") && col("peb")).as("persist_exact"))
+        .orderBy(col("pri_a").asc, col("pri_b").asc)
+    },
+
+    // Deterministic mergeable QUANTILES over persisted partials — the
+    // third member of the summary family (HLL union / theta set-algebra /
+    // this): per-(segment, epoch) HdrHistogram-style log₂-bucket counters
+    // persisted once, merged by plain per-bucket SUM, percentiles
+    // answered from the merged counters with ≤1/32 relative error — see
+    // functions/HdrHistogram.scala for why this beats KLL/t-digest here
+    // (those compact with RNG coin flips: non-reproducible, ungateable).
+    // Fully hash-exact cross-engine: bucket math is all-BIGINT
+    // shift/floor-div and extraction uses cum·b ≥ a instead of ⌈a/b⌉.
+    // At 100 TB the partials are a few KB per (segment, epoch)
+    // regardless of row count; only the delta epoch ever rescans data,
+    // and the quantile read is a ~100-row-per-group window, shuffled by
+    // segment. AggregatesSpec pins merge invariance and the
+    // lower-bound-bracket guarantee against the exact percentile.
+    "agg_hdr_quantile_merge" -> { (s, d) =>
+      import graft.functions.HdrHistogram
+      val o = Tables.orders(s, d)
+      val split = lit("2000-01-01").cast("timestamp_ntz")
+      def partial(df: DataFrame, half: Int) =
+        df.select(col("o_orderpriority").as("p"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+          .withColumn("bkt", expr(HdrHistogram.bucketSql("v")))
+          .groupBy(col("p"), col("bkt")).agg(count(lit(1)).as("cnt"))
+          .withColumn("half", lit(half))
+      val dir = sketchDir(d, "hdrhist")
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        partial(o.filter(col("o_orderdate") < split), 0)
+          .unionByName(partial(o.filter(col("o_orderdate") >= split), 1))
+          .write.mode("overwrite").parquet(dir)
+      val mergedHist = s.read.parquet(dir)
+        .groupBy(col("p"), col("bkt")).agg(sum(col("cnt")).as("cnt"))
+      val cum = mergedHist
+        .withColumn("cum", sum(col("cnt"))
+          .over(Window.partitionBy(col("p")).orderBy(col("bkt").asc)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("p"))))
+      cum.groupBy(col("p"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * 2 >= col("n"), col("bkt"))).as("p50_cents"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("bkt"))).as("p95_cents"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("bkt"))).as("p99_cents"))
+        .select(col("p").as("o_orderpriority"), col("n"),
+          col("p50_cents"), col("p95_cents"), col("p99_cents"))
+        .orderBy(col("o_orderpriority").asc)
+    },
+
     // HLL sketch values differ across engines, so the sketch itself cannot
     // hash-match an oracle. The declared output is the exact count plus a
     // BOUNDED-ERROR flag on the HLL estimate (|approx-exact| within 3σ of
@@ -603,14 +703,14 @@ object Aggregates {
     * Sources.fmtDir / LlmOps.annIndexDir discipline: keyed on the source
     * files' (name, size, mtime) so a regenerated fixture never merges
     * stale sketches. */
-  private[ops] def sketchDir(d: String): String = {
+  private[ops] def sketchDir(d: String, salt: String = "hllsketch"): String = {
     val src = new java.io.File(s"$d/orders.parquet")
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
     val sig = files.filter(_.isFile)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
     val h = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$d|hllsketch|$sig"))
-    s"${System.getProperty("java.io.tmpdir")}/graft_hll_partials_$h"
+      scala.util.hashing.MurmurHash3.stringHash(s"$d|$salt|$sig"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_${salt}_partials_$h"
   }
 
   val oracles: Seq[(String, String)] = Seq(
@@ -660,6 +760,45 @@ object Aggregates {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // Exact-mode theta estimates ARE the true distinct counts, so the
+    // oracle recomputes every set cardinality from the raw rows:
+    // |A∪B| = |A|+|B|−|A∩B|, |A\B| = |A|−|A∩B|.
+    "agg_theta_sketch_setops" ->
+      """WITH ca AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+        |            FROM orders),
+        |n AS (SELECT p, count(*) AS n FROM ca GROUP BY p),
+        |pairs AS (SELECT a.p AS pa, b.p AS pb, a.n AS na, b.n AS nb
+        |          FROM n a JOIN n b ON a.p < b.p),
+        |inter AS (SELECT x.p AS pa, y.p AS pb, count(*) AS ni
+        |          FROM ca x JOIN ca y ON x.c = y.c AND x.p < y.p
+        |          GROUP BY x.p, y.p)
+        |SELECT pairs.pa AS pri_a, pairs.pb AS pri_b, na AS n_a, nb AS n_b,
+        |       na + nb - coalesce(ni, 0) AS n_union,
+        |       coalesce(ni, 0) AS n_intersect,
+        |       na - coalesce(ni, 0) AS n_anotb,
+        |       TRUE AS persist_exact
+        |FROM pairs LEFT JOIN inter ON pairs.pa = inter.pa AND pairs.pb = inter.pb
+        |ORDER BY pri_a ASC NULLS FIRST, pri_b ASC NULLS FIRST""".stripMargin,
+
+    // Identical bucket/extraction math in DuckDB dialect; merge = sum is
+    // replayed directly over the raw rows (the persistence is layout,
+    // not semantics). CASTs: DuckDB sum(BIGINT) widens to HUGEINT.
+    "agg_hdr_quantile_merge" ->
+      s"""WITH c AS (SELECT o_orderpriority AS p,
+         |            CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |           FROM orders),
+         |b AS (SELECT p, ${graft.functions.HdrHistogram.bucketSqlDuck("v")} AS bkt,
+         |       count(*) AS cnt FROM c GROUP BY p, bkt),
+         |m AS (SELECT p, bkt,
+         |       CAST(sum(cnt) OVER (PARTITION BY p ORDER BY bkt) AS BIGINT) AS cum,
+         |       CAST(sum(cnt) OVER (PARTITION BY p) AS BIGINT) AS n FROM b)
+         |SELECT p AS o_orderpriority, max(n) AS n,
+         |       min(CASE WHEN cum * 2 >= n THEN bkt END) AS p50_cents,
+         |       min(CASE WHEN cum * 20 >= n * 19 THEN bkt END) AS p95_cents,
+         |       min(CASE WHEN cum * 100 >= n * 99 THEN bkt END) AS p99_cents
+         |FROM m GROUP BY p
+         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "agg_global" ->
       """SELECT count(*) AS n_rows,

@@ -186,6 +186,51 @@ object Basics {
           sum(expr("CAST(round(value * 10000, 0) AS BIGINT)")).as("sum_v10k"),
           min(col("event_id")).as("min_eid"),
           max(col("event_id")).as("max_eid"))
+    },
+
+    // EXACT balanced range-partition boundaries — the PLANNING step of a
+    // repartitionByRange / OPTIMIZE write, computed exactly instead of by
+    // Spark's reservoir sampling (RangePartitioner samples ~100 rows per
+    // partition, so at 100 TB its boundaries wobble run-to-run and under
+    // skew; an exact plan is reproducible and auditable). Output: the 31
+    // interior split values that cut lineitem's price-cents distribution
+    // into 32 equal-row ranges. A naive global rank is ONE task
+    // (Window.orderBy with no partition — the funnel this repo bans); this
+    // is the two-pass win_ntile_percent machinery instead: range-partition
+    // by the key, row_number WITHIN each partition, then add each
+    // partition's exact preceding-row-count offset (a 32-row broadcast) —
+    // every stage distributed, rank exact wherever the sampled
+    // repartitionByRange boundaries happen to land (offsets come from
+    // actual sizes; equal values never straddle a range boundary). The
+    // split VALUE at a sorted position is tie-permutation-invariant, so
+    // the output is deterministic and the oracle is a row_number pick at
+    // the same ranks.
+    "scale_range_bounds" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 32
+      val base = Tables.lineitem(s, d)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+        .repartitionByRange(k, col("c").asc)
+        .withColumn("pid", spark_partition_id())
+      val sizes = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      // ≤ k rows: the unpartitioned window below runs over the tiny frame.
+      val offs = sizes.withColumn("off", coalesce(
+          sum(col("cnt")).over(Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      val total = sizes.agg(sum(col("cnt")).as("n_total"))
+      val ranked = base
+        .withColumn("rn_local", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("c").asc)).cast("long"))
+        .join(broadcast(offs), Seq("pid"))
+        .withColumn("rn", col("rn_local") + col("off"))
+      val targets = s.range(1, k.toLong).toDF("split_id")
+        .crossJoin(broadcast(total))
+        .withColumn("target_rn",
+          greatest(lit(1L), expr(s"(split_id * n_total) div $k")))
+      ranked.join(broadcast(targets), col("rn") === col("target_rn"))
+        .select(col("split_id"), col("c").as("split_cents"))
+        .orderBy(col("split_id").asc)
     }
   )
 
@@ -306,6 +351,20 @@ object Basics {
         |       min(event_id) AS min_eid,
         |       max(event_id) AS max_eid
         |FROM events
-        |WHERE user_id <= 9 AND value >= 50.0 AND value < 150.0""".stripMargin
+        |WHERE user_id <= 9 AND value >= 50.0 AND value < 150.0""".stripMargin,
+
+    // The oracle ranks naively (fine at oracle scale); the value at a
+    // sorted position is tie-invariant, so both engines agree exactly.
+    "scale_range_bounds" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+        |n AS (SELECT count(*) AS n_total FROM v),
+        |t AS (SELECT k AS split_id,
+        |             greatest(1, (k * n_total) // 32) AS tr
+        |      FROM generate_series(1, 31) AS g(k), n)
+        |SELECT split_id, r.c AS split_cents
+        |FROM t JOIN r ON r.rn = t.tr
+        |ORDER BY split_id ASC NULLS FIRST""".stripMargin
   )
 }

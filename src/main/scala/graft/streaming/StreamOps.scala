@@ -441,6 +441,38 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming mergeable-quantile ingest — the micro-batch twin of
+    * `agg_hdr_quantile_merge`'s partial layer (the latency-histogram
+    * dashboard shape): each micro-batch of (p: segment, v: BIGINT value)
+    * rows folds to its deterministic HdrHistogram bucket counts through
+    * the SAME `HdrHistogram.bucketSql` seam the batch query uses — so
+    * streamed-merge ≡ batch-histogram is structural, not a parallel
+    * implementation promise — and appends them batch-scoped. The reader
+    * merges with a plain per-bucket SUM (associative + commutative +
+    * deterministic, so arrival slicing is unobservable) and answers any
+    * percentile from the counters.
+    *
+    * Exactly-once: each batch overwrites its OWN directory and the
+    * histogram is a pure function of the batch, so a replayed batch
+    * rewrites identical bytes. Scale: a batch shuffles only its
+    * (segment, bucket) partial counts — a few KB per segment regardless
+    * of batch row count; the store grows by buckets, never rows, and a
+    * periodic compaction (sum into one file) is the same fold as the
+    * read path. */
+  def startHdrHistogramSink(values: DataFrame, storePath: String,
+      checkpoint: String): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col("p"), col("v"))
+          .withColumn("bkt", expr(graft.functions.HdrHistogram.bucketSql("v")))
+          .groupBy(col("p"), col("bkt")).agg(count(lit(1)).as("cnt"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$storePath/b$id")
+        ()
+      }
+      .start()
+
   case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, id: Long,
       is_probe: Boolean)
   case class AsOfEvent(ts_ms: Long, id: Long)
