@@ -108,11 +108,46 @@ object ThetaSketch {
   val estimate: Array[Byte] => Long =
     b => Math.round(wrapSketch(b).getEstimate)
 
+  /** Identity pass-through that FAILS LOUDLY if the blob has left exact
+    * mode. `agg_theta_sketch_setops`'s oracle-exactness rests on every
+    * per-segment sketch staying under the lgK nominal (estimates ==
+    * true distinct counts only while theta == 1.0); the fixture is
+    * regenerated between sessions, so that cardinality analysis is
+    * asserted at RUNTIME on the ≤k-row merged frame (cost: nothing)
+    * instead of living only in a comment — a fixture change fails with
+    * this message, not a bare cross-engine hash mismatch. */
+  val requireExactMode: Array[Byte] => Array[Byte] = { b =>
+    val sk = wrapSketch(b)
+    require(!sk.isEstimationMode,
+      s"theta sketch entered estimation mode (theta=${sk.getTheta}, " +
+        s"retained=${sk.getRetainedEntries}): a segment's distinct count " +
+        s"crossed the lgK=$LgK nominal ($Nom) and the oracle-exact " +
+        "contract of agg_theta_sketch_setops no longer holds — raise LgK " +
+        "or demote the query to a bounded-error flag")
+    b
+  }
+
   /** |A ∪ B| estimate. */
   val unionEst: (Array[Byte], Array[Byte]) => Long = { (a, b) =>
     val u = SetOperation.builder().setNominalEntries(Nom).buildUnion()
     u.union(wrapSketch(a)); u.union(wrapSketch(b))
     Math.round(u.getResult().getEstimate)
+  }
+
+  /** `unionEst` with the exact-mode tripwire: the PAIR union is the
+    * largest set the oracle-exact query ever sketches (two exact inputs
+    * can still overflow the nominal together — the ~14.7k-vs-16384
+    * headroom is the tightest in the fixture), so it carries its own
+    * runtime guard alongside requireExactMode's per-segment one. */
+  val unionEstExact: (Array[Byte], Array[Byte]) => Long = { (a, b) =>
+    val u = SetOperation.builder().setNominalEntries(Nom).buildUnion()
+    u.union(wrapSketch(a)); u.union(wrapSketch(b))
+    val r = u.getResult()
+    require(!r.isEstimationMode,
+      s"theta pair union entered estimation mode (theta=${r.getTheta}): " +
+        s"|A∪B| crossed the lgK=$LgK nominal ($Nom) — the oracle-exact " +
+        "contract of agg_theta_sketch_setops no longer holds; raise LgK")
+    Math.round(r.getEstimate)
   }
 
   /** |A ∩ B| estimate — the operation HLL fundamentally lacks. */

@@ -273,13 +273,17 @@ object Aggregates {
         partials.groupBy(col("o_orderpriority"))
           .agg(ThetaSketch.thetaUnionAgg(col("sk")).as(out))
       val est = udf(ThetaSketch.estimate)
-      val uni = udf(ThetaSketch.unionEst)
+      val uni = udf(ThetaSketch.unionEstExact)
       val inter = udf(ThetaSketch.intersectEst)
       val anotb = udf(ThetaSketch.aNotBEst)
+      // requireExactMode: runtime tripwire on the ≤k-row merged frame —
+      // if a regenerated fixture pushes any segment past the lgK nominal,
+      // fail with a diagnostic instead of a bare oracle hash mismatch.
+      val exact = udf(ThetaSketch.requireExactMode)
       val per = merged(s.read.parquet(dir), "sk_d")
         .join(merged(inlinePartials, "sk_i"), Seq("o_orderpriority"))
-        .select(col("o_orderpriority").as("p"), col("sk_d"),
-          (est(col("sk_d")) === est(col("sk_i"))).as("pe"))
+        .select(col("o_orderpriority").as("p"), exact(col("sk_d")).as("sk_d"),
+          (est(col("sk_d")) === est(exact(col("sk_i")))).as("pe"))
       val a = per.select(col("p").as("pri_a"), col("sk_d").as("ska"), col("pe").as("pea"))
       val b = per.select(col("p").as("pri_b"), col("sk_d").as("skb"), col("pe").as("peb"))
       a.join(b, col("pri_a") < col("pri_b"))

@@ -205,6 +205,16 @@ object Basics {
     // split VALUE at a sorted position is tie-permutation-invariant, so
     // the output is deterministic and the oracle is a row_number pick at
     // the same ranks.
+    //
+    // The pid-stamped frame is MATERIALIZED once (localCheckpoint — the
+    // repo's multi-branch-reuse pattern): RangePartitioner boundaries
+    // come from reservoir sampling seeded by RDD id, so if the sizes /
+    // ranked branches each re-ran the exchange (exchange reuse disabled,
+    // or AQE replanning one branch), they could observe DIFFERENT pid
+    // assignments and the offsets — hence the split values — would be
+    // silently wrong. Checkpointing pins one assignment for every
+    // consumer; correctness then never depends on plan-level
+    // exchange-reuse firing.
     "scale_range_bounds" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val k = 32
@@ -212,6 +222,7 @@ object Basics {
         .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
         .repartitionByRange(k, col("c").asc)
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
       val sizes = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       // ≤ k rows: the unpartitioned window below runs over the tiny frame.
       val offs = sizes.withColumn("off", coalesce(

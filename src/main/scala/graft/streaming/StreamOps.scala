@@ -473,6 +473,40 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming distinct-set ingest — the micro-batch twin of
+    * `agg_theta_sketch_setops`' partial layer (the audience-overlap
+    * dashboard shape): each micro-batch of (p: segment, k: BIGINT key)
+    * rows folds to one compact theta blob per segment through the SAME
+    * `ThetaSketch.thetaSketchAgg` seam the batch query uses, appended
+    * batch-scoped. The reader merges blobs per segment with
+    * `thetaUnionAgg` — theta union is a pure function of the input key
+    * SET (k smallest MurmurHash3 values, no RNG; ThetaSketchSpec pins
+    * blob byte-identity under reshuffle and merge-tree shape), so
+    * arrival slicing is unobservable — and answers |A|, |A∪B|, |A∩B|,
+    * |A\B| questions from the merged blobs without ever rejoining raw
+    * rows.
+    *
+    * Exactly-once: each batch overwrites its OWN directory and the
+    * per-segment sketch is a pure function of the batch, so a replayed
+    * batch rewrites identical bytes. Scale: a batch shuffles one
+    * ≈8 B/retained-key blob per (segment, batch) — bounded by the lgK
+    * nominal regardless of batch row count; the store grows by
+    * segments × batches, never rows, and periodic compaction is the same
+    * thetaUnionAgg fold as the read path. */
+  def startThetaSketchSink(keys: DataFrame, storePath: String,
+      checkpoint: String): StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col("p"), col("k"))
+          .groupBy(col("p"))
+          .agg(graft.functions.ThetaSketch.thetaSketchAgg(col("k")).as("sk"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$storePath/b$id")
+        ()
+      }
+      .start()
+
   case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, id: Long,
       is_probe: Boolean)
   case class AsOfEvent(ts_ms: Long, id: Long)

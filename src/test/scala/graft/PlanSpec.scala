@@ -562,4 +562,58 @@ class PlanSpec extends SparkSpec {
     assert(nested.forall(l => !l.contains("sv") && !l.contains("value")),
       s"fact rows entered a nested-loop join:\n${nested.mkString("\n")}")
   }
+
+  test("scale_range_bounds: one pinned range partitioning; the data-sized window is pid-partitioned") {
+    // The pid-stamped frame is localCheckpoint'ed, so the RangePartitioner
+    // sampling runs ONCE and every branch reads the pinned LogicalRDD —
+    // correctness must not depend on plan-level exchange reuse. Hence the
+    // consuming plan (a) scans the checkpointed RDD, (b) contains NO
+    // range-partitioning exchange of its own, and (c) its only
+    // row_number window partitions by pid (the lone unpartitioned window
+    // is the ≤32-row offset cumsum, whose funnel is harmless).
+    val df = SparkEntry.queries("scale_range_bounds")(spark, sf)
+    df.collect() // AQE-finalize before inspecting (round-4 rule)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the pid frame must come from the pinned checkpoint:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning(c#"),
+      s"no branch may re-run the range exchange on the data column:\n$plan")
+    val rn = plan.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("windowspecdefinition(pid")),
+      s"the data-sized rank window must be partitioned by pid:\n${rn.mkString("\n")}")
+  }
+
+  test("agg_hdr_quantile_merge answers from the persisted partials only, never the fact table") {
+    // First run materializes the signature-keyed partials; the inspected
+    // run must then read ONLY the summary table — the whole point of the
+    // mergeable-histogram shape at 100 TB.
+    SparkEntry.queries("agg_hdr_quantile_merge")(spark, sf).collect()
+    val df = SparkEntry.queries("agg_hdr_quantile_merge")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("orders.parquet"),
+      s"the quantile read path re-scanned the fact table:\n$plan")
+    assert(plan.contains("graft_hdrhist_partials"),
+      s"the quantile read path must scan the persisted histogram partials:\n$plan")
+  }
+
+  test("agg_theta_sketch_setops: answers come from the persisted blob table; only the persist_exact differential rescans facts") {
+    // The ANSWER path (disk-merged blobs → set algebra) reads the
+    // signature-keyed partials dir; the fact table appears ONLY in the
+    // inline-partials differential that backs the persist_exact flag
+    // (same intentional shape as agg_hll_sketch_merge) — exactly the two
+    // half-scans, never a third for the answers.
+    SparkEntry.queries("agg_theta_sketch_setops")(spark, sf).collect()
+    val df = SparkEntry.queries("agg_theta_sketch_setops")(spark, sf)
+    df.collect()
+    // no DPP subqueries here, so the round-6 first-marker split is safe
+    // (the round-7 nested-AQE trap doesn't apply)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_thetasketch_partials"),
+      s"the answer path must scan the persisted sketch partials:\n$plan")
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("orders.parquet"))
+    assert(factScans <= 2,
+      s"more fact scans than the two inline-differential halves ($factScans):\n$plan")
+  }
 }

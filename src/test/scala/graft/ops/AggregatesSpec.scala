@@ -74,6 +74,79 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  /** Scala mirror of HdrHistogram.bucketSql: bucket lower bound of v ≥ 1. */
+  private def hdrBucket(v: Long): Long =
+    if (v < 32) v
+    else {
+      val m = 64 - java.lang.Long.numberOfLeadingZeros(v) // binary digits of v
+      val lo = 1L << (m - 1)
+      lo + ((v - lo) / (1L << (m - 6))) * (1L << (m - 6))
+    }
+
+  /** Bucket width at lower bound b (sub-bucket granularity of b's octave). */
+  private def hdrWidth(b: Long): Long =
+    if (b < 32) 1L else 1L << ((64 - java.lang.Long.numberOfLeadingZeros(b)) - 6)
+
+  test("hdr quantiles: reported bucket contains and lower-bounds the exact discrete quantile") {
+    // The documented guarantee the oracle can't distinguish from luck:
+    // reported ≤ exact_disc_quantile < reported + bucket_width, for every
+    // group and every declared percentile — checked against a full sort
+    // of the raw values, not against the histogram itself.
+    val got = graft.SparkEntry.queries("agg_hdr_quantile_merge")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byGroup = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    assert(byGroup.keySet === got.keySet)
+    byGroup.foreach { case (p, sorted) =>
+      val (n, p50, p95, p99) = got(p)
+      assert(n === sorted.length.toLong, s"group $p row count")
+      // query rule `cum·den ≥ num·n` ⇔ rank ⌈num·n/den⌉ (1-based)
+      def exactAt(num: Long, den: Long): Long =
+        sorted((((num * n + den - 1) / den) - 1).toInt)
+      for ((rep, num, den) <- Seq((p50, 1L, 2L), (p95, 19L, 20L), (p99, 99L, 100L))) {
+        val ex = exactAt(num, den)
+        assert(rep === hdrBucket(ex),
+          s"group $p q=$num/$den: reported $rep is not the bucket of exact $ex")
+        assert(rep <= ex && ex < rep + hdrWidth(rep),
+          s"group $p q=$num/$den: bracket violated (rep $rep, exact $ex, " +
+            s"width ${hdrWidth(rep)})")
+      }
+    }
+  }
+
+  test("hdr histogram partials: per-bucket merge is partitioning/stage-invariant and equals the one-shot histogram") {
+    graft.SparkEntry.queries("agg_hdr_quantile_merge")(spark, sf).collect()
+    val dir = Aggregates.sketchDir(sf, "hdrhist")
+    val partials = spark.read.parquet(dir)
+    def hist(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      df.groupBy(col("p"), col("bkt")).agg(sum(col("cnt")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val flat = hist(partials)
+    assert(hist(partials.repartition(7)) === flat,
+      "per-bucket sums must not depend on partitioning")
+    val twoStage = partials
+      .groupBy(col("p"), col("bkt"), col("half"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .groupBy(col("p"), col("bkt")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(twoStage === flat, "re-merge of merged counters must be lossless")
+    // the persisted partials sum to EXACTLY the one-shot histogram of the
+    // raw data through the same bucketSql seam (what streamed-merge ≡
+    // batch-histogram leans on)
+    val oneShot = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("p"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .withColumn("bkt", expr(graft.functions.HdrHistogram.bucketSql("v")))
+      .groupBy(col("p"), col("bkt")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(oneShot === flat, "partials diverged from the one-shot histogram")
+  }
+
   /** Naive double-precision population g1 / excess g2 over a sample. */
   private def naiveMoments(xs: Seq[Long]): (Double, Double) = {
     val n = xs.length.toDouble

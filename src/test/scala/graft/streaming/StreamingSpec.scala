@@ -1251,4 +1251,83 @@ class StreamingSpec extends SparkSpec {
         "streamed standings diverged from the batch hybrid query")
     } finally q2.stop()
   }
+
+  test("streaming hdr histogram sink: merged store equals the batch histogram, across a kill/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdrsink").toString
+    // values straddle the exact (<32) range and several bucketed octaves
+    val all = (1L to 400L).map(i => (if (i % 2 == 0) "a" else "b", i * 37 % 3000 + 1))
+    val mem = MemoryStream[(String, Long)]
+    def start() = StreamOps.startHdrHistogramSink(
+      mem.toDF().toDF("p", "v"), s"$dir/store", s"$dir/ckpt")
+    val (b1, rest) = all.splitAt(150)
+    val q1 = start()
+    mem.addData(b1); q1.processAllAvailable()
+    q1.stop() // kill
+    // rows added while the sink is down must be recovered from the offset
+    val (b2, b3) = rest.splitAt(100)
+    mem.addData(b2)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      mem.addData(b3); q2.processAllAvailable()
+      // reader fold: plain per-bucket SUM over the batch-scoped partials
+      val streamed = spark.read.parquet(s"$dir/store/b*")
+        .groupBy(col("p"), col("bkt")).agg(sum(col("cnt")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // the one-shot batch histogram through the SAME bucketSql seam
+      val batch = all.toDF("p", "v")
+        .withColumn("bkt", expr(graft.functions.HdrHistogram.bucketSql("v")))
+        .groupBy(col("p"), col("bkt")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch,
+        "streamed-merged histogram diverged from the batch histogram")
+      // nothing dropped, nothing duplicated across the restart boundary
+      assert(streamed.values.sum === all.size.toLong)
+    } finally q2.stop()
+  }
+
+  test("streaming theta sketch sink: merged blobs equal the one-shot sketch, set algebra exact, across a kill/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_thetasink").toString
+    // two overlapping segments: a = {0..599}, b = {300..899}
+    val all = (0L until 600L).map("a" -> _) ++ (300L until 900L).map("b" -> _)
+    val mem = MemoryStream[(String, Long)]
+    def start() = StreamOps.startThetaSketchSink(
+      mem.toDF().toDF("p", "k"), s"$dir/store", s"$dir/ckpt")
+    val (b1, rest) = all.splitAt(400)
+    val q1 = start()
+    mem.addData(b1); q1.processAllAvailable()
+    q1.stop() // kill: these rows live only in the un-consumed source while down
+    val (b2, b3) = rest.splitAt(350)
+    mem.addData(b2)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      mem.addData(b3); q2.processAllAvailable()
+      import graft.functions.ThetaSketch
+      val merged = spark.read.parquet(s"$dir/store/b*")
+        .groupBy(col("p")).agg(ThetaSketch.thetaUnionAgg(col("sk")).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+      // streamed-merge ≡ one-shot batch sketch, byte-for-byte: the sink
+      // shares the thetaSketchAgg seam and theta blobs are a pure
+      // function of the key set (ThetaSketchSpec pins the invariance)
+      val oneShot = all.toDF("p", "k")
+        .groupBy(col("p")).agg(ThetaSketch.thetaSketchAgg(col("k")).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+      assert(merged.keySet === Set("a", "b"))
+      merged.foreach { case (p, blob) =>
+        assert(blob.toSeq === oneShot(p).toSeq,
+          s"segment $p blob diverged from the batch sketch")
+      }
+      // the merged blobs answer the overlap question exactly (exact mode)
+      assert(ThetaSketch.estimate(merged("a")) === 600L)
+      assert(ThetaSketch.estimate(merged("b")) === 600L)
+      assert(ThetaSketch.unionEstExact(merged("a"), merged("b")) === 900L)
+      assert(ThetaSketch.intersectEst(merged("a"), merged("b")) === 300L)
+      assert(ThetaSketch.aNotBEst(merged("a"), merged("b")) === 300L)
+    } finally q2.stop()
+  }
 }
