@@ -664,7 +664,6 @@ object LlmOps {
     * flat form here covers the √n geometry up to ~16M vectors. */
   private[ops] def exactTopKPairs(e: DataFrame, k: Int, nlist: Int = 0,
       flatCap: Int = 4096): DataFrame = {
-    val eps = 1e-6 + 1e-9
     val nl = if (nlist > 0) nlist else {
       val n = e.count()
       val derived = ivfNlistExact(n)
@@ -676,6 +675,17 @@ object LlmOps {
     }
     val centroids = ivfCodebook(e, nlist = nl, iters = 0)
     val assigned = assignToCentroid(e, centroids).localCheckpoint(true)
+    exactTopKPairsIndexed(centroids, assigned, k)
+  }
+
+  /** [[exactTopKPairs]]'s core against PREBUILT cells (see
+    * [[prunedCosinePairsIndexed]] — same ANY-codebook exactness argument:
+    * t0 is an achieved lower bound and the phase-2 prune is a geometric
+    * proof over radii derived from the assignment, so the top-k set is
+    * identical whatever cells are supplied). */
+  private def exactTopKPairsIndexed(centroids: DataFrame,
+      assigned: DataFrame, k: Int): DataFrame = {
+    val eps = 1e-6 + 1e-9
     val geo = cellPairGeometry(centroids, assigned)
     val within = cellPairCandidates(assigned,
       geo.filter(col("ci") === col("cj"))
@@ -808,12 +818,50 @@ object LlmOps {
     // more than the pruning they add. Production at real scale: iters=2.
     val centroids = ivfCodebook(e, nlist = nlist, iters = 0)
     val assigned = assignToCentroid(e, centroids).localCheckpoint(true)
+    prunedCosinePairsIndexed(centroids, assigned, tau)
+  }
+
+  /** [[prunedCosinePairsFlat]]'s core against PREBUILT cells (centroids +
+    * assignment, e.g. from [[readIvfIndex]]): the triangle-inequality
+    * prune is a proof for ANY codebook — radii derive from the assignment
+    * itself — so the pair set is identical whatever cells are supplied;
+    * cell quality moves only the pruning rate. This is the seam that
+    * lets the threshold-pair family ride the train-once persisted
+    * [[exactCellsIndex]] instead of re-deriving codebook + assignment on
+    * every run (the llm_hybrid_search discipline, applied to the pair
+    * shape). */
+  private def prunedCosinePairsIndexed(centroids: DataFrame,
+      assigned: DataFrame, tau: Double): DataFrame = {
     val maxAngle = math.acos(tau - 1e-6) + 1e-6
     val admissible = cellPairGeometry(centroids, assigned)
       .filter(col("theta_ij") <= col("r_i") + col("r_j") + lit(maxAngle))
       .withColumn("max_angle", lit(maxAngle))
       .select(col("ci"), col("cj"), col("theta_ij"), col("max_angle"))
     cellPairCandidates(assigned, admissible, tau = Some(tau))
+  }
+
+  /** The FULL-CORPUS exact-cells index shared by every flat-geometry
+    * exact pair/top-k query (llm_sim_threshold_join, llm_dedup_embcos,
+    * llm_dedup_semantic, llm_sim_topk): ivfNlistExact(n) cells, iters=0 —
+    * the SAME recipe the inline flat paths derive per run, persisted
+    * once per dataset signature via writeIvfIndex (cid-partitioned
+    * inverted file, so admissible-cell probes partition-prune at 100 TB).
+    * Because every consumer's prune is exact for ANY codebook, routing
+    * through the persisted cells is result-invisible — the DuckDB
+    * exhaustive-pair oracles are unchanged (round-3 rule: cells affect
+    * efficiency only, never answers). Past the 4096-list flat cap
+    * (n ≳ 16.7M) production stays on the inline two-level dispatch in
+    * [[prunedCosinePairs]]; this index covers the flat regime. */
+  private def exactCellsIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val idx = annIndexDir(d, "ivfexact")
+    val built = new java.io.File(s"$idx/assign/_SUCCESS").exists() &&
+      new java.io.File(s"$idx/centroids/_SUCCESS").exists()
+    if (!built) {
+      val e = embDouble(s, d).localCheckpoint(true)
+      writeIvfIndex(e, idx, nlist = ivfNlistExact(e.count()), iters = 0)
+      releaseCheckpoint(e)
+    }
+    readIvfIndex(s, idx)
   }
 
   /** Two-level (coarse → fine) form of [[prunedCosinePairsFlat]], lifting
@@ -1778,8 +1826,13 @@ object LlmOps {
         .orderBy(col("doc_id").asc, col("span_start").asc)
     },
 
+    // Rides the train-once persisted exact-cells index (exactCellsIndex):
+    // the executed plan scans the two index tables, never embeddings
+    // .parquet and never a codebook derivation — exact for any cells, so
+    // the exhaustive-pair oracle is unchanged.
     "llm_sim_topk" -> { (s, d) =>
-      exactTopKPairs(embDouble(s, d).localCheckpoint(true), k = 10)
+      val (cent, assigned) = exactCellsIndex(s, d)
+      exactTopKPairsIndexed(cent, assigned, k = 10)
     },
 
     // Exact retrieval: top-5 corpus neighbors per query vector (every
@@ -1820,10 +1873,11 @@ object LlmOps {
 
     // Exact-recall IVF-cell candidate generation, not an O(n²) BNLJ — see
     // prunedCosinePairs. Hash-matching the exhaustive-pairs oracle IS the
-    // recall proof.
+    // recall proof. Rides the persisted exact-cells index (cells affect
+    // efficiency only, never answers).
     "llm_sim_threshold_join" -> { (s, d) =>
-      val e = embDouble(s, d).localCheckpoint(true)
-      prunedCosinePairs(e, 0.4)
+      val (cent, assigned) = exactCellsIndex(s, d)
+      prunedCosinePairsIndexed(cent, assigned, 0.4)
         .select(col("va"), col("vb"), col("cos_sim"),
           (col("label_a") === col("label_b")).as("same_label"))
         .orderBy(col("va").asc, col("vb").asc)
@@ -1859,10 +1913,13 @@ object LlmOps {
     // analogue of llm_dedup_exact's keep-lowest-id rule. Candidates come
     // from the exact-recall pruned cell join.
     "llm_dedup_embcos" -> { (s, d) =>
-      val e = embDouble(s, d).localCheckpoint(true)
-      val dupIds = prunedCosinePairs(e, 0.4)
+      // Persisted exact cells; the keep-set base reads the inverted file
+      // too (one row per vec_id by construction), so the query never
+      // touches embeddings.parquet once the index exists.
+      val (cent, assigned) = exactCellsIndex(s, d)
+      val dupIds = prunedCosinePairsIndexed(cent, assigned, 0.4)
         .select(col("vb").as("vec_id")).distinct()
-      e.select(col("vec_id"), col("label"))
+      assigned.select(col("vec_id"), col("label"))
         .join(dupIds, Seq("vec_id"), "left_anti")
         .orderBy(col("vec_id").asc)
     },
@@ -1893,10 +1950,26 @@ object LlmOps {
     // the same O(log n) pointer-jumping label propagation as
     // llm_dedup_clusters; the pair graph is the exact-recall IVF prune.
     "llm_dedup_semantic" -> { (s, d) =>
-      val e = embDouble(s, d).localCheckpoint(true)
-      val pairs = prunedCosinePairs(e, 0.4)
+      // Persisted exact cells (round-9 advice): the top bench line was
+      // re-deriving codebook + assignment every run; now the pair graph
+      // reads the cid-partitioned inverted file and the vertex set rides
+      // the same table — embeddings.parquet is never scanned once the
+      // index exists. Community membership stays provably complete
+      // (prune is exact for any cells), so the oracle is unchanged.
+      val (cent, assigned) = exactCellsIndex(s, d)
+      // The repartition is a PARALLELISM restore, not a semantic step: the
+      // index's inverted file is a few MB at fixture scale, so its scan
+      // coalesces to 1-2 tasks, and the broadcast-join pair pipeline —
+      // and then labelPropagate's checkpointed edge frame, which inherits
+      // the pipeline's partitioning — would run every propagation round
+      // on those 1-2 tasks (measured: 9.6 s vs 5.4 s at sf0.1). One cheap
+      // shuffle of the pair set restores the session's parallelism for
+      // the whole loop; the single-pass consumers (threshold join,
+      // embcos, topk) don't need it — they end in their own shuffles.
+      val pairs = prunedCosinePairsIndexed(cent, assigned, 0.4)
         .select(col("va").as("doc_a"), col("vb").as("doc_b"))
-      labelPropagate(e.select(col("vec_id").as("doc_id")), pairs)
+        .repartition(col("doc_a"))
+      labelPropagate(assigned.select(col("vec_id").as("doc_id")), pairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).as("kept"))
         .orderBy(col("vec_id").asc)

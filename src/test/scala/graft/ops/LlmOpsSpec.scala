@@ -142,6 +142,45 @@ class LlmOpsSpec extends SparkSpec {
       "compacted query must never re-read the raw embeddings")
   }
 
+  test("exact-pair family rides the persisted cells: rows identical to inline derivation, plans read only the index") {
+    val e = LlmOps.embDouble(spark, sf).localCheckpoint(true)
+    // threshold join: declared (indexed) ≡ inline per-run derivation —
+    // the ANY-codebook exactness made observable, not just argued
+    val q = SparkEntry_queries("llm_sim_threshold_join")
+    val rows = q.collect().map(_.toSeq.toList).toList
+    val inline = LlmOps.prunedCosinePairs(e, 0.4)
+      .select(col("va"), col("vb"), col("cos_sim"),
+        (col("label_a") === col("label_b")).as("same_label"))
+      .orderBy(col("va").asc, col("vb").asc)
+      .collect().map(_.toSeq.toList).toList
+    assert(rows === inline, "indexed threshold pairs diverged from inline")
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_ivfexact_index_"),
+      "threshold join must scan the persisted exact-cells index")
+    assert(!planStr.contains("embeddings.parquet"),
+      "threshold join must not re-read the raw embeddings")
+    // top-k: same invariance through the t0/phase-2 machinery
+    val qt = SparkEntry_queries("llm_sim_topk")
+    val tRows = qt.collect().map(_.toSeq.toList).toList
+    assert(tRows === LlmOps.exactTopKPairs(e, k = 10)
+      .collect().map(_.toSeq.toList).toList,
+      "indexed top-k diverged from inline")
+    val tPlan = qt.queryExecution.executedPlan.toString
+    assert(tPlan.contains("graft_ivfexact_index_") &&
+      !tPlan.contains("embeddings.parquet"))
+    // the two dedup consumers never touch embeddings.parquet either
+    for (name <- Seq("llm_dedup_semantic", "llm_dedup_embcos")) {
+      val dq = SparkEntry_queries(name)
+      dq.collect() // AQE-finalize before inspecting (round-4 rule)
+      val p = dq.queryExecution.executedPlan.toString
+      assert(p.contains("graft_ivfexact_index_"),
+        s"$name must read the exact-cells index")
+      assert(!p.contains("embeddings.parquet"),
+        s"$name must not re-read embeddings")
+    }
+    LlmOps.releaseCheckpoint(e)
+  }
+
   test("semantic dedup: one representative per community, kept set within the pairwise survivors") {
     val sem = SparkEntry_queries("llm_dedup_semantic").collect()
     val byCluster = sem.groupBy(_.getLong(1))
