@@ -354,4 +354,32 @@ class GraphSpec extends SparkSpec {
       assert(got === expect, s"rounds=$r truncated peel differs")
     }
   }
+
+  test("persisted edge table equals the inline derivation, and queries read only the edge parquet") {
+    // The materialized co-occurrence table is a pure function of
+    // lineitem: its rows must equal the inline groupBy+fan-out
+    // derivation exactly (weighted, unweighted, and backbone all come
+    // from the ONE persisted table).
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toList.sortBy(_.toString)
+    assert(norm(Graph.coEdgesWeightedP(spark, sf)) ===
+      norm(Graph.coEdgesWeighted(spark, sf)),
+      "persisted weighted edges diverged from the inline derivation")
+    assert(norm(Graph.coEdgesP(spark, sf)) === norm(Graph.coEdges(spark, sf)),
+      "persisted unweighted projection diverged")
+    assert(norm(Graph.backboneP(spark, sf)) === norm(Graph.backbone(spark, sf)),
+      "persisted backbone diverged")
+    // steady state: a graph query's finalized plan scans the edge
+    // parquet, never lineitem (the whole point of the materialization).
+    // triangle_count has no internal localCheckpoint, so the edge scan
+    // is visible in the inspected plan (queries that checkpoint an
+    // intermediate hide the scan inside the checkpoint job).
+    val q = graft.SparkEntry.queries("graph_triangle_count")(spark, sf)
+    q.collect() // AQE-finalize before inspecting (round-4 rule)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_coedges_"),
+      s"expected the persisted edge scan:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"graph query re-derived edges from the fact table:\n$plan")
+  }
 }
