@@ -1268,7 +1268,12 @@ object LlmOps {
       // pointer jump: resolve each vertex's label THROUGH the label table
       // again (cluster_id is always a vertex id, so the self-join hits).
       // Skipped on the first round, where L = identity makes L(L(v)) = L(v)
-      // — the self-join would be a pure no-op shuffle.
+      // — the self-join would be a pure no-op shuffle. (A quartic L⁴ jump
+      // was tried in round 10 and reverted: on the fixture's dup graphs
+      // the tail rounds are edge-propagation-bound, so the extra
+      // composition bought no rounds while deepening the per-round join
+      // tree — see the stats-reset note below for why tree depth is not
+      // free even on tiny frames.)
       val viaJump = labels.select(col("doc_id").as("src"), col("cluster_id").as("mid"))
         .join(labels.select(col("doc_id").as("mid"), col("cluster_id")), Seq("mid"))
         .select(col("src").as("doc_id"), col("cluster_id"))
@@ -1276,17 +1281,28 @@ object LlmOps {
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cand_min"))
       // carry the previous label through the checkpoint so change
       // detection is a filter over the already-materialized frame, not a
-      // second join+shuffle per round.
-      val next = labels.join(cand, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("cand_min"), col("cluster_id")))
-            .as("next_cid"),
-          col("cluster_id").as("prev_cid"))
-        .localCheckpoint(true)
+      // second join+shuffle per round. checkpointTrueStats, NOT a plain
+      // localCheckpoint: the plain form carries the origin plan's
+      // ESTIMATED statistics into the new LogicalRDD, and because the
+      // size-only estimator multiplies sizes at every join, a loop that
+      // references its own previous checkpoint k times per round
+      // compounds the estimate's bit-length k× per round — by round ~10
+      // the driver spends minutes in BigInteger.multiply just planning
+      // (the round-10 L⁴ experiment hit 72 s for one round). The shim
+      // replaces the estimate with the materialized blocks' true size:
+      // truthful, broadcast-friendly, and constant-depth forever.
+      val next = org.apache.spark.sql.graftshim.PlanBridge.checkpointTrueStats(
+        labels.join(cand, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("cand_min"), col("cluster_id")))
+              .as("next_cid"),
+            col("cluster_id").as("prev_cid")))
       changed = next.filter(col("next_cid") < col("prev_cid")).count()
       releaseCheckpoint(labels)
       labels = next.select(col("doc_id"), col("next_cid").as("cluster_id"))
       rounds += 1
+      if (sys.env.contains("GRAFT_LP_DEBUG"))
+        println(s"GRAFT_LP round=$rounds changed=$changed t=${System.nanoTime() / 1000000}")
     }
     releaseCheckpoint(edges)
     // Singletons (vertices with no incident edge) are their own cluster;
