@@ -242,6 +242,46 @@ object Basics {
       ranked.join(broadcast(targets), col("rn") === col("target_rn"))
         .select(col("split_id"), col("c").as("split_cents"))
         .orderBy(col("split_id").asc)
+    },
+
+    // Small-file compaction planning — the other half of the range-bounds
+    // layout story. A dt/hr-partitioned lake accretes one small file per
+    // ingest slot; the compactor's PLAN (which files coalesce into which
+    // target-size output) is itself a query over file-level metadata — at
+    // 100 TB that inventory is millions of rows (one per file), so the
+    // plan must be computed distributed, never by listing files on the
+    // driver. Shape: build the inventory (one groupBy — here derived from
+    // events' (day, hour) slots with exact integer byte estimates; in
+    // production it comes straight from the table catalog), then assign
+    // each file to the bin its cumulative START offset lands in:
+    // bin = prefix_bytes div target ("next-fit by offset" — deterministic,
+    // no driver loop, and each bin overfills by at most one file, the
+    // classic compactor contract). Every window is partitioned by dt, so
+    // stage width scales with days × slots, never corpus size. All
+    // arithmetic is exact integers; `div` ≡ DuckDB `//` (CLAUDE.md rule).
+    "scale_compaction_plan" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val target = 16384L // bin capacity (bytes); scale-free constant
+      val files = Tables.events(s, d)
+        .select(
+          expr("CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ)").as("dt"),
+          hour(col("ts")).cast("long").as("hr"),
+          (lit(24L) + length(col("event_type")) + length(col("props")))
+            .cast("long").as("row_bytes"))
+        .groupBy(col("dt"), col("hr"))
+        .agg(count(lit(1)).as("file_rows"), sum(col("row_bytes")).as("file_bytes"))
+      val wOff = Window.partitionBy(col("dt")).orderBy(col("hr").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val planned = files
+        .withColumn("off_bytes", coalesce(sum(col("file_bytes")).over(wOff), lit(0L)))
+        .withColumn("bin_id", expr(s"off_bytes div $target"))
+      val wBin = Window.partitionBy(col("dt"), col("bin_id"))
+      planned
+        .withColumn("bin_files", count(lit(1)).over(wBin))
+        .withColumn("bin_bytes", sum(col("file_bytes")).over(wBin))
+        .select(col("dt"), col("hr"), col("file_rows"), col("file_bytes"),
+          col("bin_id"), col("bin_files"), col("bin_bytes"))
+        .orderBy(col("dt").asc, col("hr").asc)
     }
   )
 
@@ -376,6 +416,29 @@ object Basics {
         |      FROM generate_series(1, 31) AS g(k), n)
         |SELECT split_id, r.c AS split_cents
         |FROM t JOIN r ON r.rn = t.tr
-        |ORDER BY split_id ASC NULLS FIRST""".stripMargin
+        |ORDER BY split_id ASC NULLS FIRST""".stripMargin,
+
+    // DuckDB sums promote to HUGEINT — every sum casts back to BIGINT;
+    // `//` is integer division (≡ Spark `div`); hour() is BIGINT already.
+    "scale_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT date_trunc('day', ts) AS dt,
+        |         CAST(hour(ts) AS BIGINT) AS hr,
+        |         count(*) AS file_rows,
+        |         CAST(sum(24 + length(event_type) + length(props)) AS BIGINT) AS file_bytes
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT dt, hr, file_rows, file_bytes,
+        |         CAST(coalesce(sum(file_bytes) OVER (
+        |           PARTITION BY dt ORDER BY hr ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off_bytes
+        |  FROM f),
+        |b AS (
+        |  SELECT dt, hr, file_rows, file_bytes, off_bytes // 16384 AS bin_id FROM p)
+        |SELECT dt, hr, file_rows, file_bytes, bin_id,
+        |       count(*) OVER (PARTITION BY dt, bin_id) AS bin_files,
+        |       CAST(sum(file_bytes) OVER (PARTITION BY dt, bin_id) AS BIGINT) AS bin_bytes
+        |FROM b
+        |ORDER BY dt ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin
   )
 }

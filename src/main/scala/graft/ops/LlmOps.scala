@@ -2217,6 +2217,50 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // Systematic probability-proportional-to-size sampling (n = 50 draws,
+    // size = character count) — the "sample tokens, not documents" knob a
+    // token-budgeted curation run needs: long documents are
+    // proportionally more likely to be drawn, short ones still get mass.
+    // A doc is drawn iff the n equally-spaced slot boundaries
+    // ⌈k·W/n⌉ land inside its cumulative-weight interval
+    // (prev_cum, cum]: equivalently ⌊cum·n/W⌋ > ⌊prev_cum·n/W⌋ — ALL
+    // integer arithmetic (Spark `div` ≡ DuckDB `//` on non-negative
+    // operands), no RNG, engine- and partition-independent. Without
+    // replacement by construction (a doc heavier than W/n covers several
+    // slots but is emitted once, so draws can total < n — the documented
+    // PPS-without-replacement semantics). The global prefix sum is the
+    // scale_range_bounds two-pass machinery: range-partition by doc_id,
+    // per-partition running sum, add a 32-row broadcast offset — no
+    // data-sized single-task window anywhere, and the pid frame is
+    // localCheckpoint-pinned so every branch observes ONE
+    // RangePartitioner assignment (same reservoir-sampling-seed caveat).
+    "llm_sample_pps" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          coalesce(col("n_chars").cast("long"), lit(0L)).as("w"))
+        .repartitionByRange(32, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val sizes = base.groupBy(col("pid")).agg(sum(col("w")).as("wsum"))
+      // ≤ 32 rows: the unpartitioned window below runs over the tiny frame.
+      val offs = sizes.withColumn("off", coalesce(
+          sum(col("wsum")).over(Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      val total = sizes.agg(sum(col("wsum")).as("w_total"))
+      base
+        .withColumn("cw_local", sum(col("w")).over(
+          Window.partitionBy(col("pid")).orderBy(col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(offs), Seq("pid"))
+        .withColumn("cum_w", col("cw_local") + col("off"))
+        .crossJoin(broadcast(total))
+        .withColumn("slot", expr("(cum_w * 50) div w_total"))
+        .filter(col("slot") > expr("((cum_w - w) * 50) div w_total"))
+        .select(col("doc_id"), col("w"), col("cum_w"), col("slot"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // Deterministic train/val/test assignment: the split is a pure
     // function of md5(doc_id) — engine-, partition-, and run-independent,
     // so re-running the pipeline (or running it on a different engine)
@@ -2474,6 +2518,36 @@ object LlmOps {
           expr("round(CAST(n_docs * c_ab AS DOUBLE) / CAST(c_a * c_b AS DOUBLE), 6)")
             .as("lift"))
         .orderBy(col("w_a").asc, col("w_b").asc)
+    },
+
+    // Tokenizer-vocabulary coverage — the "how much of each document does
+    // a K-entry vocab actually cover" audit run before committing to a
+    // tokenizer: per document, the fraction of token OCCURRENCES that are
+    // in the corpus' top-K vocabulary (K = 16 here; 30 of the fixture's
+    // 31 word types are near-uniform so the cut is non-vacuous — every
+    // doc lands strictly between 0 and 1). The vocab cut is the
+    // llm_word_cooccur_lift TakeOrderedAndProject idiom (each task keeps
+    // a local top-K over the |vocab|-sized aggregate, driver merges K·P
+    // rows — never a global window over a web-scale vocabulary), its
+    // (cnt desc, term asc) tie-break total so both engines cut
+    // identically. Membership is a broadcast LEFT join of the token
+    // stream against the K-row vocab; coverage is ONE double division of
+    // exact integer counts (§5.3 ratio rule). At 100 TB: two map-side
+    // combined aggregates + one broadcast join — no corpus shuffle.
+    "llm_vocab_coverage" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(16)
+        .select(col("term"), lit(1L).as("in_v"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_v"), lit(0L))).as("n_in_vocab"))
+        .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+          expr("round(CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)")
+            .as("coverage"))
+        .orderBy(col("doc_id").asc)
     },
 
     "llm_tokenize_tf" -> { (s, d) =>
@@ -3799,6 +3873,22 @@ object LlmOps {
         |WHERE (d.doc_id * 2654435761) % 4294967296 < thr
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
+    // The oracle's prefix sum is one global window (fine at oracle
+    // scale); both engines compute the identical integer slot rule, and
+    // DuckDB window sums promote to HUGEINT so cum_w casts back.
+    "llm_sample_pps" ->
+      """WITH w AS (SELECT doc_id, CAST(coalesce(n_chars, 0) AS BIGINT) AS w
+        |           FROM documents),
+        |c AS (SELECT doc_id, w,
+        |             CAST(sum(w) OVER (ORDER BY doc_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w
+        |      FROM w),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w)
+        |SELECT doc_id, w, cum_w, (cum_w * 50) // w_total AS slot
+        |FROM c, t
+        |WHERE (cum_w * 50) // w_total > ((cum_w - w) * 50) // w_total
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "llm_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -3918,6 +4008,24 @@ object LlmOps {
         |FROM pairs JOIN top a ON a.term = w_a JOIN top b ON b.term = w_b
         |CROSS JOIN n
         |ORDER BY w_a ASC NULLS FIRST, w_b ASC NULLS FIRST""".stripMargin,
+
+    // row_number over (cnt desc, term asc) is the oracle's form of the
+    // same deterministic top-K cut; sums cast back from HUGEINT.
+    "llm_vocab_coverage" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tc AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+        |v AS (SELECT term FROM (
+        |        SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn
+        |        FROM tc) WHERE rn <= 16)
+        |SELECT t.doc_id,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_in_vocab,
+        |       round(CAST(sum(CASE WHEN v.term IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS coverage
+        |FROM terms t LEFT JOIN v ON t.term = v.term
+        |GROUP BY t.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "llm_tokenize_tf" ->
       """WITH terms AS (
