@@ -548,6 +548,113 @@ object LlmOps {
     (s.read.parquet(s"$dir/codebook"), s.read.parquet(s"$dir/codes"))
   }
 
+  /** IVF-PQ index persistence — [[writeIvfIndex]] and [[writePqIndex]]
+    * composed for the residual layout (FAISS's IndexIVFPQ): `centroids`
+    * (cid, cemb — the coarse quantizer), `codebook` (m, k, csub — the PQ
+    * codebook trained on residuals x − c(x)), and `codes`
+    * (vec_id, cid, codes, cdot, rhsq) PARTITIONED BY cid so same-cell
+    * pair enumeration and single-cell probes are partition-pruned scans.
+    * cdot = <c, r̂> and rhsq = |r̂|² are the per-vector scalars of the
+    * exact reconstruction decomposition
+    *   <c+ra, c+rb> = |c|² + cdot_a + cdot_b + <ra,rb>
+    * computed at encode time from broadcast-sized lookups (nlist·pqM
+    * centroid subvectors; pqM·pqK code norms), so a reader scores pairs
+    * from codes + three doubles per vector without ever touching the raw
+    * embeddings. Training stacks BOTH Lloyd chains (coarse + residual
+    * PQ) — the build is a scheduled job at 100 TB, which is why the
+    * declared query rides this index rather than retraining per run (the
+    * cold-training cost is carried honestly by the llm_sim_ann_ivf /
+    * llm_sim_ann_pq retrain siblings). Both chains are the hash-seeded
+    * exact-decimal recipes, so a rebuild over unchanged data recreates
+    * the identical index (LlmOpsSpec forces two retrains under different
+    * shuffle-partition counts and compares). */
+  def writeIvfPqIndex(e: DataFrame, dir: String): Unit = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val dims = 64 / pqM
+    val n = e.count()
+    val centroids = ivfCodebook(e, nlist = ivfNlist(n), iters = 2)
+      .localCheckpoint(true) // consumers: residuals, centSub, the write
+    val resid = assignToCentroid(e, centroids)
+      .select(col("vec_id"), col("cid"), col("emb"))
+      .join(broadcast(centroids), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(emb, cemb, (x, c) -> x - c)").as("emb"))
+      .localCheckpoint(true) // consumers: subvectors + the cid map
+    val sub = pqSubvectors(resid).localCheckpoint(true)
+    val trainSub = // the llm_sim_ann_pq sampled-trainer rule, unchanged
+      if (n <= 4096L) sub
+      else sub.filter(pmod(xxhash64(col("vec_id")), lit(n / 4096L + 1L)) === 0L)
+    val cb = pqCodebook(trainSub, iters = 2).localCheckpoint(true)
+    val centSub = centroids
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("csubc", expr(s"slice(cemb, m * $dims + 1, $dims)"))
+      .select(col("cid"), col("m"), col("csubc"))
+    val perVec = pqAssign(sub, cb)
+      .join(resid.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .join(broadcast(cb.withColumn("cssqk", expr("graft_dot(csub, csub)"))
+        .select(col("m"), col("k"), col("csub"), col("cssqk"))), Seq("m", "k"))
+      .join(broadcast(centSub), Seq("cid", "m"))
+      .withColumn("cdotm", expr("graft_dot(csubc, csub)"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, k))), x -> x.k)")
+          .as("codes"),
+        sum(col("cdotm").cast(dec)).cast("double").as("cdot"),
+        sum(col("cssqk").cast(dec)).cast("double").as("rhsq"))
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    perVec.withColumn("cid", col("cid").cast("int"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+    releaseCheckpoint(cb)
+    releaseCheckpoint(sub)
+    releaseCheckpoint(resid)
+    releaseCheckpoint(centroids)
+  }
+
+  /** Read a [[writeIvfPqIndex]] index back: (centroids, codebook, codes). */
+  def readIvfPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(s) // SDC/cgeo need graft_dot
+    (s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/codebook"),
+      s.read.parquet(s"$dir/codes"))
+  }
+
+  /** IVF-PQ pair scoring from a codes table + codebook + coarse centroids
+    * — the tail shared by any reader of a [[writeIvfPqIndex]] layout.
+    * Same-cell candidates only (the IVF generator), per-pair score =
+    * exact reconstruction decomposition with the SDC residual term;
+    * decimal per-pair sums keep every double partition-order-independent
+    * (the dsumD rule). */
+  private def ivfpqPairScores(codes: DataFrame, cb: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val cgeo = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+      .select(col("cid"), col("cssq"))
+    val a = codes.select(col("cid"), col("vec_id").as("va"),
+      col("codes").as("codes_a"), col("cdot").as("cdot_a"), col("rhsq").as("rhsq_a"))
+    val b = codes.select(col("cid"), col("vec_id").as("vb"),
+      col("codes").as("codes_b"), col("cdot").as("cdot_b"), col("rhsq").as("rhsq_b"))
+    a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+      // bounded explode: exactly pqM rows per pair (the ANSI [i] rule)
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("ka", element_at(col("codes_a"), col("m") + 1))
+      .withColumn("kb", element_at(col("codes_b"), col("m") + 1))
+      .join(broadcast(pqSdcTable(cb)), Seq("m", "ka", "kb"))
+      .groupBy(col("va"), col("vb"), col("cid"),
+        col("cdot_a"), col("cdot_b"), col("rhsq_a"), col("rhsq_b"))
+      .agg(sum(col("ip").cast(dec)).cast("double").as("sdcsum"))
+      .join(broadcast(cgeo), Seq("cid"))
+      .withColumn("ipsum",
+        col("cssq") + col("cdot_a") + col("cdot_b") + col("sdcsum"))
+      .withColumn("rssq_a",
+        col("cssq") + lit(2.0) * col("cdot_a") + col("rhsq_a"))
+      .withColumn("rssq_b",
+        col("cssq") + lit(2.0) * col("cdot_b") + col("rhsq_b"))
+      .withColumn("approx_cos",
+        round(col("ipsum") / (sqrt(col("rssq_a")) * sqrt(col("rssq_b"))), 6))
+      .filter(col("approx_cos") >= 0.3)
+      .select(col("va"), col("vb"), col("approx_cos"))
+      .orderBy(col("va").asc, col("vb").asc)
+  }
+
   /** EXACT cosine-threshold pairs via IVF cells + triangle-inequality cell
     * pruning — the scale-safe production form of the brute-force all-pairs
     * cosine join (which survives only as the DuckDB oracle SQL and the
@@ -2169,6 +2276,50 @@ object LlmOps {
       }
       val (cb, codes) = readPqIndex(s, idx)
       pqPairScores(codes, pqSdcTable(cb))
+    },
+
+    // IVF-PQ — the two ANN halves composed the way FAISS's IndexIVFPQ
+    // does: the IVF coarse quantizer provides CANDIDATES (same-cell
+    // pairs, the llm_sim_ann_ivf generator) and PQ provides the cheap
+    // SCORER — but trained on the RESIDUAL x − c(x) instead of the raw
+    // vector, so the fixed 64-bit code budget spends its resolution on
+    // the within-cell offset rather than re-describing the cell center.
+    // That is the standard win on CLUSTERABLE corpora; on this fixture's
+    // near-uniform embeddings the cells are broad (centroid norms are
+    // small, residual ≈ raw) and Lloyd shrinkage of r̂ tilts same-cell
+    // reconstructions toward the shared center — LlmOpsSpec measures the
+    // resulting inflation (signed mean +0.12) and bounds it, and pins
+    // the property that matters for threshold semantics: recall over
+    // cell-visible true pairs. Scoring
+    // decomposes the reconstruction inner product exactly:
+    //   <c+ra, c+rb> = |c|² + <c,ra> + <c,rb> + <ra,rb>
+    // with <c,rv> ("cdot") and |rv|² ("rhsq") per-vector scalars computed
+    // at encode time from broadcast-sized lookups (nlist·pqM centroid
+    // subvectors; pqM·pqK code norms) and <ra,rb> the usual broadcast SDC
+    // sum — so the pair join carries codes + three doubles per vector,
+    // never the 64-d raw vectors, and candidates never cross cells. The
+    // declared query rides the PERSISTED index (writeIvfPqIndex /
+    // readIvfPqIndex, signature-keyed): building it stacks BOTH Lloyd
+    // chains — a scheduled job at 100 TB, and its cold cost is already
+    // carried honestly by the llm_sim_ann_ivf / llm_sim_ann_pq retrain
+    // siblings. Every aggregate is an exact-decimal sum and both
+    // codebooks are the hash-seeded Lloyd recipe, so a rebuild is
+    // bit-identical (LlmOpsSpec forces two retrains under different
+    // shuffle-partition counts and compares, and pins the score
+    // error/inflation bounds and recall over cell-visible true threshold
+    // pairs). Rows-only like its siblings: the score is an approximation
+    // with no DuckDB twin.
+    "llm_sim_ann_ivfpq" -> { (s, d) =>
+      val idx = annIndexDir(d, "ivfpq")
+      val built = Seq("centroids", "codebook", "codes")
+        .forall(p => new java.io.File(s"$idx/$p/_SUCCESS").exists())
+      if (!built) {
+        val e = embDouble(s, d).localCheckpoint(true)
+        writeIvfPqIndex(e, idx)
+        releaseCheckpoint(e)
+      }
+      val (cent, cb, codes) = readIvfPqIndex(s, idx)
+      ivfpqPairScores(codes, cb, cent)
     },
 
     // Deterministic per-stratum hash sampling: membership is a pure

@@ -283,6 +283,72 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ ANN: deterministic across retrains, error/inflation bounded, cell-visible recall holds") {
+    // the declared query rides the persisted index, so determinism of the
+    // SCORER alone would be trivial — delete the index before each run to
+    // force a full retrain, making this a training-chain determinism
+    // check (hash-seeded Lloyd init + exact-decimal means/sums leave
+    // nothing partition-order-dependent even with the merge order
+    // permuted by a different shuffle-partition count)
+    def dropIndex(): Unit = {
+      val dir = new java.io.File(LlmOps.annIndexDir(sf, "ivfpq"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (dir.exists()) rm(dir)
+    }
+    dropIndex()
+    val ivfpq = SparkEntry_queries("llm_sim_ann_ivfpq").collect()
+    assert(ivfpq.nonEmpty, "IVF-PQ ANN produced no pairs")
+    dropIndex()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val again = try SparkEntry_queries("llm_sim_ann_ivfpq").collect()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    assert(again.map(_.toSeq.toList).toList === ivfpq.map(_.toSeq.toList).toList)
+    // accuracy: the residual decomposition is EXACT (the error is purely
+    // residual quantization), but this fixture's embeddings are
+    // near-uniform on the sphere, so 16-cell IVF cells are broad,
+    // centroid norms are small, residuals ≈ raw vectors — and Lloyd
+    // shrinkage of r̂ tilts reconstructions toward the SHARED cell
+    // center, inflating same-cell scores (measured: mean |err| 0.127,
+    // max 0.44, signed mean +0.122 — the query scaladoc documents the
+    // trade). On clusterable corpora the residual codes tighten instead;
+    // here the bounds catch a BROKEN path, recall below pins the
+    // property that matters for threshold semantics.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val signed = ivfpq.map { r =>
+      r.getDouble(2) - cos(emb(r.getLong(0)), emb(r.getLong(1)))
+    }
+    val errs = signed.map(math.abs)
+    info(s"IVF-PQ cosine error: mean ${errs.sum / errs.length}, max ${errs.max}, " +
+      s"signed mean ${signed.sum / signed.length}, pairs ${ivfpq.length}")
+    assert(errs.max < 0.5, s"worst IVF-PQ cosine error ${errs.max}")
+    assert(errs.sum / errs.length < 0.15, s"mean IVF-PQ cosine error ${errs.sum / errs.length}")
+    // recall scope = the coarse candidate generator: true threshold pairs
+    // (cos >= 0.4, exact path) that SHARE AN IVF CELL — exactly the pairs
+    // llm_sim_ann_ivf scores, so its output keys ARE the visible set
+    val cellVisible = SparkEntry_queries("llm_sim_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = SparkEntry_queries("llm_sim_threshold_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val visible = truePairs.intersect(cellVisible)
+    val got = ivfpq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (visible.nonEmpty) {
+      val recall = visible.count(got.contains).toDouble / visible.size
+      info(s"IVF-PQ recall over cell-visible true pairs: $recall (${visible.size} visible)")
+      assert(recall >= 0.5, s"IVF-PQ recall over cell-visible true pairs: $recall")
+    }
+  }
+
   test("minhash LSH finds all high-Jaccard pairs on a synthetic controlled-overlap corpus") {
     // The band math (32 bands x 2 rows: P(miss) = (1 - s^2)^32 < 1e-14 at
     // s >= 0.8) is only fixture-verified by the oracle compare; this drives
