@@ -762,4 +762,139 @@ object Multimodal {
       }
     }
   }
+
+  // ---- WAV / PCM audio (RIFF container, 16-bit mono PCM) ----
+  // The audio modality's analogue of the PNG path: real container both
+  // directions (RIFF spec: Microsoft/IBM Multimedia Programming
+  // Interface, 1991 — the format every `.wav` reader implements), sample
+  // content derived from document text so the full parse is
+  // DuckDB-oracle-checkable even though no SQL engine reads a WAV.
+
+  /** Canonical 44-byte RIFF/WAVE PCM header + little-endian 16-bit mono
+    * samples. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def tag(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+    }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16) // PCM fmt chunk is 16 bytes
+    le16(20, 1) // audio format 1 = linear PCM
+    le16(22, 1) // mono
+    le32(24, sampleRate)
+    le32(28, sampleRate * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toInt
+      out(44 + i * 2) = s.toByte
+      out(44 + i * 2 + 1) = (s >>> 8).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a PCM WAV by WALKING the RIFF chunk list (never fixed offsets —
+    * a 'LIST'/'fact' chunk between 'fmt ' and 'data', as many encoders
+    * emit, must not break the parse; chunks pad to even length per the
+    * spec). Returns (sampleRate, channels, samples) for 16-bit linear PCM;
+    * None for anything that is not a valid PCM WAV. */
+  def decodeWav(p: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong) | (u16(i + 2).toLong << 16)
+    def tag(i: Int): String = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1
+    var chans = -1
+    var ok = false
+    var samples: Array[Short] = null
+    while (off + 8 <= p.length && (samples == null || !ok)) {
+      val ct = tag(off)
+      val clen = u32(off + 4).toInt
+      if (off + 8 + clen > p.length) return None
+      if (ct == "fmt ") {
+        val fmt = u16(off + 8)
+        val bits = u16(off + 22)
+        chans = u16(off + 10)
+        rate = u32(off + 12).toInt
+        ok = fmt == 1 && bits == 16 && chans >= 1
+        if (!ok) return None
+      } else if (ct == "data") {
+        val n = clen / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((p(off + 8 + i * 2) & 0xff) |
+            ((p(off + 8 + i * 2 + 1) & 0xff) << 8)).toShort
+          i += 1
+        }
+        samples = out
+      }
+      off += 8 + clen + (clen & 1) // chunks pad to even length
+    }
+    if (ok && samples != null) Some((rate, chans, samples)) else None
+  }
+
+  /** Documents → a fully-valid WAV table: one 16-bit mono PCM clip per
+    * document, sample i = (text byte i − 96)·128 (lowercase text centers
+    * near 0; the ×128 uses the 16-bit range), N = |text| samples, sample
+    * rate 8000 + (doc_id mod 8)·1000 so the rate FIELD is load-bearing in
+    * the parse. Content is a pure function of the text, so Σ samples and
+    * Σ samples² have closed forms the mm_audio_stats oracle recomputes
+    * from `documents.text` alone. */
+  def syntheticAudioTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val samples = new Array[Short](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        samples(i) = (((bytes(i) & 0xff) - 96) * 128).toShort
+        i += 1
+      }
+      MediaRow(id, "audio",
+        encodeWav(8000 + math.floorMod(id, 8).toInt * 1000, samples))
+    }
+  }
+
+  case class AudioStats(media_id: Long, sample_rate: Long, n_samples: Long,
+      sum_pcm: Long, sumsq_pcm: Long)
+
+  /** Decoded per-clip PCM statistics over a [[syntheticAudioTable]]-style
+    * table: REAL [[decodeWav]] per payload (chunk walk → sample read),
+    * then exact integer Σs and Σs² over every decoded sample — the audio
+    * twin of [[pixelStats]], same partition-preserving no-payload-shuffle
+    * shape, same throw-on-corruption contract. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (rate, _, samples) = decodeWav(r.payload).getOrElse(
+        throw new IllegalStateException(
+          s"undecodable audio-table payload for media_id=${r.media_id}"))
+      var s1 = 0L
+      var s2 = 0L
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toLong
+        s1 += v
+        s2 += v * v
+        i += 1
+      }
+      AudioStats(r.media_id, rate.toLong, samples.length.toLong, s1, s2)
+    })
+  }
 }

@@ -3312,6 +3312,27 @@ object LlmOps {
         .orderBy(col("media_id").asc)
     },
 
+    // REAL audio decode, oracle-checked — the WAV/PCM twin of
+    // mm_pixel_stats: every document becomes a genuine RIFF/WAVE 16-bit
+    // mono PCM clip (Multimodal.encodeWav, canonical 44-byte header)
+    // whose samples are (text byte − 96)·128, and this query recovers the
+    // sample rate, count, Σs and Σs² by PARSING the container with a real
+    // chunk-walking reader (Multimodal.decodeWav — fixed offsets would
+    // break on LIST/fact chunks; MultimodalSpec differentials it against
+    // the JDK's javax.sound.sampled decoder both ways). The oracle
+    // recomputes all four from documents.text alone — a little-endian
+    // slip, a wrong chunk skip, or a sign error all hash-mismatch.
+    // Payloads never shuffle: decode is a partition-preserving map, only
+    // the 5-column stats row leaves the partition.
+    "mm_audio_stats" -> { (s, d) =>
+      graft.multimodal.Multimodal.audioStats(
+        graft.multimodal.Multimodal.syntheticAudioTable(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("sum_pcm"), col("sumsq_pcm"))
+        .orderBy(col("media_id").asc)
+    },
+
     // Perceptual hash over REAL decoded pixels: 8×8 integer average hash
     // (Multimodal.averageHash) of every pixel-table image. The oracle
     // recomputes all 64 block sums from documents.text alone — each block
@@ -4744,6 +4765,26 @@ object LlmOps {
         |       CAST(pix_sum AS BIGINT) AS pix_sum,
         |       CAST(pix_sum AS DOUBLE) / CAST(n AS DOUBLE) AS pix_mean
         |FROM p
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+
+    // Recomputes the WAV stats from text alone: sample i is
+    // (ascii(char i) − 96)·128, so Σs = 128·Σ(code−96) and
+    // Σs² = 16384·Σ(code−96)² — the Spark side must recover the identical
+    // integers by actually parsing the RIFF container it encoded.
+    "mm_audio_stats" ->
+      """WITH ch AS (
+        |  SELECT doc_id, ascii(c) - 96 AS v
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+        |a AS (SELECT doc_id, count(*) AS n,
+        |             CAST(sum(v) AS BIGINT) AS s1,
+        |             CAST(sum(v * v) AS BIGINT) AS s2
+        |      FROM ch GROUP BY doc_id)
+        |SELECT doc_id AS media_id,
+        |       CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |       n AS n_samples,
+        |       128 * s1 AS sum_pcm,
+        |       16384 * s2 AS sumsq_pcm
+        |FROM a
         |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
 
     // 8×8 average hash recomputed pixel-free: every block row is a

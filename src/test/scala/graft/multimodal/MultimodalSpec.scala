@@ -432,4 +432,74 @@ class MultimodalSpec extends SparkSpec {
     // frames are bounded slices
     assert(frames.select(max(octet_length(col("frame")))).head.getInt(0) <= 50)
   }
+
+  test("WAV codec: JDK javax.sound differential both ways, chunk-walk survives a LIST chunk") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // our stream → JDK decoder: every header field and sample must agree
+    val samples = Array.tabulate(300)(i => ((i * 37 % 4001) - 2000).toShort)
+    val wav = Multimodal.encodeWav(11025, samples)
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val f = ais.getFormat
+    assert(f.getSampleRate === 11025.0f)
+    assert(f.getChannels === 1)
+    assert(f.getSampleSizeInBits === 16)
+    assert(f.getEncoding === AudioFormat.Encoding.PCM_SIGNED)
+    assert(!f.isBigEndian)
+    val raw = ais.readAllBytes()
+    assert(raw.length === samples.length * 2)
+    val jdk = Array.tabulate(samples.length)(i =>
+      ((raw(i * 2) & 0xff) | ((raw(i * 2 + 1) & 0xff) << 8)).toShort)
+    assert(jdk.toSeq === samples.toSeq)
+    // JDK-encoded stream → our decoder: independent writer, same samples
+    val srcFmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      pcm(i * 2) = samples(i).toByte
+      pcm(i * 2 + 1) = (samples(i) >> 8).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), srcFmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val decoded = Multimodal.decodeWav(bos.toByteArray)
+    assert(decoded.isDefined, "our decoder refused a JDK-written WAV")
+    val (rate, chans, got) = decoded.get
+    assert(rate === 8000)
+    assert(chans === 1)
+    assert(got.toSeq === samples.toSeq)
+    // chunk walking is load-bearing: splice a LIST chunk between fmt and
+    // data (fixed-offset parsers read garbage samples here)
+    val head = wav.slice(0, 36) // RIFF..fmt chunk end
+    val tail = wav.slice(36, wav.length) // data chunk
+    val listChunk = "LIST".getBytes ++ Array[Byte](6, 0, 0, 0) ++
+      "INFOab".getBytes // 6-byte payload, even — no pad
+    val spliced = head ++ listChunk ++ tail
+    // fix the RIFF size field (+14 bytes)
+    val riffLen = (wav.length - 8) + listChunk.length
+    spliced(4) = riffLen.toByte; spliced(5) = (riffLen >>> 8).toByte
+    spliced(6) = (riffLen >>> 16).toByte; spliced(7) = (riffLen >>> 24).toByte
+    val walked = Multimodal.decodeWav(spliced)
+    assert(walked.isDefined, "chunk walk broke on a LIST chunk")
+    assert(walked.get._3.toSeq === samples.toSeq)
+    // and it refuses non-PCM: flip the format tag to 3 (IEEE float)
+    val bad = wav.clone(); bad(20) = 3
+    assert(Multimodal.decodeWav(bad).isEmpty)
+  }
+
+  test("audio table: every payload is a fully-valid WAV whose decoded sums match the closed form") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stats = Multimodal.audioStats(
+      Multimodal.syntheticAudioTable(Tables.documents(spark, sf)))
+      .collect()
+    assert(stats.length === docs.size)
+    stats.foreach { st =>
+      val text = docs(st.media_id)
+      val vs = text.map(c => (c.toInt - 96).toLong)
+      assert(st.sample_rate === 8000L + math.floorMod(st.media_id, 8) * 1000L)
+      assert(st.n_samples === text.length.toLong)
+      assert(st.sum_pcm === 128L * vs.sum)
+      assert(st.sumsq_pcm === 16384L * vs.map(v => v * v).sum)
+    }
+  }
 }
