@@ -616,4 +616,45 @@ class PlanSpec extends SparkSpec {
     assert(factScans <= 2,
       s"more fact scans than the two inline-differential halves ($factScans):\n$plan")
   }
+
+  test("scale_compaction_plan: every window partitions by dt — no data-sized funnel") {
+    // The bin assignment and the bin-fill rollup are both dt-partitioned
+    // windows over the FILE INVENTORY (one row per (dt, hr) file), so
+    // stage width scales with days × slots, never events. An
+    // unpartitioned window anywhere here would be the single-task funnel
+    // the repo bans on data-sized frames.
+    val df = SparkEntry.queries("scale_compaction_plan")(spark, sf)
+    df.collect() // AQE-finalize before inspecting (round-4 rule)
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"expected window operators in the plan:\n$plan")
+    assert(windows.forall(_.contains("dt#")),
+      s"every window must be dt-partitioned:\n${windows.mkString("\n")}")
+  }
+
+  test("llm_sample_pps: pinned range partitioning; the data-sized cumsum window is pid-partitioned") {
+    // Same machinery and same contract as scale_range_bounds: the
+    // pid-stamped frame is localCheckpoint-pinned (one RangePartitioner
+    // assignment for every branch), the consuming plan never re-runs the
+    // range exchange, and the only unpartitioned window is the ≤32-row
+    // offset cumsum.
+    val df = SparkEntry.queries("llm_sample_pps")(spark, sf)
+    df.collect()
+    // no DPP subqueries here, so the round-6 first-marker split is safe
+    // (the round-7 nested-AQE trap doesn't apply)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the pid frame must come from the pinned checkpoint:\n$plan")
+    // exactly ONE doc_id range exchange: the output ORDER BY's sort. The
+    // 32-way base partitioning ran once at checkpoint time and must not
+    // reappear in any branch.
+    val rangeEx = plan.linesIterator
+      .count(_.contains("Exchange rangepartitioning(doc_id#"))
+    assert(rangeEx == 1,
+      s"expected only the output-sort range exchange, found $rangeEx:\n$plan")
+    val dataWin = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("w#")).toSeq
+    assert(dataWin.forall(_.contains("windowspecdefinition(pid")),
+      s"the data-sized cumsum window must be partitioned by pid:\n${dataWin.mkString("\n")}")
+  }
 }

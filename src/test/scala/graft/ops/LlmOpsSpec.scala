@@ -306,6 +306,17 @@ class LlmOpsSpec extends SparkSpec {
     val again = try SparkEntry_queries("llm_sim_ann_ivfpq").collect()
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     assert(again.map(_.toSeq.toList).toList === ivfpq.map(_.toSeq.toList).toList)
+    // with the index in place the query is a pure index reader: the
+    // AQE-finalized plan (round-4 rule: collect the SAME Dataset first)
+    // scans the persisted layout and never embeddings.parquet
+    val reader = SparkEntry_queries("llm_sim_ann_ivfpq")
+    val readerRows = reader.collect().map(_.toSeq.toList).toList
+    assert(readerRows === ivfpq.map(_.toSeq.toList).toList)
+    val planStr = reader.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_ivfpq_index_"),
+      "expected the persisted IVF-PQ index scan in the executed plan")
+    assert(!planStr.contains("embeddings.parquet"),
+      "persisted IVF-PQ query must never re-read the raw embeddings")
     // accuracy: the residual decomposition is EXACT (the error is purely
     // residual quantization), but this fixture's embeddings are
     // near-uniform on the sphere, so 16-cell IVF cells are broad,
