@@ -3333,6 +3333,53 @@ object LlmOps {
         .orderBy(col("media_id").asc)
     },
 
+    // Multimodal curation capstone — the cross-modality gate a
+    // text+image+audio training-data pipeline runs per example: ONE lazy
+    // plan joins the three modality signals (token count from the text;
+    // pixel sum from a REAL PNG decode of the pixel table; PCM energy
+    // from a REAL WAV parse of the audio table) and emits a keep/drop
+    // decision with the first failing reason. Every predicate compares
+    // EXACT INTEGERS (n_tokens ≥ 30; pix_sum ≥ 94·n_pix; sumsq_pcm ≤
+    // 16384·950·n_samples — thresholds chosen inside the fixture's
+    // per-doc ranges so each reason fires on a real slice), and the two
+    // report ratios are one double division each — so the decision is
+    // bit-identical cross-engine even though the oracle cannot decode
+    // either container: it recomputes all three signals from
+    // documents.text via the closed forms (the mm_pixel_stats cycling
+    // formula + the mm_audio_stats sample map). Scale shape: three
+    // partition-preserving decode maps, two 1:1 equi-joins on doc_id, no
+    // payload ever shuffles.
+    "mm_curation_pipeline" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val text = docs.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      val px = graft.multimodal.Multimodal.pixelStats(
+        graft.multimodal.Multimodal.syntheticPixelTable(docs)).toDF()
+        .select(col("media_id").as("doc_id"),
+          (col("width") * col("height") * col("channels")).as("n_pix"),
+          col("pix_sum"))
+      val au = graft.multimodal.Multimodal.audioStats(
+        graft.multimodal.Multimodal.syntheticAudioTable(docs)).toDF()
+        .select(col("media_id").as("doc_id"), col("n_samples"), col("sumsq_pcm"))
+      text.join(px, Seq("doc_id")).join(au, Seq("doc_id"))
+        // precedence short_text → loud_audio → dim_image: chosen so every
+        // reason fires at every fixture scale (dim_image-first starved
+        // loud_audio to zero at sf0.001 — the round-8 vacuity rule)
+        .withColumn("reason",
+          when(col("n_tokens") < 30, "short_text")
+            .when(col("sumsq_pcm") > lit(15564800L) * col("n_samples"), "loud_audio")
+            .when(col("pix_sum") < lit(94L) * col("n_pix"), "dim_image")
+            .otherwise("ok"))
+        .select(col("doc_id"), col("n_tokens"), col("pix_sum"), col("n_pix"),
+          col("sumsq_pcm"), col("n_samples"),
+          (col("reason") === "ok").as("keep"), col("reason"),
+          round(col("pix_sum").cast("double") / col("n_pix").cast("double"), 6)
+            .as("pix_mean"),
+          round(col("sumsq_pcm").cast("double") / col("n_samples").cast("double"), 6)
+            .as("audio_power"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // Perceptual hash over REAL decoded pixels: 8×8 integer average hash
     // (Multimodal.averageHash) of every pixel-table image. The oracle
     // recomputes all 64 block sums from documents.text alone — each block
@@ -4786,6 +4833,44 @@ object LlmOps {
         |       16384 * s2 AS sumsq_pcm
         |FROM a
         |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+
+    // All three modality signals recomputed from text alone: pix_sum via
+    // the mm_pixel_stats cycling closed form, sumsq via the
+    // mm_audio_stats sample map, tokens via the shared split; the CASE
+    // replays the integer gate in the same order.
+    "mm_curation_pipeline" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(text) + 1), i -> ascii(text[i])) AS codes,
+        |         len(text) AS L,
+        |         (doc_id % 64) + 8 AS w, (doc_id % 48) + 8 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, CAST(w * h * ch AS BIGINT) AS n_pix,
+        |         CAST((w * h * ch // L) * list_sum(codes) +
+        |              CASE WHEN (w * h * ch) % L = 0 THEN 0
+        |                   ELSE list_sum(codes[1:((w * h * ch) % L)]) END AS BIGINT) AS pix_sum
+        |  FROM b),
+        |au AS (
+        |  SELECT doc_id, CAST(len(codes) AS BIGINT) AS n_samples,
+        |         CAST(16384 * list_sum(list_transform(codes, c -> (c - 96) * (c - 96))) AS BIGINT) AS sumsq_pcm
+        |  FROM b),
+        |tx AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |j AS (
+        |  SELECT tx.doc_id, n_tokens, pix_sum, n_pix, sumsq_pcm, n_samples,
+        |         CASE WHEN n_tokens < 30 THEN 'short_text'
+        |              WHEN sumsq_pcm > 15564800 * n_samples THEN 'loud_audio'
+        |              WHEN pix_sum < 94 * n_pix THEN 'dim_image'
+        |              ELSE 'ok' END AS reason
+        |  FROM tx JOIN px USING (doc_id) JOIN au USING (doc_id))
+        |SELECT doc_id, n_tokens, pix_sum, n_pix, sumsq_pcm, n_samples,
+        |       reason = 'ok' AS keep, reason,
+        |       round(CAST(pix_sum AS DOUBLE) / CAST(n_pix AS DOUBLE), 6) AS pix_mean,
+        |       round(CAST(sumsq_pcm AS DOUBLE) / CAST(n_samples AS DOUBLE), 6) AS audio_power
+        |FROM j
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     // 8×8 average hash recomputed pixel-free: every block row is a
     // contiguous span of the cycled buffer, so block sums come from the
