@@ -262,6 +262,35 @@ object VectorKernels {
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Holt linear (double exponential, α = β = ½) smoothing states over an
+    * integer series: returns [l₁, b₁, l₂, b₂, …] interleaved, seeded
+    * l₁ = x₁, b₁ = 0, stepping l = ⌊(x + l′ + b′)/2⌋,
+    * b = ⌊(l − l′ + b′)/2⌋ with arithmetic shift (>> 1 floors for every
+    * sign — the exact twin of the oracle's floor-division emulation; a
+    * truncating division would diverge on negative trends). One O(n) pass
+    * — replaces the aggregate()-HOF fold whose array append is O(n²)
+    * (measured 2.3 s → see ts_holt_linear). */
+  def holtStates(iv: ArrayData): ArrayData = {
+    val n = iv.numElements()
+    val out = new Array[Long](2 * n)
+    var l = 0L
+    var b = 0L
+    var i = 0
+    while (i < n) {
+      val x = iv.getLong(i)
+      if (i == 0) { l = x; b = 0L }
+      else {
+        val l1 = (x + l + b) >> 1
+        b = (l1 - l + b) >> 1
+        l = l1
+      }
+      out(2 * i) = l
+      out(2 * i + 1) = b
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** 64-long minhash signature of an array<long> of shingle hashes. */
@@ -405,6 +434,21 @@ case class SortedIntersectMinWeightSum(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** Interleaved Holt level/trend states of an array<bigint> series (see
+  * [[VectorKernels.holtStates]]). */
+case class HoltStates(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_holt expects array<bigint>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(h: Any): Any = VectorKernels.holtStates(h.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.holtStates($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register the vector kernels in the session's function registry so
     * query closures can call them via `expr("graft_dot(a, b)")`. Idempotent;
@@ -431,5 +475,7 @@ object VectorFunctions {
       "graft_sorted_intersect_minw",
       exprs => SortedIntersectMinWeightSum(exprs.head, exprs(1), exprs(2), exprs(3)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_holt", exprs => HoltStates(exprs.head), "built-in")
   }
 }

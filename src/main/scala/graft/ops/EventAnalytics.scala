@@ -330,6 +330,57 @@ object EventAnalytics {
         .orderBy(col("event_type").asc)
     },
 
+    // Holt linear (double exponential) smoothing per (event_type, day) —
+    // the level+trend recurrence ts_ewma_dyadic's single-state kernel
+    // cannot express:
+    //   l_t = ⌊(x_t + l_{t−1} + b_{t−1}) / 2⌋   (α = ½)
+    //   b_t = ⌊(l_t − l_{t−1} + b_{t−1}) / 2⌋   (β = ½)
+    // seeded l_1 = x_1, b_1 = 0, over integer micro-units. Unlike the
+    // EWMA's finite dyadic kernel, the trend recurrence has no truncated
+    // convolution form, so this is a genuine sequential fold — and the
+    // cross-engine trap is that Spark's `div` TRUNCATES toward zero while
+    // DuckDB's `//` FLOORS, diverging exactly when the trend goes
+    // negative. The sign-safe twin pair: the native graft_holt kernel
+    // steps with arithmetic shift (>> 1 ≡ ⌊v/2⌋ for every sign), and the
+    // oracle emulates floor division integer-only — so each step is
+    // bit-identical. The fold runs as ONE O(n) pass of the graft_holt
+    // codegen kernel over each key's sorted iv list (the graft_winnow
+    // precedent: the first cut's aggregate()-HOF fold appended to an
+    // array per element — O(n²) copies, 2.3 s at sf0.1 — the kernel does
+    // the identical arithmetic in one loop), returning interleaved
+    // [l₁,b₁,l₂,b₂,…]; an indexed transform zips states back onto the
+    // sorted rows (element_at bounds are exact by construction). Keys are
+    // (type, day): the state is day-scoped, so at 100 TB the fold
+    // parallelizes across days × types while each day's recurrence stays
+    // exactly sequential — the same key-scoped-fold contract as
+    // streamCusum. The oracle replays the identical recurrence as a
+    // recursive CTE joined on per-key row_number. Output keeps the exact
+    // integer state (level_u/trend_u) plus one rounded double division.
+    "ts_holt_linear" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ)").as("dt"),
+          col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      ev.groupBy(col("event_type"), col("dt"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("iv")))).as("xs"))
+        .withColumn("st", expr("graft_holt(transform(xs, x -> x.iv))"))
+        .select(col("event_type"), col("dt"), explode(expr(
+          """transform(xs, (x, i) -> named_struct(
+            |  'ts', x.ts, 'event_id', x.event_id, 'iv', x.iv,
+            |  'l', element_at(st, 2 * i + 1),
+            |  'b', element_at(st, 2 * i + 2)))"""
+            .stripMargin.replace("\n", " "))).as("r"))
+        .select(col("event_type"), col("dt"),
+          col("r.ts").as("ts"), col("r.event_id").as("event_id"),
+          col("r.iv").as("iv"),
+          col("r.l").as("level_u"), col("r.b").as("trend_u"),
+          round(col("r.l").cast("double") / 10000.0, 6).as("level"))
+        .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
+    },
+
     // Exponentially-weighted moving average with a dyadic (α=1/2) kernel
     // truncated at 16 taps: ewma_i = Σ_{j=0..15} 2^(15-j)·x_{i-j} / Σ 2^(15-j)
     // over the deterministic (ts, event_id) order per event_type. The
@@ -1093,6 +1144,43 @@ object EventAnalytics {
          |             6) AS ewma
          |FROM b
          |WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+         |ORDER BY event_type ASC NULLS FIRST, ts ASC, event_id ASC""".stripMargin
+    },
+
+    // The identical Holt recurrence replayed as a recursive CTE joined on
+    // per-(type, day) row_number. CROSS-ENGINE TRAP (measured, round 10):
+    // DuckDB `//` TRUNCATES toward zero (−5 // 2 = −2) while Spark's
+    // shiftright(·, 1) floors (−5 >> 1 = −3) — so the oracle emulates
+    // floor division with the integer-only identity
+    // ⌊x/2⌋ = (x − floormod(x, 2)) / 2 where floormod(x, 2) =
+    // ((x % 2) + 2) % 2 (x − floormod is even, so `//` on it is exact and
+    // truncate ≡ floor). Recursion depth = max rows per day-key (~750).
+    "ts_holt_linear" -> {
+      def fdiv(x: String) = s"((($x) - (((($x) % 2) + 2) % 2)) // 2)"
+      val lNew = fdiv("b.iv + r.l + r.b")
+      val bNew = fdiv(s"$lNew - r.l + r.b")
+      s"""WITH RECURSIVE b AS (
+         |  SELECT event_type, date_trunc('day', ts) AS dt, ts, event_id,
+         |         CAST(round(value * 10000, 0) AS BIGINT) AS iv,
+         |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+         |                            ORDER BY ts ASC, event_id ASC) AS rn
+         |  FROM events
+         |),
+         |r AS (
+         |  SELECT event_type, dt, ts, event_id, iv, rn,
+         |         iv AS l, CAST(0 AS BIGINT) AS b
+         |  FROM b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.event_type, b.dt, b.ts, b.event_id, b.iv, b.rn,
+         |         $lNew AS l,
+         |         $bNew AS b
+         |  FROM r JOIN b ON b.event_type = r.event_type AND b.dt = r.dt
+         |              AND b.rn = r.rn + 1
+         |)
+         |SELECT event_type, dt, ts, event_id, iv,
+         |       CAST(l AS BIGINT) AS level_u, CAST(b AS BIGINT) AS trend_u,
+         |       round(CAST(l AS DOUBLE) / 10000.0, 6) AS level
+         |FROM r
          |ORDER BY event_type ASC NULLS FIRST, ts ASC, event_id ASC""".stripMargin
     },
 

@@ -123,4 +123,24 @@ class VectorKernelsSpec extends SparkSpec {
     assert(plan.contains("*(") || plan.contains("WholeStageCodegen"),
       s"graft_dot fell out of codegen:\n$plan")
   }
+
+  test("holtStates: hand-computed recurrence, FLOOR (not truncating) steps on negative trends") {
+    def run(xs: Long*): Seq[Long] = {
+      val out = VectorKernels.holtStates(new GenericArrayData(xs.toArray))
+      (0 until out.numElements()).map(out.getLong(_))
+    }
+    // seed: l1 = x1, b1 = 0
+    assert(run(10L) === Seq(10L, 0L))
+    // rising series, hand-stepped: l2=⌊(20+10+0)/2⌋=15, b2=⌊(15−10+0)/2⌋=2
+    //                              l3=⌊(30+15+2)/2⌋=23, b3=⌊(23−15+2)/2⌋=5
+    assert(run(10L, 20L, 30L) === Seq(10L, 0L, 15L, 2L, 23L, 5L))
+    // THE cross-engine trap this kernel exists to pin: a falling series
+    // drives the trend negative, where floor and truncate diverge.
+    // l2=⌊(0+10+0)/2⌋=5, b2=⌊(5−10+0)/2⌋=⌊−2.5⌋=−3 (truncation says −2)
+    assert(run(10L, 0L) === Seq(10L, 0L, 5L, -3L))
+    // and the divergence compounds: l3=⌊(0+5−3)/2⌋=1, b3=⌊(1−5−3)/2⌋=⌊−3.5⌋=−4
+    assert(run(10L, 0L, 0L) === Seq(10L, 0L, 5L, -3L, 1L, -4L))
+    // empty series → empty states
+    assert(run() === Seq.empty)
+  }
 }
