@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(all.size === SparkEntry.queries.size)
   }
 
-  test("every oracle key has a query; rows-only queries are the known eight") {
+  test("every oracle key has a query; rows-only queries are the known nine") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
@@ -37,10 +37,14 @@ class SparkEntrySpec extends AnyFunSuite {
     // incremental-index route and its compaction step through the same
     // fixed-codebook machinery (upsert ≡ full re-encode and
     // compact ≡ upsert, both asserted structurally in LlmOpsSpec).
+    // llm_sim_ann_ivfpq joined in round 10: the IVF-PQ composition's
+    // score is PQ-approximated like its pq siblings (retrain
+    // determinism, error/inflation bounds, and cell-visible recall all
+    // pinned in LlmOpsSpec).
     assert(rowsOnly === Set("llm_dedup_simhash", "llm_sim_ann_lsh",
       "llm_sim_ann_ivf", "llm_sim_ann_pq", "llm_sim_ann_ivf_persisted",
       "llm_sim_ann_pq_persisted", "llm_sim_ann_ivf_upsert",
-      "llm_sim_ann_ivf_compact"),
+      "llm_sim_ann_ivf_compact", "llm_sim_ann_ivfpq"),
       s"unexpected oracle-less queries: ${rowsOnly.mkString(", ")}")
   }
 
