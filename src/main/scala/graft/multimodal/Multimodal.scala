@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * (chunk walk + JDK zlib inflate + all five scanline filters),
   * [[resampleNearest]] (exact integer nearest-neighbor), [[encodePng]]
   * (spec-complete writer) — no codec library needed, the JDK carries zlib.
-  * Only [[decodeImageStub]] remains a clearly-marked deterministic fallback
-  * for payloads that carry no parseable image container at all (fixture
-  * audio/video rows). The Spark-side plumbing is real and
+  * AUDIO is real since round 10: [[encodeWav]]/[[decodeWav]] implement the
+  * RIFF/WAVE 16-bit PCM container both directions (chunk-walking parse,
+  * JDK javax.sound differential in MultimodalSpec). Only
+  * [[decodeImageStub]] remains a clearly-marked deterministic fallback
+  * for payloads that carry no parseable media container at all (fixture
+  * video rows). The Spark-side plumbing is real and
   * is the part that matters at scale: binary columns ride Parquet as-is,
   * the decode step runs as `mapPartitions` over the typed Dataset
   * (batch-at-a-time, no per-row driver involvement, partitioning preserved —

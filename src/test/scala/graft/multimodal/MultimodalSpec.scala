@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Multimodal binary-column plumbing tests: schema, determinism, partition
   * preservation, bounded frame explosion — plus golden-byte tests for the
   * REAL PNG/JPEG header decode (hand-assembled headers with known
-  * dimensions, independent of pngWrap). Pixel decode and feature
-  * extraction remain deterministic stubs (no codec libs on this image). */
+  * dimensions, independent of pngWrap), the full PNG pixel codec (all
+  * five scanline filters), and the WAV/PCM codec (JDK javax.sound
+  * differential both ways, LIST-chunk splice, closed-form sums). */
 class MultimodalSpec extends SparkSpec {
 
   private def media() =
