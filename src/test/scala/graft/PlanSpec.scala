@@ -632,6 +632,26 @@ class PlanSpec extends SparkSpec {
       s"every window must be dt-partitioned:\n${windows.mkString("\n")}")
   }
 
+  test("graph_components and graph_modularity answer from the persisted label table, never re-propagating") {
+    // componentLabelsP materializes the label-propagation fixed point once
+    // per dataset signature; both consumers must then be pure readers —
+    // the finalized plan scans the cclabels parquet and contains NO
+    // iterative-propagation machinery (no LogicalRDD-backed label rounds,
+    // which would show as ExistingRDD scans) and never re-derives the
+    // backbone from lineitem.
+    for (name <- Seq("graph_components", "graph_modularity")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // AQE-finalize before inspecting (round-4 rule)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_cclabels_"),
+        s"$name must scan the persisted component labels:\n$plan")
+      assert(!plan.contains("lineitem.parquet"),
+        s"$name must not re-derive the backbone from the fact table:\n$plan")
+      assert(!plan.contains("Scan ExistingRDD"),
+        s"$name must not contain checkpointed propagation state:\n$plan")
+    }
+  }
+
   test("llm_sample_pps: pinned range partitioning; the data-sized cumsum window is pid-partitioned") {
     // Same machinery and same contract as scale_range_bounds: the
     // pid-stamped frame is localCheckpoint-pinned (one RangePartitioner
