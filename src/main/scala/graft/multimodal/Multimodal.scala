@@ -766,6 +766,107 @@ object Multimodal {
     }
   }
 
+  // ---- Video (length-prefixed motion-JPEG clip container) ----
+  // The video modality's analogue of the PNG/WAV paths: a clip is a real
+  // frame container (magic + frame count + length-prefixed baseline-JPEG
+  // frames — the motion-JPEG idea reduced to its framing essence), every
+  // frame decoded by the REAL Jpeg codec. Frame pixels reuse the
+  // crossFormatTable 8×8 constant-cell construction (DC-only blocks →
+  // bit-exact lossy roundtrip, the round-8 result) with the cell→byte map
+  // ROTATED by the frame index, so Σ pixels per frame has a closed form
+  // the mm_video_frame_stats oracle recomputes from documents.text.
+
+  /** Container writer: "GVID" + u32be frame count, then per frame
+    * u32be length + the frame's JPEG bytes. */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = {
+      bos.write((v >>> 24) & 0xff); bos.write((v >>> 16) & 0xff)
+      bos.write((v >>> 8) & 0xff); bos.write(v & 0xff)
+    }
+    bos.write('G'); bos.write('V'); bos.write('I'); bos.write('D')
+    be32(frames.length)
+    frames.foreach { f => be32(f.length); bos.write(f, 0, f.length) }
+    bos.toByteArray
+  }
+
+  /** Container reader: validates the magic and every frame's length
+    * prefix against the payload bounds; None on anything malformed. */
+  def decodeVideo(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (p.length < 8 || p(0) != 'G' || p(1) != 'V' || p(2) != 'I' || p(3) != 'D')
+      return None
+    def be32(i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    val n = be32(4)
+    if (n < 0) return None
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 8
+    var k = 0
+    while (k < n) {
+      if (off + 4 > p.length) return None
+      val len = be32(off)
+      if (len < 0 || off + 4 + len > p.length) return None
+      out += java.util.Arrays.copyOfRange(p, off + 4, off + 4 + len)
+      off += 4 + len
+      k += 1
+    }
+    if (off != p.length) return None // trailing garbage = malformed
+    Some(out.result())
+  }
+
+  /** Documents → a real motion-JPEG clip table: 2 + (doc_id mod 3) frames
+    * of the 64×64 8×8-cell parity image, frame f reading text byte
+    * (cell + f) mod |text| — a rotating cell pattern, so consecutive
+    * frames differ and every frame's pixel sum is closed-form. */
+  def syntheticVideoTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bl = bytes.length
+      val nFrames = 2 + math.floorMod(id, 3).toInt
+      val frames = (0 until nFrames).map { f =>
+        val px = new Array[Byte](64 * 64)
+        var i = 0
+        while (i < px.length) {
+          val j = (i / 64 / 8) * 8 + (i % 64) / 8
+          px(i) = if ((bytes((j + f) % bl) & 1) == 0) 48.toByte else 112.toByte
+          i += 1
+        }
+        Jpeg.encodeGray(64, 64, px)
+      }
+      MediaRow(id, "video", encodeVideo(frames))
+    }
+  }
+
+  case class VideoFrameStats(media_id: Long, frame_idx: Long, width: Long,
+      height: Long, pix_sum: Long)
+
+  /** Per-frame decoded pixel statistics over a [[syntheticVideoTable]]-style
+    * table: REAL [[decodeVideo]] container walk, REAL [[Jpeg.decode]] per
+    * frame, exact integer pixel sum — the video twin of [[pixelStats]] /
+    * [[audioStats]], same partition-preserving no-payload-shuffle shape,
+    * same throw-on-corruption contract. */
+  def videoFrameStats(media: Dataset[MediaRow]): Dataset[VideoFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val frames = decodeVideo(r.payload).getOrElse(
+        throw new IllegalStateException(
+          s"undecodable video-table payload for media_id=${r.media_id}"))
+      frames.iterator.zipWithIndex.map { case (fb, idx) =>
+        val (w, h, _, px) = Jpeg.decode(fb).getOrElse(
+          throw new IllegalStateException(
+            s"undecodable frame $idx for media_id=${r.media_id}"))
+        var s = 0L
+        var i = 0
+        while (i < px.length) { s += px(i) & 0xff; i += 1 }
+        VideoFrameStats(r.media_id, idx.toLong, w.toLong, h.toLong, s)
+      }
+    })
+  }
+
   // ---- WAV / PCM audio (RIFF container, 16-bit mono PCM) ----
   // The audio modality's analogue of the PNG path: real container both
   // directions (RIFF spec: Microsoft/IBM Multimedia Programming

@@ -3333,6 +3333,31 @@ object LlmOps {
         .orderBy(col("media_id").asc)
     },
 
+    // REAL video decode, oracle-checked — completes the image/audio/video
+    // triple with real codecs at every layer: each document becomes a
+    // motion-JPEG clip (Multimodal.encodeVideo — "GVID" magic, frame
+    // count, length-prefixed REAL baseline-JPEG frames; 2 + doc_id mod 3
+    // frames of the 8×8 constant-cell parity image with the cell→byte
+    // map rotated by the frame index), and this query walks the container
+    // and decodes EVERY frame with the real Jpeg codec. Constant cells
+    // make the lossy roundtrip bit-exact (the round-8 DC-only result), so
+    // per-frame Σ pixels is closed-form — the oracle recomputes it from
+    // documents.text as 64·Σ_cells (48 or 112 by byte parity at
+    // (cell + frame) mod |text|). A frame-boundary slip, a wrong
+    // big-endian length, or a rotation off-by-one all hash-mismatch.
+    // Payloads never shuffle; the per-frame stats rows are the only wide
+    // data.
+    "mm_video_frame_stats" -> { (s, d) =>
+      graft.multimodal.Multimodal.videoFrameStats(
+        graft.multimodal.Multimodal.syntheticVideoTable(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          col("pix_sum"),
+          round(col("pix_sum").cast("double") /
+            (col("width") * col("height")).cast("double"), 6).as("pix_mean"))
+        .orderBy(col("media_id").asc, col("frame_idx").asc)
+    },
+
     // Multimodal curation capstone — the cross-modality gate a
     // text+image+audio training-data pipeline runs per example: ONE lazy
     // plan joins the three modality signals (token count from the text;
@@ -4833,6 +4858,30 @@ object LlmOps {
         |       16384 * s2 AS sumsq_pcm
         |FROM a
         |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+
+    // Per (doc, frame): 64 cells of 64 pixels each, cell j's value 48/112
+    // by parity of the text byte at (j + frame) mod |text|.
+    "mm_video_frame_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(text) + 1), i -> ascii(text[i])) AS codes,
+        |         len(text) AS L
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, codes, L, unnest(range(0, 2 + doc_id % 3)) AS frame_idx
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, frame_idx,
+        |         CAST(64 * list_sum(list_transform(range(0, 64), j ->
+        |           CASE WHEN codes[CAST((j + frame_idx) % L AS BIGINT) + 1] % 2 = 0
+        |                THEN 48 ELSE 112 END)) AS BIGINT) AS pix_sum
+        |  FROM f)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        |       pix_sum,
+        |       round(CAST(pix_sum AS DOUBLE) / 4096.0, 6) AS pix_mean
+        |FROM s
+        |ORDER BY media_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin,
 
     // All three modality signals recomputed from text alone: pix_sum via
     // the mm_pixel_stats cycling closed form, sumsq via the

@@ -487,6 +487,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(bad).isEmpty)
   }
 
+  test("video container: frame roundtrip through the real JPEG codec, malformed payloads refused") {
+    // three constant-cell frames with distinct patterns survive the
+    // container + lossy JPEG roundtrip bit-exactly (DC-only blocks)
+    val frames = (0 until 3).map { f =>
+      val px = Array.tabulate(64 * 64) { i =>
+        val j = (i / 64 / 8) * 8 + (i % 64) / 8
+        if ((j + f) % 2 == 0) 48.toByte else 112.toByte
+      }
+      (px, Jpeg.encodeGray(64, 64, px))
+    }
+    val clip = Multimodal.encodeVideo(frames.map(_._2))
+    val decoded = Multimodal.decodeVideo(clip)
+    assert(decoded.isDefined && decoded.get.length === 3)
+    decoded.get.zip(frames).foreach { case (fb, (px, _)) =>
+      val (w, h, ch, got) = Jpeg.decode(fb).get
+      assert((w, h, ch) === ((64, 64, 1)))
+      assert(got.toSeq === px.toSeq)
+    }
+    // empty clip is valid; malformed payloads are refused, not misread
+    assert(Multimodal.decodeVideo(Multimodal.encodeVideo(Seq.empty)).exists(_.isEmpty))
+    val badMagic = clip.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeVideo(badMagic).isEmpty)
+    assert(Multimodal.decodeVideo(clip.dropRight(1)).isEmpty, "truncated frame accepted")
+    assert(Multimodal.decodeVideo(clip :+ 0.toByte).isEmpty, "trailing garbage accepted")
+  }
+
   test("audio table: every payload is a fully-valid WAV whose decoded sums match the closed form") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
