@@ -548,6 +548,32 @@ class LlmOpsSpec extends SparkSpec {
     LlmOps.releaseCheckpoint(corpus)
   }
 
+  test("PPS sampling invariants: heavy items drawn exactly once, zero weights never, slots strictly increase") {
+    // The fixture oracle pins engine agreement; this pins the SAMPLING
+    // SEMANTICS on weights the fixture never exhibits: one doc carrying
+    // ~2/3 of the total weight (spans ~33 of the 50 slots — systematic
+    // PPS without replacement must emit it ONCE, which is also why total
+    // draws land under n), and a zero-weight doc (its cumulative interval
+    // is empty — no slot boundary can land in it).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pps_prop").toString
+    val rows = Seq((0L, 0L), (1L, 10000L)) ++ (2L until 100L).map(i => (i, 50L))
+    rows.toDF("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LlmOps.queries.toMap.apply("llm_sample_pps")(spark, tmp).collect()
+    val ids = got.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length, "a doc was drawn twice")
+    assert(ids.contains(1L), "an item heavier than W/n must always be drawn")
+    assert(!ids.contains(0L), "zero-weight items can never be drawn")
+    assert(got.length < 50,
+      "the heavy item covers several slots, so draws must land under n")
+    // slots are strictly increasing in doc order and live in [1, n]
+    val slots = got.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+    assert(slots === slots.sorted && slots.distinct === slots,
+      s"slots must strictly increase: $slots")
+    assert(slots.forall(s => s >= 1 && s <= 50))
+  }
+
   test("PQ sampled trainer at 10x fixture scale keeps recall on planted near-duplicates") {
     // Past 4096 vectors the PQ codebook trains on a deterministic hash
     // sample while encoding stays full-corpus — this drives that regime
