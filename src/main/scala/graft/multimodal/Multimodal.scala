@@ -926,8 +926,15 @@ object Multimodal {
     var samples: Array[Short] = null
     while (off + 8 <= p.length && (samples == null || !ok)) {
       val ct = tag(off)
-      val clen = u32(off + 4).toInt
-      if (off + 8 + clen > p.length) return None
+      // Chunk length stays Long through the bounds check: a malformed
+      // length like 0xFFFFFFF8 truncated to Int goes NEGATIVE, passes an
+      // Int-arithmetic bounds test, and then either zero-advances the
+      // cursor (infinite loop) or throws NegativeArraySizeException —
+      // violating the None-on-invalid contract. u32 is always in
+      // [0, 2^32) as a Long, so one Long comparison rejects it.
+      val clenL = u32(off + 4)
+      if (off.toLong + 8L + clenL > p.length.toLong) return None
+      val clen = clenL.toInt // safe: clenL <= p.length - off - 8 < 2^31
       if (ct == "fmt ") {
         val fmt = u16(off + 8)
         val bits = u16(off + 22)

@@ -971,6 +971,66 @@ object LlmOps {
     readIvfIndex(s, idx)
   }
 
+  /** The regime the exact-pair family runs in: flat persisted cells below
+    * the 4096-list cap, the materialized corpus (for the inline two-level
+    * coarse→fine paths) at or past it. */
+  private[ops] sealed trait ExactCells
+  private[ops] final case class FlatCells(centroids: DataFrame,
+      assigned: DataFrame) extends ExactCells
+  private[ops] final case class OverCapCorpus(e: DataFrame, n: Long)
+      extends ExactCells
+
+  /** Dispatch seam guarding [[exactCellsIndex]]'s flat cell geometry with
+    * the SAME 4096-list cap as the inline [[prunedCosinePairs]] dispatch:
+    * past ~16.7M vectors (ivfNlistExact saturates) the flat nlist² cell
+    * cross-join stops being ~linear in n, so the four declared exact-pair
+    * queries must fall back to the two-level coarse→fine codebook instead
+    * of silently building an over-cap flat index. Results are identical in
+    * either regime — both paths are exact for ANY codebook — so the
+    * DuckDB exhaustive-pair oracles never see the switch; only efficiency
+    * moves. The regime test is one count() of the embeddings parquet: an
+    * empty-projection scan (footer row counts, no column IO), cheap at any
+    * scale. `flatCap` is test-injectable (LlmOpsSpec forces the over-cap
+    * branch on the fixture corpus and pins result equality through the
+    * dispatch); production callers never pass one. */
+  private[ops] def exactCellsOrCorpus(s: SparkSession, d: String,
+      flatCap: Int = 4096): ExactCells = {
+    val n = Tables.embeddings(s, d).count()
+    if (ivfNlistExact(n) >= flatCap)
+      OverCapCorpus(embDouble(s, d).localCheckpoint(true), n)
+    else { val (c, a) = exactCellsIndex(s, d); FlatCells(c, a) }
+  }
+
+  /** Threshold pair enumeration in whichever regime [[exactCellsOrCorpus]]
+    * chose — flat indexed below the cap, inline two-level past it. Output
+    * columns (va, vb, cos_sim, label_a, label_b) are identical either way. */
+  private[ops] def exactPairsVia(cells: ExactCells, tau: Double): DataFrame =
+    cells match {
+      case FlatCells(c, a) => prunedCosinePairsIndexed(c, a, tau)
+      case OverCapCorpus(e, n) =>
+        val side = twoLevelSide(n)
+        prunedCosinePairsTwoLevel(e, tau, ncoarse = side, nfine = side)
+    }
+
+  /** Global top-k pair ranking in whichever regime [[exactCellsOrCorpus]]
+    * chose; bit-identical results either way (both phases are proofs). */
+  private[ops] def exactTopKVia(cells: ExactCells, k: Int): DataFrame =
+    cells match {
+      case FlatCells(c, a) => exactTopKPairsIndexed(c, a, k)
+      case OverCapCorpus(e, n) =>
+        val side = twoLevelSide(n)
+        exactTopKPairsTwoLevel(e, k, ncoarse = side, nfine = side)
+    }
+
+  /** The (vec_id, label) vertex base in whichever regime — the inverted
+    * file below the cap (one row per vec_id by construction, so consumers
+    * never rescan embeddings.parquet), the materialized corpus past it. */
+  private[ops] def exactVerticesVia(cells: ExactCells): DataFrame =
+    cells match {
+      case FlatCells(_, a) => a.select(col("vec_id"), col("label"))
+      case OverCapCorpus(e, _) => e.select(col("vec_id"), col("label"))
+    }
+
   /** Two-level (coarse → fine) form of [[prunedCosinePairsFlat]], lifting
     * the flat codebook's 4096-list cap. A coarse codebook of `ncoarse`
     * cells partitions the corpus; within each coarse cell an independent
@@ -1954,8 +2014,7 @@ object LlmOps {
     // .parquet and never a codebook derivation — exact for any cells, so
     // the exhaustive-pair oracle is unchanged.
     "llm_sim_topk" -> { (s, d) =>
-      val (cent, assigned) = exactCellsIndex(s, d)
-      exactTopKPairsIndexed(cent, assigned, k = 10)
+      exactTopKVia(exactCellsOrCorpus(s, d), k = 10)
     },
 
     // Exact retrieval: top-5 corpus neighbors per query vector (every
@@ -1999,8 +2058,7 @@ object LlmOps {
     // recall proof. Rides the persisted exact-cells index (cells affect
     // efficiency only, never answers).
     "llm_sim_threshold_join" -> { (s, d) =>
-      val (cent, assigned) = exactCellsIndex(s, d)
-      prunedCosinePairsIndexed(cent, assigned, 0.4)
+      exactPairsVia(exactCellsOrCorpus(s, d), 0.4)
         .select(col("va"), col("vb"), col("cos_sim"),
           (col("label_a") === col("label_b")).as("same_label"))
         .orderBy(col("va").asc, col("vb").asc)
@@ -2039,10 +2097,10 @@ object LlmOps {
       // Persisted exact cells; the keep-set base reads the inverted file
       // too (one row per vec_id by construction), so the query never
       // touches embeddings.parquet once the index exists.
-      val (cent, assigned) = exactCellsIndex(s, d)
-      val dupIds = prunedCosinePairsIndexed(cent, assigned, 0.4)
+      val cells = exactCellsOrCorpus(s, d)
+      val dupIds = exactPairsVia(cells, 0.4)
         .select(col("vb").as("vec_id")).distinct()
-      assigned.select(col("vec_id"), col("label"))
+      exactVerticesVia(cells)
         .join(dupIds, Seq("vec_id"), "left_anti")
         .orderBy(col("vec_id").asc)
     },
@@ -2079,7 +2137,7 @@ object LlmOps {
       // the same table — embeddings.parquet is never scanned once the
       // index exists. Community membership stays provably complete
       // (prune is exact for any cells), so the oracle is unchanged.
-      val (cent, assigned) = exactCellsIndex(s, d)
+      val cells = exactCellsOrCorpus(s, d)
       // The repartition is a PARALLELISM restore, not a semantic step: the
       // index's inverted file is a few MB at fixture scale, so its scan
       // coalesces to 1-2 tasks, and the broadcast-join pair pipeline —
@@ -2089,10 +2147,10 @@ object LlmOps {
       // shuffle of the pair set restores the session's parallelism for
       // the whole loop; the single-pass consumers (threshold join,
       // embcos, topk) don't need it — they end in their own shuffles.
-      val pairs = prunedCosinePairsIndexed(cent, assigned, 0.4)
+      val pairs = exactPairsVia(cells, 0.4)
         .select(col("va").as("doc_a"), col("vb").as("doc_b"))
         .repartition(col("doc_a"))
-      labelPropagate(assigned.select(col("vec_id").as("doc_id")), pairs)
+      labelPropagate(exactVerticesVia(cells).select(col("vec_id").as("doc_id")), pairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).as("kept"))
         .orderBy(col("vec_id").asc)

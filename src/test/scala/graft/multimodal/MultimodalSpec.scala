@@ -487,6 +487,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(bad).isEmpty)
   }
 
+  test("WAV decode: a malformed 0xFFFFFFF8 chunk length returns None, never loops or throws") {
+    // Regression: an Int-truncated u32 chunk length goes negative (−8),
+    // passes an Int-arithmetic bounds check (off+8−8 == off ≤ len), then
+    // zero-advances the cursor (8 + (−8) + ((−8)&1) == 0) — an infinite
+    // loop — or NegativeArraySizeException in the data branch. The Long
+    // bounds check must reject it up front.
+    val samples = Array.tabulate(100)(i => (i * 13 - 650).toShort)
+    val wav = Multimodal.encodeWav(8000, samples)
+    // corrupt the data-chunk length field (bytes 40..43) to 0xFFFFFFF8
+    val evil = wav.clone()
+    evil(40) = 0xF8.toByte; evil(41) = 0xFF.toByte
+    evil(42) = 0xFF.toByte; evil(43) = 0xFF.toByte
+    assert(Multimodal.decodeWav(evil).isEmpty)
+    // same corruption on the fmt chunk length (bytes 16..19)
+    val evil2 = wav.clone()
+    evil2(16) = 0xF8.toByte; evil2(17) = 0xFF.toByte
+    evil2(18) = 0xFF.toByte; evil2(19) = 0xFF.toByte
+    assert(Multimodal.decodeWav(evil2).isEmpty)
+    // a large-but-positive overflowing length is also refused
+    val evil3 = wav.clone()
+    evil3(40) = 0xFF.toByte; evil3(41) = 0xFF.toByte
+    evil3(42) = 0xFF.toByte; evil3(43) = 0x7F.toByte // 0x7FFFFFFF
+    assert(Multimodal.decodeWav(evil3).isEmpty)
+  }
+
   test("video container: frame roundtrip through the real JPEG codec, malformed payloads refused") {
     // three constant-cell frames with distinct patterns survive the
     // container + lossy JPEG roundtrip bit-exactly (DC-only blocks)

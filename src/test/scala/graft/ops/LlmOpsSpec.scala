@@ -683,6 +683,38 @@ class LlmOpsSpec extends SparkSpec {
       s"dispatched two-level top-k diverged:\n$switchedTop\nvs\n$flatTop")
   }
 
+  test("exactCellsOrCorpus guards the 4096-list flat cap: over-cap dispatch switches to two-level, results unchanged") {
+    // The four declared exact-pair queries route through
+    // exactCellsOrCorpus; below the cap they ride the persisted flat
+    // cells, at/past it they must take the inline two-level path — and
+    // because both are exact for ANY codebook, the switch must be
+    // result-invisible. Driven on the fixture corpus with an injected
+    // flatCap (ivfNlistExact floors at 16, so flatCap=16 always trips).
+    val flatCells = LlmOps.exactCellsOrCorpus(spark, sf)
+    assert(flatCells.isInstanceOf[LlmOps.FlatCells],
+      "fixture corpus should be in the flat regime under the real cap")
+    val overCells = LlmOps.exactCellsOrCorpus(spark, sf, flatCap = 16)
+    assert(overCells.isInstanceOf[LlmOps.OverCapCorpus],
+      "injected cap should force the over-cap regime")
+    def pairsOf(c: LlmOps.ExactCells) =
+      LlmOps.exactPairsVia(c, 0.4).select("va", "vb", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pFlat = pairsOf(flatCells)
+    val pOver = pairsOf(overCells)
+    assert(pFlat.nonEmpty, "degenerate fixture: no threshold pairs")
+    assert(pOver === pFlat, s"over-cap pair set diverged: " +
+      s"missing=${(pFlat -- pOver).take(5)} extra=${(pOver -- pFlat).take(5)}")
+    def topOf(c: LlmOps.ExactCells) = LlmOps.exactTopKVia(c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val tFlat = topOf(flatCells)
+    assert(tFlat.size === 10)
+    assert(topOf(overCells) === tFlat, "over-cap top-k ranking diverged")
+    // the vertex base (dedup keep-set) is regime-invariant too
+    def verts(c: LlmOps.ExactCells) = LlmOps.exactVerticesVia(c)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    assert(verts(overCells) === verts(flatCells))
+  }
+
   test("prefix-filter containment equals the brute-force containment dedup on the fixture corpus") {
     // At sf0.001 the whole corpus is doc_id < 500, so the full-corpus
     // prefix-filter path and the bounded brute-force twin run over
