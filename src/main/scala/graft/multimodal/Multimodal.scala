@@ -1008,4 +1008,195 @@ object Multimodal {
       AudioStats(r.media_id, rate.toLong, samples.length.toLong, s1, s2)
     })
   }
+
+  // ---- Audio near-dup (cross-sample-rate block-energy fingerprint) ----
+  // The audio analogue of crossResTable/mm_dedup_phash: the SAME logical
+  // clip stored at two sample rates must reunite under a rate-invariant
+  // signature while no byte- or sample-exact dedup can pair them
+  // (different sample counts, different headers).
+
+  /** Documents → cross-RATE rendition pairs of one BLOCK-STRUCTURED clip:
+    * 64 constant-amplitude blocks (block b holds value
+    * (text byte ⌊b·L/64⌋ − 96)·128 — the [[syntheticAudioTable]] sample
+    * map applied per block, sampling the WHOLE text), 16 samples per
+    * block at 8000 Hz (media_id 2·doc_id), and a REAL half-rate rendition
+    * (2·doc_id+1): decodeWav(full) → decimate by 2 (every other sample —
+    * the zero-order resample) → encodeWav(4000). Same duration, half the
+    * samples. Why block-structured, not per-byte samples: like aHash on
+    * images, the block-energy fingerprint is a LOW-frequency signature —
+    * decimating pseudo-random per-byte samples decorrelates block
+    * energies, while constant blocks survive ANY within-block subsample
+    * exactly, so the invariance is exact by construction and the whole
+    * pipeline stays recomputable from documents.text (the mm_dedup_phash
+    * recipe applied to audio). */
+  def crossRateAudioTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bl = bytes.length
+      val samples = new Array[Short](64 * 16)
+      var b = 0
+      while (b < 64) {
+        val v = ((((bytes((b * bl) / 64) & 0xff)) - 96) * 128).toShort
+        var i = 0
+        while (i < 16) { samples(b * 16 + i) = v; i += 1 }
+        b += 1
+      }
+      val full = encodeWav(8000, samples)
+      // the half-rate rendition runs the REAL pipeline (parse the
+      // container back, decimate, re-encode), not a shortcut
+      val (_, _, dec) = decodeWav(full).getOrElse(
+        throw new IllegalStateException(s"self-encoded WAV unreadable for doc $id"))
+      val half = encodeWav(4000, Array.tabulate(dec.length / 2)(i => dec(2 * i)))
+      Seq(MediaRow(2 * id, "audio", full), MediaRow(2 * id + 1, "audio", half))
+    }
+  }
+
+  case class AudioFingerprint(media_id: Long, sample_rate: Long,
+      n_samples: Long, fingerprint: String)
+
+  /** 64-block energy-sign fingerprint over REAL decoded PCM — the audio
+    * [[averageHash]]: split the clip into 64 equal-duration blocks
+    * (boundaries ⌊i·64/N⌋, so any N works), per-block Σs² as exact Longs,
+    * bit b = blockSumsq·N > totalSumsq·blockCount — the cross-multiplied
+    * mean-energy comparison, so the bit rule is integer-exact and
+    * sample-RATE-invariant on block-structured content (a decimated
+    * constant block keeps its mean energy exactly: both sides of the
+    * comparison scale by the same count). Partition-preserving decode
+    * map; only the 64-char signature leaves the partition. Overflow-safe:
+    * blockSumsq·N ≤ N²·2³⁰ < 2⁵¹ at any clip under 1M samples. */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (rate, _, samples) = decodeWav(r.payload).getOrElse(
+        throw new IllegalStateException(
+          s"undecodable audio payload for media_id=${r.media_id}"))
+      val n = samples.length
+      val sq = new Array[Long](64)
+      val cnt = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        val v = samples(i).toLong
+        val e = v * v
+        val bi = (i.toLong * 64 / n).toInt
+        sq(bi) += e
+        cnt(bi) += 1
+        total += e
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var b = 0
+      while (b < 64) {
+        sb.append(if (sq(b) * n > total * cnt(b)) '1' else '0')
+        b += 1
+      }
+      AudioFingerprint(r.media_id, rate.toLong, n.toLong, sb.toString)
+    })
+  }
+
+  // ---- Video near-dup (frame-rate-invariant collapsed signature) ----
+
+  /** Documents → cross-FRAME-RATE rendition pairs of one clip: the base
+    * [[syntheticVideoTable]] clip (2 + doc_id mod 3 rotating-pattern
+    * 64×64 JPEG frames, media_id 2·doc_id) and a REAL 2× frame-rate
+    * upsample (2·doc_id+1): decodeVideo(base) → every frame repeated
+    * twice → encodeVideo — the frame-duplication variant a clip acquires
+    * when re-encoded at a higher frame rate. Different frame counts,
+    * different payload bytes, same content. */
+  def crossFpsVideoTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bl = bytes.length
+      val nFrames = 2 + math.floorMod(id, 3).toInt
+      val frames = (0 until nFrames).map { f =>
+        val px = new Array[Byte](64 * 64)
+        var i = 0
+        while (i < px.length) {
+          val j = (i / 64 / 8) * 8 + (i % 64) / 8
+          px(i) = if ((bytes((j + f) % bl) & 1) == 0) 48.toByte else 112.toByte
+          i += 1
+        }
+        Jpeg.encodeGray(64, 64, px)
+      }
+      val base = encodeVideo(frames)
+      // the doubled rendition runs the REAL pipeline: container walk back
+      // out, duplicate each frame, re-containerize
+      val doubled = encodeVideo(decodeVideo(base).getOrElse(
+        throw new IllegalStateException(s"self-encoded clip unreadable for doc $id"))
+        .flatMap(fb => Seq(fb, fb)))
+      Seq(MediaRow(2 * id, "video", base), MediaRow(2 * id + 1, "video", doubled))
+    }
+  }
+
+  case class VideoSignature(media_id: Long, n_frames: Long, clip_sig: String)
+
+  /** Frame-rate-invariant clip signature over the REAL container walk:
+    * every frame decodes through the real [[Jpeg]] codec and reduces to
+    * its 64 cell bits (8×8 cell means thresholded at 80 — exact on the
+    * DC-only fixture where cells decode to 48/112 bit-exactly), then
+    * CONSECUTIVE identical frame signatures collapse to one (run-length
+    * dedup) and the clip signature is the md5 of the collapsed sequence
+    * joined by '|'. Run-collapse of a duplicate-expanded sequence equals
+    * run-collapse of the original, so a clip and its frame-doubled
+    * re-encode share the signature for ANY content — the invariance is
+    * structural, not a fixture artifact. One decode pass per payload;
+    * only (n_frames, 32-char md5) leaves the partition. */
+  def videoClipSignature(media: Dataset[MediaRow]): Dataset[VideoSignature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val frames = decodeVideo(r.payload).getOrElse(
+          throw new IllegalStateException(
+            s"undecodable video payload for media_id=${r.media_id}"))
+        val sigs = frames.map { fb =>
+          val (w, h, _, px) = Jpeg.decode(fb).getOrElse(
+            throw new IllegalStateException(
+              s"undecodable frame for media_id=${r.media_id}"))
+          val sb = new java.lang.StringBuilder(64)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              var sum = 0L
+              var npx = 0L
+              var y = cy * h / 8
+              val y1 = (cy + 1) * h / 8
+              while (y < y1) {
+                var x = cx * w / 8
+                val x1 = (cx + 1) * w / 8
+                while (x < x1) { sum += px(y * w + x) & 0xff; npx += 1; x += 1 }
+                y += 1
+              }
+              sb.append(if (sum > 80L * npx) '1' else '0')
+              cx += 1
+            }
+            cy += 1
+          }
+          sb.toString
+        }
+        val collapsed = scala.collection.mutable.ArrayBuffer.empty[String]
+        sigs.foreach { s =>
+          if (collapsed.isEmpty || collapsed.last != s) collapsed += s
+        }
+        md.reset()
+        val dig = md.digest(collapsed.mkString("|")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val hex = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < dig.length) {
+          hex.append(Character.forDigit((dig(i) >> 4) & 0xf, 16))
+          hex.append(Character.forDigit(dig(i) & 0xf, 16))
+          i += 1
+        }
+        VideoSignature(r.media_id, frames.length.toLong, hex.toString)
+      }
+    }
+  }
 }

@@ -3601,6 +3601,54 @@ object LlmOps {
         .orderBy(col("first_media").asc)
     },
 
+    // Cross-RATE audio near-dup dedup — the audio leg of the multimodal
+    // dedup story (pixels → phash → formats → audio): the SAME clip
+    // stored at 8000 Hz and at a REAL half-rate decimation (decode →
+    // every other sample → re-encode, different sample counts and bytes)
+    // reunites under the 64-block energy-sign fingerprint, which no
+    // sample-exact digest can pair. Signature extraction is one real
+    // decodeWav pass per payload (audioFingerprint); payloads never
+    // shuffle, the groupBy carries a 64-char signature — the universal
+    // dedup shuffle shape. Oracle: constant blocks make both renditions'
+    // bit rule collapse to 64·v_b² > Σv² (cross-multiplied mean energy,
+    // exact integers), recomputed from documents.text alone.
+    "mm_dedup_audio" -> { (s, d) =>
+      graft.multimodal.Multimodal.audioFingerprint(
+        graft.multimodal.Multimodal.crossRateAudioTable(Tables.documents(s, d)))
+        .toDF()
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("sample_rate")).as("n_rates"),
+          min(col("media_id")).as("first_media"),
+          expr("array_join(transform(sort_array(collect_list(media_id))," +
+            " x -> cast(x AS string)), ',')").as("media_ids"))
+        .orderBy(col("first_media").asc)
+    },
+
+    // Cross-FRAME-RATE video near-dup dedup — the video leg: the same
+    // clip and its REAL 2× frame-rate re-encode (container walk → each
+    // frame duplicated → re-containerized; different frame counts and
+    // bytes) reunite under the run-collapsed per-frame signature
+    // sequence. Run-collapse of a duplicate-expanded sequence equals
+    // run-collapse of the original, so the invariance is structural for
+    // ANY content. Every frame decodes through the REAL Jpeg codec; the
+    // groupBy carries a 32-char md5. Oracle: the rotating parity
+    // construction makes every frame's 64 cell bits — and hence the
+    // collapsed sequence and its md5 — recomputable from documents.text
+    // (lag-window run dedup in SQL).
+    "mm_dedup_video" -> { (s, d) =>
+      graft.multimodal.Multimodal.videoClipSignature(
+        graft.multimodal.Multimodal.crossFpsVideoTable(Tables.documents(s, d)))
+        .toDF()
+        .groupBy(col("clip_sig"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("n_frames")).as("n_framecounts"),
+          min(col("media_id")).as("first_media"),
+          expr("array_join(transform(sort_array(collect_list(media_id))," +
+            " x -> cast(x AS string)), ',')").as("media_ids"))
+        .orderBy(col("first_media").asc)
+    },
+
     "llm_multimodal_join" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -5174,6 +5222,73 @@ object LlmOps {
         |       CAST(min(media_id) AS BIGINT) AS first_media,
         |       string_agg(media_id::VARCHAR, ',' ORDER BY media_id) AS media_ids
         |FROM m GROUP BY pix_md5
+        |ORDER BY first_media ASC NULLS FIRST""".stripMargin,
+
+    // Cross-rate audio fingerprints recomputed sample-free: constant
+    // blocks collapse the cross-multiplied mean-energy bit to
+    // 64·v_b² > Σv² at BOTH rates (v_b = (byte⌊b·L/64⌋ − 96)·128), so the
+    // whole decode→fingerprint→group pipeline derives from text alone;
+    // the full rendition is even media_id (8000 Hz), the half odd (4000).
+    "mm_dedup_audio" ->
+      """WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |u AS (SELECT doc_id, text, L, unnest(range(0, 64)) AS bi FROM b),
+        |v AS (SELECT doc_id, bi,
+        |             CAST((ascii(text[CAST((bi * L) // 64 + 1 AS INT)]) - 96)
+        |                  * 128 AS BIGINT) AS v
+        |      FROM u),
+        |sq AS (SELECT doc_id, bi, v * v AS e FROM v),
+        |t AS (SELECT doc_id, sum(e) AS tot FROM sq GROUP BY doc_id),
+        |bits AS (SELECT sq.doc_id, bi,
+        |                CASE WHEN 64 * e > tot THEN '1' ELSE '0' END AS bit
+        |         FROM sq JOIN t USING (doc_id)),
+        |fp AS (SELECT doc_id,
+        |              array_to_string(list(bit ORDER BY bi), '') AS fingerprint
+        |       FROM bits GROUP BY doc_id),
+        |m AS (SELECT fingerprint,
+        |             unnest([doc_id * 2, doc_id * 2 + 1]) AS media_id
+        |      FROM fp)
+        |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(count(DISTINCT CASE WHEN media_id % 2 = 0
+        |                                THEN 8000 ELSE 4000 END) AS BIGINT) AS n_rates,
+        |       CAST(min(media_id) AS BIGINT) AS first_media,
+        |       string_agg(media_id::VARCHAR, ',' ORDER BY media_id) AS media_ids
+        |FROM m GROUP BY fingerprint
+        |ORDER BY first_media ASC NULLS FIRST""".stripMargin,
+
+    // Cross-frame-rate clip signatures recomputed pixel-free: frame f's
+    // 64 cell bits are text-byte parities at (j + f) mod L, consecutive
+    // identical frame signatures collapse via a lag window, and the
+    // doubled rendition shares the base's collapsed md5 by construction
+    // (its frame count is 2·nf).
+    "mm_dedup_video" ->
+      """WITH b AS (SELECT doc_id, text, len(text) AS L,
+        |                  2 + doc_id % 3 AS nf FROM documents),
+        |f AS (SELECT doc_id, text, L, nf, unnest(range(0, nf)) AS fi FROM b),
+        |c AS (SELECT doc_id, nf, fi, text, L, unnest(range(0, 64)) AS j FROM f),
+        |bits AS (SELECT doc_id, nf, fi, j,
+        |                CASE WHEN ascii(text[CAST((j + fi) % L + 1 AS INT)]) % 2 = 0
+        |                     THEN '0' ELSE '1' END AS bit
+        |         FROM c),
+        |sig AS (SELECT doc_id, nf, fi,
+        |               array_to_string(list(bit ORDER BY j), '') AS fsig
+        |        FROM bits GROUP BY doc_id, nf, fi),
+        |runs AS (SELECT doc_id, nf, fi, fsig,
+        |                lag(fsig) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        |         FROM sig),
+        |cs AS (SELECT doc_id, nf,
+        |              md5(string_agg(fsig, '|' ORDER BY fi)) AS clip_sig
+        |       FROM runs WHERE prev IS NULL OR fsig <> prev
+        |       GROUP BY doc_id, nf),
+        |m AS (SELECT clip_sig, CAST(2 * doc_id AS BIGINT) AS media_id,
+        |             CAST(nf AS BIGINT) AS n_frames FROM cs
+        |      UNION ALL
+        |      SELECT clip_sig, CAST(2 * doc_id + 1 AS BIGINT),
+        |             CAST(2 * nf AS BIGINT) FROM cs)
+        |SELECT clip_sig, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(count(DISTINCT n_frames) AS BIGINT) AS n_framecounts,
+        |       CAST(min(media_id) AS BIGINT) AS first_media,
+        |       string_agg(media_id::VARCHAR, ',' ORDER BY media_id) AS media_ids
+        |FROM m GROUP BY clip_sig
         |ORDER BY first_media ASC NULLS FIRST""".stripMargin,
 
     "llm_multimodal_join" ->

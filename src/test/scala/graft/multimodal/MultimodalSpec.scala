@@ -512,6 +512,80 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(evil3).isEmpty)
   }
 
+  test("cross-rate audio dedup: the real half-rate decimation reunites with the full clip, distinct content separates") {
+    import spark.implicits._
+    // block-per-byte texts (L = 64, so block b reads byte b): energy
+    // profile low-then-high vs its mirror — distinct sign patterns
+    val docs = Seq((0L, "a" * 32 + "z" * 32), (1L, "z" * 32 + "a" * 32))
+      .toDF("doc_id", "text")
+    val media = Multimodal.crossRateAudioTable(docs).collect()
+    assert(media.length === 4)
+    // the half rendition is a GENUINE decimation of the full one
+    val full0 = media.find(_.media_id == 0L).get.payload
+    val half0 = media.find(_.media_id == 1L).get.payload
+    val (fr, _, fs) = Multimodal.decodeWav(full0).get
+    val (hr, _, hs) = Multimodal.decodeWav(half0).get
+    assert(fr === 8000 && hr === 4000)
+    assert(fs.length === 1024 && hs.length === 512)
+    assert(hs.toSeq === fs.indices.collect { case i if i % 2 == 0 => fs(i) }.toSeq)
+    val fp = Multimodal.audioFingerprint(
+      Multimodal.crossRateAudioTable(docs)).collect()
+    val byDoc = fp.groupBy(_.media_id / 2)
+    byDoc.values.foreach { arr =>
+      assert(arr.length === 2)
+      assert(arr.map(_.fingerprint).distinct.length === 1,
+        s"rate variant changed the fingerprint: ${arr.toSeq}")
+    }
+    val f0 = byDoc(0L).head.fingerprint
+    val f1 = byDoc(1L).head.fingerprint
+    assert(f0 === "0" * 32 + "1" * 32) // 64·e_b > Σe only for the 'z' half
+    assert(f1 === "1" * 32 + "0" * 32)
+  }
+
+  test("cross-fps video dedup: frame-doubling invariance is structural (run-collapse), fixture pairs reunite") {
+    import spark.implicits._
+    // fixture pairs: doc 0 → 2 frames, doc 4 → 3 frames; each pair must
+    // share clip_sig with doubled n_frames on the odd rendition
+    val docs = Seq((0L, "spark catalyst tungsten whole stage codegen"),
+      (4L, "structured streaming state store watermark"))
+      .toDF("doc_id", "text")
+    val sigs = Multimodal.videoClipSignature(
+      Multimodal.crossFpsVideoTable(docs)).collect()
+    val byDoc = sigs.groupBy(_.media_id / 2)
+    byDoc.foreach { case (docId, arr) =>
+      assert(arr.map(_.clip_sig).distinct.length === 1,
+        s"fps variant changed the signature for doc $docId")
+      val base = arr.find(_.media_id % 2 == 0).get
+      val dbl = arr.find(_.media_id % 2 == 1).get
+      assert(dbl.n_frames === base.n_frames * 2)
+    }
+    assert(byDoc(0L).head.clip_sig !== byDoc(4L).head.clip_sig,
+      "distinct clips collided")
+    // structural invariance beyond the fixture shape: a clip that ALREADY
+    // contains a run (A A B) and its frame-doubled form (A A A A B B)
+    // must collapse to the same signature — run-collapse of a
+    // duplicate-expanded sequence equals run-collapse of the original.
+    def parityFrame(seed: Int): Array[Byte] = {
+      val px = new Array[Byte](64 * 64)
+      var i = 0
+      while (i < px.length) {
+        val j = (i / 64 / 8) * 8 + (i % 64) / 8
+        px(i) = if ((j + seed) % 3 == 0) 48.toByte else 112.toByte
+        i += 1
+      }
+      px
+    }
+    val jA = Jpeg.encodeGray(64, 64, parityFrame(0))
+    val jB = Jpeg.encodeGray(64, 64, parityFrame(1))
+    val clips = Seq(
+      Multimodal.MediaRow(0L, "video", Multimodal.encodeVideo(Seq(jA, jA, jB))),
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.encodeVideo(Seq(jA, jA, jA, jA, jB, jB))))
+    val s2 = Multimodal.videoClipSignature(clips.toDS()).collect()
+    assert(s2.map(_.clip_sig).distinct.length === 1,
+      "run-collapse failed on a clip with a pre-existing run")
+  }
+
   test("video container: frame roundtrip through the real JPEG codec, malformed payloads refused") {
     // three constant-cell frames with distinct patterns survive the
     // container + lossy JPEG roundtrip bit-exactly (DC-only blocks)
