@@ -260,30 +260,50 @@ object Basics {
     // stage width scales with days × slots, never corpus size. All
     // arithmetic is exact integers; `div` ≡ DuckDB `//` (CLAUDE.md rule).
     "scale_compaction_plan" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val target = 16384L // bin capacity (bytes); scale-free constant
-      val files = Tables.events(s, d)
-        .select(
-          expr("CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ)").as("dt"),
-          hour(col("ts")).cast("long").as("hr"),
-          (lit(24L) + length(col("event_type")) + length(col("props")))
-            .cast("long").as("row_bytes"))
-        .groupBy(col("dt"), col("hr"))
-        .agg(count(lit(1)).as("file_rows"), sum(col("row_bytes")).as("file_bytes"))
-      val wOff = Window.partitionBy(col("dt")).orderBy(col("hr").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val planned = files
-        .withColumn("off_bytes", coalesce(sum(col("file_bytes")).over(wOff), lit(0L)))
-        .withColumn("bin_id", expr(s"off_bytes div $target"))
-      val wBin = Window.partitionBy(col("dt"), col("bin_id"))
-      planned
-        .withColumn("bin_files", count(lit(1)).over(wBin))
-        .withColumn("bin_bytes", sum(col("file_bytes")).over(wBin))
-        .select(col("dt"), col("hr"), col("file_rows"), col("file_bytes"),
-          col("bin_id"), col("bin_files"), col("bin_bytes"))
-        .orderBy(col("dt").asc, col("hr").asc)
+      compactionPlanFromInventory(fileInventory(Tables.events(s, d)))
     }
   )
+
+  /** The per-(day, hour) file inventory a dt/hr-partitioned lake's
+    * compactor plans over — one row per ingest slot with exact integer
+    * row/byte estimates. One map-side-combinable groupBy; in production
+    * the same frame comes straight from the table catalog. Shared
+    * verbatim by the declared `scale_compaction_plan` query and the
+    * streaming monitor ([[graft.streaming.StreamOps.startCompactionPlanSink]]),
+    * whose accumulated per-batch deltas sum losslessly to this exact
+    * frame (counts and byte sums are integers). */
+  private[graft] def fileInventory(events: DataFrame): DataFrame =
+    events
+      .select(
+        expr("CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ)").as("dt"),
+        hour(col("ts")).cast("long").as("hr"),
+        (lit(24L) + length(col("event_type")) + length(col("props")))
+          .cast("long").as("row_bytes"))
+      .groupBy(col("dt"), col("hr"))
+      .agg(count(lit(1)).as("file_rows"), sum(col("row_bytes")).as("file_bytes"))
+
+  /** Next-fit-by-offset bin assignment over a [[fileInventory]]-shaped
+    * frame: bin = prefix_bytes div target — deterministic, no driver
+    * loop, each bin overfills by at most one file (the classic compactor
+    * contract). Every window is partitioned by dt, so stage width scales
+    * with days × slots, never corpus size; all arithmetic is exact
+    * integers (`div` ≡ DuckDB `//`). */
+  private[graft] def compactionPlanFromInventory(files: DataFrame,
+      target: Long = 16384L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOff = Window.partitionBy(col("dt")).orderBy(col("hr").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val planned = files
+      .withColumn("off_bytes", coalesce(sum(col("file_bytes")).over(wOff), lit(0L)))
+      .withColumn("bin_id", expr(s"off_bytes div $target"))
+    val wBin = Window.partitionBy(col("dt"), col("bin_id"))
+    planned
+      .withColumn("bin_files", count(lit(1)).over(wBin))
+      .withColumn("bin_bytes", sum(col("file_bytes")).over(wBin))
+      .select(col("dt"), col("hr"), col("file_rows"), col("file_bytes"),
+        col("bin_id"), col("bin_files"), col("bin_bytes"))
+      .orderBy(col("dt").asc, col("hr").asc)
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "proj_select_rename_compute" ->

@@ -507,6 +507,55 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming compaction monitor — the incremental form of the declared
+    * `scale_compaction_plan` query: as event rows stream in, each
+    * micro-batch appends its per-(dt, hr) inventory DELTAS (exact integer
+    * row counts and byte estimates — one map-side-combinable groupBy over
+    * the batch) to a persistent store, and the CURRENT compaction plan is
+    * rewritten under `outPath/current` after every batch.
+    *
+    * Batch-equivalence is STRUCTURAL, not approximate: the accumulated
+    * deltas sum losslessly to exactly the batch query's inventory (counts
+    * and byte sums are integers, and sum-of-partials ≡ one global
+    * groupBy), and the plan is produced by the SAME
+    * `Basics.fileInventory` byte arithmetic and
+    * `Basics.compactionPlanFromInventory` bin-assignment body the
+    * declared query runs — so after the last batch the plan is
+    * bit-identical to the batch query on the same rows (StreamingSpec
+    * pins it, including across a kill/restart).
+    *
+    * Idempotence (foreachBatch is at-least-once + idempotent writes):
+    * deltas land in batch-scoped directories (`b<id>` overwrite), the
+    * plan recompute reads batch_id <= current, and the plan rewrite is a
+    * full overwrite — a replayed batch converges.
+    *
+    * Scale notes (100 TB lake): the per-batch append shuffles only the
+    * batch's (dt, hr) partials — bounded by slots touched, never batch
+    * rows; the plan recompute reads the accumulated partial rows (slots ×
+    * batches, metadata-sized) and every plan window is dt-partitioned. A
+    * deployment would compact the store periodically with the same
+    * groupBy-sum as the read path, and feed the monitor's plan directly
+    * to the table maintenance scheduler. */
+  def startCompactionPlanSink(events: DataFrame, storePath: String,
+      outPath: String, checkpoint: String, target: Long = 16384L): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Basics.fileInventory(batch)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$storePath/b$id")
+        val inventory = spark.read.parquet(s"$storePath/b*")
+          .filter(col("batch_id") <= id)
+          .groupBy(col("dt"), col("hr"))
+          .agg(sum(col("file_rows")).as("file_rows"),
+            sum(col("file_bytes")).as("file_bytes"))
+        graft.ops.Basics.compactionPlanFromInventory(inventory, target)
+          .write.mode("overwrite").parquet(s"$outPath/current")
+        ()
+      }
+      .start()
+
   case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, id: Long,
       is_probe: Boolean)
   case class AsOfEvent(ts_ms: Long, id: Long)

@@ -358,6 +358,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming compaction monitor: plan equals the batch query and survives a kill/restart") {
+    // The incremental form of scale_compaction_plan: per-batch (dt, hr)
+    // inventory deltas accumulate in a store and the current plan is
+    // rewritten through the SAME Basics.fileInventory byte arithmetic +
+    // compactionPlanFromInventory bin assignment the declared query runs,
+    // so streamed ≡ batch is structural. The kill/restart adds data while
+    // the monitor is DOWN — the restarted query must fold it in from the
+    // checkpoint, and pre-kill deltas must come back from the store.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val mem = MemoryStream[(Timestamp, String, String)]
+    def start() = StreamOps.startCompactionPlanSink(
+      mem.toDF().toDF("ts", "event_type", "props"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt", target = 200L)
+    def slot(tag: String, day: Int, hr: Int, n: Int): Seq[(Timestamp, String, String)] =
+      (0 until n).map { i =>
+        (Timestamp.valueOf(f"2024-01-0$day $hr%02d:0${i % 6}:1${i % 10}"),
+          s"ev$tag", "p" * (10 + i % 3))
+      }
+    val c1 = slot("a", 1, 0, 4) ++ slot("b", 1, 1, 5) ++ slot("c", 2, 3, 3)
+    val c2 = slot("d", 1, 0, 2) ++ slot("e", 1, 5, 6) // slot (d1,0) grows; new slots
+    val c3 = slot("f", 2, 3, 4) ++ slot("g", 2, 7, 2)
+    val q1 = start()
+    mem.addData(c1); q1.processAllAvailable()
+    mem.addData(c2); q1.processAllAvailable()
+    q1.stop()
+    mem.addData(c3) // arrives while the monitor is down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val streamedDf = spark.read.parquet(s"$dir/out/current")
+      val streamed = streamedDf.collect().map(_.toSeq.toList).toSet
+      val batchPlan = graft.ops.Basics.compactionPlanFromInventory(
+        graft.ops.Basics.fileInventory(
+          (c1 ++ c2 ++ c3).toDF("ts", "event_type", "props")), target = 200L)
+        .collect().map(_.toSeq.toList).toSet
+      assert(batchPlan.nonEmpty)
+      assert(streamed === batchPlan,
+        s"missing=${(batchPlan -- streamed).take(3)} extra=${(streamed -- batchPlan).take(3)}")
+      // the fixture genuinely exercises bin packing: several bins per day
+      assert(streamedDf.select("bin_id").distinct().count() >= 2)
+      // and cross-batch accumulation: slot (day1, hr0) spans two batches
+      val d1h0 = streamedDf.filter(col("hr") === 0).collect()
+      assert(d1h0.length === 1 && d1h0.head.getAs[Long]("file_rows") === 6L,
+        "cross-batch delta accumulation lost rows")
+    } finally q2.stop()
+  }
+
   test("batch-stream equivalence: streamed tumbling agg equals the oracle-pinned batch query shape") {
     import spark.implicits._
     val streamed = runStream(OutputMode.Complete(), "equiv")(
