@@ -360,6 +360,62 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ refine step: exact re-rank lifts cell-visible recall, precision exact, reshuffle-deterministic") {
+    val refined = SparkEntry_queries("llm_sim_ann_ivfpq_refined").collect()
+    assert(refined.nonEmpty, "refined IVF-PQ produced no pairs")
+    val unref = SparkEntry_queries("llm_sim_ann_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactness + precision 1.0: every surviving score IS the true cosine
+    // (round 6) and clears the real threshold — the refine killed every
+    // inflated same-cell pair the unrefined output carries
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    refined.foreach { r =>
+      val c = cos(emb(r.getLong(0)), emb(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - c) < 1e-5,
+        s"refined score ${r.getDouble(2)} is not the exact cosine $c")
+      assert(r.getDouble(2) >= 0.3)
+    }
+    // recall over cell-visible true pairs can only RISE: any true pair the
+    // unrefined path found survives the refine (approx >= 0.3 >= 0.15 and
+    // exact passes by definition), and margin-band pairs are rescued
+    val refinedSet = refined.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellVisible = SparkEntry_queries("llm_sim_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = SparkEntry_queries("llm_sim_threshold_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val visible = truePairs.intersect(cellVisible)
+    if (visible.nonEmpty) {
+      assert(visible.intersect(unref).subsetOf(refinedSet),
+        "refine lost a true pair the unrefined path had")
+      val rUnref = visible.count(unref.contains).toDouble / visible.size
+      val rRef = visible.count(refinedSet.contains).toDouble / visible.size
+      info(s"cell-visible recall: unrefined $rUnref -> refined $rRef (${visible.size} visible)")
+      assert(rRef >= rUnref, s"refine lowered recall: $rUnref -> $rRef")
+    }
+    // reshuffle determinism of the full read-screen-refine pipeline
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val again = try SparkEntry_queries("llm_sim_ann_ivfpq_refined").collect()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    assert(again.map(_.toSeq.toList).toList === refined.map(_.toSeq.toList).toList)
+    // the reader rides the index sidecar, never the raw embeddings table
+    val reader = SparkEntry_queries("llm_sim_ann_ivfpq_refined")
+    reader.collect()
+    val planStr = reader.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_ivfpq_index_"),
+      "expected the persisted IVF-PQ index scan in the executed plan")
+    assert(!planStr.contains("embeddings.parquet"),
+      "the refine step must read the flat sidecar, not embeddings.parquet")
+  }
+
   test("minhash LSH finds all high-Jaccard pairs on a synthetic controlled-overlap corpus") {
     // The band math (32 bands x 2 rows: P(miss) = (1 - s^2)^32 < 1e-14 at
     // s >= 0.8) is only fixture-verified by the oracle compare; this drives
