@@ -435,6 +435,78 @@ object Graph {
   private[ops] def backbone(s: SparkSession, d: String): DataFrame =
     coEdgesWeighted(s, d).filter(col("w") >= 2).select(col("a"), col("b"))
 
+  /** One-level Louvain move phase (Blondel et al. 2008, the synchronous
+    * variant distributed implementations use): start from singleton
+    * communities and run `rounds` SIMULTANEOUS best-move sweeps — each
+    * vertex v evaluates moving to every neighboring community B with the
+    * exact-integer gain
+    *   ΔQ·4m² = 4m·(k_{v,B} − k_{v,A\\v}) − 2·deg_v·(Σdeg_B − (Σdeg_A − deg_v))
+    * (A = v's current community, k_{v,C} = v's edge count into C) and
+    * applies its best strictly-positive move, ties to the smallest target
+    * community id. Synchronous sweeps can oscillate (two vertices swapping
+    * communities forever), so rounds alternate a PARITY GATE — in round r
+    * only vertices with (v + r) even may move — the deterministic
+    * two-coloring trick of parallel Louvain (Grappolo's coloring reduced
+    * to its cross-engine-replayable core). Everything is exact BIGINT
+    * arithmetic (4m·k and deg products stay under 2⁶³ to m ≈ 10⁹ backbone
+    * edges), so the whole sweep unrolls as chained CTEs in the DuckDB
+    * oracle — the pagerank discipline applied to community detection.
+    *
+    * Scale shape: per round, one (v, community) label join against the
+    * repartition+localCheckpoint'd adjacency (exchange-free probe side),
+    * two map-side-combinable groupBys (community degrees; v→community
+    * edge counts), one per-vertex window for the argmax. Labels
+    * localCheckpoint per round — the state is 2 longs per vertex and
+    * every round references it on both edge endpoints plus the community
+    * stats, so materializing beats re-deriving an exponentially growing
+    * lazy tree (the labelPropagate precedent; the pagerank
+    * reference-once rule applies only when a round touches state once). */
+  def louvainMoveRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = edges.count() // one up-front scalar; constant of the dataset
+    val und = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+      .repartition(col("v")).localCheckpoint(true)
+    val deg = und.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var labels = und.select(col("v")).distinct()
+      .withColumn("c", col("v")).localCheckpoint(true)
+    for (r <- 0 until rounds) {
+      val commDeg = labels.join(deg, Seq("v")).groupBy(col("c"))
+        .agg(sum(col("deg")).as("cdeg"))
+      val evc = und
+        .join(labels.select(col("v").as("u"), col("c").as("cu")), Seq("u"))
+        .groupBy(col("v"), col("cu")).agg(count(lit(1)).as("k_vc"))
+      val lv = labels.select(col("v"), col("c").as("cv"))
+      val self = evc.join(lv, Seq("v")).filter(col("cu") === col("cv"))
+        .select(col("v"), col("k_vc").as("k_self"))
+      val cand = evc.join(lv, Seq("v")).filter(col("cu") =!= col("cv"))
+        .join(self, Seq("v"), "left")
+        .join(deg, Seq("v"))
+        .join(commDeg.select(col("c").as("cu"), col("cdeg").as("cdeg_u")), Seq("cu"))
+        .join(commDeg.select(col("c").as("cv"), col("cdeg").as("cdeg_v")), Seq("cv"))
+        .withColumn("gain",
+          lit(4L * m) * (col("k_vc") - coalesce(col("k_self"), lit(0L))) -
+            lit(2L) * col("deg") *
+              (col("cdeg_u") - (col("cdeg_v") - col("deg"))))
+      val wBest = Window.partitionBy(col("v"))
+        .orderBy(col("gain").desc, col("cu").asc)
+      val moves = cand.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1 && col("gain") > 0 &&
+          pmod(col("v") + lit(r.toLong), lit(2L)) === 0L)
+        .select(col("v"), col("cu").as("newc"))
+      labels = labels.join(moves, Seq("v"), "left")
+        .select(col("v"), coalesce(col("newc"), col("c")).as("c"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("c"))
+      .agg(count(lit(1)).cast("long").as("community_size"))
+    labels.join(sizes, Seq("c"))
+      .select(col("v").as("part"), col("c").as("community"),
+        col("community_size"))
+      .orderBy(col("part").asc)
+  }
+
   /** Connected components of an undirected (a < b) edge list: every
     * edge-incident vertex labeled with the smallest vertex id reachable
     * from it, plus its component size. Delegates to the shared
@@ -662,6 +734,17 @@ object Graph {
             (lit(4L) * col("m_edges") * col("m_edges")).cast("double"), 6)
             .as("modularity"))
         .orderBy(col("m_edges").asc)
+    },
+
+    // One-level Louvain move phase on the backbone — the community
+    // detector whose objective graph_modularity scores: 4 synchronous
+    // exact-integer best-move sweeps from singletons with the alternating
+    // parity gate (see louvainMoveRounds). Fully deterministic and
+    // cross-engine exact, so the DuckDB twin unrolls the 4 rounds as
+    // chained CTEs (the pagerank discipline); GraphSpec pins the
+    // modularity of the resulting partition against the CC partition's.
+    "graph_louvain_step" -> { (s, d) =>
+      louvainMoveRounds(backboneP(s, d), rounds = 4)
     },
 
     // Common-neighbor link prediction on the backbone: non-adjacent pairs
@@ -974,6 +1057,60 @@ object Graph {
         |       round(CAST(q_num AS DOUBLE) / CAST(4 * m_edges * m_edges AS DOUBLE), 6) AS modularity
         |FROM q
         |ORDER BY m_edges ASC NULLS FIRST""".stripMargin,
+
+    // The identical synchronous move recurrence with the 4 rounds
+    // UNROLLED as chained CTEs: per round, community degrees, v→community
+    // edge counts, the exact-integer gain, the (gain DESC, cu ASC)
+    // argmax window, and the parity-gated label update — every value a
+    // BIGINT, so the only cross-engine surface is integer arithmetic.
+    "graph_louvain_step" -> {
+      // AS MATERIALIZED: DuckDB inlines CTEs by default, and each round
+      // references the previous labels 4× — inlined, the 4-round unroll
+      // expands exponentially (measured: "Too many open files" from
+      // hundreds of duplicated base scans). Materializing pins each CTE
+      // to one evaluation, the semantics Spark's localCheckpoint has.
+      val rounds = (0 until 4).map { r =>
+        s"""cd$r AS MATERIALIZED (SELECT c, CAST(sum(dg.deg) AS BIGINT) AS cdeg
+           |       FROM l$r JOIN dg ON dg.u = l$r.v GROUP BY c),
+           |ev$r AS MATERIALIZED (SELECT und.v, lu.c AS cu, count(*) AS k_vc
+           |       FROM und JOIN l$r lu ON lu.v = und.u GROUP BY und.v, lu.c),
+           |sf$r AS MATERIALIZED (SELECT ev.v, ev.k_vc AS k_self
+           |       FROM ev$r ev JOIN l$r lv ON lv.v = ev.v AND lv.c = ev.cu),
+           |cand$r AS MATERIALIZED (SELECT ev.v, ev.cu,
+           |         4 * m.m * (ev.k_vc - coalesce(sf.k_self, 0))
+           |           - 2 * dg.deg * (cdu.cdeg - (cdv.cdeg - dg.deg)) AS gain
+           |       FROM ev$r ev
+           |       JOIN l$r lv ON lv.v = ev.v AND lv.c <> ev.cu
+           |       JOIN dg ON dg.u = ev.v
+           |       LEFT JOIN sf$r sf ON sf.v = ev.v
+           |       JOIN cd$r cdu ON cdu.c = ev.cu
+           |       JOIN cd$r cdv ON cdv.c = lv.c, m),
+           |bm$r AS MATERIALIZED (SELECT v, cu FROM (
+           |         SELECT v, cu, gain,
+           |                row_number() OVER (PARTITION BY v
+           |                  ORDER BY gain DESC, cu ASC) AS rn
+           |         FROM cand$r)
+           |       WHERE rn = 1 AND gain > 0 AND (v + $r) % 2 = 0),
+           |l${r + 1} AS MATERIALIZED (SELECT l.v, coalesce(b.cu, l.c) AS c
+           |       FROM l$r l LEFT JOIN bm$r b ON b.v = l.v)""".stripMargin
+      }
+      s"""WITH
+         |items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |we AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+         |       FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+         |       GROUP BY x.pk, y.pk),
+         |bb AS MATERIALIZED (SELECT a, b FROM we WHERE w >= 2),
+         |und AS MATERIALIZED (SELECT a AS u, b AS v FROM bb UNION ALL SELECT b, a FROM bb),
+         |dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY u),
+         |m AS MATERIALIZED (SELECT count(*) AS m FROM bb),
+         |l0 AS MATERIALIZED (SELECT u AS v, u AS c FROM (SELECT DISTINCT u FROM und)),
+         |${rounds.mkString(",\n")},
+         |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l4 GROUP BY c)
+         |SELECT l4.v AS part, l4.c AS community, sz.community_size
+         |FROM l4 JOIN sz USING (c)
+         |ORDER BY part ASC NULLS FIRST""".stripMargin
+    },
 
     // Wedge join (x.u = y.u, x.v < y.v) counts each unordered
     // common-neighbor pair once per shared neighbor; the left anti join

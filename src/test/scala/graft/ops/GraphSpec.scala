@@ -382,4 +382,39 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("lineitem.parquet"),
       s"graph query re-derived edges from the fact table:\n$plan")
   }
+
+  test("louvain move phase: partition modularity beats or matches the CC partition on the fixture") {
+    // The move phase climbs Q from singletons; the CC partition is the
+    // fixture's natural community structure (graph_modularity's scaladoc),
+    // so Q(louvain) >= Q(CC) is the "did the climb actually work" pin.
+    // Q·4m² is exact BigInt arithmetic on the driver over the small
+    // fixture backbone — an independent recomputation, not the query's own
+    // aggregates.
+    val bb = Graph.backboneP(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = BigInt(bb.length)
+    val deg = bb.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, o) => v -> BigInt(o.length) }
+    def q4m2(lab: Map[Long, Long]): BigInt = {
+      val eIntra = bb.filter(e => lab(e._1) == lab(e._2))
+        .groupBy(e => lab(e._1)).map { case (c, es) => c -> BigInt(es.length) }
+      val degC = deg.toSeq.groupBy { case (v, _) => lab(v) }
+        .map { case (c, vs) => c -> vs.map(_._2).sum }
+      degC.map { case (c, dc) =>
+        4 * m * eIntra.getOrElse(c, BigInt(0)) - dc * dc
+      }.sum
+    }
+    val louvain = graft.SparkEntry.queries("graph_louvain_step")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = graft.SparkEntry.queries("graph_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(louvain.keySet === cc.keySet, "louvain lost or invented vertices")
+    val qL = q4m2(louvain)
+    val qC = q4m2(cc)
+    val den = (4 * m * m).toDouble
+    info(s"Q(louvain 4 rounds) = ${qL.toDouble / den}, Q(CC) = ${qC.toDouble / den}, " +
+      s"communities: ${louvain.values.toSet.size} vs ${cc.values.toSet.size}")
+    assert(qL > 0, "louvain partition scored non-positive modularity")
+    assert(qL >= qC, s"move phase scored below the CC partition: $qL < $qC")
+  }
 }
