@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(all.size === SparkEntry.queries.size)
   }
 
-  test("every oracle key has a query; rows-only queries are the known nine") {
+  test("every oracle key has a query; rows-only queries are the known ten") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
@@ -41,10 +41,15 @@ class SparkEntrySpec extends AnyFunSuite {
     // score is PQ-approximated like its pq siblings (retrain
     // determinism, error/inflation bounds, and cell-visible recall all
     // pinned in LlmOpsSpec).
+    // llm_sim_ann_ivfpq_refined joined in round 12: its output SCORES are
+    // exact cosines, but the pair SET is still cell-visibility + PQ-screen
+    // bounded, so no DuckDB twin exists; recall lift, score exactness, and
+    // reshuffle determinism are pinned in LlmOpsSpec.
     assert(rowsOnly === Set("llm_dedup_simhash", "llm_sim_ann_lsh",
       "llm_sim_ann_ivf", "llm_sim_ann_pq", "llm_sim_ann_ivf_persisted",
       "llm_sim_ann_pq_persisted", "llm_sim_ann_ivf_upsert",
-      "llm_sim_ann_ivf_compact", "llm_sim_ann_ivfpq"),
+      "llm_sim_ann_ivf_compact", "llm_sim_ann_ivfpq",
+      "llm_sim_ann_ivfpq_refined"),
       s"unexpected oracle-less queries: ${rowsOnly.mkString(", ")}")
   }
 
