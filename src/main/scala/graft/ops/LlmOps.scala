@@ -1049,9 +1049,17 @@ object LlmOps {
     * scale. `flatCap` is test-injectable (LlmOpsSpec forces the over-cap
     * branch on the fixture corpus and pins result equality through the
     * dispatch); production callers never pass one. */
+  // Corpus-size memo for the regime test, keyed on the SAME (name, size,
+  // mtime) source signature as the index dirs (annIndexDir) — so a
+  // regenerated fixture invalidates it (the round-6 persisted-cache rule)
+  // while repeat queries within a session skip the count job entirely.
+  private val corpusSizeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[ops] def exactCellsOrCorpus(s: SparkSession, d: String,
       flatCap: Int = 4096): ExactCells = {
-    val n = Tables.embeddings(s, d).count()
+    val n: Long = corpusSizeMemo.computeIfAbsent(
+      annIndexDir(d, "nrows"), _ => Tables.embeddings(s, d).count())
     if (ivfNlistExact(n) >= flatCap)
       OverCapCorpus(embDouble(s, d).localCheckpoint(true), n)
     else { val (c, a) = exactCellsIndex(s, d); FlatCells(c, a) }

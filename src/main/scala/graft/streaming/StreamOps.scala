@@ -507,6 +507,80 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming MEDIA near-dup filter — the incremental, mixed-modality
+    * form of `mm_dedup_audio` / `mm_dedup_video`: each micro-batch of
+    * (media_id, media_type, payload) rows is signature-extracted through
+    * the REAL codecs — audio payloads through decodeWav + the 64-block
+    * energy fingerprint ([[graft.multimodal.Multimodal.audioFingerprint]]),
+    * video payloads through the container walk + per-frame Jpeg decode +
+    * run-collapsed signature ([[graft.multimodal.Multimodal.videoClipSignature]])
+    * — and a clip is DROPPED when its modality-prefixed signature matches
+    * a PREVIOUSLY SEEN clip (an earlier batch, or a lower media_id in the
+    * same batch): a half-rate re-encode of an already-ingested track or a
+    * frame-doubled re-upload of a known clip never reaches the corpus.
+    * Survivors land under `outPath/b<id>`; ALL of the batch's signatures
+    * (survivors and dropped) append to the store — a future variant
+    * similar to a dropped clip must still be caught.
+    *
+    * Batch-equivalence is structural: the signature bodies are the SAME
+    * functions the declared oracle-backed queries run, and
+    * keep-lowest-media-id-per-signature is associative across any batch
+    * slicing — so the union of survivors equals the one-shot batch dedup
+    * on the same rows (StreamingSpec pins it, including across a
+    * kill/restart).
+    *
+    * Idempotence (foreachBatch is at-least-once + idempotent writes):
+    * both writes overwrite their own batch-scoped directory and the store
+    * read filters batch_id < current, so a replayed batch converges.
+    *
+    * Scale notes (100 TB media lake): signature extraction is a
+    * partition-preserving decode map — payloads never shuffle; the store
+    * join carries (signature, media_id) rows only, keyed on the
+    * signature — the universal dedup shuffle shape; at deployment scale
+    * the store is a signature-bucketed table and the probe side is ONE
+    * micro-batch, exactly the startNearDupFilterSink backfill-then-tail
+    * shape applied to media. */
+  def startMediaDedupSink(media: DataFrame, outPath: String,
+      storePath: String, checkpoint: String): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val b = batch.persist()
+        try {
+          val rows = b.select(col("media_id"), col("media_type"), col("payload"))
+            .as[graft.multimodal.Multimodal.MediaRow]
+          // modality prefixes keep the two signature spaces disjoint
+          val au = graft.multimodal.Multimodal
+            .audioFingerprint(rows.filter(_.media_type == "audio")).toDF()
+            .select(col("media_id"), concat(lit("a:"), col("fingerprint")).as("sig"))
+          val vi = graft.multimodal.Multimodal
+            .videoClipSignature(rows.filter(_.media_type == "video")).toDF()
+            .select(col("media_id"), concat(lit("v:"), col("clip_sig")).as("sig"))
+          val sigs = au.unionByName(vi)
+            .withColumn("batch_id", lit(id))
+            .persist()
+          val store =
+            try spark.read.parquet(s"$storePath/b*").filter(col("batch_id") < id)
+            catch { case _: Exception => spark.emptyDataFrame }
+          val all = if (store.columns.isEmpty) sigs else sigs.unionByName(store)
+          val dups = sigs.select(col("media_id").as("new_id"), col("sig"))
+            .join(all.select(col("media_id").as("old_id"), col("sig"),
+              col("batch_id").as("old_batch")), Seq("sig"))
+            // "previously seen": an earlier batch, or earlier in this one
+            .filter(col("old_batch") < id ||
+              (col("old_batch") === id && col("old_id") < col("new_id")))
+            .select(col("new_id").as("media_id")).distinct()
+          b.join(dups, Seq("media_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outPath/b$id")
+          sigs.write.mode("overwrite").parquet(s"$storePath/b$id")
+          sigs.unpersist()
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+
   /** Streaming compaction monitor — the incremental form of the declared
     * `scale_compaction_plan` query: as event rows stream in, each
     * micro-batch appends its per-(dt, hr) inventory DELTAS (exact integer

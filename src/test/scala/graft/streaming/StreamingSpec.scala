@@ -358,6 +358,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media dedup: rate/fps re-encodes of seen clips are dropped, batch-equivalent, restart-safe") {
+    // The incremental, mixed-modality form of mm_dedup_audio/video: a
+    // half-rate audio re-encode and a frame-doubled video re-upload of
+    // clips ingested BEFORE A KILL must still be dropped by the restarted
+    // query (signatures come from the parquet store, not query state),
+    // and the survivor set must equal the one-shot batch dedup
+    // (keep-lowest-media-id-per-signature is slicing-invariant).
+    import graft.multimodal.{Jpeg, Multimodal}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediadedup").toString
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    def start() = StreamOps.startMediaDedupSink(
+      mem.toDF().toDF("media_id", "media_type", "payload"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt")
+    // block-structured audio: 64 constant blocks; the half-rate rendition
+    // decimates each block exactly, so the energy fingerprint is invariant
+    def audioClip(codes: Seq[Int], rate: Int, perBlock: Int) =
+      Multimodal.encodeWav(rate,
+        codes.flatMap(c => Seq.fill(perBlock)(((c - 96) * 128).toShort)).toArray)
+    val codesA = (0 until 64).map(i => 97 + (i * 7) % 26)
+    val codesC = (0 until 64).map(i => 97 + (i * 11 + 3) % 26)
+    // parity-grid video frames through the real JPEG codec
+    def frame(seed: Int): Array[Byte] = {
+      val px = new Array[Byte](64 * 64)
+      var i = 0
+      while (i < px.length) {
+        val j = (i / 64 / 8) * 8 + (i % 64) / 8
+        px(i) = if ((j + seed) % 3 == 0) 48.toByte else 112.toByte
+        i += 1
+      }
+      Jpeg.encodeGray(64, 64, px)
+    }
+    val f0 = frame(0); val f1 = frame(1)
+    val batch1 = Seq(
+      (1L, "audio", audioClip(codesA, 8000, 16)),
+      (2L, "video", Multimodal.encodeVideo(Seq(f0, f1))),
+      (3L, "video", Multimodal.encodeVideo(Seq(f1, f0)))) // reversed ≠ same
+    val batch2 = Seq(
+      (10L, "audio", audioClip(codesA, 4000, 8)),            // rate variant of 1 → drop
+      (11L, "video", Multimodal.encodeVideo(Seq(f0, f0, f1, f1))), // doubled 2 → drop
+      (12L, "audio", audioClip(codesC, 8000, 16)))           // new content → keep
+    val q1 = start()
+    mem.addData(batch1); q1.processAllAvailable()
+    q1.stop() // the variants arrive AFTER the kill
+    mem.addData(batch2)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out/b*")
+        .collect().map(_.getAs[Long]("media_id")).sorted.toList
+      assert(out === List(1L, 2L, 3L, 12L),
+        s"expected 10 (audio rate variant) and 11 (fps variant) dropped: $out")
+      // batch-equivalence: one-shot keep-lowest-id-per-signature over ALL rows
+      val allRows = (batch1 ++ batch2)
+        .map { case (id, t, p) => Multimodal.MediaRow(id, t, p) }.toDS()
+      val au = Multimodal.audioFingerprint(allRows.filter(_.media_type == "audio"))
+        .toDF().select(col("media_id"), concat(lit("a:"), col("fingerprint")).as("sig"))
+      val vi = Multimodal.videoClipSignature(allRows.filter(_.media_type == "video"))
+        .toDF().select(col("media_id"), concat(lit("v:"), col("clip_sig")).as("sig"))
+      val oneShot = au.unionByName(vi).groupBy(col("sig"))
+        .agg(min(col("media_id")).as("media_id"))
+        .collect().map(_.getAs[Long]("media_id")).sorted.toList
+      assert(out === oneShot, s"streamed survivors diverged from batch dedup: $out vs $oneShot")
+    } finally q2.stop()
+  }
+
   test("streaming compaction monitor: plan equals the batch query and survives a kill/restart") {
     // The incremental form of scale_compaction_plan: per-batch (dt, hr)
     // inventory deltas accumulate in a store and the current plan is
