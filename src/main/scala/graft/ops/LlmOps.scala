@@ -2580,6 +2580,47 @@ object LlmOps {
         .orderBy(col("doc_id").asc)
     },
 
+    // Deterministic shuffle-and-shard for training export — the step
+    // between curation and the trainer: every document gets a
+    // pseudo-random but fully deterministic position via the Knuth
+    // multiplicative hash h (folded mod 2³¹ BEFORE the multiply, the
+    // llm_span_corruption overflow rule), shard = h mod 16, and its
+    // 1-based position WITHIN the shard in (h, doc_id) order — so any
+    // engine, rerun, or partitioning exports byte-identical shards, and
+    // a trainer reading shard k in position order sees a deterministic
+    // global shuffle. Scale shape: positions come from the
+    // scale_range_bounds/llm_sample_pps two-pass prefix rank — range
+    // partition on (shard, h, doc_id), per-partition local row_number,
+    // plus a broadcast (pid × shard) offset table — so no data-sized
+    // single-task window exists anywhere; the pid frame is
+    // localCheckpoint-pinned so every branch observes ONE
+    // RangePartitioner assignment.
+    "llm_shard_assign" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .withColumn("h", expr("(2654435761 * (doc_id % 2147483648)) % 4294967296"))
+        .withColumn("shard", expr("h % 16"))
+        .repartitionByRange(32, col("shard").asc, col("h").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val counts = base.groupBy(col("pid"), col("shard"))
+        .agg(count(lit(1)).as("cnt"))
+      // ≤ 32×16 rows: the shard-partitioned window runs over a tiny frame.
+      val offs = counts.withColumn("off", coalesce(
+          sum(col("cnt")).over(Window.partitionBy(col("shard"))
+            .orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("shard"), col("off"))
+      base
+        .withColumn("rn_local", row_number().over(
+          Window.partitionBy(col("pid"), col("shard"))
+            .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+        .join(broadcast(offs), Seq("pid", "shard"))
+        .select(col("doc_id"), col("h").as("shuffle_key"), col("shard"),
+          (col("rn_local") + col("off")).as("pos"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // Concat-and-chunk sequence packing (the standard LLM pretraining
     // shape): documents concatenate per language in doc_id order and are
     // chunked into 4096-token context windows; each doc records the chunk
@@ -2750,6 +2791,37 @@ object LlmOps {
           round(col("t_total").cast("double") /
             (col("n_sources") * col("tokens")).cast("double"), 6)
             .as("sample_weight"))
+        .orderBy(col("source").asc)
+    },
+
+    // Token-budget mixture planner — llm_domain_mix's actionable output:
+    // given a fixed training budget B = 2¹⁸ tokens and per-source
+    // availability T_s, allocate alloc_s = B·⌊√T_s⌋ div Σ⌊√T⌋ (the α=½
+    // temperature mixing of llm_sample_temperature applied at the
+    // planning layer) and report the sampling rate and the ceil'd epoch
+    // count a data loader needs (alloc > T ⇒ the source is upsampled —
+    // repeated passes; alloc < T ⇒ downsampled). Everything is exact
+    // integer arithmetic (⌊√T⌋ is cross-engine-exact by the
+    // IEEE-correctly-rounded-sqrt rule; div ≡ `//` on non-negative
+    // operands); the only double is the one sample_rate division. The
+    // fixed B makes the plan exercise BOTH regimes across fixture
+    // scales: sf0.001 upsamples every source (epochs > 1), sf0.1
+    // downsamples every source. Scale: one map-side-combined groupBy on
+    // ~|sources| keys + a broadcast 1-row total.
+    "llm_token_budget_plan" -> { (s, d) =>
+      val perSrc = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      val tot = perSrc.agg(sum(col("weight")).as("w_total"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("alloc_tokens", expr("(262144 * weight) div w_total"))
+        .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+          col("alloc_tokens"),
+          round(col("alloc_tokens").cast("double") / col("tokens").cast("double"), 6)
+            .as("sample_rate"),
+          expr("(alloc_tokens + tokens - 1) div tokens").as("epochs_ceil"))
         .orderBy(col("source").asc)
     },
 
@@ -4194,6 +4266,36 @@ object LlmOps {
         |            ELSE 'test' END AS split
         |FROM documents
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The oracle collapses the Spark side's two-pass prefix rank to one
+    // per-shard window — legal in DuckDB's single node, identical
+    // positions by the range-partition order argument (any pid boundary
+    // respects the (shard, h, doc_id) sort).
+    "llm_shard_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |                  (2654435761 * (doc_id % 2147483648)) % 4294967296 AS h
+        |           FROM documents)
+        |SELECT doc_id, h AS shuffle_key, CAST(h % 16 AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % 16
+        |              ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM b
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "llm_token_budget_plan" ->
+      """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, tokens,
+        |             CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight
+        |      FROM t),
+        |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM w)
+        |SELECT source, n_docs, tokens, weight,
+        |       CAST((262144 * weight) // w_total AS BIGINT) AS alloc_tokens,
+        |       round(CAST((262144 * weight) // w_total AS DOUBLE) /
+        |             CAST(tokens AS DOUBLE), 6) AS sample_rate,
+        |       CAST(((262144 * weight) // w_total + tokens - 1) // tokens AS BIGINT) AS epochs_ceil
+        |FROM w, tot
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     "llm_sim_topk" ->
       s"""$duckCosPairs
