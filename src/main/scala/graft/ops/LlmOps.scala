@@ -568,28 +568,35 @@ object LlmOps {
     * exact-decimal recipes, so a rebuild over unchanged data recreates
     * the identical index (LlmOpsSpec forces two retrains under different
     * shuffle-partition counts and compares). */
-  def writeIvfPqIndex(e: DataFrame, dir: String): Unit = {
+  /** Encode vectors against FIXED IVF-PQ codebooks: coarse-assign, PQ-code
+    * the residual x − c(x), and compute the per-vector scalars (cdot, rhsq)
+    * of the exact reconstruction decomposition — the single encode seam
+    * shared by [[writeIvfPqIndex]] (initial build) and the incremental
+    * upsert path (`llm_sim_ann_ivfpq_upsert`), so upsert ≡ full re-encode
+    * is structural: encoding is a pure function of (vector, codebooks).
+    * Output: (vec_id, cid, codes, cdot, rhsq) — the codes-table row shape.
+    * LAZY by design (no internal checkpoint): the upsert query's plan
+    * assertion needs the batch-filtered embeddings scan VISIBLE in the
+    * inspected plan (a checkpoint would hide it inside its own job); the
+    * residual frame is referenced twice, so the batch pays one extra
+    * broadcast-join + zip_with — trivial on a delta. Build-time callers
+    * that reference the OUTPUT repeatedly checkpoint it themselves.
+    * `e` must be embDouble-shaped and materialized. */
+  private[ops] def encodeAgainstIvfPq(e: DataFrame, centroids: DataFrame,
+      cb: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(30, 12)
     val dims = 64 / pqM
-    val n = e.count()
-    val centroids = ivfCodebook(e, nlist = ivfNlist(n), iters = 2)
-      .localCheckpoint(true) // consumers: residuals, centSub, the write
     val resid = assignToCentroid(e, centroids)
       .select(col("vec_id"), col("cid"), col("emb"))
       .join(broadcast(centroids), Seq("cid"))
       .select(col("vec_id"), col("cid"),
         expr("zip_with(emb, cemb, (x, c) -> x - c)").as("emb"))
-      .localCheckpoint(true) // consumers: subvectors + the cid map
-    val sub = pqSubvectors(resid).localCheckpoint(true)
-    val trainSub = // the llm_sim_ann_pq sampled-trainer rule, unchanged
-      if (n <= 4096L) sub
-      else sub.filter(pmod(xxhash64(col("vec_id")), lit(n / 4096L + 1L)) === 0L)
-    val cb = pqCodebook(trainSub, iters = 2).localCheckpoint(true)
+    val sub = pqSubvectors(resid)
     val centSub = centroids
       .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
       .withColumn("csubc", expr(s"slice(cemb, m * $dims + 1, $dims)"))
       .select(col("cid"), col("m"), col("csubc"))
-    val perVec = pqAssign(sub, cb)
+    pqAssign(sub, cb)
       .join(resid.select(col("vec_id"), col("cid")), Seq("vec_id"))
       .join(broadcast(cb.withColumn("cssqk", expr("graft_dot(csub, csub)"))
         .select(col("m"), col("k"), col("csub"), col("cssqk"))), Seq("m", "k"))
@@ -600,6 +607,30 @@ object LlmOps {
           .as("codes"),
         sum(col("cdotm").cast(dec)).cast("double").as("cdot"),
         sum(col("cssqk").cast(dec)).cast("double").as("rhsq"))
+  }
+
+  def writeIvfPqIndex(e: DataFrame, dir: String): Unit = {
+    val n = e.count()
+    val centroids = ivfCodebook(e, nlist = ivfNlist(n), iters = 2)
+      .localCheckpoint(true) // consumers: residual train chain, encoder, write
+    // codebook training works on the residual subvectors (sampled past
+    // 4096 vectors — the llm_sim_ann_pq sampled-trainer rule, unchanged)
+    val resid = assignToCentroid(e, centroids)
+      .select(col("vec_id"), col("cid"), col("emb"))
+      .join(broadcast(centroids), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(emb, cemb, (x, c) -> x - c)").as("emb"))
+      .localCheckpoint(true)
+    val sub = pqSubvectors(resid).localCheckpoint(true)
+    val trainSub =
+      if (n <= 4096L) sub
+      else sub.filter(pmod(xxhash64(col("vec_id")), lit(n / 4096L + 1L)) === 0L)
+    val cb = pqCodebook(trainSub, iters = 2).localCheckpoint(true)
+    // the persisted codes come from the SAME fixed-codebook encoder the
+    // upsert path runs — build ≡ upsert-of-everything by construction;
+    // checkpointed here because the build references it twice (codes
+    // write + the flat sidecar's cid map)
+    val perVec = encodeAgainstIvfPq(e, centroids, cb).localCheckpoint(true)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     perVec.withColumn("cid", col("cid").cast("int"))
@@ -608,9 +639,10 @@ object LlmOps {
     // like the codes, so the refine step's per-pair vector fetch is a
     // partition-pruned scan of the pair's own cell — candidates never
     // cross cells, so refine never touches any other partition.
-    e.join(resid.select(col("vec_id"), col("cid")), Seq("vec_id"))
+    e.join(perVec.select(col("vec_id"), col("cid")), Seq("vec_id"))
       .select(col("vec_id"), col("emb"), col("ssq"), col("cid").cast("int").as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/flat")
+    releaseCheckpoint(perVec)
     releaseCheckpoint(cb)
     releaseCheckpoint(sub)
     releaseCheckpoint(resid)
@@ -637,7 +669,7 @@ object LlmOps {
     * exact reconstruction decomposition with the SDC residual term;
     * decimal per-pair sums keep every double partition-order-independent
     * (the dsumD rule). */
-  private def ivfpqPairScores(codes: DataFrame, cb: DataFrame,
+  private[ops] def ivfpqPairScores(codes: DataFrame, cb: DataFrame,
       centroids: DataFrame): DataFrame =
     ivfpqCandidateScores(codes, cb, centroids)
       .filter(col("approx_cos") >= 0.3)
@@ -2470,6 +2502,42 @@ object LlmOps {
       val (cent, cb, codes) = readIvfPqIndex(s, idx)
       ivfpqRefinedPairs(codes, cb, cent, readIvfPqFlat(s, idx),
         tau = 0.3, margin = 0.15)
+    },
+
+    // INCREMENTAL IVF-PQ maintenance — llm_sim_ann_ivf_upsert's discipline
+    // applied to the composed index: the index (coarse quantizer + residual
+    // PQ codebook + codes) is trained ONCE on the standing corpus
+    // (vec_id % 10 ≠ 0), and the incoming batch (vec_id % 10 = 0) is
+    // encoded against BOTH existing codebooks through encodeAgainstIvfPq —
+    // the SAME seam the initial build persists through, so
+    // upsert ≡ full re-encode is structural (encoding is a pure function
+    // of vector and codebooks; LlmOpsSpec asserts row identity and that
+    // every embeddings scan in the plan carries the batch filter). Same
+    // 100 TB staleness rule as the ivf upsert: append daily, retrain only
+    // on drift — for the PQ scorer codebook quality moves score QUALITY
+    // (not exactness claims; the scores are approximations either way),
+    // so the refresh cadence is an accuracy-monitoring decision. Rows-only
+    // like its fixed-codebook siblings.
+    "llm_sim_ann_ivfpq_upsert" -> { (s, d) =>
+      val idx = annIndexDir(d, "ivfpqbase")
+      val built = Seq("centroids", "codebook", "codes", "flat")
+        .forall(p => new java.io.File(s"$idx/$p/_SUCCESS").exists())
+      if (!built) {
+        val base = embDouble(s, d).filter(col("vec_id") % 10 =!= 0)
+          .localCheckpoint(true)
+        writeIvfPqIndex(base, idx)
+        releaseCheckpoint(base)
+      }
+      val (cent, cb, codes) = readIvfPqIndex(s, idx)
+      // lazy batch (no checkpoint): the delta-only embeddings scan stays
+      // visible in the executed plan, where LlmOpsSpec asserts its filter
+      val batch = embDouble(s, d).filter(col("vec_id") % 10 === 0)
+      val cols = Seq("vec_id", "cid", "codes", "cdot", "rhsq").map(col)
+      ivfpqPairScores(
+        codes.select(cols: _*).withColumn("cid", col("cid").cast("int"))
+          .unionByName(encodeAgainstIvfPq(batch, cent, cb).select(cols: _*)
+            .withColumn("cid", col("cid").cast("int"))),
+        cb, cent)
     },
 
     // Deterministic per-stratum hash sampling: membership is a pure

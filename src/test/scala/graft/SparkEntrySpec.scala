@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(all.size === SparkEntry.queries.size)
   }
 
-  test("every oracle key has a query; rows-only queries are the known ten") {
+  test("every oracle key has a query; rows-only queries are the known eleven") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
@@ -49,7 +49,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "llm_sim_ann_ivf", "llm_sim_ann_pq", "llm_sim_ann_ivf_persisted",
       "llm_sim_ann_pq_persisted", "llm_sim_ann_ivf_upsert",
       "llm_sim_ann_ivf_compact", "llm_sim_ann_ivfpq",
-      "llm_sim_ann_ivfpq_refined"),
+      "llm_sim_ann_ivfpq_refined", "llm_sim_ann_ivfpq_upsert"),
       s"unexpected oracle-less queries: ${rowsOnly.mkString(", ")}")
   }
 

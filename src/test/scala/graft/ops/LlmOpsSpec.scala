@@ -121,6 +121,38 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental IVF-PQ upsert: batch-encode equals full re-encode, embeddings scanned only for the batch") {
+    val upsert = SparkEntry_queries("llm_sim_ann_ivfpq_upsert")
+    // round-4 rule: execute the SAME Dataset before inspecting its plan
+    val rows = upsert.collect().map(_.toSeq.toList).toList
+    assert(rows.nonEmpty, "IVF-PQ upsert path produced no pairs")
+    // encoding is a pure function of (vector, codebooks): appending the
+    // batch's encodings to the persisted codes table must reproduce a
+    // full re-encode of ALL vectors against the same codebooks
+    val (cent, cb, _) =
+      LlmOps.readIvfPqIndex(spark, LlmOps.annIndexDir(sf, "ivfpqbase"))
+    val all = LlmOps.embDouble(spark, sf).localCheckpoint(true)
+    val full = LlmOps.ivfpqPairScores(
+        LlmOps.encodeAgainstIvfPq(all, cent, cb)
+          .withColumn("cid", col("cid").cast("int")), cb, cent)
+      .collect().map(_.toSeq.toList).toList
+    assert(rows === full,
+      "upsert-maintained IVF-PQ index diverged from full re-encode")
+    // the finalized plan reads the persisted base index, and every
+    // embeddings.parquet scan carries the batch filter (the round-7
+    // per-line check — marker-agnostic under nested AQE subtrees)
+    val planStr = upsert.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_ivfpqbase_index_"),
+      "expected the persisted IVF-PQ base-index scan in the executed plan")
+    val embScanLines =
+      planStr.linesIterator.filter(_.contains("embeddings.parquet")).toList
+    assert(embScanLines.nonEmpty, "expected the batch-side embeddings scan")
+    embScanLines.foreach { l =>
+      assert(l.contains("% 10) = 0"),
+        s"embeddings scan without the batch filter (corpus re-read):\n$l")
+    }
+  }
+
   test("IVF compaction: rows identical to the upsert path, plan reads only the compacted index") {
     val upsertRows = SparkEntry_queries("llm_sim_ann_ivf_upsert")
       .collect().map(_.toSeq.toList).toList
