@@ -291,6 +291,43 @@ object VectorKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Holt–Winters ADDITIVE-SEASONAL (triple exponential, α = β = γ = ½,
+    * period p) states over an integer series: returns [l₁, b₁, s₁, l₂, …]
+    * interleaved. Seed rows t ≤ p: l_t = x_t, b_t = 0, s_t = 0; past the
+    * seed:
+    *   l_t = ⌊(x_t − s_{t−p} + l_{t−1} + b_{t−1}) / 2⌋
+    *   b_t = ⌊(l_t − l_{t−1} + b_{t−1}) / 2⌋
+    *   s_t = ⌊(x_t − l_t + s_{t−p}) / 2⌋
+    * every division an arithmetic shift (>> 1 floors for every sign — the
+    * [[holtStates]] sign-safe twin rule; level MINUS a seasonal term goes
+    * negative even on positive data). One O(n) pass; the s_{t−p} lookback
+    * reads the already-written output slot — the same memory the oracle's
+    * recursive CTE carries as its rolling seasonal list. */
+  def holtWintersStates(iv: ArrayData, p: Int): ArrayData = {
+    val n = iv.numElements()
+    val out = new Array[Long](3 * n)
+    var l = 0L
+    var b = 0L
+    var i = 0
+    while (i < n) {
+      val x = iv.getLong(i)
+      var s = 0L
+      if (i < p) { l = x; b = 0L }
+      else {
+        val sp = out(3 * (i - p) + 2)
+        val l1 = (x - sp + l + b) >> 1
+        b = (l1 - l + b) >> 1
+        s = (x - l1 + sp) >> 1
+        l = l1
+      }
+      out(3 * i) = l
+      out(3 * i + 1) = b
+      out(3 * i + 2) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** 64-long minhash signature of an array<long> of shingle hashes. */
@@ -449,6 +486,26 @@ case class HoltStates(child: Expression) extends org.apache.spark.sql.catalyst.e
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Interleaved Holt–Winters level/trend/seasonal states of an
+  * array<bigint> series with an integer period (see
+  * [[VectorKernels.holtWintersStates]]). */
+case class HoltWintersStates(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+      org.apache.spark.sql.types.IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"graft_holt_winters expects (array<bigint>, int), got (${a.simpleString}, ${b.simpleString})")
+  }
+  override def nullSafeEval(a: Any, p: Any): Any =
+    VectorKernels.holtWintersStates(a.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, p) => s"graft.functions.VectorKernels.holtWintersStates($a, $p)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Register the vector kernels in the session's function registry so
     * query closures can call them via `expr("graft_dot(a, b)")`. Idempotent;
@@ -477,5 +534,7 @@ object VectorFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "graft_holt", exprs => HoltStates(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_holt_winters", exprs => HoltWintersStates(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -381,6 +381,50 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
     },
 
+    // Holt–Winters additive-seasonal smoothing (triple exponential,
+    // α = β = γ = ½, period p = 4) per (event_type, day) — the seasonal
+    // recurrence ts_holt_linear's two-state kernel cannot express:
+    //   l_t = ⌊(x_t − s_{t−p} + l_{t−1} + b_{t−1}) / 2⌋
+    //   b_t = ⌊(l_t − l_{t−1} + b_{t−1}) / 2⌋
+    //   s_t = ⌊(x_t − l_t + s_{t−p}) / 2⌋
+    // seed rows t ≤ p: l = x, b = s = 0. x − s goes negative even on
+    // positive data, so every halving is the sign-safe arithmetic shift
+    // (Spark) ↔ floor-division-emulation (oracle) twin pair from
+    // ts_holt_linear. One O(n) graft_holt_winters codegen-kernel pass per
+    // (type, day) key — the graft_holt discipline with a third state and
+    // a p-step lookback (the kernel reads its own output slot; the oracle
+    // carries the last p seasonal values as a rolling LIST in the
+    // recursive CTE's state — lists are plain values in a recursion).
+    // Same 100 TB contract as ts_holt_linear: day-scoped state keys
+    // parallelize across days × types while each day's fold stays exactly
+    // sequential.
+    "ts_holt_winters" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ)").as("dt"),
+          col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      ev.groupBy(col("event_type"), col("dt"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("iv")))).as("xs"))
+        .withColumn("st", expr("graft_holt_winters(transform(xs, x -> x.iv), 4)"))
+        .select(col("event_type"), col("dt"), explode(expr(
+          """transform(xs, (x, i) -> named_struct(
+            |  'ts', x.ts, 'event_id', x.event_id, 'iv', x.iv,
+            |  'l', element_at(st, 3 * i + 1),
+            |  'b', element_at(st, 3 * i + 2),
+            |  's', element_at(st, 3 * i + 3)))"""
+            .stripMargin.replace("\n", " "))).as("r"))
+        .select(col("event_type"), col("dt"),
+          col("r.ts").as("ts"), col("r.event_id").as("event_id"),
+          col("r.iv").as("iv"),
+          col("r.l").as("level_u"), col("r.b").as("trend_u"),
+          col("r.s").as("seasonal_u"),
+          round(col("r.l").cast("double") / 10000.0, 6).as("level"))
+        .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
+    },
+
     // Exponentially-weighted moving average with a dyadic (α=1/2) kernel
     // truncated at 16 taps: ewma_i = Σ_{j=0..15} 2^(15-j)·x_{i-j} / Σ 2^(15-j)
     // over the deterministic (ts, event_id) order per event_type. The
@@ -1179,6 +1223,47 @@ object EventAnalytics {
          |)
          |SELECT event_type, dt, ts, event_id, iv,
          |       CAST(l AS BIGINT) AS level_u, CAST(b AS BIGINT) AS trend_u,
+         |       round(CAST(l AS DOUBLE) / 10000.0, 6) AS level
+         |FROM r
+         |ORDER BY event_type ASC NULLS FIRST, ts ASC, event_id ASC""".stripMargin
+    },
+
+    // The identical Holt–Winters recurrence replayed as a recursive CTE:
+    // the last p seasonal values travel as a rolling LIST in the
+    // recursion state (s_{t−p} = sl[1] once the list is full), every
+    // halving uses the ts_holt_linear floor-division emulation, and seed
+    // rows gate on rn <= 4.
+    "ts_holt_winters" -> {
+      def fdiv(x: String) = s"((($x) - (((($x) % 2) + 2) % 2)) // 2)"
+      val lNew = fdiv("b.iv - r.sl[1] + r.l + r.b")
+      val bNew = fdiv(s"$lNew - r.l + r.b")
+      val sNew = fdiv(s"b.iv - $lNew + r.sl[1]")
+      s"""WITH RECURSIVE b AS (
+         |  SELECT event_type, date_trunc('day', ts) AS dt, ts, event_id,
+         |         CAST(round(value * 10000, 0) AS BIGINT) AS iv,
+         |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+         |                            ORDER BY ts ASC, event_id ASC) AS rn
+         |  FROM events
+         |),
+         |r AS (
+         |  SELECT event_type, dt, ts, event_id, iv, rn,
+         |         iv AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS s,
+         |         [CAST(0 AS BIGINT)] AS sl
+         |  FROM b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.event_type, b.dt, b.ts, b.event_id, b.iv, b.rn,
+         |         CASE WHEN b.rn <= 4 THEN b.iv ELSE $lNew END AS l,
+         |         CASE WHEN b.rn <= 4 THEN CAST(0 AS BIGINT) ELSE $bNew END AS b,
+         |         CASE WHEN b.rn <= 4 THEN CAST(0 AS BIGINT) ELSE $sNew END AS s,
+         |         list_concat(
+         |           CASE WHEN len(r.sl) < 4 THEN r.sl ELSE r.sl[2:] END,
+         |           [CASE WHEN b.rn <= 4 THEN CAST(0 AS BIGINT) ELSE $sNew END]) AS sl
+         |  FROM r JOIN b ON b.event_type = r.event_type AND b.dt = r.dt
+         |              AND b.rn = r.rn + 1
+         |)
+         |SELECT event_type, dt, ts, event_id, iv,
+         |       CAST(l AS BIGINT) AS level_u, CAST(b AS BIGINT) AS trend_u,
+         |       CAST(s AS BIGINT) AS seasonal_u,
          |       round(CAST(l AS DOUBLE) / 10000.0, 6) AS level
          |FROM r
          |ORDER BY event_type ASC NULLS FIRST, ts ASC, event_id ASC""".stripMargin

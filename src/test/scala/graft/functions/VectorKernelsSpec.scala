@@ -143,4 +143,42 @@ class VectorKernelsSpec extends SparkSpec {
     // empty series → empty states
     assert(run() === Seq.empty)
   }
+
+  test("holtWintersStates: hand-computed seasonal recurrence, driver-side floorDiv differential") {
+    def run(p: Int, xs: Long*): Seq[Long] = {
+      val out = VectorKernels.holtWintersStates(new GenericArrayData(xs.toArray), p)
+      (0 until out.numElements()).map(out.getLong(_))
+    }
+    // seed rows (t <= p): l = x, b = s = 0
+    assert(run(2, 10L, 20L) === Seq(10L, 0L, 0L, 20L, 0L, 0L))
+    // p=2, hand-stepped past the seed (s_{t-2} of row 3 is row 1's s = 0):
+    // l3=⌊(8−0+20+0)/2⌋=14, b3=⌊(14−20+0)/2⌋=⌊−3⌋=−3, s3=⌊(8−14+0)/2⌋=−3
+    // row 4 looks back to row 2 (s=0):
+    // l4=⌊(4−0+14−3)/2⌋=7, b4=⌊(7−14−3)/2⌋=⌊−5⌋=−5, s4=⌊(4−7+0)/2⌋=⌊−1.5⌋=−2
+    assert(run(2, 10L, 20L, 8L, 4L) ===
+      Seq(10L, 0L, 0L, 20L, 0L, 0L, 14L, -3L, -3L, 7L, -5L, -2L))
+    // row 5 looks back to row 3's s = −3: x−s goes UP by 3 —
+    // l5=⌊(6+3+7−5)/2⌋=5, b5=⌊(5−7−5)/2⌋=⌊−3.5⌋=−4, s5=⌊(6−5−3)/2⌋=−1
+    assert(run(2, 10L, 20L, 8L, 4L, 6L) ===
+      Seq(10L, 0L, 0L, 20L, 0L, 0L, 14L, -3L, -3L, 7L, -5L, -2L, 5L, -4L, -1L))
+    // seeded random differential against a driver-side Math.floorDiv replay
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 5) {
+      val xs = Array.fill(50)(rnd.nextLong(20001L) - 10000L)
+      val p = 4
+      val l = new Array[Long](50); val b = new Array[Long](50); val s = new Array[Long](50)
+      for (i <- 0 until 50) {
+        if (i < p) { l(i) = xs(i); b(i) = 0; s(i) = 0 }
+        else {
+          val sp = s(i - p)
+          l(i) = Math.floorDiv(xs(i) - sp + l(i - 1) + b(i - 1), 2L)
+          b(i) = Math.floorDiv(l(i) - l(i - 1) + b(i - 1), 2L)
+          s(i) = Math.floorDiv(xs(i) - l(i) + sp, 2L)
+        }
+      }
+      val expect = (0 until 50).flatMap(i => Seq(l(i), b(i), s(i)))
+      assert(run(p, xs.toIndexedSeq: _*) === expect, s"trial $trial")
+    }
+    assert(run(4) === Seq.empty)
+  }
 }
