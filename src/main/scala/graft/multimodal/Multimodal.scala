@@ -1009,6 +1009,24 @@ object Multimodal {
     })
   }
 
+  /** REAL half-rate audio resample — the audio twin of [[resizeImages]]:
+    * decode the container, keep every 2nd sample (even indices — plain
+    * decimation, the zero-order resample), re-encode at rate/2. Output
+    * length ⌈n/2⌉ keeps the final odd sample. Partition-preserving map;
+    * payloads never shuffle; throws on undecodable input (the
+    * [[audioStats]] contract). */
+  def resampleAudioHalf(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (rate, _, samples) = decodeWav(r.payload).getOrElse(
+        throw new IllegalStateException(
+          s"undecodable audio payload for media_id=${r.media_id}"))
+      val dec = Array.tabulate((samples.length + 1) / 2)(i => samples(2 * i))
+      MediaRow(r.media_id, "audio", encodeWav(rate / 2, dec))
+    })
+  }
+
   // ---- Audio near-dup (cross-sample-rate block-energy fingerprint) ----
   // The audio analogue of crossResTable/mm_dedup_phash: the SAME logical
   // clip stored at two sample rates must reunite under a rate-invariant

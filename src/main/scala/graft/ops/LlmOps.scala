@@ -3833,6 +3833,26 @@ object LlmOps {
         .orderBy(col("first_media").asc)
     },
 
+    // REAL audio resample, oracle-checked end-to-end — the audio twin of
+    // mm_resize_stats: decode the WAV container, decimate to half rate
+    // (every 2nd sample, ⌈n/2⌉ output length), re-ENCODE at rate/2,
+    // decode again, exact integer Σs and Σs². The oracle recomputes
+    // everything from documents.text (decimated samples are the
+    // EVEN-position text bytes through the (c−96)·128 map; the halved
+    // rate field is integer division of the known per-doc rate) — a
+    // wrong stride, an off-by-one on odd lengths, or a rate-field slip
+    // all hash-mismatch. Two decode maps + one encode, payloads never
+    // shuffle.
+    "mm_audio_resample_stats" -> { (s, d) =>
+      graft.multimodal.Multimodal.audioStats(
+        graft.multimodal.Multimodal.resampleAudioHalf(
+          graft.multimodal.Multimodal.syntheticAudioTable(Tables.documents(s, d))))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("sum_pcm"), col("sumsq_pcm"))
+        .orderBy(col("media_id").asc)
+    },
+
     // Cross-RATE audio near-dup dedup — the audio leg of the multimodal
     // dedup story (pixels → phash → formats → audio): the SAME clip
     // stored at 8000 Hz and at a REAL half-rate decimation (decode →
@@ -5485,6 +5505,22 @@ object LlmOps {
         |       string_agg(media_id::VARCHAR, ',' ORDER BY media_id) AS media_ids
         |FROM m GROUP BY pix_md5
         |ORDER BY first_media ASC NULLS FIRST""".stripMargin,
+
+    // Decimated samples are the even-position text bytes; the rate halves
+    // by integer division of the known 8000 + (doc_id%8)·1000 field.
+    "mm_audio_resample_stats" ->
+      """WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |u AS (SELECT doc_id, L, text, unnest(range(0, (L + 1) // 2)) AS k FROM b),
+        |v AS (SELECT doc_id, L,
+        |             CAST((ascii(text[CAST(2 * k + 1 AS INT)]) - 96) * 128 AS BIGINT) AS s
+        |      FROM u)
+        |SELECT doc_id AS media_id,
+        |       CAST((8000 + (doc_id % 8) * 1000) // 2 AS BIGINT) AS sample_rate,
+        |       CAST((L + 1) // 2 AS BIGINT) AS n_samples,
+        |       CAST(sum(s) AS BIGINT) AS sum_pcm,
+        |       CAST(sum(s * s) AS BIGINT) AS sumsq_pcm
+        |FROM v GROUP BY doc_id, L
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
 
     // Cross-rate audio fingerprints recomputed sample-free: constant
     // blocks collapse the cross-multiplied mean-energy bit to
