@@ -461,13 +461,23 @@ object Graph {
     * stats, so materializing beats re-deriving an exponentially growing
     * lazy tree (the labelPropagate precedent; the pagerank
     * reference-once rule applies only when a round touches state once). */
-  def louvainMoveRounds(edges: DataFrame, rounds: Int): DataFrame = {
+  def louvainMoveRounds(edges: DataFrame, rounds: Int): DataFrame =
+    louvainMoveRoundsWeighted(edges.withColumn("w", lit(1L)), rounds)
+
+  /** Weighted form of the move phase: identical recurrence with W = Σw in
+    * place of m, weighted degrees, and weighted v→community edge sums —
+    * the standard weighted-modularity gain, still all-BIGINT (fixture
+    * weights are small integer co-occurrence counts; 4W·k and wdeg
+    * products hold to W ≈ 10⁹). The unweighted form is the w = 1
+    * special case, so one body serves both declared queries. */
+  def louvainMoveRoundsWeighted(edges: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = edges.count() // one up-front scalar; constant of the dataset
-    val und = edges.select(col("a").as("v"), col("b").as("u"))
-      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+    // one up-front scalar: W = total edge weight, a constant of the data
+    val m = edges.agg(sum(col("w"))).head().getLong(0)
+    val und = edges.select(col("a").as("v"), col("b").as("u"), col("w"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u"), col("w")))
       .repartition(col("v")).localCheckpoint(true)
-    val deg = und.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val deg = und.groupBy(col("v")).agg(sum(col("w")).as("deg"))
       .localCheckpoint(true)
     var labels = und.select(col("v")).distinct()
       .withColumn("c", col("v")).localCheckpoint(true)
@@ -476,7 +486,7 @@ object Graph {
         .agg(sum(col("deg")).as("cdeg"))
       val evc = und
         .join(labels.select(col("v").as("u"), col("c").as("cu")), Seq("u"))
-        .groupBy(col("v"), col("cu")).agg(count(lit(1)).as("k_vc"))
+        .groupBy(col("v"), col("cu")).agg(sum(col("w")).as("k_vc"))
       val lv = labels.select(col("v"), col("c").as("cv"))
       val self = evc.join(lv, Seq("v")).filter(col("cu") === col("cv"))
         .select(col("v"), col("k_vc").as("k_self"))
@@ -745,6 +755,17 @@ object Graph {
     // modularity of the resulting partition against the CC partition's.
     "graph_louvain_step" -> { (s, d) =>
       louvainMoveRounds(backboneP(s, d), rounds = 4)
+    },
+
+    // Weighted Louvain move phase on the weighted backbone (w ≥ 2 edges
+    // KEEPING their co-occurrence multiplicities): the same 4 parity-gated
+    // synchronous sweeps with W = Σw, weighted degrees, and weighted
+    // v→community sums — strong ties pull harder, so the partition can
+    // differ from the unweighted one on mixed-weight neighborhoods. Same
+    // all-BIGINT discipline and CTE-unrolled oracle.
+    "graph_louvain_weighted" -> { (s, d) =>
+      louvainMoveRoundsWeighted(
+        coEdgesWeightedP(s, d).filter(col("w") >= 2), rounds = 4)
     },
 
     // Common-neighbor link prediction on the backbone: non-adjacent pairs
@@ -1103,6 +1124,54 @@ object Graph {
          |und AS MATERIALIZED (SELECT a AS u, b AS v FROM bb UNION ALL SELECT b, a FROM bb),
          |dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY u),
          |m AS MATERIALIZED (SELECT count(*) AS m FROM bb),
+         |l0 AS MATERIALIZED (SELECT u AS v, u AS c FROM (SELECT DISTINCT u FROM und)),
+         |${rounds.mkString(",\n")},
+         |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l4 GROUP BY c)
+         |SELECT l4.v AS part, l4.c AS community, sz.community_size
+         |FROM l4 JOIN sz USING (c)
+         |ORDER BY part ASC NULLS FIRST""".stripMargin
+    },
+
+    // The weighted recurrence: identical unroll with W = Σw, weighted
+    // degrees, and weighted v→community sums (k_vc = Σ w over edges into
+    // the community). Same MATERIALIZED discipline.
+    "graph_louvain_weighted" -> {
+      val rounds = (0 until 4).map { r =>
+        s"""cd$r AS MATERIALIZED (SELECT c, CAST(sum(dg.deg) AS BIGINT) AS cdeg
+           |       FROM l$r JOIN dg ON dg.u = l$r.v GROUP BY c),
+           |ev$r AS MATERIALIZED (SELECT und.v, lu.c AS cu, CAST(sum(und.w) AS BIGINT) AS k_vc
+           |       FROM und JOIN l$r lu ON lu.v = und.u GROUP BY und.v, lu.c),
+           |sf$r AS MATERIALIZED (SELECT ev.v, ev.k_vc AS k_self
+           |       FROM ev$r ev JOIN l$r lv ON lv.v = ev.v AND lv.c = ev.cu),
+           |cand$r AS MATERIALIZED (SELECT ev.v, ev.cu,
+           |         4 * m.m * (ev.k_vc - coalesce(sf.k_self, 0))
+           |           - 2 * dg.deg * (cdu.cdeg - (cdv.cdeg - dg.deg)) AS gain
+           |       FROM ev$r ev
+           |       JOIN l$r lv ON lv.v = ev.v AND lv.c <> ev.cu
+           |       JOIN dg ON dg.u = ev.v
+           |       LEFT JOIN sf$r sf ON sf.v = ev.v
+           |       JOIN cd$r cdu ON cdu.c = ev.cu
+           |       JOIN cd$r cdv ON cdv.c = lv.c, m),
+           |bm$r AS MATERIALIZED (SELECT v, cu FROM (
+           |         SELECT v, cu, gain,
+           |                row_number() OVER (PARTITION BY v
+           |                  ORDER BY gain DESC, cu ASC) AS rn
+           |         FROM cand$r)
+           |       WHERE rn = 1 AND gain > 0 AND (v + $r) % 2 = 0),
+           |l${r + 1} AS MATERIALIZED (SELECT l.v, coalesce(b.cu, l.c) AS c
+           |       FROM l$r l LEFT JOIN bm$r b ON b.v = l.v)""".stripMargin
+      }
+      s"""WITH
+         |items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |we AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+         |       FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+         |       GROUP BY x.pk, y.pk),
+         |bb AS MATERIALIZED (SELECT a, b, w FROM we WHERE w >= 2),
+         |und AS MATERIALIZED (SELECT a AS u, b AS v, w FROM bb
+         |       UNION ALL SELECT b, a, w FROM bb),
+         |dg AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS deg FROM und GROUP BY u),
+         |m AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS m FROM bb),
          |l0 AS MATERIALIZED (SELECT u AS v, u AS c FROM (SELECT DISTINCT u FROM und)),
          |${rounds.mkString(",\n")},
          |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS community_size

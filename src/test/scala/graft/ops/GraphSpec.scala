@@ -416,5 +416,24 @@ class GraphSpec extends SparkSpec {
       s"communities: ${louvain.values.toSet.size} vs ${cc.values.toSet.size}")
     assert(qL > 0, "louvain partition scored non-positive modularity")
     assert(qL >= qC, s"move phase scored below the CC partition: $qL < $qC")
+    // weighted variant: same vertex universe, positive WEIGHTED modularity
+    // (Q_w·4W² over w-sums), and strong ties make it a genuinely different
+    // partition, not an alias of the unweighted one
+    val wbb = Graph.coEdgesWeightedP(spark, sf).filter(col("w") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wl = graft.SparkEntry.queries("graph_louvain_weighted")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wl.keySet === louvain.keySet, "weighted louvain changed the vertex set")
+    val bigW = wbb.map(e => BigInt(e._3)).sum
+    val wdeg = wbb.flatMap(e => Seq(e._1 -> e._3, e._2 -> e._3))
+      .groupBy(_._1).map { case (v, o) => v -> o.map(x => BigInt(x._2)).sum }
+    val eIn = wbb.filter(e => wl(e._1) == wl(e._2))
+      .groupBy(e => wl(e._1)).map { case (c, es) => c -> es.map(x => BigInt(x._3)).sum }
+    val dC = wdeg.toSeq.groupBy { case (v, _) => wl(v) }
+      .map { case (c, vs) => c -> vs.map(_._2).sum }
+    val qW = dC.map { case (c, dc) => 4 * bigW * eIn.getOrElse(c, BigInt(0)) - dc * dc }.sum
+    info(s"weighted Q = ${qW.toDouble / (4 * bigW * bigW).toDouble}, " +
+      s"communities: ${wl.values.toSet.size}")
+    assert(qW > 0, "weighted louvain scored non-positive weighted modularity")
   }
 }
