@@ -677,4 +677,31 @@ class PlanSpec extends SparkSpec {
     assert(dataWin.forall(_.contains("windowspecdefinition(pid")),
       s"the data-sized cumsum window must be partitioned by pid:\n${dataWin.mkString("\n")}")
   }
+
+  test("llm_shard_assign: pinned range partitioning; every data-sized window is pid-partitioned") {
+    // The two-pass prefix-rank contract, per-shard: the (shard, h, doc_id)
+    // range partitioning runs ONCE at checkpoint time, the per-partition
+    // row_number window is (pid, shard)-partitioned (never a data-sized
+    // single-task window), and the only unpartitioned work is the
+    // ≤ 32×16-row offset table.
+    val df = SparkEntry.queries("llm_shard_assign")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the pid frame must come from the pinned checkpoint:\n$plan")
+    // exactly ONE doc_id range exchange: the output ORDER BY's sort
+    val rangeEx = plan.linesIterator
+      .count(_.contains("Exchange rangepartitioning(doc_id#"))
+    assert(rangeEx == 1,
+      s"expected only the output-sort range exchange, found $rangeEx:\n$plan")
+    // the local-rank window runs partitioned by (pid, shard); the tiny
+    // offset cumsum is shard-partitioned — nothing is unpartitioned
+    val wins = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty, s"expected window nodes:\n$plan")
+    assert(wins.forall(l =>
+      l.contains("windowspecdefinition(pid") ||
+        l.contains("windowspecdefinition(shard")),
+      s"every window must be pid- or shard-partitioned:\n${wins.mkString("\n")}")
+  }
 }
