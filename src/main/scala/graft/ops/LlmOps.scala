@@ -3230,6 +3230,51 @@ object LlmOps {
         .orderBy(col("ndcg").asc)
     },
 
+    // Average precision @100 — the third leg of the retrieval-eval
+    // family (MRR = first-hit quality, nDCG = graded ordering, AP =
+    // area under the precision-recall sweep): for every rank k holding a
+    // relevant doc, precision@k = cum_hits/k (one double division rounded
+    // to 12, decimal-summed — partition-order-independent), divided by
+    // |relevant|. Misses contribute nothing; relevant docs outside the
+    // top-100 lower AP exactly as they should. Both inputs are top-k
+    // tables (≤100 rows), so the 100-row unpartitioned window is free at
+    // any corpus size — only the scoring stages scan data.
+    "llm_eval_map" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val rel = hybridVectorTop(s, d, k = 10).select(col("doc_id"))
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val qt = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isInCollection(Seq("merge", "vector", "stream")))
+      val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = qt.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("t_total"))
+      val ranked = bm25FromStats(tf, dfc, dl, tot)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank_t", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("rank_t"))
+      val marked = ranked
+        .join(rel.withColumn("is_rel", lit(1L)), Seq("doc_id"), "left_outer")
+        .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+        .withColumn("cum_rel", sum(col("is_rel")).over(
+          Window.orderBy(col("rank_t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marked.filter(col("is_rel") === 1L)
+        .agg(count(lit(1)).as("n_hits"),
+          sum(round(col("cum_rel").cast("double") /
+            col("rank_t").cast("double"), 12)
+            .cast(org.apache.spark.sql.types.DecimalType(30, 14))).as("psum"))
+        .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_relevant"))))
+        .select(col("n_relevant"), col("n_hits"),
+          round(coalesce(col("psum"), lit(0)).cast("double") /
+            col("n_relevant").cast("double"), 6).as("avg_precision"))
+        .orderBy(col("n_relevant").asc)
+    },
+
     // RAG context ASSEMBLY — the stage after retrieval: the top-5 BM25
     // documents concatenate in rank order into a 256-token context
     // window, each document contributing take = clamp(budget − consumed,
@@ -4960,6 +5005,66 @@ object LlmOps {
         |         AS recall_at_10,
         |       round(CAST(rrsum AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6) AS mrr
         |FROM a
+        |ORDER BY n_relevant ASC NULLS FIRST""".stripMargin,
+
+    // Same bm25@100 + cosine-top-10 CTEs as llm_eval_mrr; AP sums the
+    // running-precision at each relevant rank, one rounded double each.
+    "llm_eval_map" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(len(t)) AS BIGINT) AS t_total FROM tok),
+        |qf AS (SELECT doc_id, term FROM
+        |         (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('merge', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qf GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln((CAST(tot.n_docs - df.df AS DOUBLE) + 0.5) /
+        |              (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+        |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+        |            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl.dl * tot.n_docs AS DOUBLE) /
+        |              CAST(tot.t_total AS DOUBLE))))), 12)
+        |           AS DECIMAL(30, 14)) AS sc
+        |       FROM tf JOIN df USING (term)
+        |            JOIN dl ON tf.doc_id = dl.doc_id
+        |            CROSS JOIN tot),
+        |bm AS (SELECT doc_id, round(CAST(sum(sc) AS DOUBLE), 6) AS bm25
+        |       FROM sc GROUP BY doc_id),
+        |tt AS (SELECT doc_id, bm25 FROM bm
+        |       ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 100),
+        |tr AS (SELECT doc_id,
+        |              row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+        |                                 doc_id ASC) AS rank_t
+        |       FROM tt),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id,
+        |              round(list_cosine_similarity(e.emb, qv.qemb), 6) AS cos_sim
+        |       FROM e, qv WHERE e.vec_id <> 0),
+        |rel AS (SELECT vec_id AS doc_id FROM cs
+        |        ORDER BY cos_sim DESC NULLS LAST, vec_id ASC LIMIT 10),
+        |j AS (SELECT tr.rank_t,
+        |             CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+        |      FROM tr LEFT JOIN rel ON rel.doc_id = tr.doc_id),
+        |c AS (SELECT rank_t, is_rel,
+        |             sum(is_rel) OVER (ORDER BY rank_t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+        |      FROM j),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits,
+        |             sum(CAST(round(CAST(cum_rel AS DOUBLE) / rank_t, 12)
+        |                      AS DECIMAL(30, 14))) AS psum
+        |      FROM c WHERE is_rel = 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel)
+        |SELECT n_relevant, n_hits,
+        |       round(CAST(coalesce(psum, 0) AS DOUBLE) /
+        |             CAST(n_relevant AS DOUBLE), 6) AS avg_precision
+        |FROM h, n
         |ORDER BY n_relevant ASC NULLS FIRST""".stripMargin,
 
     "llm_unigram_rarity" ->
