@@ -1022,10 +1022,16 @@ object Multimodal {
       val (rate, _, samples) = decodeWav(r.payload).getOrElse(
         throw new IllegalStateException(
           s"undecodable audio payload for media_id=${r.media_id}"))
-      val dec = Array.tabulate((samples.length + 1) / 2)(i => samples(2 * i))
-      MediaRow(r.media_id, "audio", encodeWav(rate / 2, dec))
+      MediaRow(r.media_id, "audio", encodeWav(rate / 2, decimateHalf(samples)))
     })
   }
+
+  /** Every-2nd-sample decimation (even indices, length ⌈n/2⌉ — the final
+    * odd sample survives). The ONE half-rate contract, shared by
+    * [[resampleAudioHalf]] and [[crossRateAudioTable]] so both paths agree
+    * on odd-length clips. */
+  private def decimateHalf(samples: Array[Short]): Array[Short] =
+    Array.tabulate((samples.length + 1) / 2)(i => samples(2 * i))
 
   // ---- Audio near-dup (cross-sample-rate block-energy fingerprint) ----
   // The audio analogue of crossResTable/mm_dedup_phash: the SAME logical
@@ -1066,7 +1072,7 @@ object Multimodal {
       // container back, decimate, re-encode), not a shortcut
       val (_, _, dec) = decodeWav(full).getOrElse(
         throw new IllegalStateException(s"self-encoded WAV unreadable for doc $id"))
-      val half = encodeWav(4000, Array.tabulate(dec.length / 2)(i => dec(2 * i)))
+      val half = encodeWav(4000, decimateHalf(dec))
       Seq(MediaRow(2 * id, "audio", full), MediaRow(2 * id + 1, "audio", half))
     }
   }
@@ -1082,8 +1088,13 @@ object Multimodal {
     * sample-RATE-invariant on block-structured content (a decimated
     * constant block keeps its mean energy exactly: both sides of the
     * comparison scale by the same count). Partition-preserving decode
-    * map; only the 64-char signature leaves the partition. Overflow-safe:
-    * blockSumsq·N ≤ N²·2³⁰ < 2⁵¹ at any clip under 1M samples. */
+    * map; only the 64-char signature leaves the partition. Overflow
+    * envelope: each side of the comparison is bounded by N²·2²⁴ at
+    * full-scale 16-bit PCM (block sums hold ≤ N/64 samples of v² ≤ 2³⁰),
+    * which stays under 2⁶³ for clips up to ~740k samples — and far
+    * beyond that at fixture amplitudes (|v| ≤ 8192 ⇒ v² ≤ 2²⁶, ~8.4M
+    * samples). A deployment ingesting longer full-scale clips would
+    * compare mean energies via Math.multiplyHigh or BigInt. */
   def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFingerprint] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -461,26 +461,57 @@ object Graph {
     * stats, so materializing beats re-deriving an exponentially growing
     * lazy tree (the labelPropagate precedent; the pagerank
     * reference-once rule applies only when a round touches state once). */
-  def louvainMoveRounds(edges: DataFrame, rounds: Int): DataFrame =
-    louvainMoveRoundsWeighted(edges.withColumn("w", lit(1L)), rounds)
+  def louvainMoveRounds(edges: DataFrame, rounds: Int,
+      totalW: Long = -1L): DataFrame =
+    louvainMoveRoundsWeighted(edges.withColumn("w", lit(1L)), rounds, totalW)
 
   /** Weighted form of the move phase: identical recurrence with W = Σw in
     * place of m, weighted degrees, and weighted v→community edge sums —
     * the standard weighted-modularity gain, still all-BIGINT (fixture
     * weights are small integer co-occurrence counts; 4W·k and wdeg
     * products hold to W ≈ 10⁹). The unweighted form is the w = 1
-    * special case, so one body serves both declared queries. */
-  def louvainMoveRoundsWeighted(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * special case, so one body serves both declared queries. `totalW`
+    * (≥ 0) supplies the Σw scalar when the caller memoized it
+    * ([[louvainW]] — the corpusSizeMemo discipline); negative recomputes. */
+  def louvainMoveRoundsWeighted(edges: DataFrame, rounds: Int,
+      totalW: Long = -1L): DataFrame = {
     // one up-front scalar: W = total edge weight, a constant of the data
-    val m = edges.agg(sum(col("w"))).head().getLong(0)
+    val m = if (totalW >= 0L) totalW
+      else edges.agg(sum(col("w"))).head().getLong(0)
+    val (und, deg, labels0) = louvainPrep(edges)
+    louvainOutput(louvainSweep(und, deg, labels0, m, rounds))
+  }
+
+  /** The materialized sweep inputs: directed no-self-loop neighbor list
+    * (repartitioned on the probe key — every round's label join is then
+    * exchange-free on that side), weighted degrees, singleton labels. */
+  private def louvainPrep(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val und = edges.select(col("a").as("v"), col("b").as("u"), col("w"))
       .unionAll(edges.select(col("b").as("v"), col("a").as("u"), col("w")))
       .repartition(col("v")).localCheckpoint(true)
     val deg = und.groupBy(col("v")).agg(sum(col("w")).as("deg"))
       .localCheckpoint(true)
-    var labels = und.select(col("v")).distinct()
+    val labels0 = und.select(col("v")).distinct()
       .withColumn("c", col("v")).localCheckpoint(true)
+    (und, deg, labels0)
+  }
+
+  /** The synchronous parity-gated best-move sweep engine — shared by the
+    * one-level move queries and both levels of [[louvainTwoLevel]].
+    * `und` is the directed neighbor list (v, u, w) WITHOUT self-loops,
+    * repartition(v)+checkpointed; `deg` maps every labeled vertex to its
+    * weighted degree INCLUDING self-loop mass (a self-loop of weight w
+    * contributes 2w — the super-graph convention; plain graphs have
+    * none); `labels0` is the checkpointed initial (v, c); `mW` = Σw over
+    * the LEVEL-0 edge set — contraction conserves total weight, so both
+    * levels share the same modularity denominator. Self-loops never enter
+    * k_vc (they move with the vertex and cancel in ΔQ), which is exactly
+    * why `und` must exclude them while `deg` must include them. Returns
+    * the final checkpointed (v, c). */
+  private def louvainSweep(und: DataFrame, deg: DataFrame,
+      labels0: DataFrame, mW: Long, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = labels0
     for (r <- 0 until rounds) {
       val commDeg = labels.join(deg, Seq("v")).groupBy(col("c"))
         .agg(sum(col("deg")).as("cdeg"))
@@ -496,7 +527,7 @@ object Graph {
         .join(commDeg.select(col("c").as("cu"), col("cdeg").as("cdeg_u")), Seq("cu"))
         .join(commDeg.select(col("c").as("cv"), col("cdeg").as("cdeg_v")), Seq("cv"))
         .withColumn("gain",
-          lit(4L * m) * (col("k_vc") - coalesce(col("k_self"), lit(0L))) -
+          lit(4L * mW) * (col("k_vc") - coalesce(col("k_self"), lit(0L))) -
             lit(2L) * col("deg") *
               (col("cdeg_u") - (col("cdeg_v") - col("deg"))))
       val wBest = Window.partitionBy(col("v"))
@@ -509,6 +540,13 @@ object Graph {
         .select(col("v"), coalesce(col("newc"), col("c")).as("c"))
         .localCheckpoint(true)
     }
+    labels
+  }
+
+  /** (part, community, community_size) projection of a final label frame
+    * — size via groupBy + equi-join back, never a window (a giant
+    * community is then an AQE-splittable join key). */
+  private def louvainOutput(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("c"))
       .agg(count(lit(1)).cast("long").as("community_size"))
     labels.join(sizes, Seq("c"))
@@ -516,6 +554,80 @@ object Graph {
         col("community_size"))
       .orderBy(col("part").asc)
   }
+
+  /** TWO-LEVEL Louvain (Blondel et al. 2008, one full outer iteration):
+    * the move phase from singletons, then the AGGREGATION phase — contract
+    * the moved partition into a community super-graph (Σ intra-community
+    * weight as self-loops, Σ cross-community weight as super-edges — one
+    * groupBy each) — then a second move sweep ON the super-graph, with
+    * the final labels projected back onto the original vertices. This is
+    * what completes the algorithm the one-level queries start: merges the
+    * move phase cannot see (whole community A absorbing whole community
+    * B) become single-vertex moves at level 2. Everything stays exact
+    * BIGINT over the SAME total weight W (contraction conserves Σw), so
+    * the whole two-level pipeline unrolls as chained MATERIALIZED CTEs in
+    * the DuckDB oracle — the one-level discipline extended one level.
+    *
+    * Self-loop convention (the contraction's one subtlety): a super-node's
+    * degree must count its internal mass twice (k_c = Σ_{v∈c} k_v =
+    * 2·intra + cross), while its k_{c,B} neighbor sums must NOT include
+    * the self-loop (internal mass moves with the node and cancels in ΔQ)
+    * — so the sweep engine takes self-loop-free edges plus a degree table
+    * that already carries the 2·sloop term.
+    *
+    * Scale shape: level 1 is the move phase's shape; contraction is two
+    * map-side-combinable groupBys over the (already materialized) edge
+    * list; level 2 runs on the contracted graph — communities × cross
+    * edges, orders of magnitude smaller than the input (the whole point
+    * of aggregation: at 100 TB the expensive sweeps run once, and each
+    * further level shrinks geometrically). */
+  def louvainTwoLevel(edges: DataFrame, rounds1: Int, rounds2: Int,
+      totalW: Long = -1L): DataFrame = {
+    val mW = if (totalW >= 0L) totalW
+      else edges.agg(sum(col("w"))).head().getLong(0)
+    val (und, deg, labels0) = louvainPrep(edges)
+    val l1 = louvainSweep(und, deg, labels0, mW, rounds1)
+    // ---- aggregation phase: contract communities into a super-graph ----
+    val ce = edges
+      .join(l1.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
+      .join(l1.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
+      .select(col("ca"), col("cb"), col("w"))
+    val sloop = ce.filter(col("ca") === col("cb"))
+      .groupBy(col("ca")).agg(sum(col("w")).as("sw"))
+      .select(col("ca").as("v"), col("sw"))
+    val cross = ce.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val und2 = cross.select(col("a").as("v"), col("b").as("u"), col("w"))
+      .unionAll(cross.select(col("b").as("v"), col("a").as("u"), col("w")))
+      .repartition(col("v")).localCheckpoint(true)
+    // super-vertex set = every community (cross-edge-free ones included:
+    // they can't move, but they must survive into the projection)
+    val supers = l1.select(col("c").as("v")).distinct()
+    val deg2 = supers
+      .join(und2.groupBy(col("v")).agg(sum(col("w")).as("xw")), Seq("v"), "left")
+      .join(sloop, Seq("v"), "left")
+      .select(col("v"), (coalesce(col("xw"), lit(0L)) +
+        lit(2L) * coalesce(col("sw"), lit(0L))).as("deg"))
+      .localCheckpoint(true)
+    val labels20 = deg2.select(col("v")).withColumn("c", col("v"))
+      .localCheckpoint(true)
+    val l2 = louvainSweep(und2, deg2, labels20, mW, rounds2)
+    // ---- project level-2 labels back onto the original vertices ----
+    val lab = l1.join(l2.select(col("v").as("c"), col("c").as("c2")), Seq("c"))
+      .select(col("v"), col("c2").as("c"))
+    louvainOutput(lab)
+  }
+
+  /** Memoized Σw scalars for the louvain queries, keyed on the SAME
+    * lineitem signature as the persisted edge tables ([[edgeDir]]) — the
+    * corpusSizeMemo discipline: a regenerated fixture invalidates the
+    * entry, repeat queries within a session skip the scan job. */
+  private val louvainWMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def louvainW(key: String, f: => Long): Long =
+    louvainWMemo.computeIfAbsent(key, _ => f).longValue()
 
   /** Connected components of an undirected (a < b) edge list: every
     * edge-incident vertex labeled with the smallest vertex id reachable
@@ -754,7 +866,8 @@ object Graph {
     // chained CTEs (the pagerank discipline); GraphSpec pins the
     // modularity of the resulting partition against the CC partition's.
     "graph_louvain_step" -> { (s, d) =>
-      louvainMoveRounds(backboneP(s, d), rounds = 4)
+      louvainMoveRounds(backboneP(s, d), rounds = 4,
+        totalW = louvainW(s"${edgeDir(d)}|unw", backboneP(s, d).count()))
     },
 
     // Weighted Louvain move phase on the weighted backbone (w ≥ 2 edges
@@ -765,7 +878,27 @@ object Graph {
     // all-BIGINT discipline and CTE-unrolled oracle.
     "graph_louvain_weighted" -> { (s, d) =>
       louvainMoveRoundsWeighted(
-        coEdgesWeightedP(s, d).filter(col("w") >= 2), rounds = 4)
+        coEdgesWeightedP(s, d).filter(col("w") >= 2), rounds = 4,
+        totalW = louvainW(s"${edgeDir(d)}|w",
+          coEdgesWeightedP(s, d).filter(col("w") >= 2)
+            .agg(sum(col("w"))).head().getLong(0)))
+    },
+
+    // TWO-LEVEL Louvain on the backbone — the full first iteration of the
+    // algorithm graph_louvain_step starts: 4 move sweeps from singletons,
+    // the AGGREGATION phase (contract the moved partition into a community
+    // super-graph — intra weight as self-loops, cross weight as
+    // super-edges), 4 more sweeps on the super-graph, labels projected
+    // back. Community-absorbs-community merges the one-level phase cannot
+    // express become single moves at level 2. All-BIGINT over the same W,
+    // so the DuckDB twin is the louvain_step unroll extended through the
+    // contraction and a second round chain (every CTE MATERIALIZED);
+    // GraphSpec pins Q(two-level) ≥ Q(one-level) via an independent
+    // driver-side BigInt recomputation.
+    "graph_louvain_full" -> { (s, d) =>
+      louvainTwoLevel(backboneP(s, d).withColumn("w", lit(1L)),
+        rounds1 = 4, rounds2 = 4,
+        totalW = louvainW(s"${edgeDir(d)}|unw", backboneP(s, d).count()))
     },
 
     // Common-neighbor link prediction on the backbone: non-adjacent pairs
@@ -910,6 +1043,44 @@ object Graph {
       |we AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
       |       FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
       |       GROUP BY x.pk, y.pk)""".stripMargin
+
+  /** One parity-gated synchronous move round chain, unrolled as
+    * MATERIALIZED chained CTEs (DuckDB inlines CTEs by default — each
+    * round references its predecessor 4×, so an un-materialized unroll
+    * expands exponentially; measured: "Too many open files" from hundreds
+    * of duplicated base scans). `kvc` is the v→community edge aggregate
+    * (`count(*)` unweighted, `CAST(sum(<und>.w) AS BIGINT)` weighted);
+    * `und`/`dg` name the neighbor-list (u = neighbor, v = self) and
+    * degree (u, deg) CTEs; `lp` prefixes every per-round CTE so two sweep
+    * chains can share one WITH clause (the two-level oracle). Expects a
+    * one-row `m(m)` total-weight CTE in scope. */
+  private def louvainRoundCtes(n: Int, und: String, dg: String,
+      lp: String, kvc: String): String =
+    (0 until n).map { r =>
+      s"""${lp}cd$r AS MATERIALIZED (SELECT c, CAST(sum($dg.deg) AS BIGINT) AS cdeg
+         |       FROM $lp$r JOIN $dg ON $dg.u = $lp$r.v GROUP BY c),
+         |${lp}ev$r AS MATERIALIZED (SELECT $und.v, lu.c AS cu, $kvc AS k_vc
+         |       FROM $und JOIN $lp$r lu ON lu.v = $und.u GROUP BY $und.v, lu.c),
+         |${lp}sf$r AS MATERIALIZED (SELECT ev.v, ev.k_vc AS k_self
+         |       FROM ${lp}ev$r ev JOIN $lp$r lv ON lv.v = ev.v AND lv.c = ev.cu),
+         |${lp}cand$r AS MATERIALIZED (SELECT ev.v, ev.cu,
+         |         4 * m.m * (ev.k_vc - coalesce(sf.k_self, 0))
+         |           - 2 * $dg.deg * (cdu.cdeg - (cdv.cdeg - $dg.deg)) AS gain
+         |       FROM ${lp}ev$r ev
+         |       JOIN $lp$r lv ON lv.v = ev.v AND lv.c <> ev.cu
+         |       JOIN $dg ON $dg.u = ev.v
+         |       LEFT JOIN ${lp}sf$r sf ON sf.v = ev.v
+         |       JOIN ${lp}cd$r cdu ON cdu.c = ev.cu
+         |       JOIN ${lp}cd$r cdv ON cdv.c = lv.c, m),
+         |${lp}bm$r AS MATERIALIZED (SELECT v, cu FROM (
+         |         SELECT v, cu, gain,
+         |                row_number() OVER (PARTITION BY v
+         |                  ORDER BY gain DESC, cu ASC) AS rn
+         |         FROM ${lp}cand$r)
+         |       WHERE rn = 1 AND gain > 0 AND (v + $r) % 2 = 0),
+         |$lp${r + 1} AS MATERIALIZED (SELECT l.v, coalesce(b.cu, l.c) AS c
+         |       FROM $lp$r l LEFT JOIN ${lp}bm$r b ON b.v = l.v)""".stripMargin
+    }.mkString(",\n")
 
   val oracles: Seq[(String, String)] = Seq(
     "graph_triangle_count" ->
@@ -1084,37 +1255,7 @@ object Graph {
     // edge counts, the exact-integer gain, the (gain DESC, cu ASC)
     // argmax window, and the parity-gated label update — every value a
     // BIGINT, so the only cross-engine surface is integer arithmetic.
-    "graph_louvain_step" -> {
-      // AS MATERIALIZED: DuckDB inlines CTEs by default, and each round
-      // references the previous labels 4× — inlined, the 4-round unroll
-      // expands exponentially (measured: "Too many open files" from
-      // hundreds of duplicated base scans). Materializing pins each CTE
-      // to one evaluation, the semantics Spark's localCheckpoint has.
-      val rounds = (0 until 4).map { r =>
-        s"""cd$r AS MATERIALIZED (SELECT c, CAST(sum(dg.deg) AS BIGINT) AS cdeg
-           |       FROM l$r JOIN dg ON dg.u = l$r.v GROUP BY c),
-           |ev$r AS MATERIALIZED (SELECT und.v, lu.c AS cu, count(*) AS k_vc
-           |       FROM und JOIN l$r lu ON lu.v = und.u GROUP BY und.v, lu.c),
-           |sf$r AS MATERIALIZED (SELECT ev.v, ev.k_vc AS k_self
-           |       FROM ev$r ev JOIN l$r lv ON lv.v = ev.v AND lv.c = ev.cu),
-           |cand$r AS MATERIALIZED (SELECT ev.v, ev.cu,
-           |         4 * m.m * (ev.k_vc - coalesce(sf.k_self, 0))
-           |           - 2 * dg.deg * (cdu.cdeg - (cdv.cdeg - dg.deg)) AS gain
-           |       FROM ev$r ev
-           |       JOIN l$r lv ON lv.v = ev.v AND lv.c <> ev.cu
-           |       JOIN dg ON dg.u = ev.v
-           |       LEFT JOIN sf$r sf ON sf.v = ev.v
-           |       JOIN cd$r cdu ON cdu.c = ev.cu
-           |       JOIN cd$r cdv ON cdv.c = lv.c, m),
-           |bm$r AS MATERIALIZED (SELECT v, cu FROM (
-           |         SELECT v, cu, gain,
-           |                row_number() OVER (PARTITION BY v
-           |                  ORDER BY gain DESC, cu ASC) AS rn
-           |         FROM cand$r)
-           |       WHERE rn = 1 AND gain > 0 AND (v + $r) % 2 = 0),
-           |l${r + 1} AS MATERIALIZED (SELECT l.v, coalesce(b.cu, l.c) AS c
-           |       FROM l$r l LEFT JOIN bm$r b ON b.v = l.v)""".stripMargin
-      }
+    "graph_louvain_step" ->
       s"""WITH
          |items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |we AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
@@ -1125,43 +1266,17 @@ object Graph {
          |dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY u),
          |m AS MATERIALIZED (SELECT count(*) AS m FROM bb),
          |l0 AS MATERIALIZED (SELECT u AS v, u AS c FROM (SELECT DISTINCT u FROM und)),
-         |${rounds.mkString(",\n")},
+         |${louvainRoundCtes(4, "und", "dg", "l", "count(*)")},
          |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS community_size
          |       FROM l4 GROUP BY c)
          |SELECT l4.v AS part, l4.c AS community, sz.community_size
          |FROM l4 JOIN sz USING (c)
-         |ORDER BY part ASC NULLS FIRST""".stripMargin
-    },
+         |ORDER BY part ASC NULLS FIRST""".stripMargin,
 
     // The weighted recurrence: identical unroll with W = Σw, weighted
     // degrees, and weighted v→community sums (k_vc = Σ w over edges into
     // the community). Same MATERIALIZED discipline.
-    "graph_louvain_weighted" -> {
-      val rounds = (0 until 4).map { r =>
-        s"""cd$r AS MATERIALIZED (SELECT c, CAST(sum(dg.deg) AS BIGINT) AS cdeg
-           |       FROM l$r JOIN dg ON dg.u = l$r.v GROUP BY c),
-           |ev$r AS MATERIALIZED (SELECT und.v, lu.c AS cu, CAST(sum(und.w) AS BIGINT) AS k_vc
-           |       FROM und JOIN l$r lu ON lu.v = und.u GROUP BY und.v, lu.c),
-           |sf$r AS MATERIALIZED (SELECT ev.v, ev.k_vc AS k_self
-           |       FROM ev$r ev JOIN l$r lv ON lv.v = ev.v AND lv.c = ev.cu),
-           |cand$r AS MATERIALIZED (SELECT ev.v, ev.cu,
-           |         4 * m.m * (ev.k_vc - coalesce(sf.k_self, 0))
-           |           - 2 * dg.deg * (cdu.cdeg - (cdv.cdeg - dg.deg)) AS gain
-           |       FROM ev$r ev
-           |       JOIN l$r lv ON lv.v = ev.v AND lv.c <> ev.cu
-           |       JOIN dg ON dg.u = ev.v
-           |       LEFT JOIN sf$r sf ON sf.v = ev.v
-           |       JOIN cd$r cdu ON cdu.c = ev.cu
-           |       JOIN cd$r cdv ON cdv.c = lv.c, m),
-           |bm$r AS MATERIALIZED (SELECT v, cu FROM (
-           |         SELECT v, cu, gain,
-           |                row_number() OVER (PARTITION BY v
-           |                  ORDER BY gain DESC, cu ASC) AS rn
-           |         FROM cand$r)
-           |       WHERE rn = 1 AND gain > 0 AND (v + $r) % 2 = 0),
-           |l${r + 1} AS MATERIALIZED (SELECT l.v, coalesce(b.cu, l.c) AS c
-           |       FROM l$r l LEFT JOIN bm$r b ON b.v = l.v)""".stripMargin
-      }
+    "graph_louvain_weighted" ->
       s"""WITH
          |items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |we AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
@@ -1173,13 +1288,54 @@ object Graph {
          |dg AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS deg FROM und GROUP BY u),
          |m AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS m FROM bb),
          |l0 AS MATERIALIZED (SELECT u AS v, u AS c FROM (SELECT DISTINCT u FROM und)),
-         |${rounds.mkString(",\n")},
+         |${louvainRoundCtes(4, "und", "dg", "l", "CAST(sum(und.w) AS BIGINT)")},
          |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS community_size
          |       FROM l4 GROUP BY c)
          |SELECT l4.v AS part, l4.c AS community, sz.community_size
          |FROM l4 JOIN sz USING (c)
-         |ORDER BY part ASC NULLS FIRST""".stripMargin
-    },
+         |ORDER BY part ASC NULLS FIRST""".stripMargin,
+
+    // TWO-LEVEL Louvain: the step oracle's 4-round chain, then the
+    // aggregation phase as three plain aggregates (intra self-loops,
+    // least/greatest-canonicalized cross super-edges, super-degrees with
+    // the 2·sloop term), then a SECOND weighted round chain over the
+    // contracted graph (zl-prefixed CTEs — same WITH clause), and the
+    // projection of level-2 labels back through level-1's. The one-row
+    // `m` total is shared: contraction conserves Σw.
+    "graph_louvain_full" ->
+      s"""WITH
+         |items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |we AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+         |       FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+         |       GROUP BY x.pk, y.pk),
+         |bb AS MATERIALIZED (SELECT a, b FROM we WHERE w >= 2),
+         |und AS MATERIALIZED (SELECT a AS u, b AS v FROM bb UNION ALL SELECT b, a FROM bb),
+         |dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY u),
+         |m AS MATERIALIZED (SELECT count(*) AS m FROM bb),
+         |l0 AS MATERIALIZED (SELECT u AS v, u AS c FROM (SELECT DISTINCT u FROM und)),
+         |${louvainRoundCtes(4, "und", "dg", "l", "count(*)")},
+         |me AS MATERIALIZED (SELECT la.c AS ca, lb.c AS cb
+         |       FROM bb JOIN l4 la ON la.v = bb.a JOIN l4 lb ON lb.v = bb.b),
+         |sl AS MATERIALIZED (SELECT ca AS v, CAST(count(*) AS BIGINT) AS sw
+         |       FROM me WHERE ca = cb GROUP BY ca),
+         |cx AS MATERIALIZED (SELECT least(ca, cb) AS a, greatest(ca, cb) AS b,
+         |         CAST(count(*) AS BIGINT) AS w
+         |       FROM me WHERE ca <> cb GROUP BY 1, 2),
+         |u2 AS MATERIALIZED (SELECT a AS u, b AS v, w FROM cx
+         |       UNION ALL SELECT b, a, w FROM cx),
+         |sv AS MATERIALIZED (SELECT DISTINCT c AS v FROM l4),
+         |zx AS MATERIALIZED (SELECT v, CAST(sum(w) AS BIGINT) AS xw FROM u2 GROUP BY v),
+         |dg2 AS MATERIALIZED (SELECT sv.v AS u,
+         |         CAST(coalesce(zx.xw, 0) + 2 * coalesce(sl.sw, 0) AS BIGINT) AS deg
+         |       FROM sv LEFT JOIN zx ON zx.v = sv.v LEFT JOIN sl ON sl.v = sv.v),
+         |zl0 AS MATERIALIZED (SELECT v, v AS c FROM sv),
+         |${louvainRoundCtes(4, "u2", "dg2", "zl", "CAST(sum(u2.w) AS BIGINT)")},
+         |proj AS MATERIALIZED (SELECT l4.v, zl4.c FROM l4 JOIN zl4 ON zl4.v = l4.c),
+         |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM proj GROUP BY c)
+         |SELECT proj.v AS part, proj.c AS community, sz.community_size
+         |FROM proj JOIN sz USING (c)
+         |ORDER BY part ASC NULLS FIRST""".stripMargin,
 
     // Wedge join (x.u = y.u, x.v < y.v) counts each unordered
     // common-neighbor pair once per shared neighbor; the left anti join

@@ -416,6 +416,26 @@ class GraphSpec extends SparkSpec {
       s"communities: ${louvain.values.toSet.size} vs ${cc.values.toSet.size}")
     assert(qL > 0, "louvain partition scored non-positive modularity")
     assert(qL >= qC, s"move phase scored below the CC partition: $qL < $qC")
+    // two-level (move + aggregation + second sweep) must not score below
+    // the one-level partition it starts from: level-2 singletons replay
+    // level 1 exactly, and the parity-gated sweep applies only
+    // strictly-positive gains — so Q(full) >= Q(step) is structural, and
+    // this independent BigInt recompute pins that the contraction math
+    // (self-loop degrees, conserved W) preserved it.
+    val full = graft.SparkEntry.queries("graph_louvain_full")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.keySet === louvain.keySet, "two-level changed the vertex set")
+    val qF = q4m2(full)
+    info(s"Q(two-level) = ${qF.toDouble / den}, " +
+      s"communities: ${full.values.toSet.size}")
+    assert(qF >= qL,
+      s"two-level scored below the one-level move phase: $qF < $qL")
+    // the projection respects level-1 granularity: two vertices sharing a
+    // level-1 community must share the final community (contraction can
+    // only merge level-1 communities, never split them)
+    val coarser = louvain.groupBy(_._2).values
+      .forall(g => g.map(kv => full(kv._1)).toSet.size == 1)
+    assert(coarser, "two-level split a level-1 community")
     // weighted variant: same vertex universe, positive WEIGHTED modularity
     // (Q_w·4W² over w-sums), and strong ties make it a genuinely different
     // partition, not an alias of the unweighted one
