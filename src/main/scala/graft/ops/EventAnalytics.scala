@@ -425,6 +425,72 @@ object EventAnalytics {
         .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
     },
 
+    // FORECAST from the Holt linear fit — the reason anyone fits the
+    // smoother: per (event_type, day) key, run the same graft_holt kernel
+    // fold, keep only the FINAL states (l_T, b_T), and emit the h-step-
+    // ahead linear forecast ŷ_{T+h} = l_T + h·b_T for h = 1..4. All
+    // exact integer micro-units (one rounded double division at output),
+    // so the oracle is the ts_holt_linear recursive CTE plus a final-row
+    // projection crossed with the horizon range. Output is 4 rows per
+    // key — the state explosion ts_holt_linear pays per input row never
+    // happens here, so at 100 TB this is the CHEAPER query: same
+    // day-scoped parallel fold, key-sized output.
+    "ts_holt_forecast" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ)").as("dt"),
+          col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      ev.groupBy(col("event_type"), col("dt"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("iv")))).as("xs"))
+        .withColumn("st", expr("graft_holt(transform(xs, x -> x.iv))"))
+        .withColumn("n", size(col("xs")))
+        .withColumn("lt", expr("element_at(st, 2 * n - 1)"))
+        .withColumn("bt", expr("element_at(st, 2 * n)"))
+        .select(col("event_type"), col("dt"), col("lt"), col("bt"),
+          explode(sequence(lit(1L), lit(4L))).as("h"))
+        .select(col("event_type"), col("dt"), col("h"),
+          (col("lt") + col("h") * col("bt")).as("forecast_u"),
+          round((col("lt") + col("h") * col("bt")).cast("double") / 10000.0, 6)
+            .as("forecast"))
+        .orderBy(col("event_type").asc, col("dt").asc, col("h").asc)
+    },
+
+    // FORECAST from the Holt–Winters additive fit: final states l_T, b_T
+    // plus the last p = 4 seasonal values, forecast ŷ_{T+h} = l_T + h·b_T
+    // + s_{T−p+((h−1) mod p)+1} for h = 1..4 (one full season ahead; with
+    // h ≤ p the seasonal index is simply T−4+h). Keys shorter than one
+    // period carry no seasonal estimate and are filtered on BOTH engines
+    // (n ≥ 4). Same exact-integer discipline; the oracle reads the
+    // seasonal values straight off the recursive CTE's rolling LIST state
+    // (sl[h] IS s_{T−4+h} once the list is full).
+    "ts_holt_winters_forecast" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ)").as("dt"),
+          col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      ev.groupBy(col("event_type"), col("dt"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("iv")))).as("xs"))
+        .withColumn("n", size(col("xs")))
+        .filter(col("n") >= 4)
+        .withColumn("st", expr("graft_holt_winters(transform(xs, x -> x.iv), 4)"))
+        .withColumn("lt", expr("element_at(st, 3 * n - 2)"))
+        .withColumn("bt", expr("element_at(st, 3 * n - 1)"))
+        .select(col("event_type"), col("dt"), col("lt"), col("bt"), col("st"),
+          col("n"), explode(sequence(lit(1L), lit(4L))).as("h"))
+        .withColumn("sh", expr("element_at(st, CAST(3 * (n - 4 + h) AS INT))"))
+        .select(col("event_type"), col("dt"), col("h"),
+          (col("lt") + col("h") * col("bt") + col("sh")).as("forecast_u"),
+          round((col("lt") + col("h") * col("bt") + col("sh")).cast("double")
+            / 10000.0, 6).as("forecast"))
+        .orderBy(col("event_type").asc, col("dt").asc, col("h").asc)
+    },
+
     // Exponentially-weighted moving average with a dyadic (α=1/2) kernel
     // truncated at 16 taps: ewma_i = Σ_{j=0..15} 2^(15-j)·x_{i-j} / Σ 2^(15-j)
     // over the deterministic (ts, event_id) order per event_type. The
@@ -1267,6 +1333,88 @@ object EventAnalytics {
          |       round(CAST(l AS DOUBLE) / 10000.0, 6) AS level
          |FROM r
          |ORDER BY event_type ASC NULLS FIRST, ts ASC, event_id ASC""".stripMargin
+    },
+
+    // The ts_holt_linear recursion, projected to each key's FINAL states
+    // and crossed with the h = 1..4 horizon: one linear projection per
+    // step, all HUGEINT-safe integers cast back to BIGINT.
+    "ts_holt_forecast" -> {
+      def fdiv(x: String) = s"((($x) - (((($x) % 2) + 2) % 2)) // 2)"
+      val lNew = fdiv("b.iv + r.l + r.b")
+      val bNew = fdiv(s"$lNew - r.l + r.b")
+      s"""WITH RECURSIVE b AS (
+         |  SELECT event_type, date_trunc('day', ts) AS dt, ts, event_id,
+         |         CAST(round(value * 10000, 0) AS BIGINT) AS iv,
+         |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+         |                            ORDER BY ts ASC, event_id ASC) AS rn
+         |  FROM events
+         |),
+         |r AS (
+         |  SELECT event_type, dt, ts, event_id, iv, rn,
+         |         iv AS l, CAST(0 AS BIGINT) AS b
+         |  FROM b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.event_type, b.dt, b.ts, b.event_id, b.iv, b.rn,
+         |         $lNew AS l,
+         |         $bNew AS b
+         |  FROM r JOIN b ON b.event_type = r.event_type AND b.dt = r.dt
+         |              AND b.rn = r.rn + 1
+         |),
+         |f AS (SELECT event_type, dt, l, b FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type, dt
+         |                               ORDER BY rn DESC) AS rnn FROM r)
+         |  WHERE rnn = 1)
+         |SELECT f.event_type, f.dt, t.h,
+         |       CAST(f.l + t.h * f.b AS BIGINT) AS forecast_u,
+         |       round(CAST(f.l + t.h * f.b AS DOUBLE) / 10000.0, 6) AS forecast
+         |FROM f, range(1, 5) t(h)
+         |ORDER BY event_type ASC NULLS FIRST, dt ASC NULLS FIRST,
+         |         h ASC NULLS FIRST""".stripMargin
+    },
+
+    // The ts_holt_winters recursion's final row carries (l, b) and the
+    // rolling seasonal LIST — sl[h] IS s_{T−4+h} once the list is full —
+    // so the forecast is a pure projection of the recursion state.
+    // Keys shorter than one period (max rn < 4) are dropped, matching the
+    // Spark side's n >= 4 filter.
+    "ts_holt_winters_forecast" -> {
+      def fdiv(x: String) = s"((($x) - (((($x) % 2) + 2) % 2)) // 2)"
+      val lNew = fdiv("b.iv - r.sl[1] + r.l + r.b")
+      val bNew = fdiv(s"$lNew - r.l + r.b")
+      val sNew = fdiv(s"b.iv - $lNew + r.sl[1]")
+      s"""WITH RECURSIVE b AS (
+         |  SELECT event_type, date_trunc('day', ts) AS dt, ts, event_id,
+         |         CAST(round(value * 10000, 0) AS BIGINT) AS iv,
+         |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+         |                            ORDER BY ts ASC, event_id ASC) AS rn
+         |  FROM events
+         |),
+         |r AS (
+         |  SELECT event_type, dt, ts, event_id, iv, rn,
+         |         iv AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS s,
+         |         [CAST(0 AS BIGINT)] AS sl
+         |  FROM b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.event_type, b.dt, b.ts, b.event_id, b.iv, b.rn,
+         |         CASE WHEN b.rn <= 4 THEN b.iv ELSE $lNew END AS l,
+         |         CASE WHEN b.rn <= 4 THEN CAST(0 AS BIGINT) ELSE $bNew END AS b,
+         |         CASE WHEN b.rn <= 4 THEN CAST(0 AS BIGINT) ELSE $sNew END AS s,
+         |         list_concat(
+         |           CASE WHEN len(r.sl) < 4 THEN r.sl ELSE r.sl[2:] END,
+         |           [CASE WHEN b.rn <= 4 THEN CAST(0 AS BIGINT) ELSE $sNew END]) AS sl
+         |  FROM r JOIN b ON b.event_type = r.event_type AND b.dt = r.dt
+         |              AND b.rn = r.rn + 1
+         |),
+         |f AS (SELECT event_type, dt, l, b, sl FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type, dt
+         |                               ORDER BY rn DESC) AS rnn FROM r)
+         |  WHERE rnn = 1 AND rn >= 4)
+         |SELECT f.event_type, f.dt, t.h,
+         |       CAST(f.l + t.h * f.b + f.sl[t.h] AS BIGINT) AS forecast_u,
+         |       round(CAST(f.l + t.h * f.b + f.sl[t.h] AS DOUBLE) / 10000.0, 6) AS forecast
+         |FROM f, range(1, 5) t(h)
+         |ORDER BY event_type ASC NULLS FIRST, dt ASC NULLS FIRST,
+         |         h ASC NULLS FIRST""".stripMargin
     },
 
     // Same closed-form CUSUM; DuckDB lifts sums/divisions to HUGEINT, so

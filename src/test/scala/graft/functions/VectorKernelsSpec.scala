@@ -181,4 +181,41 @@ class VectorKernelsSpec extends SparkSpec {
     }
     assert(run(4) === Seq.empty)
   }
+
+  test("holt forecast projections: hand-computed from the final kernel states") {
+    // ts_holt_forecast reads (l_T, b_T) off the interleaved state array
+    // and emits l_T + h·b_T. For xs = (10, 20, 30): l3 = 23, b3 = 5
+    // (hand-stepped above) → forecasts 28, 33, 38, 43.
+    val st = VectorKernels.holtStates(new GenericArrayData(Array(10L, 20L, 30L)))
+    val n = 3
+    val lT = st.getLong(2 * n - 2); val bT = st.getLong(2 * n - 1)
+    assert((1 to 4).map(h => lT + h * bT) === Seq(28L, 33L, 38L, 43L))
+    // ts_holt_winters_forecast adds s_{T−4+h}. For p=4 and 6 rows the
+    // final states come from the seeded recurrence; recompute them with
+    // the driver-side floorDiv replay and check the projection indexes
+    // the seasonal slots the query's element_at arithmetic names.
+    val xs = Array(10L, 20L, 8L, 4L, 6L, 12L)
+    val out = VectorKernels.holtWintersStates(new GenericArrayData(xs), 4)
+    val l = new Array[Long](6); val b = new Array[Long](6); val s = new Array[Long](6)
+    for (i <- 0 until 6) {
+      if (i < 4) { l(i) = xs(i); b(i) = 0; s(i) = 0 }
+      else {
+        val sp = s(i - 4)
+        l(i) = Math.floorDiv(xs(i) - sp + l(i - 1) + b(i - 1), 2L)
+        b(i) = Math.floorDiv(l(i) - l(i - 1) + b(i - 1), 2L)
+        s(i) = Math.floorDiv(xs(i) - l(i) + sp, 2L)
+      }
+    }
+    val T = 6
+    // query arithmetic: lt = st[3n−2], bt = st[3n−1], sh = st[3(n−4+h)]
+    // (1-based element_at ↔ 0-based getLong here)
+    assert(out.getLong(3 * T - 3) === l(T - 1))
+    assert(out.getLong(3 * T - 2) === b(T - 1))
+    val fc = (1 to 4).map { h =>
+      out.getLong(3 * T - 3) + h * out.getLong(3 * T - 2) +
+        out.getLong(3 * (T - 4 + h) - 1)
+    }
+    val expect = (1 to 4).map(h => l(T - 1) + h * b(T - 1) + s(T - 4 + h - 1))
+    assert(fc === expect)
+  }
 }
