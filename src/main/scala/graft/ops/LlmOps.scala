@@ -1371,6 +1371,18 @@ object LlmOps {
     val posting = targets.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
       .localCheckpoint(true)
     val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    containmentProbeCandidates(probes, posting, dfreq, tau)
+  }
+
+  /** The probe stage of the directed prefix filter against STANDING
+    * posting/df frames — the body [[containmentPrefixCandidatesDirected]]
+    * derives its inputs for, split out so the persisted-index queries can
+    * feed it straight from parquet: probe shingles join the (already
+    * materialized) df for the rarest-first order, the lossless
+    * ⌊(1−τ)|A|⌋+1 prefix probes the posting list, candidates dedupe. The
+    * corpus is never re-shingled — the 100 TB daily-ingest contract. */
+  private[ops] def containmentProbeCandidates(probes: DataFrame,
+      posting: DataFrame, dfreq: DataFrame, tau: Double): DataFrame = {
     val prefixes = probes.select(col("doc_id"), explode(col("hs")).as("h"))
       .join(dfreq, Seq("h"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
@@ -1384,6 +1396,85 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
+
+  /** Signature-keyed cache dir for a DOCUMENTS-derived index (containment
+    * postings) — [[annIndexDir]]'s discipline keyed on documents.parquet,
+    * so a regenerated fixture never answers from stale postings. */
+  private[ops] def docIndexDir(d: String, kind: String): String = {
+    val src = new java.io.File(s"$d/documents.parquet")
+    val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val sig = files.filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s"$d|$sig"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_index_$h"
+  }
+
+  /** Train-once persistence for the containment dedup side — the
+    * writeIvfIndex lever applied to the posting index the incremental
+    * queries probe: the corpus is shingled ONCE at build time, and every
+    * subsequent probe batch reads three parquet tables instead of
+    * re-shingling + re-exploding the corpus per run.
+    *
+    * Layout under `dir`:
+    *  - `sigs`: (doc_id, hs) — the corpus signature table, read by the
+    *    verify join only for matched candidates.
+    *  - `posting`: (doc_b, h) — the inverted shingle file, the probe
+    *    join's build side. At deployment scale this is written BUCKETED
+    *    by h so the daily probe co-locates without a corpus shuffle;
+    *    plain parquet here (the in-memory catalog's bucket metadata does
+    *    not survive sessions — the Joins.bucketed caveat).
+    *  - `df`: (h, df) — posting document frequencies for the
+    *    rarest-first prefix order (efficiency only; any order is
+    *    lossless by the pigeonhole proof).
+    *
+    * Shingling is deterministic, so a rebuild over unchanged data
+    * recreates the identical index. `corpus` must carry (doc_id, hs). */
+  private def writeContainmentIndex(corpus: DataFrame, dir: String): Unit = {
+    val s = corpus.sparkSession
+    val sigs = corpus.localCheckpoint(true)
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    sigs.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
+      .write.mode("overwrite").parquet(s"$dir/posting")
+    s.read.parquet(s"$dir/posting").groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+    releaseCheckpoint(sigs)
+  }
+
+  /** Read a [[writeContainmentIndex]] back: (sigs, posting, df). */
+  private def readContainmentIndex(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    (s.read.parquet(s"$dir/sigs"), s.read.parquet(s"$dir/posting"),
+      s.read.parquet(s"$dir/df"))
+
+  private def containmentIndexBuilt(dir: String): Boolean =
+    Seq("sigs", "posting", "df")
+      .forall(t => new java.io.File(s"$dir/$t/_SUCCESS").exists())
+
+  /** Chunk-level shingle signatures of a documents frame — the
+    * llm_doc_chunking 32-token/stride-24 windows, each chunk's 3-gram
+    * shingle hashes under the composite surrogate uid = doc_id·10⁴ +
+    * chunk_idx (chunk_idx < 10⁴ ⟺ docs under ~240k tokens; a longer-doc
+    * deployment widens the factor). Shared by llm_chunk_dedup's index
+    * build (corpus docs) and probe (batch docs) so both sides run the
+    * identical chunk algebra. Map-only — chunking never shuffles. */
+  private def chunkSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .select(col("doc_id"), col("n_tok"), col("toks"),
+        explode(expr("sequence(0, n_tok - 1, 24)")).as("start_tok"))
+      .select(col("doc_id"), expr("start_tok div 24").cast("long").as("chunk_idx"),
+        expr("slice(toks, start_tok + 1, 32)").as("ctoks"))
+      // < 3 tokens can never reach any containment threshold (and the
+      // [i] indexing below is safe only under this filter — repo rule)
+      .filter(size(col("ctoks")) >= 3)
+      .select(col("doc_id"), col("chunk_idx"), expr(
+        """coalesce(array_distinct(transform(sequence(0, size(ctoks) - 3),
+          | i -> concat_ws(' ', ctoks[i], ctoks[i+1], ctoks[i+2]))), array())"""
+          .stripMargin.replace("\n", " ")).as("sh"))
+      .select((col("doc_id") * lit(10000L) + col("chunk_idx")).as("doc_id"),
+        expr("graft_shingle_hashes(sh)").as("hs"))
 
   /** Verified near-duplicate pairs (doc_a < doc_b, jac): band-bucket
     * candidates (see minhashBandCandidates), exact-Jaccard verified via the
@@ -1834,19 +1925,38 @@ object LlmOps {
     // corpus itself. A batch doc is a duplicate when ≥70% of its shingles
     // are contained in some single corpus doc. Candidates come from the
     // DIRECTED prefix filter (lossless, batch-side prefixes only — see
-    // containmentPrefixCandidatesDirected); the threshold compare is
-    // exact integer (10·common ≥ 7·|A|), so the output is all-integer.
+    // containmentProbeCandidates); the threshold compare is exact integer
+    // (10·common ≥ 7·|A|), so the output is all-integer. The corpus side
+    // rides the PERSISTED posting index (writeContainmentIndex — built
+    // once per documents signature): the probe run shingles ONLY the
+    // batch and scans three index tables, never re-shingling the corpus —
+    // which is the entire daily-ingest economics (the llm_sim_ann_pq
+    // train-once lever applied to the dedup side). Results are identical
+    // to the inline form by construction: the index tables are exactly
+    // the frames the inline body derived. LlmOpsSpec pins plan
+    // provenance (index scan present, no corpus re-shingle) and
+    // reshuffle determinism.
     "llm_dedup_incremental" -> { (s, d) =>
       graft.functions.VectorFunctions.register(s)
-      val base = docsWithShingles(s, d)
+      val idx = docIndexDir(d, "contain")
+      if (!containmentIndexBuilt(idx))
+        writeContainmentIndex(
+          docsWithShingles(s, d).filter(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id"), expr("graft_shingle_hashes(sh)").as("hs")),
+          idx)
+      val (sigs, posting, dfreq) = readContainmentIndex(s, idx)
+      // the batch frame stays LAZY (round-12 rule: a checkpoint here would
+      // hide the documents scan from plan assertions): the probe, verify,
+      // and output branches each re-shingle the 1-in-5 batch — 3 × 20% of
+      // one corpus pass, still under the inline form's full-corpus
+      // shingle, and at deployment scale the daily batch's signatures are
+      // written once to parquet anyway (exactly what the index build does)
+      val batch = docsWithShingles(s, d).filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), expr("graft_shingle_hashes(sh)").as("hs"))
-        .localCheckpoint(true)
-      val batch = base.filter(col("doc_id") % 5 === 0)
-      val corpus = base.filter(col("doc_id") % 5 =!= 0)
-      val matches = containmentPrefixCandidatesDirected(batch, corpus, 0.7)
+      val matches = containmentProbeCandidates(batch, posting, dfreq, 0.7)
         .join(batch.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
           size(col("hs")).as("n_a")), "doc_a")
-        .join(corpus.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
         // identity-aggregate barrier keeps the merge-intersect kernel out
         // of inferred join conditions (repo rule, see llm_dedup_containment)
         .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
@@ -2760,30 +2870,23 @@ object LlmOps {
     // prefix hashes — the RAG-ingestion dedup at any corpus size.
     "llm_chunk_dedup" -> { (s, d) =>
       graft.functions.VectorFunctions.register(s)
-      val chunks = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-        .withColumn("n_tok", size(col("toks")))
-        .select(col("doc_id"), col("n_tok"), col("toks"),
-          explode(expr("sequence(0, n_tok - 1, 24)")).as("start_tok"))
-        .select(col("doc_id"), expr("start_tok div 24").cast("long").as("chunk_idx"),
-          expr("slice(toks, start_tok + 1, 32)").as("ctoks"))
-        // < 3 tokens can never reach any containment threshold (and the
-        // [i] indexing below is safe only under this filter — repo rule)
-        .filter(size(col("ctoks")) >= 3)
-        .select(col("doc_id"), col("chunk_idx"), expr(
-          """coalesce(array_distinct(transform(sequence(0, size(ctoks) - 3),
-            | i -> concat_ws(' ', ctoks[i], ctoks[i+1], ctoks[i+2]))), array())"""
-            .stripMargin.replace("\n", " ")).as("sh"))
-      val hashed = chunks
-        .select((col("doc_id") * lit(10000L) + col("chunk_idx")).as("doc_id"),
-          expr("graft_shingle_hashes(sh)").as("hs"))
-        .localCheckpoint(true)
-      val batch = hashed.filter(expr("doc_id div 10000 % 5 = 0"))
-      val corpus = hashed.filter(expr("doc_id div 10000 % 5 <> 0"))
-      val matches = containmentPrefixCandidatesDirected(batch, corpus, 0.7)
+      val idx = docIndexDir(d, "containchunk")
+      if (!containmentIndexBuilt(idx))
+        writeContainmentIndex(
+          chunkSignatures(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)),
+          idx)
+      val (sigs, posting, dfreq) = readContainmentIndex(s, idx)
+      // probe run chunks + shingles ONLY the batch docs; the chunk corpus
+      // comes from the persisted index (same economics as
+      // llm_dedup_incremental — the index is built once per documents
+      // signature and probed by every subsequent ingest batch). Lazy for
+      // the same plan-provenance reason as llm_dedup_incremental's batch.
+      val batch =
+        chunkSignatures(Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+      val matches = containmentProbeCandidates(batch, posting, dfreq, 0.7)
         .join(batch.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
           size(col("hs")).as("n_a")), "doc_a")
-        .join(corpus.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
         // identity-aggregate barrier keeps the merge-intersect kernel out
         // of inferred join conditions (repo rule, see llm_dedup_containment)
         .groupBy(col("doc_a"), col("doc_b"), col("n_a"))

@@ -37,6 +37,39 @@ class LlmOpsSpec extends SparkSpec {
       "unrelated doc wrongly paired")
   }
 
+  test("persisted containment index: probe plan reads the index and shingles only the batch") {
+    for ((name, kind, filt) <- Seq(
+        ("llm_dedup_incremental", "contain", "% 5) = 0"),
+        ("llm_chunk_dedup", "containchunk", "% 5) = 0"))) {
+      val q = SparkEntry_queries(name)
+      // round-4 rule: execute the SAME Dataset before inspecting its plan
+      val rows = q.collect().map(_.toSeq.toList).toList
+      assert(rows.nonEmpty, s"$name produced no rows")
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(planStr.contains(s"graft_${kind}_index_"),
+        s"$name: expected the persisted posting-index scan in the plan")
+      // every documents.parquet scan must carry the batch filter — the
+      // corpus side comes exclusively from the index, so a filterless
+      // documents scan would be a corpus re-shingle (the round-7 per-line
+      // check — marker-agnostic under nested AQE subtrees)
+      val docScanLines =
+        planStr.linesIterator.filter(_.contains("documents.parquet")).toList
+      assert(docScanLines.nonEmpty, s"$name: expected the batch-side documents scan")
+      docScanLines.foreach { l =>
+        assert(l.contains(filt),
+          s"$name: documents scan without the batch filter (corpus re-shingle):\n$l")
+      }
+      // determinism under reshuffle: the same rows at a different
+      // shuffle-partition count (the ivfpq two-retrain pattern)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val again = SparkEntry_queries(name).collect().map(_.toSeq.toList).toList
+        assert(again === rows, s"$name: rows changed under reshuffle")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   test("ANN LSH returns a subset of brute-force threshold pairs, with high recall on top pairs") {
     val ann = SparkEntry_queries("llm_sim_ann_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
