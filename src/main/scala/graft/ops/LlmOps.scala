@@ -333,6 +333,81 @@ object LlmOps {
       .orderBy(col("va").asc, col("vb").asc)
   }
 
+  /** Top-`nprobe` nearest coarse cells per vector — the FAISS multi-probe
+    * routing step, closing the recall gap single-cell IVF cannot see
+    * (cross-cell true pairs: the refine step re-scores only candidates the
+    * cells surface). Computed as `nprobe` sequential argmin passes — the
+    * repo's min(struct) rule: each pass folds the broadcast-codebook
+    * fan-out map-side to ONE row per vector (never a window over the
+    * nlist fan-out), and each pass excludes already-picked cells via a
+    * left-anti join on the accumulated picks. The narrow (vec_id, cid,
+    * score) fan-out is checkpointed once and re-probed per pass; nprobe
+    * is a small constant, so the pass chain stays O(nprobe) broadcast
+    * joins shuffling one row per vector each. probe_rank 1 IS the
+    * residency argmin over the full codebook, so nprobe = 1 degenerates
+    * exactly to the single-cell router (LlmOpsSpec pins it). Output:
+    * (vec_id, cid, probe_rank). */
+  private[ops] def multiProbeCells(e: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
+    val cent = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+    val scored = e.select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("score", col("cssq") - lit(2.0) * expr("graft_dot(emb, cemb)"))
+      .select(col("vec_id"), col("cid"), col("score"))
+      .localCheckpoint(true)
+    var picks: DataFrame = null
+    for (r <- 1 to nprobe) {
+      val remaining =
+        if (picks == null) scored
+        else scored.join(picks.select(col("vec_id"), col("cid")),
+          Seq("vec_id", "cid"), "left_anti")
+      val next = remaining.groupBy(col("vec_id"))
+        .agg(min(struct(col("score"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          lit(r.toLong).as("probe_rank"))
+      val prev = picks
+      picks = (if (prev == null) next else prev.unionAll(next))
+        .localCheckpoint(true)
+      if (prev != null) releaseCheckpoint(prev)
+    }
+    releaseCheckpoint(scored)
+    picks
+  }
+
+  /** Distinct unordered candidate pairs under `nprobe`-cell multi-probe
+    * routing: probe side = every vector's top-nprobe cells, build side =
+    * the residency inverted file — a pair qualifies when A probes B's
+    * resident cell (or vice versa; the unordered canonicalization plus
+    * the symmetric rank-1 probe makes the join one-directional-complete).
+    * Candidate sets grow monotonically in nprobe BY CONSTRUCTION (top-k
+    * cell lists are prefixes of top-(k+1)), which is what makes the
+    * spec's recall-rises-with-nprobe pin structural. */
+  private[ops] def ivfMultiProbeCandidates(assign: DataFrame,
+      centroids: DataFrame, nprobe: Int): DataFrame =
+    multiProbeCells(assign, centroids, nprobe)
+      .select(col("cid"), col("vec_id").as("va"))
+      .join(assign.select(col("cid"), col("vec_id").as("vb")), Seq("cid"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("va"),
+        greatest(col("va"), col("vb")).as("vb"))
+      .distinct()
+
+  /** Multi-probe candidates scored EXACTLY (the raw vectors come back via
+    * two index equi-joins) and thresholded at cos ≥ 0.3 — the ivfPairs
+    * contract with nprobe-cell recall. */
+  private[ops] def ivfMultiProbePairs(assign: DataFrame,
+      centroids: DataFrame, nprobe: Int): DataFrame =
+    ivfMultiProbeCandidates(assign, centroids, nprobe)
+      .join(assign.select(col("vec_id").as("va"), col("emb").as("emb_a"),
+        col("ssq").as("ssq_a")), Seq("va"))
+      .join(assign.select(col("vec_id").as("vb"), col("emb").as("emb_b"),
+        col("ssq").as("ssq_b")), Seq("vb"))
+      .withColumn("cos_sim", round(cosExpr, 6))
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("va"), col("vb"), col("cos_sim"))
+      .orderBy(col("va").asc, col("vb").asc)
+
   /** Train-once / query-many IVF index persistence — the 100 TB operating
     * mode: Lloyd training (the serially-dependent critical path of every
     * ad-hoc ANN query) runs ONCE at build time; queries then scan two
@@ -2495,6 +2570,34 @@ object LlmOps {
       }
       val (_, merged) = readIvfIndex(s, cidx)
       ivfPairs(merged)
+    },
+
+    // MULTI-PROBE IVF ANN — probe the nprobe = 2 nearest coarse cells per
+    // vector instead of 1 (FAISS's standard recall lever), closing the
+    // cross-cell gap the single-cell variants cannot see: a true pair
+    // split across two cells is invisible to llm_sim_ann_ivf no matter
+    // how it re-scores, but becomes visible the moment either side probes
+    // the other's cell. Routing is nprobe sequential min(struct) argmin
+    // passes over the broadcast codebook (see multiProbeCells — one row
+    // per vector per pass, no data-sized window); candidates stay
+    // hash-keyed cid equi-joins; scoring is exact from the index's raw
+    // vectors. Rides the SAME persisted full-corpus index as
+    // llm_sim_ann_ivf_persisted — multi-probe is a read-path knob, not a
+    // different index. Rows-only like its fixed-codebook siblings;
+    // LlmOpsSpec pins nprobe=1 ≡ the single-cell path, the structural
+    // candidate-subset chain, TOTAL recall vs the exact path rising in
+    // nprobe, exact precision, and reshuffle determinism.
+    "llm_sim_ann_ivf_multiprobe" -> { (s, d) =>
+      val idx = annIndexDir(d, "ivf")
+      val built = new java.io.File(s"$idx/assign/_SUCCESS").exists() &&
+        new java.io.File(s"$idx/centroids/_SUCCESS").exists()
+      if (!built) {
+        val e = embDouble(s, d).localCheckpoint(true)
+        writeIvfIndex(e, idx, nlist = ivfNlist(e.count()), iters = 2)
+        releaseCheckpoint(e)
+      }
+      val (centroids, assign) = readIvfIndex(s, idx)
+      ivfMultiProbePairs(assign, centroids, nprobe = 2)
     },
 
     // IVF-PQ-style ANN — product-quantized pair scoring (rows-only: the

@@ -70,6 +70,52 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe IVF: recall vs the exact path rises with nprobe, precision stays exact") {
+    // the declared query ensures the persisted index exists
+    val declared = SparkEntry_queries("llm_sim_ann_ivf_multiprobe")
+    val declaredRows = declared.collect().map(_.toSeq.toList).toList
+    val (centroids, assign) =
+      LlmOps.readIvfIndex(spark, LlmOps.annIndexDir(sf, "ivf"))
+    def pairsAt(np: Int): Set[(Long, Long)] =
+      LlmOps.ivfMultiProbePairs(assign, centroids, np).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairsAt(1); val p2 = pairsAt(2); val p3 = pairsAt(3)
+    // nprobe = 1 degenerates exactly to the single-cell router
+    val single = LlmOps.ivfPairs(assign).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 === single, "nprobe=1 diverged from the single-cell path")
+    // candidate growth is structural: top-k cell lists are prefixes of
+    // top-(k+1), so the pair sets must nest
+    assert(p1.subsetOf(p2), "nprobe=2 lost an nprobe=1 pair")
+    assert(p2.subsetOf(p3), "nprobe=3 lost an nprobe=2 pair")
+    // TOTAL recall vs the exact threshold pairs — the round-12 verdict's
+    // point: cell-visible recall is already 1.0; this measures the
+    // cross-cell pairs multi-probe exists to surface
+    val exact = LlmOps.exactPairsVia(
+        LlmOps.exactCellsOrCorpus(spark, sf), 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact path returned no threshold pairs")
+    // precision is exact by construction (candidates re-scored from the
+    // raw vectors): every returned pair is a true cos >= 0.3 pair
+    assert(p3.subsetOf(exact), "multi-probe returned a false-positive pair")
+    def recall(p: Set[(Long, Long)]): Double =
+      p.intersect(exact).size.toDouble / exact.size
+    val (r1, r2, r3) = (recall(p1), recall(p2), recall(p3))
+    info(f"multi-probe recall: nprobe=1 $r1%.4f, nprobe=2 $r2%.4f, nprobe=3 $r3%.4f " +
+      s"(exact pairs: ${exact.size})")
+    assert(r2 >= r1 && r3 >= r2, "recall fell as nprobe grew")
+    assert(r2 > r1,
+      "nprobe=2 surfaced no cross-cell pair — multi-probe is a no-op on this fixture")
+    // determinism under reshuffle (the ivfpq two-retrain pattern)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = SparkEntry_queries("llm_sim_ann_ivf_multiprobe")
+        .collect().map(_.toSeq.toList).toList
+      assert(again === declaredRows, "rows changed under reshuffle")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("ANN LSH returns a subset of brute-force threshold pairs, with high recall on top pairs") {
     val ann = SparkEntry_queries("llm_sim_ann_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
