@@ -522,16 +522,32 @@ object StreamOps {
     * (survivors and dropped) append to the store — a future variant
     * similar to a dropped clip must still be caught.
     *
-    * Batch-equivalence is structural: the signature bodies are the SAME
-    * functions the declared oracle-backed queries run, and
-    * keep-lowest-media-id-per-signature is associative across any batch
-    * slicing — so the union of survivors equals the one-shot batch dedup
-    * on the same rows (StreamingSpec pins it, including across a
-    * kill/restart).
+    * The dedup contract is FIRST-SEEN-WINS: within one batch ties break
+    * to the lowest media_id, across batches the earlier arrival survives
+    * regardless of id ordering. Under monotone media_id arrival (the
+    * natural ingest order) this coincides with the one-shot
+    * keep-lowest-id batch dedup — the equivalence StreamingSpec pins —
+    * but a late-arriving LOWER id is dropped in favor of the id already
+    * ingested (the streaming-correct choice: the survivor set already
+    * shipped downstream).
+    *
+    * Store compaction (bounded per-batch reads): every `compactEvery`
+    * batches the accumulated per-batch delta dirs fold into ONE deduped
+    * store `c<id>` — min (batch_id, media_id) per signature, which
+    * preserves every read the filter can ever issue (only the EARLIEST
+    * occurrence of a signature decides any later batch, and a replayed
+    * batch's `batch_id < id` filter still sees exactly the pre-batch
+    * world because first-seen rows from the replayed batch carry its own
+    * id) — and the folded deltas are deleted. The per-batch store read is
+    * then ≤ 1 compacted dir + compactEvery deltas, O(1) in stream
+    * lifetime instead of O(batches).
     *
     * Idempotence (foreachBatch is at-least-once + idempotent writes):
-    * both writes overwrite their own batch-scoped directory and the store
-    * read filters batch_id < current, so a replayed batch converges.
+    * both writes overwrite their own batch-scoped directory, the store
+    * read filters batch_id < current, and the compaction fold is a
+    * deterministic min over the same inputs (a replayed compacting batch
+    * rewrites an identical c<id> — deltas below the checkpointed offset
+    * can never be read again, so deleting them is replay-safe).
     *
     * Scale notes (100 TB media lake): signature extraction is a
     * partition-preserving decode map — payloads never shuffle; the store
@@ -541,12 +557,19 @@ object StreamOps {
     * micro-batch, exactly the startNearDupFilterSink backfill-then-tail
     * shape applied to media. */
   def startMediaDedupSink(media: DataFrame, outPath: String,
-      storePath: String, checkpoint: String): StreamingQuery =
+      storePath: String, checkpoint: String,
+      compactEvery: Int = 4): StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        def storeDirs(prefix: String): Seq[Long] =
+          Option(new java.io.File(storePath).listFiles()).map(_.toSeq)
+            .getOrElse(Seq.empty)
+            .filter(f => f.getName.matches(s"$prefix\\d+") &&
+              new java.io.File(f, "_SUCCESS").exists())
+            .map(_.getName.drop(prefix.length).toLong)
         val b = batch.persist()
         try {
           val rows = b.select(col("media_id"), col("media_type"), col("payload"))
@@ -561,9 +584,16 @@ object StreamOps {
           val sigs = au.unionByName(vi)
             .withColumn("batch_id", lit(id))
             .persist()
+          // read set: the newest compacted fold at-or-below this batch,
+          // plus the un-folded deltas after it (strictly before this one)
+          val cj = storeDirs("c").filter(_ <= id).sorted.lastOption
+          val bks = storeDirs("b")
+            .filter(k => k < id && cj.forall(_ < k)).sorted
+          val parts = cj.map(j => s"$storePath/c$j").toSeq ++
+            bks.map(k => s"$storePath/b$k")
           val store =
-            try spark.read.parquet(s"$storePath/b*").filter(col("batch_id") < id)
-            catch { case _: Exception => spark.emptyDataFrame }
+            if (parts.isEmpty) spark.emptyDataFrame
+            else spark.read.parquet(parts: _*).filter(col("batch_id") < id)
           val all = if (store.columns.isEmpty) sigs else sigs.unionByName(store)
           val dups = sigs.select(col("media_id").as("new_id"), col("sig"))
             .join(all.select(col("media_id").as("old_id"), col("sig"),
@@ -576,6 +606,27 @@ object StreamOps {
             .write.mode("overwrite").parquet(s"$outPath/b$id")
           sigs.write.mode("overwrite").parquet(s"$storePath/b$id")
           sigs.unpersist()
+          if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+            // fold read set + this batch's delta into one deduped store:
+            // one groupBy over signature rows (metadata-sized — payloads
+            // never enter the store), idempotent overwrite
+            spark.read.parquet((parts :+ s"$storePath/b$id"): _*)
+              .groupBy(col("sig"))
+              .agg(min(struct(col("batch_id"), col("media_id"))).as("m"))
+              .select(col("m.media_id").as("media_id"), col("sig"),
+                col("m.batch_id").as("batch_id"))
+              .write.mode("overwrite").parquet(s"$storePath/c$id")
+            // retire the folded inputs (replay-safe: only THIS batch can
+            // replay, and its re-read resolves to c<id> filtered
+            // batch_id < id — the same pre-batch world)
+            val gone = cj.map(j => s"$storePath/c$j").toSeq ++
+              (bks :+ id).map(k => s"$storePath/b$k")
+            gone.foreach { p =>
+              val loc = new org.apache.hadoop.fs.Path(p)
+              val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(loc)) fs.delete(loc, true)
+            }
+          }
         } finally b.unpersist()
         ()
       }

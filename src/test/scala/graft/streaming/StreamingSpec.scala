@@ -425,6 +425,86 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("media dedup store compaction: bounded delta count, survivors identical across a kill/restart") {
+    // The round-12 verdict's unbounded-store fix: with compactEvery = 2
+    // the per-batch read set must stay <= 1 compacted fold + compactEvery
+    // deltas, and folding must not change ANY dedup decision — survivors
+    // equal the one-shot keep-lowest-id dedup exactly as in the
+    // uncompacted test, including when the compaction boundary sits
+    // before a kill/restart.
+    import graft.multimodal.{Jpeg, Multimodal}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediacompact").toString
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    def start() = StreamOps.startMediaDedupSink(
+      mem.toDF().toDF("media_id", "media_type", "payload"),
+      s"$dir/out", s"$dir/store", s"$dir/ckpt", compactEvery = 2)
+    def audioClip(codes: Seq[Int], rate: Int, perBlock: Int) =
+      Multimodal.encodeWav(rate,
+        codes.flatMap(c => Seq.fill(perBlock)(((c - 96) * 128).toShort)).toArray)
+    val codesA = (0 until 64).map(i => 97 + (i * 7) % 26)
+    val codesC = (0 until 64).map(i => 97 + (i * 11 + 3) % 26)
+    def frame(seed: Int): Array[Byte] = {
+      val px = new Array[Byte](64 * 64)
+      var i = 0
+      while (i < px.length) {
+        val j = (i / 64 / 8) * 8 + (i % 64) / 8
+        px(i) = if ((j + seed) % 3 == 0) 48.toByte else 112.toByte
+        i += 1
+      }
+      Jpeg.encodeGray(64, 64, px)
+    }
+    val f0 = frame(0); val f1 = frame(1)
+    val batches = Seq(
+      Seq((1L, "audio", audioClip(codesA, 8000, 16)),
+        (2L, "video", Multimodal.encodeVideo(Seq(f0, f1)))),
+      Seq((10L, "audio", audioClip(codesA, 4000, 8)), // rate variant of 1 → drop
+        (12L, "audio", audioClip(codesC, 8000, 16))), // new → keep
+      // compaction fires at batch id 2; the kill happens before it
+      Seq((20L, "video", Multimodal.encodeVideo(Seq(f0, f0, f1, f1))), // doubled 2 → drop
+        (21L, "video", Multimodal.encodeVideo(Seq(f1, f0)))), // reversed ≠ 2 → keep
+      Seq((30L, "audio", audioClip(codesC, 4000, 8)), // rate variant of 12 → drop
+        (31L, "audio", audioClip(codesA, 8000, 16)))) // byte-identical to 1 → drop
+    val q1 = start()
+    mem.addData(batches(0)); q1.processAllAvailable()
+    mem.addData(batches(1)); q1.processAllAvailable()
+    q1.stop() // kill BEFORE the compacting batch
+    mem.addData(batches(2))
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // batch 2 runs + compacts on the restarted query
+      mem.addData(batches(3)); q2.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out/b*")
+        .collect().map(_.getAs[Long]("media_id")).sorted.toList
+      assert(out === List(1L, 2L, 12L, 21L),
+        s"compacted-store survivors diverged: $out")
+      // one-shot equivalence (monotone ids, so first-seen == lowest-id)
+      val allRows = batches.flatten
+        .map { case (id, t, p) => Multimodal.MediaRow(id, t, p) }.toDS()
+      val au = Multimodal.audioFingerprint(allRows.filter(_.media_type == "audio"))
+        .toDF().select(col("media_id"), concat(lit("a:"), col("fingerprint")).as("sig"))
+      val vi = Multimodal.videoClipSignature(allRows.filter(_.media_type == "video"))
+        .toDF().select(col("media_id"), concat(lit("v:"), col("clip_sig")).as("sig"))
+      val oneShot = au.unionByName(vi).groupBy(col("sig"))
+        .agg(min(col("media_id")).as("media_id"))
+        .collect().map(_.getAs[Long]("media_id")).sorted.toList
+      assert(out === oneShot,
+        s"compacted streamed survivors diverged from batch dedup: $out vs $oneShot")
+      // the store is BOUNDED: the compaction at batch 2 folded b0..b2
+      // into c2 and deleted them, so only c2 + b3 remain
+      val names = Option(new java.io.File(s"$dir/store").listFiles())
+        .map(_.map(_.getName).toList.sorted).getOrElse(Nil)
+        .filter(n => n.matches("[bc]\\d+"))
+      assert(names === List("b3", "c2"),
+        s"store not compacted to one fold + trailing deltas: $names")
+      // and the fold kept first-seen rows only — one row per signature
+      val c2 = spark.read.parquet(s"$dir/store/c2")
+      assert(c2.groupBy(col("sig")).count().filter(col("count") > 1).count() === 0L,
+        "compacted store holds duplicate signatures")
+    } finally q2.stop()
+  }
+
   test("streaming compaction monitor: plan equals the batch query and survives a kill/restart") {
     // The incremental form of scale_compaction_plan: per-batch (dt, hr)
     // inventory deltas accumulate in a store and the current plan is
