@@ -1756,10 +1756,25 @@ object LlmOps {
     (all, rounds)
   }
 
-  /** The 3 learned BPE merges (rnd, lhs, rhs, freq) — Sennrich-style
-    * training over the word-count histogram; shared by `llm_bpe_train`
-    * (which just orders it) and `llm_bpe_encode` (which applies it).
-    * See llm_bpe_train's scaladoc for the delimiter-anchoring rationale. */
+  /** The BPE merge budget — k sequential merges, each a (pair histogram →
+    * deterministic top-1 → anchored replace) round over the word-count
+    * histogram. 8 is a genuine multi-merge tokenizer on the fixture while
+    * keeping the oracle's unrolled CTE chain tractable. */
+  private[ops] val bpeMergeRounds = 8
+
+  /** The k = [[bpeMergeRounds]] learned BPE merges (rnd, lhs, rhs, freq) —
+    * Sennrich-style training over the word-count histogram; shared by
+    * `llm_bpe_train` (which just orders it) and `llm_bpe_encode` (which
+    * applies it). See llm_bpe_train's scaladoc for the delimiter-anchoring
+    * rationale. Each round's recoded vocabulary is localCheckpoint'd and
+    * its predecessor released: every round references its input twice
+    * (pair count + recode), so a lazy 8-round chain would grow 2⁸ subtree
+    * copies (the kcore/labelPropagate materialization rule — the round-12
+    * BPE at 3 rounds could afford laziness; 8 cannot). The winning pair
+    * still travels as a broadcast 1-row frame — no driver-side read
+    * anywhere. Pair-dry-out (an empty mN emptying every later eN) cannot
+    * occur while any ≥ 2-token word remains, which every fixture scale
+    * guarantees by orders of magnitude. */
   private def bpeMerges(s: SparkSession, d: String): DataFrame = {
     def pairs(e: DataFrame): DataFrame = e
       .select(expr("filter(split(s, '[.]'), x -> x != '')").as("t"), col("wcnt"))
@@ -1787,9 +1802,13 @@ object LlmOps {
       """array_join(transform(filter(split(word, ''), c -> c != ''),
         | c -> concat('|', c, '.')), '')"""
         .stripMargin.replace("\n", " ")).as("s"), col("wcnt"))
-    val merges = (1 to 3).map { rnd =>
-      val m = top1(pairs(e))
-      e = merge(e, m)
+    val merges = (1 to bpeMergeRounds).map { rnd =>
+      val m = top1(pairs(e)).localCheckpoint(true)
+      if (rnd < bpeMergeRounds) { // the final round's recode feeds nothing
+        val prev = e
+        e = merge(e, m).localCheckpoint(true)
+        if (rnd > 1) releaseCheckpoint(prev) // round 1 rides the words checkpoint
+      } else if (rnd > 1) releaseCheckpoint(e)
       m.select(lit(rnd).as("rnd"), col("lhs"), col("rhs"), col("freq"))
     }
     merges.reduce(_.unionAll(_))
@@ -3732,7 +3751,7 @@ object LlmOps {
     },
 
     // BPE tokenizer APPLICATION — the composition llm_bpe_train trains
-    // for: the 3 learned merges collapse into ONE broadcast array row
+    // for: the k learned merges collapse into ONE broadcast array row
     // (sort_array(collect_list) — no driver read), every document encodes
     // into the same delimiter-anchored token string the trainer recodes,
     // and the merges apply IN RANK ORDER as an aggregate() fold of the
@@ -4331,46 +4350,37 @@ object LlmOps {
       |             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
       |      FROM e a JOIN e b ON a.vec_id < b.vec_id)""".stripMargin
 
-  /** The BPE training CTE chain (word histogram → e0 encoding → three
-    * pN/mN/eN rounds), shared by the llm_bpe_train and llm_bpe_encode
-    * oracles. Ends at m3 with no trailing comma. */
-  private val bpeMergeCtes =
-    """WITH w AS (
-      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt FROM (
-      |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-      |  WHERE w <> '' GROUP BY w),
-      |e0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
-      |                c -> '|' || c || '.'), '') AS s, wcnt FROM w),
-      |p1 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
-      |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
-      |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
-      |          FROM e0),
-      |         range(1, 20) g(i) WHERE i < len(t))
-      |  GROUP BY l, r),
-      |m1 AS (SELECT lhs, rhs, freq FROM p1
-      |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
-      |e1 AS (SELECT replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
-      |                         '|' || m.lhs || m.rhs || '.') AS s, wcnt
-      |       FROM e0, m1 m),
-      |p2 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
-      |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
-      |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
-      |          FROM e1),
-      |         range(1, 20) g(i) WHERE i < len(t))
-      |  GROUP BY l, r),
-      |m2 AS (SELECT lhs, rhs, freq FROM p2
-      |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
-      |e2 AS (SELECT replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
-      |                         '|' || m.lhs || m.rhs || '.') AS s, wcnt
-      |       FROM e1, m2 m),
-      |p3 AS (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
-      |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
-      |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
-      |          FROM e2),
-      |         range(1, 20) g(i) WHERE i < len(t))
-      |  GROUP BY l, r),
-      |m3 AS (SELECT lhs, rhs, freq FROM p3
-      |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)""".stripMargin
+  /** The BPE training CTE chain (word histogram → e0 encoding →
+    * [[bpeMergeRounds]] pN/mN/eN rounds), shared by the llm_bpe_train and
+    * llm_bpe_encode oracles. Every CTE is MATERIALIZED: each eN is
+    * referenced twice by round N+1 (pair count + recode), so DuckDB's
+    * default inlining would expand the 8-round unroll 2⁸-fold (the
+    * graph_louvain_step lesson). Ends at m<k> with no trailing comma. */
+  private val bpeMergeCtes = {
+    val rounds = (1 to bpeMergeRounds).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT l AS lhs, r AS rhs, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+         |    SELECT substr(t[i], 2) AS l, substr(t[i + 1], 2) AS r, wcnt
+         |    FROM (SELECT list_filter(string_split(s, '.'), x -> x <> '') AS t, wcnt
+         |          FROM e${i - 1}),
+         |         range(1, 20) g(i) WHERE i < len(t))
+         |  GROUP BY l, r),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs, freq FROM p$i
+         |       ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)""".stripMargin +
+        (if (i < bpeMergeRounds)
+          s""",
+             |e$i AS MATERIALIZED (SELECT replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
+             |                         '|' || m.lhs || m.rhs || '.') AS s, wcnt
+             |       FROM e${i - 1}, m$i m)""".stripMargin
+        else "")
+    }
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |e0 AS MATERIALIZED (SELECT array_to_string(list_transform(string_split(word, ''),
+       |                c -> '|' || c || '.'), '') AS s, wcnt FROM w),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_dedup_exact" ->
@@ -5429,42 +5439,42 @@ object LlmOps {
     // Rounds unrolled as chained CTEs (pN pair counts → mN winning merge →
     // eN recoded vocabulary); '|tok.' anchoring makes the replace-based
     // merge engine-identical — see the Spark twin's rationale.
-    "llm_bpe_train" ->
+    "llm_bpe_train" -> {
+      val arms = (1 to bpeMergeRounds).map(i =>
+        if (i == 1) s"SELECT 1 AS rnd, lhs, rhs, freq FROM m1"
+        else s"UNION ALL SELECT $i, lhs, rhs, freq FROM m$i")
       s"""$bpeMergeCtes
-        |SELECT 1 AS rnd, lhs, rhs, freq FROM m1
-        |UNION ALL SELECT 2, lhs, rhs, freq FROM m2
-        |UNION ALL SELECT 3, lhs, rhs, freq FROM m3
-        |ORDER BY rnd ASC NULLS FIRST""".stripMargin,
+         |${arms.mkString("\n")}
+         |ORDER BY rnd ASC NULLS FIRST""".stripMargin
+    },
 
-    // The train chain continued onto documents: the same three anchored
+    // The train chain continued onto documents: the same k anchored
     // replaces applied in rank order, md5 over the final token string.
-    "llm_bpe_encode" ->
+    // The dN chain is linear (each dN referenced once) but MATERIALIZED
+    // anyway so the inlined merge chain above is not re-derived per step.
+    "llm_bpe_encode" -> {
+      val applies = (1 to bpeMergeRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT doc_id, ws_tokens,
+           |              replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
+           |                         '|' || m.lhs || m.rhs || '.') AS s
+           |       FROM d${i - 1}, m$i m)""".stripMargin
+      }
       s"""$bpeMergeCtes,
-        |d0 AS (SELECT doc_id,
-        |         array_to_string(list_transform(
-        |           list_filter(string_split(lower(text), ' '), x -> x <> ''),
-        |           wd -> array_to_string(list_transform(string_split(wd, ''),
-        |             c -> '|' || c || '.'), '')), ' ') AS s,
-        |         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-        |           AS BIGINT) AS ws_tokens
-        |       FROM documents),
-        |d1 AS (SELECT doc_id, ws_tokens,
-        |              replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
-        |                         '|' || m.lhs || m.rhs || '.') AS s
-        |       FROM d0, m1 m),
-        |d2 AS (SELECT doc_id, ws_tokens,
-        |              replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
-        |                         '|' || m.lhs || m.rhs || '.') AS s
-        |       FROM d1, m2 m),
-        |d3 AS (SELECT doc_id, ws_tokens,
-        |              replace(s, '|' || m.lhs || '.|' || m.rhs || '.',
-        |                         '|' || m.lhs || m.rhs || '.') AS s
-        |       FROM d2, m3 m)
-        |SELECT doc_id,
-        |       CAST(len(s) - len(replace(s, '.', '')) AS BIGINT) AS bpe_tokens,
-        |       ws_tokens, md5(s) AS enc_md5
-        |FROM d3
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+         |d0 AS MATERIALIZED (SELECT doc_id,
+         |         array_to_string(list_transform(
+         |           list_filter(string_split(lower(text), ' '), x -> x <> ''),
+         |           wd -> array_to_string(list_transform(string_split(wd, ''),
+         |             c -> '|' || c || '.'), '')), ' ') AS s,
+         |         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+         |           AS BIGINT) AS ws_tokens
+         |       FROM documents),
+         |${applies.mkString(",\n")}
+         |SELECT doc_id,
+         |       CAST(len(s) - len(replace(s, '.', '')) AS BIGINT) AS bpe_tokens,
+         |       ws_tokens, md5(s) AS enc_md5
+         |FROM d$bpeMergeRounds
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    },
 
     "llm_fingerprint" ->
       """SELECT doc_id,
