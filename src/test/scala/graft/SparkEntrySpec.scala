@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(all.size === SparkEntry.queries.size)
   }
 
-  test("every oracle key has a query; rows-only queries are the known eleven") {
+  test("every oracle key has a query; rows-only queries are the known twelve") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
@@ -45,11 +45,16 @@ class SparkEntrySpec extends AnyFunSuite {
     // exact cosines, but the pair SET is still cell-visibility + PQ-screen
     // bounded, so no DuckDB twin exists; recall lift, score exactness, and
     // reshuffle determinism are pinned in LlmOpsSpec.
+    // llm_sim_ann_ivf_multiprobe joined in round 13: exact scores over the
+    // nprobe-cell candidate set — same fixed-codebook status as its
+    // siblings; recall monotonicity in nprobe, nprobe=1 ≡ single-cell,
+    // and reshuffle determinism pinned in LlmOpsSpec.
     assert(rowsOnly === Set("llm_dedup_simhash", "llm_sim_ann_lsh",
       "llm_sim_ann_ivf", "llm_sim_ann_pq", "llm_sim_ann_ivf_persisted",
       "llm_sim_ann_pq_persisted", "llm_sim_ann_ivf_upsert",
       "llm_sim_ann_ivf_compact", "llm_sim_ann_ivfpq",
-      "llm_sim_ann_ivfpq_refined", "llm_sim_ann_ivfpq_upsert"),
+      "llm_sim_ann_ivfpq_refined", "llm_sim_ann_ivfpq_upsert",
+      "llm_sim_ann_ivf_multiprobe"),
       s"unexpected oracle-less queries: ${rowsOnly.mkString(", ")}")
   }
 

@@ -38,7 +38,13 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("persisted containment index: probe plan reads the index and shingles only the batch") {
-    for ((name, kind, filt) <- Seq(
+    // FileScan metadata strings truncate at spark.sql.maxMetadataStringLength
+    // (default 100): with several pushed DataFilters the batch predicate can
+    // fall past the "..." and fail a contains() check spuriously — widen it
+    // for the duration of the plan inspection.
+    val prevMeta = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try for ((name, kind, filt) <- Seq(
         ("llm_dedup_incremental", "contain", "% 5) = 0"),
         ("llm_chunk_dedup", "containchunk", "% 5) = 0"))) {
       val q = SparkEntry_queries(name)
@@ -67,7 +73,7 @@ class LlmOpsSpec extends SparkSpec {
         val again = SparkEntry_queries(name).collect().map(_.toSeq.toList).toList
         assert(again === rows, s"$name: rows changed under reshuffle")
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevMeta)
   }
 
   test("multi-probe IVF: recall vs the exact path rises with nprobe, precision stays exact") {
