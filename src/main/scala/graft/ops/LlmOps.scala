@@ -1053,6 +1053,41 @@ object LlmOps {
       .orderBy(col("qid").asc, col("rnk").asc)
   }
 
+  /** EXACT directed THRESHOLD search against a prebuilt inverted file —
+    * the τ-fixed sibling of [[exactSearchTopKIndexed]]: for every query
+    * vector, ALL corpus vectors with cos ≥ tau. The prune is the same
+    * geometric proof with the threshold in place of the per-query t0: a
+    * member of cell c sits within angle r_c of its centroid, so
+    * angle(q, x) ≥ qang − r_c and a cell with
+    * cos(max(0, qang − r_c)) < τ − ε cannot hold a qualifying neighbor —
+    * exact for ANY codebook (quality moves only the pruning rate), which
+    * is what lets the daily-ingest query ride the SAME standing "ivfbase"
+    * index the upsert/compact maintenance cycle owns. One broadcast
+    * codebook fan-out per query row, then a cid equi-join against only
+    * the admissible posting lists — never query × corpus. */
+  private[ops] def exactSearchThresholdIndexed(queries: DataFrame,
+      centroids: DataFrame, assigned: DataFrame, tau: Double): DataFrame = {
+    val eps = 1e-6 + 1e-9
+    val radii = assigned.groupBy(col("cid")).agg(max(col("cang")).as("r_c"))
+    val cent = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+    val qgeo = queries
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("ssq").as("qssq"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qang", acos(least(lit(1.0), greatest(lit(-1.0),
+        expr("graft_dot(qemb, cemb)") / (sqrt(col("qssq")) * sqrt(col("cssq")))))))
+      .select(col("qid"), col("qemb"), col("qssq"), col("cid"), col("qang"))
+    val members = assigned.select(col("cid"), col("vec_id").as("nbr"),
+      col("emb").as("emb_b"), col("ssq").as("ssq_b"))
+    val admissible = qgeo.join(broadcast(radii), Seq("cid"))
+      .filter(cos(greatest(lit(0.0), col("qang") - col("r_c"))) >= lit(tau) - lit(eps))
+      .select(col("qid"), col("qemb"), col("qssq"), col("cid"))
+    admissible.join(members, Seq("cid"))
+      .withColumn("cos_sim", round(expr("graft_dot(qemb, emb_b)") /
+        (sqrt(col("qssq")) * sqrt(col("ssq_b"))), 6))
+      .filter(col("cos_sim") >= tau)
+      .select(col("qid"), col("nbr"), col("cos_sim"))
+  }
+
   /** The coarse/fine side length for the hierarchical codebook once the
     * flat form is out of range: ⌈n^(1/4)⌉ per level keeps the total cell
     * count at the √n the geometry wants. */
@@ -2589,6 +2624,41 @@ object LlmOps {
       }
       val (_, merged) = readIvfIndex(s, cidx)
       ivfPairs(merged)
+    },
+
+    // Incremental SEMANTIC dedup — llm_dedup_incremental's shape in
+    // embedding space, and ORACLE-BACKED unlike the fixed-codebook ANN
+    // siblings: an incoming batch (vec_id ≡ 0 mod 10 — the same split the
+    // index-maintenance cycle uses) is flagged duplicate when ANY standing-
+    // corpus vector sits at cos ≥ 0.4, via the EXACT directed threshold
+    // search (exactSearchThresholdIndexed — geometric cell prune, exact
+    // for any codebook) over the SAME persisted "ivfbase" index
+    // llm_sim_ann_ivf_upsert/compact maintain. The daily-ingest embedding
+    // economics: the corpus is scanned zero times (cid-pruned posting
+    // lists only), the batch fans out once against a broadcast codebook,
+    // and the brute-force DuckDB twin is the losslessness proof.
+    "llm_dedup_semantic_incremental" -> { (s, d) =>
+      val idx = annIndexDir(d, "ivfbase")
+      val built = new java.io.File(s"$idx/assign/_SUCCESS").exists() &&
+        new java.io.File(s"$idx/centroids/_SUCCESS").exists()
+      if (!built) {
+        val base = embDouble(s, d).filter(col("vec_id") % 10 =!= 0)
+          .localCheckpoint(true)
+        writeIvfIndex(base, idx, nlist = ivfNlist(base.count()), iters = 2)
+        releaseCheckpoint(base)
+      }
+      val (centroids, assign) = readIvfIndex(s, idx)
+      val batch = embDouble(s, d).filter(col("vec_id") % 10 === 0)
+      val matches = exactSearchThresholdIndexed(batch, centroids, assign, 0.4)
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_matches"),
+          max(col("cos_sim")).as("best_cos"))
+      batch.select(col("vec_id"))
+        .join(matches, col("vec_id") === col("qid"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_cos"),
+          (coalesce(col("n_matches"), lit(0L)) > 0L).as("is_dup"))
+        .orderBy(col("vec_id").asc)
     },
 
     // MULTI-PROBE IVF ANN — probe the nprobe = 2 nearest coarse cells per
@@ -4712,6 +4782,27 @@ object LlmOps {
          |c AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT vec_id, cluster_id, vec_id = cluster_id AS kept FROM c
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+
+    // Brute-force directed twin of the exact threshold search: every
+    // batch × corpus cosine, rounded to 6 like the Spark side, aggregated
+    // per batch vector. best_cos stays NULL for no-match rows on both
+    // engines (max over an empty left-join group).
+    "llm_dedup_semantic_incremental" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |b AS (SELECT vec_id, emb FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, emb FROM e WHERE vec_id % 10 <> 0),
+        |p AS (SELECT b.vec_id AS qid,
+        |             round(list_cosine_similarity(b.emb, c.emb), 6) AS cs
+        |      FROM b, c),
+        |m AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_matches,
+        |             max(cs) AS best_cos
+        |      FROM p WHERE cs >= 0.4 GROUP BY qid)
+        |SELECT b.vec_id,
+        |       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+        |       m.best_cos,
+        |       coalesce(m.n_matches, 0) > 0 AS is_dup
+        |FROM b LEFT JOIN m ON m.qid = b.vec_id
+        |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
 
     "llm_dedup_embcos" ->
       s"""$duckCosPairs,
