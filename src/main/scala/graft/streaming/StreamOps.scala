@@ -1129,6 +1129,87 @@ object StreamOps {
     out.result().iterator
   }
 
+  case class HoltBuf(has: Boolean, l: Long, b: Long,
+      pending: List[CusumPend])
+  case class HoltState(event_type: String, dt: java.sql.Timestamp,
+      ts: java.sql.Timestamp, event_id: Long, iv: Long,
+      level_u: Long, trend_u: Long, level: Double)
+
+  /** Streaming Holt linear smoother — the streaming twin of the batch
+    * `ts_holt_linear`: per (event_type, DAY) key, fold the α = β = ½
+    * level/trend recurrence over the event-time order and emit EVERY
+    * folded row with its exact integer states. Each step is the
+    * graft_holt kernel's arithmetic inlined — the SIGN-SAFE arithmetic
+    * shift (>> 1 ≡ ⌊v/2⌋ for every sign), so a negative trend stays
+    * bit-identical to the batch kernel and the DuckDB floor-division
+    * twin; `level` is the same HALF_UP 6-dp rounding as the batch column.
+    *
+    * Day-scoped keys are the deployable-at-100 TB contract the batch
+    * query documents: state is (has, l, b) + the in-horizon buffer per
+    * (type, day), folds parallelize across days × types, and a day key
+    * RETIRES — once the watermark passes its day end with nothing
+    * pending, no in-contract row can ever fold into it again, so the
+    * state is removed (the forward-as-of drain precedent; StreamingSpec
+    * asserts the post-flush state row count). streamCusum's summary, by
+    * contrast, IS its whole history and persists by design.
+    *
+    * Shares the [[streamCusum]] order-correctness machinery verbatim:
+    * order-sensitive fold ⇒ rows buffer in state and fold only STRICTLY
+    * below the watermark in (ts, event_id) order; a pending buffer arms
+    * an event-time timer at wm + 1. */
+  def streamHolt(events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[HoltState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      .withWatermark("ts", watermark)
+      .as[CusumIn]
+      .groupByKey(r => (r.event_type, java.sql.Timestamp.valueOf(
+        r.ts.toLocalDateTime.toLocalDate.atStartOfDay)))
+      .flatMapGroupsWithState[HoltBuf, HoltState](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, java.sql.Timestamp), rows: Iterator[CusumIn],
+            state: GroupState[HoltBuf]) =>
+          holtHandle(key._1, key._2, rows, state)
+      }
+  }
+
+  private[streaming] def holtHandle(tpe: String, dt: java.sql.Timestamp,
+      rows: Iterator[CusumIn],
+      state: GroupState[HoltBuf]): Iterator[HoltState] = {
+    val prev = state.getOption.getOrElse(HoltBuf(false, 0L, 0L, Nil))
+    val all = prev.pending ++
+      rows.map(r => CusumPend(tsToUs(r.ts), r.event_id, r.iv))
+    val wm = state.getCurrentWatermarkMs()
+    val (ready, pending) = all.partition(_.ts_us / 1000 < wm)
+    var has = prev.has; var l = prev.l; var b = prev.b
+    val out = List.newBuilder[HoltState]
+    ready.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+      if (!has) { has = true; l = p.iv; b = 0L } // seed: l1 = x1, b1 = 0
+      else {
+        val l1 = (p.iv + l + b) >> 1
+        b = (l1 - l + b) >> 1
+        l = l1
+      }
+      out += HoltState(tpe, dt, usToTs(p.ts_us), p.event_id, p.iv, l, b,
+        java.math.BigDecimal.valueOf(l.toDouble / 10000.0)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    val dayEndMs = dt.getTime + 86400000L
+    if (pending.isEmpty && wm > dayEndMs) state.remove() // day key retires
+    else {
+      state.update(HoltBuf(has, l, b, pending))
+      // pending rows resume on the next watermark advance; an idle key
+      // arms its own RETIREMENT timer at day end (a key with no timer is
+      // never re-invoked, so without this the remove() above could only
+      // fire for keys that happened to receive data after their day)
+      state.setTimeoutTimestamp(
+        if (pending.nonEmpty) wm + 1 else math.max(dayEndMs + 1, wm + 1))
+    }
+    out.result().iterator
+  }
+
   case class BollBuf(last: List[Long], pending: List[CusumPend])
   case class BollAlert(event_type: String, ts: java.sql.Timestamp,
       event_id: Long, iv: Long, dev: Long, var_n: Long, direction: String)

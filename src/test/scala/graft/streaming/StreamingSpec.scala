@@ -1119,6 +1119,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt smoother: state stream equals ts_holt_linear, day keys retire") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3)))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamHolt(mem.toDF())
+      .writeStream.format("memory").queryName("holt_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // chronological chunks, shuffled within each (the cusum contract:
+      // arrival order inside a batch is not a contract, event-time is)
+      val sorted = ev.sortBy(r =>
+        (r._2.toEpochSecond(java.time.ZoneOffset.UTC), r._2.getNano, r._3))
+      val rnd = new scala.util.Random(13)
+      sorted.grouped((sorted.length + 2) / 3).foreach { chunk =>
+        mem.addData(rnd.shuffle(chunk.toSeq).map(r =>
+          Ev(r._3, Timestamp.valueOf(r._2), 0L, r._1, r._4)))
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(Ev(0, t("2030-01-01 00:00:00"), 0, "zz_flush", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("holt_equiv").collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[Timestamp]("dt").toLocalDateTime,
+          r.getAs[Timestamp]("ts").toLocalDateTime,
+          r.getAs[Long]("event_id"), r.getAs[Long]("iv"),
+          r.getAs[Long]("level_u"), r.getAs[Long]("trend_u"),
+          r.getAs[Double]("level")))
+        .toSet
+      val batch = graft.SparkEntry.queries("ts_holt_linear")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+          r.getAs[java.time.LocalDateTime](2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch,
+        s"stream/batch diverged: only-stream=${(streamed -- batch).take(3)} " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+      // day-key retirement: the flush watermark (2029-12-31 23:50) sits
+      // past every fixture day end, so only the sentinel's own key may
+      // remain in state
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows === 1L,
+        s"day keys failed to retire: $stateRows state rows after flush")
+    } finally q.stop()
+  }
+
   test("streaming drawdown: alert stream equals the batch query on the fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1163,6 +1215,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch,
         s"stream/batch diverged: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
     } finally q.stop()
+  }
+
+  test("streaming Holt state survives a kill/restart: the fold summary persists across runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_holt_ckpt").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[Ev]
+    def start() = StreamOps.streamHolt(mem.toDF())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    // three rows enter state; the advance row folds the first two:
+    // l(10000)=10000,b=0; l=⌊(30000+10000+0)/2⌋=20000, b=⌊(20000−10000)/2⌋=5000
+    mem.addData(Seq(
+      Ev(1, t("2024-01-01 00:00:00"), 0, "err", 1.0),
+      Ev(2, t("2024-01-01 00:01:00"), 0, "err", 3.0),
+      Ev(3, t("2024-01-01 00:02:00"), 0, "err", 2.0)))
+    q1.processAllAvailable()
+    mem.addData(Seq(Ev(8, t("2024-01-01 00:11:30"), 0, "err", 1.0)))
+    q1.processAllAvailable() // wm 00:01:30: folds rows 1-2; row 3 stays buffered
+    q1.stop() // kill: (l=20000, b=5000) + the buffered row 3 exist ONLY in state
+    val q2 = start()
+    try {
+      mem.addData(Seq(Ev(9, t("2024-01-01 06:00:00"), 0, "err", 1.0)))
+      q2.processAllAvailable() // recovered summary folds row 3 (+ row 8)
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("level_u"),
+          r.getAs[Long]("trend_u"))).sortBy(_._1)
+      // row 3 continues the PRE-KILL summary:
+      // l = ⌊(20000+20000+5000)/2⌋ = 22500, b = ⌊(22500−20000+5000)/2⌋ = 3750
+      assert(rows.take(3).toList === List(
+        (1L, 10000L, 0L), (2L, 20000L, 5000L), (3L, 22500L, 3750L)),
+        s"recovered Holt state wrong: ${rows.toList}")
+    } finally q2.stop()
   }
 
   test("streaming drawdown state survives a kill/restart: the peak persists across runs") {
