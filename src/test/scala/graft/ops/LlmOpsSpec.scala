@@ -76,6 +76,32 @@ class LlmOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevMeta)
   }
 
+  test("incremental semantic dedup: plan rides the persisted index, embeddings scanned only for the batch") {
+    val q = SparkEntry_queries("llm_dedup_semantic_incremental")
+    // round-4 rule: execute the SAME Dataset before inspecting its plan
+    val rows = q.collect().map(_.toSeq.toList).toList
+    assert(rows.nonEmpty, "semantic incremental dedup produced no rows")
+    val prevMeta = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val q2 = SparkEntry_queries("llm_dedup_semantic_incremental")
+      val rows2 = q2.collect().map(_.toSeq.toList).toList
+      assert(rows2 === rows)
+      val planStr = q2.queryExecution.executedPlan.toString
+      assert(planStr.contains("graft_ivfbase_index_"),
+        "expected the persisted base-index scan in the executed plan")
+      // the corpus comes exclusively from the index: every raw-embeddings
+      // scan must carry the batch filter (the round-7 per-line check)
+      val embScanLines =
+        planStr.linesIterator.filter(_.contains("embeddings.parquet")).toList
+      assert(embScanLines.nonEmpty, "expected the batch-side embeddings scan")
+      embScanLines.foreach { l =>
+        assert(l.contains("% 10) = 0"),
+          s"embeddings scan without the batch filter (corpus re-read):\n$l")
+      }
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevMeta)
+  }
+
   test("multi-probe IVF: recall vs the exact path rises with nprobe, precision stays exact") {
     // the declared query ensures the persisted index exists
     val declared = SparkEntry_queries("llm_sim_ann_ivf_multiprobe")
