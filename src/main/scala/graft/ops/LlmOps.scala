@@ -3584,6 +3584,46 @@ object LlmOps {
         .orderBy(col("n_relevant").asc)
     },
 
+    // Recall@k — the cutoff-sweep retrieval eval beside MRR/nDCG/AP: how
+    // much of the vector ground truth the BM25 ranking has surfaced by
+    // each k ∈ {5, 10, 20, 50, 100}. Same machinery as llm_eval_map
+    // (bm25FromStats top-100, persisted-index vector ground truth); the
+    // k sweep is a 5 × 100 broadcast cross join over the already-bounded
+    // rank frame, each recall one double division of exact integers.
+    "llm_eval_recall" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val rel = hybridVectorTop(s, d, k = 10).select(col("doc_id"))
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val qt = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isInCollection(Seq("merge", "vector", "stream")))
+      val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = qt.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("t_total"))
+      val ranked = bm25FromStats(tf, dfc, dl, tot)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank_t", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("rank_t"))
+      val marked = ranked
+        .join(rel.withColumn("is_rel", lit(1L)), Seq("doc_id"), "left_outer")
+        .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+      val ks = s.range(1).select(
+        explode(array(Seq(5L, 10L, 20L, 50L, 100L).map(lit): _*)).as("k"))
+      broadcast(ks).crossJoin(marked)
+        .groupBy(col("k"))
+        .agg(sum(when(col("rank_t") <= col("k"), col("is_rel"))
+          .otherwise(lit(0L))).cast("long").as("n_hits"))
+        .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_relevant"))))
+        .select(col("k"), col("n_relevant"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_relevant").cast("double"),
+            6).as("recall"))
+        .orderBy(col("k").asc)
+    },
+
     // RAG context ASSEMBLY — the stage after retrieval: the top-5 BM25
     // documents concatenate in rank order into a 256-token context
     // window, each document contributing take = clamp(budget − consumed,
@@ -5387,6 +5427,63 @@ object LlmOps {
         |             CAST(n_relevant AS DOUBLE), 6) AS avg_precision
         |FROM h, n
         |ORDER BY n_relevant ASC NULLS FIRST""".stripMargin,
+
+    // The llm_eval_map chain through j (rank, relevance flag), swept over
+    // the k cutoffs; each recall is one double division.
+    "llm_eval_recall" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |             FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(len(t)) AS BIGINT) AS t_total FROM tok),
+        |qf AS (SELECT doc_id, term FROM
+        |         (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('merge', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qf GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM qf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln((CAST(tot.n_docs - df.df AS DOUBLE) + 0.5) /
+        |              (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+        |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+        |            (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl.dl * tot.n_docs AS DOUBLE) /
+        |              CAST(tot.t_total AS DOUBLE))))), 12)
+        |           AS DECIMAL(30, 14)) AS sc
+        |       FROM tf JOIN df USING (term)
+        |            JOIN dl ON tf.doc_id = dl.doc_id
+        |            CROSS JOIN tot),
+        |bm AS (SELECT doc_id, round(CAST(sum(sc) AS DOUBLE), 6) AS bm25
+        |       FROM sc GROUP BY doc_id),
+        |tt AS (SELECT doc_id, bm25 FROM bm
+        |       ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 100),
+        |tr AS (SELECT doc_id,
+        |              row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+        |                                 doc_id ASC) AS rank_t
+        |       FROM tt),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id,
+        |              round(list_cosine_similarity(e.emb, qv.qemb), 6) AS cos_sim
+        |       FROM e, qv WHERE e.vec_id <> 0),
+        |rel AS (SELECT vec_id AS doc_id FROM cs
+        |        ORDER BY cos_sim DESC NULLS LAST, vec_id ASC LIMIT 10),
+        |j AS (SELECT tr.rank_t,
+        |             CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+        |      FROM tr LEFT JOIN rel ON rel.doc_id = tr.doc_id),
+        |ks AS (SELECT CAST(unnest([5, 10, 20, 50, 100]) AS BIGINT) AS k),
+        |r AS (SELECT ks.k AS k,
+        |             CAST(sum(CASE WHEN j.rank_t <= ks.k THEN j.is_rel
+        |                           ELSE 0 END) AS BIGINT) AS n_hits
+        |      FROM ks, j GROUP BY ks.k),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel)
+        |SELECT r.k, n.n_relevant, r.n_hits,
+        |       round(CAST(r.n_hits AS DOUBLE) /
+        |             CAST(n.n_relevant AS DOUBLE), 6) AS recall
+        |FROM r, n
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
 
     "llm_unigram_rarity" ->
       """WITH terms AS (
