@@ -436,6 +436,13 @@ class GraphSpec extends SparkSpec {
     val coarser = louvain.groupBy(_._2).values
       .forall(g => g.map(kv => full(kv._1)).toSet.size == 1)
     assert(coarser, "two-level split a level-1 community")
+    // purity pin for the persisted level-1 table graph_louvain_full rides:
+    // it must equal the fresh sweep graph_louvain_step runs (same label
+    // per vertex), or the persistence would be a semantic fork
+    val l1p = Graph.louvainL1P(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1p === louvain,
+      "persisted level-1 labels diverged from the fresh move sweep")
     // weighted variant: same vertex universe, positive WEIGHTED modularity
     // (Q_w·4W² over w-sums), and strong ties make it a genuinely different
     // partition, not an alias of the unweighted one
