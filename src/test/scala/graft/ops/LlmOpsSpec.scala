@@ -138,6 +138,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(r2 >= r1 && r3 >= r2, "recall fell as nprobe grew")
     assert(r2 > r1,
       "nprobe=2 surfaced no cross-cell pair — multi-probe is a no-op on this fixture")
+    // candidate fan-out bound: the distinct unordered candidate set is
+    // bounded by the directed probe fan-out Σ_{(v, probed cell c)}
+    // (|c| − [v resides in c]) — i.e. ≤ nprobe × (cell sizes), never
+    // query × corpus
+    val resident = assign.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val cellSz = assign.groupBy(col("cid")).count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val probes3 = LlmOps.multiProbeCells(assign, centroids, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val dirBound = probes3.map { case (v, c) =>
+      cellSz(c) - (if (resident(v) == c) 1L else 0L)
+    }.sum
+    val cand3 = LlmOps.ivfMultiProbeCandidates(assign, centroids, 3).count()
+    info(s"multi-probe fan-out: ${cand3} distinct candidates vs directed bound $dirBound")
+    assert(cand3 <= dirBound,
+      s"candidate fan-out $cand3 exceeded the nprobe-cell bound $dirBound")
     // determinism under reshuffle (the ivfpq two-retrain pattern)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
