@@ -909,11 +909,12 @@ object Graph {
     // differ from the unweighted one on mixed-weight neighborhoods. Same
     // all-BIGINT discipline and CTE-unrolled oracle.
     "graph_louvain_weighted" -> { (s, d) =>
-      louvainMoveRoundsWeighted(
-        coEdgesWeightedP(s, d).filter(col("w") >= 2), rounds = 4,
+      // one filtered frame feeds both the sweep and the (memoized,
+      // by-name — louvainW only runs the scan on a memo miss) W scalar
+      val wb = coEdgesWeightedP(s, d).filter(col("w") >= 2)
+      louvainMoveRoundsWeighted(wb, rounds = 4,
         totalW = louvainW(s"${edgeDir(d)}|w",
-          coEdgesWeightedP(s, d).filter(col("w") >= 2)
-            .agg(sum(col("w"))).head().getLong(0)))
+          wb.agg(sum(col("w"))).head().getLong(0)))
     },
 
     // TWO-LEVEL Louvain on the backbone — the full first iteration of the

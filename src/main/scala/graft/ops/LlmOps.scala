@@ -1203,7 +1203,14 @@ object LlmOps {
   // leaking one corpus-sized block-store copy per invocation (the
   // releaseCheckpoint retirement discipline applied via reuse — the
   // checkpoint stays referenced by every subsequent over-cap query, so
-  // retirement is session end or fixture regeneration, not per-query).
+  // retirement is session stop or fixture regeneration, not per-query).
+  // A checkpointed frame is bound to its SparkSession, and suites
+  // create/stop sessions in one JVM, so validity is decided by REFERENCE
+  // identity of the cached frame's own session (never a hashed session
+  // token, which could recycle and hand back dead RDD blocks): a hit
+  // from another session — live or stopped — is recomputed in place, and
+  // a sweep drops entries whose session has stopped so dead plans are
+  // never pinned for the JVM lifetime.
   private val overCapCorpusMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -1211,14 +1218,15 @@ object LlmOps {
       flatCap: Int = 4096): ExactCells = {
     val n: Long = corpusSizeMemo.computeIfAbsent(
       annIndexDir(d, "nrows"), _ => Tables.embeddings(s, d).count())
-    if (ivfNlistExact(n) >= flatCap)
-      // key carries the session identity too: a checkpointed frame is
-      // bound to its SparkSession, and suites create/stop sessions in one
-      // JVM — a cross-session hit would hand back dead RDD blocks.
-      OverCapCorpus(overCapCorpusMemo.computeIfAbsent(
-        s"${System.identityHashCode(s)}|${annIndexDir(d, "nrows")}",
-        _ => embDouble(s, d).localCheckpoint(true)), n)
-    else { val (c, a) = exactCellsIndex(s, d); FlatCells(c, a) }
+    if (ivfNlistExact(n) >= flatCap) {
+      val it = overCapCorpusMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+      OverCapCorpus(overCapCorpusMemo.compute(annIndexDir(d, "nrows"),
+        (_, cur) =>
+          if (cur != null && (cur.sparkSession eq s)) cur
+          else embDouble(s, d).localCheckpoint(true)), n)
+    } else { val (c, a) = exactCellsIndex(s, d); FlatCells(c, a) }
   }
 
   /** Threshold pair enumeration in whichever regime [[exactCellsOrCorpus]]

@@ -543,11 +543,16 @@ object StreamOps {
     * lifetime instead of O(batches).
     *
     * Idempotence (foreachBatch is at-least-once + idempotent writes):
-    * both writes overwrite their own batch-scoped directory, the store
-    * read filters batch_id < current, and the compaction fold is a
-    * deterministic min over the same inputs (a replayed compacting batch
-    * rewrites an identical c<id> — deltas below the checkpointed offset
-    * can never be read again, so deleting them is replay-safe).
+    * both writes overwrite their own batch-scoped directory and the store
+    * read filters batch_id < current. A replay of a COMPACTING batch
+    * (crash after the body, before the offset commit) finds its own
+    * committed c<id> as the read set — the fold is then SKIPPED, not
+    * re-run (re-folding would read-and-overwrite c<id>), and the replay's
+    * dedup decisions are unchanged because c<id> filtered to
+    * batch_id < id is exactly the pre-batch world (min-per-signature
+    * keeps the earliest occurrence, and first-seen rows from the replayed
+    * batch carry its own id). StreamingSpec exercises this replay
+    * directly by invoking [[mediaDedupBatch]] twice at a compaction id.
     *
     * Scale notes (100 TB media lake): signature extraction is a
     * partition-preserving decode map — payloads never shuffle; the store
@@ -562,75 +567,104 @@ object StreamOps {
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        def storeDirs(prefix: String): Seq[Long] =
-          Option(new java.io.File(storePath).listFiles()).map(_.toSeq)
-            .getOrElse(Seq.empty)
-            .filter(f => f.getName.matches(s"$prefix\\d+") &&
-              new java.io.File(f, "_SUCCESS").exists())
-            .map(_.getName.drop(prefix.length).toLong)
-        val b = batch.persist()
-        try {
-          val rows = b.select(col("media_id"), col("media_type"), col("payload"))
-            .as[graft.multimodal.Multimodal.MediaRow]
-          // modality prefixes keep the two signature spaces disjoint
-          val au = graft.multimodal.Multimodal
-            .audioFingerprint(rows.filter(_.media_type == "audio")).toDF()
-            .select(col("media_id"), concat(lit("a:"), col("fingerprint")).as("sig"))
-          val vi = graft.multimodal.Multimodal
-            .videoClipSignature(rows.filter(_.media_type == "video")).toDF()
-            .select(col("media_id"), concat(lit("v:"), col("clip_sig")).as("sig"))
-          val sigs = au.unionByName(vi)
-            .withColumn("batch_id", lit(id))
-            .persist()
-          // read set: the newest compacted fold at-or-below this batch,
-          // plus the un-folded deltas after it (strictly before this one)
-          val cj = storeDirs("c").filter(_ <= id).sorted.lastOption
-          val bks = storeDirs("b")
-            .filter(k => k < id && cj.forall(_ < k)).sorted
-          val parts = cj.map(j => s"$storePath/c$j").toSeq ++
-            bks.map(k => s"$storePath/b$k")
-          val store =
-            if (parts.isEmpty) spark.emptyDataFrame
-            else spark.read.parquet(parts: _*).filter(col("batch_id") < id)
-          val all = if (store.columns.isEmpty) sigs else sigs.unionByName(store)
-          val dups = sigs.select(col("media_id").as("new_id"), col("sig"))
-            .join(all.select(col("media_id").as("old_id"), col("sig"),
-              col("batch_id").as("old_batch")), Seq("sig"))
-            // "previously seen": an earlier batch, or earlier in this one
-            .filter(col("old_batch") < id ||
-              (col("old_batch") === id && col("old_id") < col("new_id")))
-            .select(col("new_id").as("media_id")).distinct()
-          b.join(dups, Seq("media_id"), "left_anti")
-            .write.mode("overwrite").parquet(s"$outPath/b$id")
-          sigs.write.mode("overwrite").parquet(s"$storePath/b$id")
-          sigs.unpersist()
-          if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
-            // fold read set + this batch's delta into one deduped store:
-            // one groupBy over signature rows (metadata-sized — payloads
-            // never enter the store), idempotent overwrite
-            spark.read.parquet((parts :+ s"$storePath/b$id"): _*)
-              .groupBy(col("sig"))
-              .agg(min(struct(col("batch_id"), col("media_id"))).as("m"))
-              .select(col("m.media_id").as("media_id"), col("sig"),
-                col("m.batch_id").as("batch_id"))
-              .write.mode("overwrite").parquet(s"$storePath/c$id")
-            // retire the folded inputs (replay-safe: only THIS batch can
-            // replay, and its re-read resolves to c<id> filtered
-            // batch_id < id — the same pre-batch world)
-            val gone = cj.map(j => s"$storePath/c$j").toSeq ++
-              (bks :+ id).map(k => s"$storePath/b$k")
-            gone.foreach { p =>
-              val loc = new org.apache.hadoop.fs.Path(p)
-              val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              if (fs.exists(loc)) fs.delete(loc, true)
-            }
-          }
-        } finally b.unpersist()
-        ()
+        mediaDedupBatch(batch, id, outPath, storePath, compactEvery)
       }
       .start()
+
+  /** One micro-batch of [[startMediaDedupSink]], exposed so the replay
+    * contract (foreachBatch is at-least-once: a crash after the body but
+    * before the offset commit re-fires the SAME (batch, id)) can be
+    * exercised deterministically in a spec by invoking the body twice. */
+  private[graft] def mediaDedupBatch(batch: DataFrame, id: Long,
+      outPath: String, storePath: String, compactEvery: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    def storeDirs(prefix: String): Seq[Long] =
+      Option(new java.io.File(storePath).listFiles()).map(_.toSeq)
+        .getOrElse(Seq.empty)
+        .filter(f => f.getName.matches(s"$prefix\\d+") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getName.drop(prefix.length).toLong)
+    def rmDir(p: String): Unit = {
+      val loc = new org.apache.hadoop.fs.Path(p)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val b = batch.persist()
+    try {
+      val rows = b.select(col("media_id"), col("media_type"), col("payload"))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      // modality prefixes keep the two signature spaces disjoint
+      val au = graft.multimodal.Multimodal
+        .audioFingerprint(rows.filter(_.media_type == "audio")).toDF()
+        .select(col("media_id"), concat(lit("a:"), col("fingerprint")).as("sig"))
+      val vi = graft.multimodal.Multimodal
+        .videoClipSignature(rows.filter(_.media_type == "video")).toDF()
+        .select(col("media_id"), concat(lit("v:"), col("clip_sig")).as("sig"))
+      val sigs = au.unionByName(vi)
+        .withColumn("batch_id", lit(id))
+        .persist()
+      // read set: the newest compacted fold at-or-below this batch,
+      // plus the un-folded deltas after it (strictly before this one).
+      // cj == id happens ONLY on a replay of a batch whose compaction
+      // already committed — c<id> then holds min(batch_id, media_id) per
+      // signature over the pre-batch world PLUS this very batch, and the
+      // batch_id < id filter below restores exactly the pre-batch world
+      // (first-seen rows from the replayed batch carry batch_id == id).
+      val cj = storeDirs("c").filter(_ <= id).sorted.lastOption
+      val bks = storeDirs("b")
+        .filter(k => k < id && cj.forall(_ < k)).sorted
+      val parts = cj.map(j => s"$storePath/c$j").toSeq ++
+        bks.map(k => s"$storePath/b$k")
+      val store =
+        if (parts.isEmpty) spark.emptyDataFrame
+        else spark.read.parquet(parts: _*).filter(col("batch_id") < id)
+      val all = if (store.columns.isEmpty) sigs else sigs.unionByName(store)
+      val dups = sigs.select(col("media_id").as("new_id"), col("sig"))
+        .join(all.select(col("media_id").as("old_id"), col("sig"),
+          col("batch_id").as("old_batch")), Seq("sig"))
+        // "previously seen": an earlier batch, or earlier in this one
+        .filter(col("old_batch") < id ||
+          (col("old_batch") === id && col("old_id") < col("new_id")))
+        .select(col("new_id").as("media_id")).distinct()
+      b.join(dups, Seq("media_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$outPath/b$id")
+      sigs.write.mode("overwrite").parquet(s"$storePath/b$id")
+      sigs.unpersist()
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+        if (cj.contains(id)) {
+          // replay of a batch whose compaction already committed: c<id>
+          // is the deterministic fold of the SAME inputs this replay just
+          // re-derived (same offsets → same rows → same signatures), so
+          // re-folding would read-and-overwrite c<id> (Spark forbids it)
+          // and deleting it would destroy the store. Skip the fold and
+          // retire everything c<id> subsumes: any older fold, any delta
+          // at-or-below id (including the delta this replay just
+          // re-wrote) — covers a crash mid-retirement too.
+          (storeDirs("c").filter(_ < id).map(j => s"$storePath/c$j") ++
+            storeDirs("b").filter(_ <= id).map(k => s"$storePath/b$k"))
+            .foreach(rmDir)
+        } else {
+          // fold read set + this batch's delta into one deduped store:
+          // one groupBy over signature rows (metadata-sized — payloads
+          // never enter the store), idempotent overwrite
+          spark.read.parquet((parts :+ s"$storePath/b$id"): _*)
+            .groupBy(col("sig"))
+            .agg(min(struct(col("batch_id"), col("media_id"))).as("m"))
+            .select(col("m.media_id").as("media_id"), col("sig"),
+              col("m.batch_id").as("batch_id"))
+            .write.mode("overwrite").parquet(s"$storePath/c$id")
+          // retire the folded inputs (replay-safe: only THIS batch can
+          // replay, and its re-read resolves to c<id> filtered
+          // batch_id < id — the same pre-batch world; cj < id here, so
+          // c<id> itself is never in the retirement set)
+          (cj.map(j => s"$storePath/c$j").toSeq ++
+            (bks :+ id).map(k => s"$storePath/b$k")).foreach(rmDir)
+        }
+      }
+    } finally b.unpersist()
+    ()
+  }
 
   /** Streaming compaction monitor — the incremental form of the declared
     * `scale_compaction_plan` query: as event rows stream in, each
@@ -1165,8 +1199,13 @@ object StreamOps {
         expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
       .withWatermark("ts", watermark)
       .as[CusumIn]
-      .groupByKey(r => (r.event_type, java.sql.Timestamp.valueOf(
-        r.ts.toLocalDateTime.toLocalDate.atStartOfDay)))
+      // day key derived in epoch space (UTC-fixed 86 400 s days), NEVER
+      // via JVM-default-zone LocalDate conversions: the batch twin
+      // buckets with session-tz (UTC) date_trunc on timestamp_ntz, and a
+      // non-UTC JVM zone (or a DST transition) would silently shear the
+      // stream's day buckets away from the batch's
+      .groupByKey(r => (r.event_type, usToTs(
+        Math.floorDiv(tsToUs(r.ts), 86400000000L) * 86400000000L)))
       .flatMapGroupsWithState[HoltBuf, HoltState](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: (String, java.sql.Timestamp), rows: Iterator[CusumIn],
@@ -1196,6 +1235,8 @@ object StreamOps {
         java.math.BigDecimal.valueOf(l.toDouble / 10000.0)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
     }
+    // dt is a UTC-midnight epoch (floorDiv key derivation above), so a
+    // fixed 86 400 000 ms width is EXACT — no DST-variable local days
     val dayEndMs = dt.getTime + 86400000L
     if (pending.isEmpty && wm > dayEndMs) state.remove() // day key retires
     else {

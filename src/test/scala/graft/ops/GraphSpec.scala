@@ -417,11 +417,17 @@ class GraphSpec extends SparkSpec {
     assert(qL > 0, "louvain partition scored non-positive modularity")
     assert(qL >= qC, s"move phase scored below the CC partition: $qL < $qC")
     // two-level (move + aggregation + second sweep) must not score below
-    // the one-level partition it starts from: level-2 singletons replay
-    // level 1 exactly, and the parity-gated sweep applies only
-    // strictly-positive gains — so Q(full) >= Q(step) is structural, and
-    // this independent BigInt recompute pins that the contraction math
-    // (self-loop degrees, conserved W) preserved it.
+    // the one-level partition it starts from. NOTE: this is a FIXTURE PIN
+    // (like the ANN recall numbers), not a structural theorem — the
+    // synchronous parity-gated sweep applies every same-parity
+    // strictly-positive-gain move simultaneously against STALE community
+    // stats, and simultaneous moves can in principle jointly lower Q even
+    // though each is positive in isolation. On this fixture (and at all
+    // three scales) the level-2 sweep's joint moves do improve Q; if a
+    // fixture regeneration ever flips this, re-pin the measured Q values
+    // here rather than hunting a code regression. The independent BigInt
+    // recompute still pins the contraction math (self-loop degrees,
+    // conserved W) unconditionally via the coarsening check below.
     val full = graft.SparkEntry.queries("graph_louvain_full")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full.keySet === louvain.keySet, "two-level changed the vertex set")

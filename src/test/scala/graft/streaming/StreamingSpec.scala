@@ -505,6 +505,90 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("media dedup compaction REPLAY: re-firing the compacting batch is idempotent and keeps the store") {
+    // foreachBatch is at-least-once: a crash after the body but BEFORE the
+    // offset commit re-fires the SAME (rows, id). For a compacting batch
+    // the first firing already folded the store into c<id> and deleted the
+    // deltas, so the replay's read set IS c<id> — the re-fired fold must
+    // be SKIPPED (re-folding would read-and-overwrite c<id>, and the old
+    // retirement set would then delete the entire compacted store) while
+    // every dedup decision stays unchanged (c<id> filtered to
+    // batch_id < id is exactly the pre-batch world). Exercised
+    // deterministically by invoking the batch body twice at the
+    // compaction id — the crash window a kill/restart of the query can't
+    // hit on purpose.
+    import graft.multimodal.{Jpeg, Multimodal}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediareplay").toString
+    def audioClip(codes: Seq[Int], rate: Int, perBlock: Int) =
+      Multimodal.encodeWav(rate,
+        codes.flatMap(c => Seq.fill(perBlock)(((c - 96) * 128).toShort)).toArray)
+    val codesA = (0 until 64).map(i => 97 + (i * 7) % 26)
+    val codesC = (0 until 64).map(i => 97 + (i * 11 + 3) % 26)
+    def frame(seed: Int): Array[Byte] = {
+      val px = new Array[Byte](64 * 64)
+      var i = 0
+      while (i < px.length) {
+        val j = (i / 64 / 8) * 8 + (i % 64) / 8
+        px(i) = if ((j + seed) % 3 == 0) 48.toByte else 112.toByte
+        i += 1
+      }
+      Jpeg.encodeGray(64, 64, px)
+    }
+    val f0 = frame(0); val f1 = frame(1)
+    val batches = Seq(
+      Seq((1L, "audio", audioClip(codesA, 8000, 16)),
+        (2L, "video", Multimodal.encodeVideo(Seq(f0, f1)))),
+      Seq((10L, "audio", audioClip(codesA, 4000, 8)),   // rate variant of 1 → drop
+        (12L, "audio", audioClip(codesC, 8000, 16))),   // new → keep
+      Seq((20L, "video", Multimodal.encodeVideo(Seq(f0, f0, f1, f1))), // doubled 2 → drop
+        (21L, "video", Multimodal.encodeVideo(Seq(f1, f0)))),          // reversed ≠ 2 → keep
+      Seq((30L, "audio", audioClip(codesC, 4000, 8)),   // rate variant of 12 → drop
+        (31L, "audio", audioClip(codesA, 8000, 16))))   // byte-identical to 1 → drop
+    def run(i: Int, id: Long): Unit = StreamOps.mediaDedupBatch(
+      batches(i).toDF("media_id", "media_type", "payload"), id,
+      s"$dir/out", s"$dir/store", compactEvery = 2)
+    def storeNames: List[String] =
+      Option(new java.io.File(s"$dir/store").listFiles())
+        .map(_.map(_.getName).toList.sorted).getOrElse(Nil)
+        .filter(n => n.matches("[bc]\\d+"))
+    def outIds(id: Long): List[Long] = spark.read.parquet(s"$dir/out/b$id")
+      .collect().map(_.getAs[Long]("media_id")).sorted.toList
+    run(0, 0L); run(1, 1L)
+    run(2, 2L) // compacting batch: folds b0..b2 into c2, deletes the deltas
+    assert(storeNames === List("c2"), s"pre-replay store: $storeNames")
+    val outFirst = outIds(2L)
+    val c2First = spark.read.parquet(s"$dir/store/c2").collect()
+      .map(r => (r.getAs[String]("sig"), r.getAs[Long]("media_id"),
+        r.getAs[Long]("batch_id"))).sorted.toList
+    run(2, 2L) // REPLAY — before the guard this threw (read+overwrite c2)
+               // and would then have deleted the whole compacted store
+    assert(storeNames === List("c2"),
+      s"replay corrupted the store layout: $storeNames")
+    assert(outIds(2L) === outFirst,
+      s"replay changed the survivor set: ${outIds(2L)} vs $outFirst")
+    val c2Replay = spark.read.parquet(s"$dir/store/c2").collect()
+      .map(r => (r.getAs[String]("sig"), r.getAs[Long]("media_id"),
+        r.getAs[Long]("batch_id"))).sorted.toList
+    assert(c2Replay === c2First, "replay changed the compacted fold")
+    run(3, 3L) // the stream continues past the replay
+    assert(outIds(3L) === Nil, s"post-replay batch missed store dups: ${outIds(3L)}")
+    val survivors = spark.read.parquet(s"$dir/out/b*")
+      .collect().map(_.getAs[Long]("media_id")).sorted.toList
+    // one-shot equivalence over ALL rows, as in the kill/restart test
+    val allRows = batches.flatten
+      .map { case (id, t, p) => Multimodal.MediaRow(id, t, p) }.toDS()
+    val au = Multimodal.audioFingerprint(allRows.filter(_.media_type == "audio"))
+      .toDF().select(col("media_id"), concat(lit("a:"), col("fingerprint")).as("sig"))
+    val vi = Multimodal.videoClipSignature(allRows.filter(_.media_type == "video"))
+      .toDF().select(col("media_id"), concat(lit("v:"), col("clip_sig")).as("sig"))
+    val oneShot = au.unionByName(vi).groupBy(col("sig"))
+      .agg(min(col("media_id")).as("media_id"))
+      .collect().map(_.getAs[Long]("media_id")).sorted.toList
+    assert(survivors === oneShot,
+      s"replayed-stream survivors diverged from batch dedup: $survivors vs $oneShot")
+  }
+
   test("streaming compaction monitor: plan equals the batch query and survives a kill/restart") {
     // The incremental form of scale_compaction_plan: per-batch (dt, hr)
     // inventory deltas accumulate in a store and the current plan is
