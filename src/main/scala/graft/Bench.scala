@@ -52,9 +52,16 @@ object Bench {
     // graph_* sorts before llm_* — the graph queries are the first to hit
     // the HOF-pair-explode and sorted-intersect-kernel plan families, so
     // without warmup they absorb those families' codegen compilation.
+    // graph_louvain_full is alphabetically first of the three Louvain
+    // queries and absorbed that family's first-plan codegen in driver
+    // runs (BENCH_r13 5.12 s vs 3.5 s fresh — the round-13 family-warmup
+    // migration); flowlog_bytes_per_eni_hour is first of the flowlog
+    // family and additionally pre-writes the signature-keyed envelope
+    // fixture for the warmup dir.
     Seq("agg_approx_distinct", "llm_dedup_embcos", "llm_sim_topk",
         "llm_dedup_exact", "llm_sim_ann_pq",
         "graph_triangle_count", "graph_khop_reach", "graph_pagerank",
+        "graph_louvain_full", "flowlog_bytes_per_eni_hour",
         "stream_session_agg_batch").foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case e: Throwable =>

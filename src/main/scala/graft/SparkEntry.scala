@@ -23,7 +23,8 @@ object SparkEntry {
       (ops.StreamBatch.queries, ops.StreamBatch.oracles),
       (ops.Reshape.queries, ops.Reshape.oracles),
       (ops.EventAnalytics.queries, ops.EventAnalytics.oracles),
-      (ops.Graph.queries, ops.Graph.oracles)
+      (ops.Graph.queries, ops.Graph.oracles),
+      (flowlog.FlowLogQueries.queries, flowlog.FlowLogQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -186,12 +186,28 @@ object FlowLog {
       .orderBy(col("total_bytes").desc, col("srcaddr").asc, col("dstaddr").asc)
       .limit(k)
 
-  /** REJECT count/bytes per ENI per hour. */
+  /** REJECT count/bytes per ENI per hour. The hour is UTC-truncated and
+    * emitted timestamp_ntz (date_trunc returns TIMESTAMP_LTZ — the repo
+    * rule: cast straight back or the output type silently changes). */
   def rejectedTrafficReport(parsed: DataFrame): DataFrame =
     parsed
       .filter(col("action") === "REJECT")
-      .groupBy(col("interface_id"), date_trunc("hour", col("start_ts")).as("hour"))
+      .groupBy(col("interface_id"),
+        date_trunc("hour", col("start_ts")).cast("timestamp_ntz").as("hour"))
       .agg(count(lit(1)).as("n_rejects"), sum(col("bytes")).as("reject_bytes"))
+      .orderBy(col("interface_id").asc, col("hour").asc)
+
+  /** Bytes / packets / flow count per ENI per hour over OK-status flows —
+    * the capacity-trending view; same single-shuffle shape as
+    * [[rejectedTrafficReport]]. */
+  def bytesPerEniHour(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("log_status") === "OK" && col("parse_error").isNull)
+      .groupBy(col("interface_id"),
+        date_trunc("hour", col("start_ts")).cast("timestamp_ntz").as("hour"))
+      .agg(sum(col("bytes")).as("total_bytes"),
+        sum(col("packets")).as("total_packets"),
+        count(lit(1)).as("n_flows"))
       .orderBy(col("interface_id").asc, col("hour").asc)
 
   /** Pair each flow with its reverse direction (A:p1→B:p2 with B:p2→A:p1)

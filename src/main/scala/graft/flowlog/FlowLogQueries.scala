@@ -1,0 +1,335 @@
+package graft.flowlog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DECLARED, oracle-backed flow-log analytics (SURVEY.md §2.L) — the
+  * reference pipeline's own headline queries, driven end-to-end through
+  * the REAL ingestion path: gzip JSON CloudWatch envelopes → binary
+  * parquet → [[FlowLog.decodeEnvelopes]] (gunzip UDF + from_json +
+  * explode) → [[FlowLog.parseFlowLogs]] (split + element_at + casts,
+  * pure codegen) → the analytic.
+  *
+  * Testdata has no flow-log table, so the fixture derives DETERMINISTICALLY
+  * from `events.parquet`: every event row becomes exactly one flow-log
+  * line whose every field is integer arithmetic on `event_id` (non-negative
+  * mods and floor-divs — the Spark `div` ≡ DuckDB `//` regime), assembled
+  * into multi-event gzip envelopes and written once per source signature
+  * (the scale_zorder_skipping discipline). The DuckDB oracles recompute
+  * each analytic from `events` with the same arithmetic — DuckDB cannot
+  * gunzip, so equality pins the ENTIRE envelope+parse pipeline: a wrong
+  * token index, a missed NODATA null, a dropped quarantine row, or a
+  * broken envelope grouping all hash-mismatch (the mm_pixel_stats
+  * closed-form discipline applied to the network domain).
+  *
+  * The line population exercises every parse branch at every fixture
+  * scale (the round-8 vacuity rule; moduli 97/101/103 all fire at the
+  * 1000-row sf0.001): v2 lines (odd ids), v5 lines with all 15 extras
+  * (even ids), NODATA / SKIPDATA lines with '-' fields, and malformed
+  * lines that must quarantine rather than kill the batch, plus a
+  * CONTROL_MESSAGE envelope and a non-gzip payload that the decoder must
+  * drop.
+  *
+  * Scale notes (100 TB): generation is fixture plumbing — the QUERIES
+  * read a binary envelope table exactly as a Kinesis→S3 landing zone
+  * would be read. Decode is a partition-preserving per-record map (the
+  * one justified UDF), parse is whole-stage codegen, and every analytic
+  * is one map-side-combinable groupBy over the parsed columns.
+  */
+object FlowLogQueries {
+
+  /** gzip-compress as a UDF — the fixture-side inverse of
+    * [[FlowLog.gunzip]] (generation only; queries never compress). */
+  private val gzipUdf = udf { (s: String) =>
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** One flow-log line per event row, all fields integer arithmetic on
+    * event_id. Kind precedence (must match the oracles' CASE order):
+    * malformed (%103) > NODATA (%97) > SKIPDATA (%101) > normal; normal
+    * lines are v5 (15 extras) for even ids, v2 for odd. */
+  private[flowlog] def syntheticLines(events: DataFrame): DataFrame =
+    events.select(col("event_id"))
+      .withColumn("start_s",
+        expr("1704067200 + (event_id * 37) % 259200"))
+      .withColumn("end_s", expr("start_s + 1 + event_id % 59"))
+      .withColumn("eni", expr("concat('eni-', CAST(event_id % 40 AS STRING))"))
+      .withColumn("core", expr(
+        """concat_ws(' ',
+          |  '123456789012', eni,
+          |  concat('10.0.0.', CAST(event_id % 20 AS STRING)),
+          |  concat('10.1.', CAST((event_id div 20) % 30 AS STRING),
+          |         '.', CAST(event_id % 25 AS STRING)),
+          |  CAST(1024 + event_id % 50000 AS STRING),
+          |  CAST(CASE WHEN event_id % 20 >= 12 THEN 1 + (event_id * 13) % 1024
+          |       ELSE element_at(array(80, 443, 22, 53),
+          |                       CAST((event_id div 20) % 4 AS INT) + 1)
+          |       END AS STRING),
+          |  CAST(CASE WHEN event_id % 3 = 0 THEN 17 ELSE 6 END AS STRING),
+          |  CAST(1 + event_id % 97 AS STRING),
+          |  CAST(40 * (1 + event_id % 97) + (event_id * 7) % 997 AS STRING),
+          |  CAST(start_s AS STRING), CAST(end_s AS STRING),
+          |  CASE WHEN event_id % 5 = 0 THEN 'REJECT' ELSE 'ACCEPT' END,
+          |  'OK')""".stripMargin))
+      .withColumn("extras", expr(
+        """concat_ws(' ',
+          |  'vpc-graft',
+          |  concat('subnet-', CAST(event_id % 12 AS STRING)),
+          |  concat('i-', CAST(event_id % 500 AS STRING)),
+          |  CAST(event_id % 32 AS STRING), 'IPv4',
+          |  concat('10.0.0.', CAST(event_id % 20 AS STRING)),
+          |  concat('10.1.', CAST((event_id div 20) % 30 AS STRING),
+          |         '.', CAST(event_id % 25 AS STRING)),
+          |  'us-east-1',
+          |  concat('use1-az', CAST(1 + event_id % 3 AS STRING)),
+          |  '-', '-', '-', '-',
+          |  CASE WHEN (event_id div 2) % 2 = 0 THEN 'ingress' ELSE 'egress' END,
+          |  CAST(1 + event_id % 8 AS STRING))""".stripMargin))
+      .withColumn("message", expr(
+        """CASE
+          |  WHEN event_id % 103 = 0 THEN
+          |    concat_ws(' ', 'CORRUPT', CAST(event_id AS STRING), 'x')
+          |  WHEN event_id % 97 = 0 THEN
+          |    concat_ws(' ', '2', '123456789012', eni, '- - - - - - -',
+          |              CAST(start_s AS STRING), CAST(end_s AS STRING),
+          |              '-', 'NODATA')
+          |  WHEN event_id % 101 = 0 THEN
+          |    concat_ws(' ', '2', '123456789012', eni, '- - - - - - -',
+          |              CAST(start_s AS STRING), CAST(end_s AS STRING),
+          |              '-', 'SKIPDATA')
+          |  WHEN event_id % 2 = 0 THEN concat_ws(' ', '5', core, extras)
+          |  ELSE concat_ws(' ', '2', core)
+          |END""".stripMargin))
+      .select(col("event_id"), col("start_s"), col("message"))
+
+  /** Assemble lines into gzip DATA_MESSAGE envelopes of ≤50 events
+    * (grouped by event_id div 50, sorted within — deterministic JSON),
+    * plus one CONTROL_MESSAGE envelope and one non-gzip payload that
+    * [[FlowLog.decodeEnvelopes]] must drop. Output: `value: binary`. */
+  private[flowlog] def syntheticEnvelopes(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val env = syntheticLines(events)
+      .withColumn("g", expr("event_id div 50"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(
+        struct(col("event_id"), col("start_s"), col("message")))).as("evs"))
+      .select(expr(
+        """to_json(named_struct(
+          |  'messageType', 'DATA_MESSAGE',
+          |  'owner', '123456789012',
+          |  'logGroup', '/vpc/flowlogs/graft',
+          |  'logStream', concat('eni-stream-', CAST(g % 8 AS STRING)),
+          |  'subscriptionFilters', array('graft-subscription'),
+          |  'logEvents', transform(evs, ev -> named_struct(
+          |     'id', CAST(ev.event_id AS STRING),
+          |     'timestamp', ev.start_s * 1000,
+          |     'message', ev.message))))""".stripMargin).as("json"))
+    val control = spark.range(1).select(expr(
+      """to_json(named_struct(
+        |  'messageType', 'CONTROL_MESSAGE',
+        |  'owner', '123456789012',
+        |  'logGroup', '/vpc/flowlogs/graft',
+        |  'logStream', 'control',
+        |  'subscriptionFilters', array('graft-subscription'),
+        |  'logEvents', array()))""".stripMargin).as("json"))
+    val junk = spark.range(1)
+      .select(expr("CAST('not-gzip' AS BINARY)").as("value"))
+    env.unionByName(control)
+      .select(gzipUdf(col("json")).as("value"))
+      .unionByName(junk)
+  }
+
+  /** Signature-keyed envelope-fixture dir — the fmtDir/annIndexDir
+    * (name, size, mtime) discipline on events.parquet, so a regenerated
+    * fixture is never answered from stale envelopes. */
+  private def envDir(d: String): String = {
+    val src = new java.io.File(s"$d/events.parquet")
+    val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val sig = files.filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$d|flowlog_env|$sig"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_flowlog_env_$h"
+  }
+
+  /** The decoded event stream: envelope fixture (written once per source
+    * signature) through the real gunzip + from_json + explode path. */
+  private[flowlog] def decodedFlow(s: SparkSession, d: String): DataFrame = {
+    val dir = envDir(d)
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      syntheticEnvelopes(graft.Tables.events(s, d))
+        .write.mode("overwrite").parquet(dir)
+    }
+    FlowLog.decodeEnvelopes(s.read.parquet(dir))
+  }
+
+  /** Fully parsed flow-log records (typed columns + quarantine). */
+  private[flowlog] def parsedFlow(s: SparkSession, d: String): DataFrame =
+    FlowLog.parseFlowLogs(decodedFlow(s, d))
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // Top-10 src→dst pairs by total bytes over OK-status flows — the
+    // reference pipeline's headline "top talkers" report, through the
+    // full envelope+parse path. One map-side-combinable groupBy on the
+    // pair; the global top-k is a 10-row TakeOrdered, never a sort of
+    // the aggregate.
+    "flowlog_top_talkers" -> { (s, d) =>
+      FlowLog.topTalkers(parsedFlow(s, d), 10)
+    },
+
+    // REJECT count/bytes per ENI per hour — the rejected-traffic report.
+    // NODATA/SKIPDATA/quarantined lines carry a null action and fall out
+    // of the filter; the hour comes from the line's own start field
+    // (UTC-truncated, emitted timestamp_ntz per the repo date_trunc rule).
+    "flowlog_reject_report" -> { (s, d) =>
+      FlowLog.rejectedTrafficReport(parsedFlow(s, d))
+    },
+
+    // Bytes/packets/flows per ENI per hour over OK flows — the capacity
+    // view a VPC operator trends; same shuffle shape as the reject report.
+    "flowlog_bytes_per_eni_hour" -> { (s, d) =>
+      FlowLog.bytesPerEniHour(parsedFlow(s, d))
+    },
+
+    // Port-scan heuristic: sources probing ≥10 distinct dst ports. The
+    // fixture plants 8 scanner sources (srcaddr octet ≥ 12 → pseudo-random
+    // ports) among 12 benign ones (≤4 well-known ports) so the threshold
+    // separates non-vacuously at every scale.
+    "flowlog_port_scan" -> { (s, d) =>
+      FlowLog.portScanSuspects(parsedFlow(s, d), minPorts = 10)
+    },
+
+    // Parse-quarantine accounting — the "poison records must never kill
+    // the batch" contract as a declared query: every decoded line lands
+    // in exactly one of OK / NODATA / SKIPDATA / QUARANTINED, and bytes
+    // sum only where the line carried them (null elsewhere, cross-engine).
+    "flowlog_quarantine_report" -> { (s, d) =>
+      parsedFlow(s, d)
+        .groupBy(when(col("parse_error").isNotNull, lit("QUARANTINED"))
+          .otherwise(col("log_status")).as("status"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("bytes")).as("total_bytes"))
+        .orderBy(col("status").asc)
+    },
+
+    // Envelope-level stats straight off the decode (before parse): events
+    // and event-time span per log stream — pins the gunzip + from_json +
+    // explode layer itself (envelope grouping, stream naming, the
+    // millisecond event timestamps) independently of line parsing.
+    "flowlog_envelope_stats" -> { (s, d) =>
+      decodedFlow(s, d)
+        .groupBy(col("log_group"), col("log_stream"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_ts")).as("first_ts0"),
+          max(col("event_ts")).as("last_ts0"))
+        .select(col("log_group"), col("log_stream"), col("n_events"),
+          col("first_ts0").cast("timestamp_ntz").as("first_ts"),
+          col("last_ts0").cast("timestamp_ntz").as("last_ts"))
+        .orderBy(col("log_group").asc, col("log_stream").asc)
+    }
+  )
+
+  // Shared oracle CTE: the normal (parsed-OK) lines recomputed from
+  // events with the SAME event_id arithmetic as syntheticLines. Floor
+  // divisions are DuckDB `//` ≡ Spark `div` (all operands non-negative).
+  // NOTE: this string is interpolated into stripMargin oracle texts, so
+  // no continuation line here may START with '|' (a leading || would
+  // lose one pipe to the outer strip).
+  private val okLines =
+    """SELECT
+      |  'eni-' || CAST(event_id % 40 AS VARCHAR) AS interface_id,
+      |  '10.0.0.' || CAST(event_id % 20 AS VARCHAR) AS srcaddr,
+      |  '10.1.' || CAST((event_id // 20) % 30 AS VARCHAR) || '.' ||
+      |    CAST(event_id % 25 AS VARCHAR) AS dstaddr,
+      |  CASE WHEN event_id % 20 >= 12 THEN 1 + (event_id * 13) % 1024
+      |       ELSE CASE (event_id // 20) % 4
+      |            WHEN 0 THEN 80 WHEN 1 THEN 443 WHEN 2 THEN 22 ELSE 53 END
+      |  END AS dstport,
+      |  1 + event_id % 97 AS packets,
+      |  40 * (1 + event_id % 97) + (event_id * 7) % 997 AS bytes,
+      |  1704067200 + (event_id * 37) % 259200 AS start_s,
+      |  CASE WHEN event_id % 5 = 0 THEN 'REJECT' ELSE 'ACCEPT' END AS action
+      |FROM events
+      |WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+      |  AND event_id % 101 <> 0""".stripMargin
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "flowlog_top_talkers" ->
+      s"""WITH f AS ($okLines)
+         |SELECT srcaddr, dstaddr,
+         |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         |       count(*) AS n_flows
+         |FROM f
+         |GROUP BY srcaddr, dstaddr
+         |ORDER BY total_bytes DESC, srcaddr ASC, dstaddr ASC
+         |LIMIT 10""".stripMargin,
+
+    "flowlog_reject_report" ->
+      s"""WITH f AS ($okLines)
+         |SELECT interface_id,
+         |       date_trunc('hour', epoch_ms(start_s * 1000)) AS hour,
+         |       count(*) AS n_rejects,
+         |       CAST(sum(bytes) AS BIGINT) AS reject_bytes
+         |FROM f
+         |WHERE action = 'REJECT'
+         |GROUP BY interface_id, hour
+         |ORDER BY interface_id ASC, hour ASC""".stripMargin,
+
+    "flowlog_bytes_per_eni_hour" ->
+      s"""WITH f AS ($okLines)
+         |SELECT interface_id,
+         |       date_trunc('hour', epoch_ms(start_s * 1000)) AS hour,
+         |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         |       CAST(sum(packets) AS BIGINT) AS total_packets,
+         |       count(*) AS n_flows
+         |FROM f
+         |GROUP BY interface_id, hour
+         |ORDER BY interface_id ASC, hour ASC""".stripMargin,
+
+    "flowlog_port_scan" ->
+      s"""WITH f AS ($okLines)
+         |SELECT srcaddr,
+         |       count(DISTINCT dstport) AS n_ports,
+         |       CAST(sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_rejects
+         |FROM f
+         |GROUP BY srcaddr
+         |HAVING count(DISTINCT dstport) >= 10
+         |ORDER BY n_ports DESC, srcaddr ASC""".stripMargin,
+
+    "flowlog_quarantine_report" ->
+      """WITH cls AS (
+        |  SELECT CASE WHEN event_id % 103 = 0 THEN 'QUARANTINED'
+        |              WHEN event_id % 97 = 0 THEN 'NODATA'
+        |              WHEN event_id % 101 = 0 THEN 'SKIPDATA'
+        |              ELSE 'OK' END AS status,
+        |         CASE WHEN event_id % 103 <> 0 AND event_id % 97 <> 0
+        |                   AND event_id % 101 <> 0
+        |              THEN 40 * (1 + event_id % 97) + (event_id * 7) % 997
+        |              ELSE NULL END AS bytes
+        |  FROM events)
+        |SELECT status, count(*) AS n_lines,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes
+        |FROM cls
+        |GROUP BY status
+        |ORDER BY status ASC""".stripMargin,
+
+    "flowlog_envelope_stats" ->
+      """SELECT '/vpc/flowlogs/graft' AS log_group,
+        |       'eni-stream-' || CAST((event_id // 50) % 8 AS VARCHAR)
+        |         AS log_stream,
+        |       count(*) AS n_events,
+        |       min(epoch_ms((1704067200 + (event_id * 37) % 259200) * 1000))
+        |         AS first_ts,
+        |       max(epoch_ms((1704067200 + (event_id * 37) % 259200) * 1000))
+        |         AS last_ts
+        |FROM events
+        |GROUP BY log_group, log_stream
+        |ORDER BY log_group ASC, log_stream ASC""".stripMargin
+  )
+}

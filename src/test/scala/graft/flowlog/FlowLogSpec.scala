@@ -208,4 +208,37 @@ class FlowLogSpec extends SparkSpec {
     assert(sus.head.getAs[String]("srcaddr") === "10.0.0.99")
     assert(sus.head.getAs[Long]("n_ports") === 15L)
   }
+
+  test("synthetic envelope fixture: line conservation and every parse branch fires") {
+    // The declared flowlog_* queries ride this fixture; the oracle gate
+    // pins values, this pins STRUCTURE: the gzip+JSON roundtrip conserves
+    // exactly one parsed line per event row (control and non-gzip payloads
+    // dropped), v2/v5/NODATA/SKIPDATA/quarantine all occur (the round-8
+    // vacuity rule), and v5 extras parse into their named columns.
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+    val n = events.count()
+    val parsed = FlowLog.parseFlowLogs(
+      FlowLog.decodeEnvelopes(FlowLogQueries.syntheticEnvelopes(events)))
+      .cache()
+    try {
+      assert(parsed.count() === n, "envelope roundtrip lost or invented lines")
+      val byStatus = parsed
+        .groupBy(when(col("parse_error").isNotNull, lit("QUARANTINED"))
+          .otherwise(col("log_status")).as("st"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStatus.keySet === Set("OK", "NODATA", "SKIPDATA", "QUARANTINED"),
+        s"missing parse branches: $byStatus")
+      assert(byStatus.values.forall(_ > 0))
+      // v2 and v5 both occur, and v5 rows carry parsed extras
+      val v5 = parsed.filter(col("version") === 5)
+      assert(v5.count() > 0 && parsed.filter(col("version") === 2).count() > 0)
+      assert(v5.filter(col("vpc_id") =!= "vpc-graft" ||
+        col("flow_direction").isNull).count() === 0,
+        "v5 extras failed to parse into named columns")
+      // v2 rows must leave every extra null (no token bleed)
+      assert(parsed.filter(col("version") === 2 &&
+        col("parse_error").isNull && col("vpc_id").isNotNull).count() === 0)
+    } finally parsed.unpersist()
+  }
 }
