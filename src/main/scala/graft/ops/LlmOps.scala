@@ -818,6 +818,99 @@ object LlmOps {
       .orderBy(col("va").asc, col("vb").asc)
   }
 
+  /** MULTI-PROBE IVF-PQ pair scoring — the nprobe knob composed with the
+    * PQ scorer, completing the FAISS composition matrix (IndexIVFPQ with
+    * nprobe > 1): candidates come from the multi-probe router (each
+    * vector probes its nprobe nearest coarse cells — see
+    * [[multiProbeCells]]; routing reads the index's raw-vector sidecar,
+    * the query-side vector in FAISS terms), and CROSS-CELL pairs are
+    * scored from codes alone via the full reconstruction decomposition
+    *
+    *   <c_a + r̂_a, c_b + r̂_b> =
+    *     <c_a,c_b> + <c_b,r̂_a> + <c_a,r̂_b> + <r̂_a,r̂_b>
+    *
+    * with every term a broadcast lookup: <c_a,c_b> from the nlist²
+    * centroid-pair table (at deployment scale: only PROBED cell pairs —
+    * nprobe·nlist rows), the cross terms from a (cid, m, k) →
+    * <c_cid[m], csub_{m,k}> table (nlist·pqM·pqK rows — the residual
+    * codebook is GLOBAL across cells, which is what makes cross-cell SDC
+    * sound), and <r̂_a,r̂_b> from the usual SDC table. Per-vector norms
+    * |c_v + r̂_v|² come from the stored (cdot, rhsq) scalars exactly as
+    * in [[ivfpqCandidateScores]]. All per-pair m-sums aggregate through
+    * exact DECIMAL (the dsumD rule), and for a SAME-cell pair every term
+    * degenerates bit-identically to the single-cell scorer (<c,c> is the
+    * same graft_dot; the cross-term decimal sum re-derives the stored
+    * cdot from the same per-m kernel values) — so nprobe=1 ≡
+    * llm_sim_ann_ivfpq is structural, and the nprobe subset chain carries
+    * IDENTICAL scores for shared pairs (a pair's score never depends on
+    * the probe set that surfaced it). The raw vectors never enter the
+    * pair join — multi-probe widens candidates, PQ still pays the
+    * shuffle: codes + three doubles per vector. */
+  private[ops] def ivfpqMultiProbePairs(codes: DataFrame, cb: DataFrame,
+      centroids: DataFrame, flat: DataFrame, nprobe: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val dims = 64 / pqM
+    val probes = multiProbeCells(
+      flat.select(col("vec_id"), col("emb")), centroids, nprobe)
+    val cands = probes.select(col("cid"), col("vec_id").as("va"))
+      .join(codes.select(col("cid"), col("vec_id").as("vb")), Seq("cid"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("va"),
+        greatest(col("va"), col("vb")).as("vb"))
+      .distinct()
+    val a = codes.select(col("vec_id").as("va"), col("cid").as("ca"),
+      col("codes").as("codes_a"), col("cdot").as("cdot_a"),
+      col("rhsq").as("rhsq_a"))
+    val b = codes.select(col("vec_id").as("vb"), col("cid").as("cb_"),
+      col("codes").as("codes_b"), col("cdot").as("cdot_b"),
+      col("rhsq").as("rhsq_b"))
+    val cgeo = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+      .select(col("cid"), col("cssq"))
+    val cpair = centroids.select(col("cid").as("ca"), col("cemb").as("cemb_ca"))
+      .crossJoin(centroids.select(col("cid").as("cb_"), col("cemb").as("cemb_cb")))
+      .withColumn("ccij", expr("graft_dot(cemb_ca, cemb_cb)"))
+      .select(col("ca"), col("cb_"), col("ccij"))
+    // (cid, m, k) -> <c_cid[m], csub_{m,k}> — the same per-m kernel the
+    // encoder sums into the stored cdot (encodeAgainstIvfPq)
+    val ccdot = centroids
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("csubc", expr(s"slice(cemb, m * $dims + 1, $dims)"))
+      .join(cb.select(col("m"), col("k"), col("csub")), Seq("m"))
+      .withColumn("cd", expr("graft_dot(csubc, csub)"))
+      .select(col("cid"), col("m"), col("k"), col("cd"))
+    cands.join(a, Seq("va")).join(b, Seq("vb"))
+      // bounded explode: exactly pqM rows per pair (the ANSI [i] rule)
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("ka", element_at(col("codes_a"), col("m") + 1))
+      .withColumn("kb", element_at(col("codes_b"), col("m") + 1))
+      .join(broadcast(pqSdcTable(cb)), Seq("m", "ka", "kb"))
+      .join(broadcast(ccdot.select(col("cid").as("cb_"), col("m"),
+        col("k").as("ka"), col("cd").as("cxa_m"))), Seq("cb_", "m", "ka"))
+      .join(broadcast(ccdot.select(col("cid").as("ca"), col("m"),
+        col("k").as("kb"), col("cd").as("cxb_m"))), Seq("ca", "m", "kb"))
+      .groupBy(col("va"), col("vb"), col("ca"), col("cb_"),
+        col("cdot_a"), col("cdot_b"), col("rhsq_a"), col("rhsq_b"))
+      .agg(sum(col("ip").cast(dec)).cast("double").as("sdcsum"),
+        sum(col("cxa_m").cast(dec)).cast("double").as("cxa"),
+        sum(col("cxb_m").cast(dec)).cast("double").as("cxb"))
+      .join(broadcast(cgeo.select(col("cid").as("ca"),
+        col("cssq").as("cssq_a"))), Seq("ca"))
+      .join(broadcast(cgeo.select(col("cid").as("cb_"),
+        col("cssq").as("cssq_b"))), Seq("cb_"))
+      .join(broadcast(cpair), Seq("ca", "cb_"))
+      .withColumn("ipsum",
+        col("ccij") + col("cxa") + col("cxb") + col("sdcsum"))
+      .withColumn("rssq_a",
+        col("cssq_a") + lit(2.0) * col("cdot_a") + col("rhsq_a"))
+      .withColumn("rssq_b",
+        col("cssq_b") + lit(2.0) * col("cdot_b") + col("rhsq_b"))
+      .withColumn("approx_cos",
+        round(col("ipsum") / (sqrt(col("rssq_a")) * sqrt(col("rssq_b"))), 6))
+      .filter(col("approx_cos") >= 0.3)
+      .select(col("va"), col("vb"), col("approx_cos"))
+      .orderBy(col("va").asc, col("vb").asc)
+  }
+
   /** EXACT cosine-threshold pairs via IVF cells + triangle-inequality cell
     * pruning — the scale-safe production form of the brute-force all-pairs
     * cosine join (which survives only as the DuckDB oracle SQL and the
@@ -1382,14 +1475,24 @@ object LlmOps {
   /** Shingle-hash signature table — doc_id, hs (sorted FNV-64 shingle
     * hashes: the compact set representation for both the signature and the
     * exact merge-intersect verify), n (=|hs|), sig (64 minhashes) —
-    * materialized via localCheckpoint because every consumer references it
-    * from multiple plan branches (measured 4× faster than recompute;
-    * columnar persist() is slower than either for nested arrays). On a
-    * cluster the equivalent step writes signatures to Parquet before pair
-    * generation. */
+    * PERSISTED once per documents signature (round 14: the
+    * writeContainmentIndex / writeIvfIndex train-once lever applied to
+    * the shingle side — previously every minhash/ngram query re-shingled
+    * the full corpus per run into a localCheckpoint). Shingling is
+    * deterministic, so a rebuild over unchanged data recreates the
+    * identical table; a regenerated fixture invalidates the dir by the
+    * (name, size, mtime) key. Consumers that reference the frame from
+    * multiple plan branches now just re-scan the parquet — each scan is
+    * column-pruned and filter-pushed (the doc_id < 500 oracle-twin
+    * subsets read only their slice). At 100 TB this IS the signature
+    * table a dedup pipeline writes before pair generation. */
   private def minhashBase(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    signaturesOf(shinglesOf(Tables.documents(s, d))).localCheckpoint(true)
+    val dir = docIndexDir(d, "shinglesig")
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      signaturesOf(shinglesOf(Tables.documents(s, d)))
+        .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
   }
 
   /** Signature frame (doc_id, hs, n, sig) over a shingled frame — the
@@ -1955,14 +2058,16 @@ object LlmOps {
       // query is the full-corpus scale path). A lossless length filter
       // prunes pairs that cannot reach j >= 0.5: |A∩B| <= min, |A∪B| >= max
       // ⇒ j <= min/max, so |sets| within 2× of each other is necessary.
-      graft.functions.VectorFunctions.register(s)
-      val sh = docsWithShingles(s, d).filter(col("doc_id") < 500)
-        .withColumn("hs", expr("graft_shingle_hashes(sh)"))
-        .withColumn("n_sh", size(col("sh")))
+      // rides the persisted signature table (minhashBase) — the doc_id
+      // filter pushes to the parquet scan, so the probe reads only its
+      // 500-doc slice instead of re-shingling the corpus. n (=|hs|) is
+      // the shingle-set size absent intra-doc FNV collisions — the same
+      // set the intersect kernel measures, so jac is unchanged.
+      val sh = minhashBase(s, d).filter(col("doc_id") < 500)
       val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
-        col("n_sh").as("n_a"))
+        col("n").as("n_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
-        col("n_sh").as("n_b"))
+        col("n").as("n_b"))
       a.join(b, col("doc_a") < col("doc_b") &&
           col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
         .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
@@ -1988,14 +2093,13 @@ object LlmOps {
     // oracle-twin corpus as the other brute-force dedup twins; the LSH
     // band path is the full-corpus candidate generator at scale.
     "llm_dedup_containment" -> { (s, d) =>
-      graft.functions.VectorFunctions.register(s)
-      val sh = docsWithShingles(s, d).filter(col("doc_id") < 500)
-        .withColumn("hs", expr("graft_shingle_hashes(sh)"))
-        .withColumn("n_sh", size(col("sh")))
+      // persisted signature table + pushed doc_id slice (see
+      // llm_dedup_ngram_jaccard)
+      val sh = minhashBase(s, d).filter(col("doc_id") < 500)
       val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
-        col("n_sh").as("n_a"))
+        col("n").as("n_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
-        col("n_sh").as("n_b"))
+        col("n").as("n_b"))
       a.join(b, col("doc_a") =!= col("doc_b") &&
           col("n_b").cast("double") >= col("n_a").cast("double") * 0.7)
         .withColumn("common", expr("graft_sorted_intersect_long(hs_a, hs_b)"))
@@ -2022,15 +2126,12 @@ object LlmOps {
     // |A| alone. LlmOpsSpec plants short-in-long pairs (J < 0.3, c ≥ 0.7)
     // and demands full recovery.
     "llm_dedup_containment_lsh" -> { (s, d) =>
-      // hs/n only — no minhash signatures needed once banding is gone.
-      // localCheckpoint: the candidate generator and both verify sides
-      // re-reference the frame; at cluster scale this is the signature
-      // table written to Parquet before the posting join.
-      graft.functions.VectorFunctions.register(s)
-      val base = docsWithShingles(s, d)
-        .select(col("doc_id"), expr("graft_shingle_hashes(sh)").as("hs"))
-        .withColumn("n", size(col("hs")))
-        .localCheckpoint(true)
+      // hs/n only — no minhash sig column needed once banding is gone.
+      // The candidate generator and both verify sides re-reference the
+      // frame; since round 14 that frame IS the persisted parquet
+      // signature table (minhashBase), so each branch re-scans a pruned
+      // column set instead of a checkpointed corpus re-shingle.
+      val base = minhashBase(s, d).select(col("doc_id"), col("hs"), col("n"))
       // verify ONCE per unordered candidate (the intersect kernel is
       // symmetric), then explode the two directional containments from
       // the single `common` — half the kernel and join work of verifying
@@ -2826,6 +2927,31 @@ object LlmOps {
       val (cent, cb, codes) = readIvfPqIndex(s, idx)
       ivfpqRefinedPairs(codes, cb, cent, readIvfPqFlat(s, idx),
         tau = 0.3, margin = 0.15)
+    },
+
+    // MULTI-PROBE IVF-PQ — the nprobe recall lever composed with the PQ
+    // scorer over the SAME persisted index (a read-path knob, like
+    // llm_sim_ann_ivf_multiprobe): cross-cell candidate pairs are scored
+    // from CODES ALONE via the full reconstruction decomposition
+    // <c_a,c_b> + <c_b,r̂_a> + <c_a,r̂_b> + SDC, every term a broadcast
+    // lookup — the raw vectors never enter the pair join, so the FAISS
+    // IndexIVFPQ promise (code-width shuffles) survives nprobe > 1.
+    // Rows-only like its ANN siblings; LlmOpsSpec pins nprobe=1 ≡
+    // llm_sim_ann_ivfpq (bit-identical scores — the same-cell terms
+    // degenerate to the single-cell scorer's arithmetic), the structural
+    // subset chain with score equality on shared pairs, recall
+    // monotonicity vs the exact path, and reshuffle determinism.
+    "llm_sim_ann_ivfpq_multiprobe" -> { (s, d) =>
+      val idx = annIndexDir(d, "ivfpq")
+      val built = Seq("centroids", "codebook", "codes", "flat")
+        .forall(p => new java.io.File(s"$idx/$p/_SUCCESS").exists())
+      if (!built) {
+        val e = embDouble(s, d).localCheckpoint(true)
+        writeIvfPqIndex(e, idx)
+        releaseCheckpoint(e)
+      }
+      val (cent, cb, codes) = readIvfPqIndex(s, idx)
+      ivfpqMultiProbePairs(codes, cb, cent, readIvfPqFlat(s, idx), nprobe = 2)
     },
 
     // INCREMENTAL IVF-PQ maintenance — llm_sim_ann_ivf_upsert's discipline
