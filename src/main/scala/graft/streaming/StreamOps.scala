@@ -1251,6 +1251,116 @@ object StreamOps {
     out.result().iterator
   }
 
+  case class TwsHoltBuf(has: Boolean, l: Long, b: Long,
+      pending: List[CusumPend], timer_ms: Long)
+
+  /** [[streamHolt]] ported to Spark 4's `transformWithState` (SURVEY §2.I
+    * names the API) — same key space, same fold arithmetic, same
+    * retirement contract, expressed in the arbitrary-state API instead of
+    * flatMapGroupsWithState:
+    *
+    *  - the (has, l, b) summary + pending buffer live in a named
+    *    `ValueState` (typed via a product encoder, no TTL — retirement is
+    *    event-time-exact, not wall-clock);
+    *  - fMGWS's single implicit timeout becomes an EXPLICIT timer
+    *    registry: exactly ONE live timer per key, tracked in the state
+    *    row itself (timer_ms) so each invocation deletes the stale timer
+    *    before arming the new one — pending rows arm wm + 1, idle keys
+    *    arm their day end (a key with no timer is never re-invoked: the
+    *    streamHolt rule, unchanged);
+    *  - `handleExpiredTimer` is the flush path: fold with no input rows.
+    *    A timer that fires after retirement finds no state and must
+    *    return empty WITHOUT re-arming, or the key is resurrected
+    *    forever.
+    *
+    * transformWithState runs only on the RocksDB state store provider —
+    * the 100 TB deployment default anyway (heap providers cap state at
+    * executor memory); StreamingSpec sets the conf and pins bit-equality
+    * against ts_holt_linear, retirement, and a kill/restart resume. */
+  def streamHoltTws(events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[HoltState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+      .withWatermark("ts", watermark)
+      .as[CusumIn]
+      // same epoch-space UTC day key as streamHolt
+      .groupByKey(r => (r.event_type, usToTs(
+        Math.floorDiv(tsToUs(r.ts), 86400000000L) * 86400000000L)))
+      .transformWithState(new HoltTwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  private[streaming] class HoltTwsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, java.sql.Timestamp), CusumIn, HoltState] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ValueState[TwsHoltBuf] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getValueState[TwsHoltBuf]("holt",
+        org.apache.spark.sql.Encoders.product[TwsHoltBuf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: (String, java.sql.Timestamp),
+        rows: Iterator[CusumIn],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[HoltState] =
+      holtTwsFold(key._1, key._2, rows, buf, getHandle,
+        tv.getCurrentWatermarkInMs(), fromTimer = false)
+    override def handleExpiredTimer(key: (String, java.sql.Timestamp),
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[HoltState] =
+      holtTwsFold(key._1, key._2, Iterator.empty, buf, getHandle,
+        tv.getCurrentWatermarkInMs(), fromTimer = true)
+  }
+
+  /** The [[holtHandle]] fold body over transformWithState primitives.
+    * `fromTimer` marks the flush path: the firing timer is consumed by
+    * the runtime, so it must not be re-deleted, and a post-retirement
+    * stale timer must not resurrect state. */
+  private[streaming] def holtTwsFold(tpe: String, dt: java.sql.Timestamp,
+      rows: Iterator[CusumIn],
+      buf: org.apache.spark.sql.streaming.ValueState[TwsHoltBuf],
+      handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      wm: Long, fromTimer: Boolean): Iterator[HoltState] = {
+    if (fromTimer && !buf.exists()) return Iterator.empty
+    val prev = if (buf.exists()) buf.get()
+      else TwsHoltBuf(has = false, 0L, 0L, Nil, Long.MinValue)
+    val all = prev.pending ++
+      rows.map(r => CusumPend(tsToUs(r.ts), r.event_id, r.iv))
+    val (ready, pending) = all.partition(_.ts_us / 1000 < wm)
+    var has = prev.has; var l = prev.l; var b = prev.b
+    val out = List.newBuilder[HoltState]
+    ready.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+      if (!has) { has = true; l = p.iv; b = 0L } // seed: l1 = x1, b1 = 0
+      else {
+        val l1 = (p.iv + l + b) >> 1
+        b = (l1 - l + b) >> 1
+        l = l1
+      }
+      out += HoltState(tpe, dt, usToTs(p.ts_us), p.event_id, p.iv, l, b,
+        java.math.BigDecimal.valueOf(l.toDouble / 10000.0)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    // the firing timer was consumed by the runtime; any OTHER tracked
+    // timer is live and must be deleted before re-arming (one live timer
+    // per key — the invariant that keeps the registry O(keys))
+    val live = prev.timer_ms != Long.MinValue && !fromTimer
+    val dayEndMs = dt.getTime + 86400000L // UTC-midnight dt: exact width
+    if (pending.isEmpty && wm > dayEndMs) {
+      buf.clear() // day key retires
+      if (live) handle.deleteTimer(prev.timer_ms)
+    } else {
+      val next =
+        if (pending.nonEmpty) wm + 1 else math.max(dayEndMs + 1, wm + 1)
+      if (live && prev.timer_ms != next) handle.deleteTimer(prev.timer_ms)
+      if (!live || prev.timer_ms != next) handle.registerTimer(next)
+      buf.update(TwsHoltBuf(has, l, b, pending, next))
+    }
+    out.result().iterator
+  }
+
   case class BollBuf(last: List[Long], pending: List[CusumPend])
   case class BollAlert(event_type: String, ts: java.sql.Timestamp,
       event_id: Long, iv: Long, dev: Long, var_n: Long, direction: String)

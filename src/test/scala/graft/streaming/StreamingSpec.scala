@@ -851,6 +851,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join on the RocksDB state store: buffered state survives a kill/restart") {
+    // VERDICT r13 #4: the heavy-state fMGWS ops must run on the RocksDB
+    // provider — the 100 TB deployment default (heap providers cap state
+    // at executor memory). Same durability pattern as the heap-provider
+    // tests: a probe + its candidate events exist ONLY in (RocksDB)
+    // state at the kill; the restarted query must answer from the
+    // recovered state when the watermark passes.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_asof_rocks").toString
+      val pMem = MemoryStream[(Long, Timestamp)]
+      val eMem = MemoryStream[(Long, Timestamp, Long)]
+      def start() = StreamOps.streamAsOfJoin(
+        pMem.toDF().toDF("user_id", "p_ts"),
+        eMem.toDF().toDF("user_id", "ts", "event_id"), "10 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val q1 = start()
+      eMem.addData((1L, t("2024-01-01 00:00:00"), 10L),
+        (1L, t("2024-01-01 00:05:00"), 11L))
+      pMem.addData((1L, t("2024-01-01 00:06:00")))
+      q1.processAllAvailable()
+      q1.stop() // kill: probe + events live ONLY in RocksDB state
+      val q2 = start()
+      try {
+        // the out-of-order 00:05:30 event must still beat 00:05:00 —
+        // recovery preserved the buffered candidates, not just the floor
+        eMem.addData((1L, t("2024-01-01 00:05:30"), 12L))
+        q2.processAllAvailable()
+        eMem.addData((9L, t("2024-01-01 01:00:00"), 99L))
+        q2.processAllAvailable()
+        eMem.addData((9L, t("2024-01-01 01:01:00"), 100L))
+        q2.processAllAvailable()
+        val rows = spark.read.parquet(s"$dir/out").collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))).toMap
+        assert(rows(1L) === 12L,
+          s"RocksDB-recovered as-of state answered wrong: $rows")
+      } finally q2.stop()
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   test("streaming as-of idle TTL evicts silent keys; disabled TTL retains the floor forever") {
     // The key-space bound: with a TTL, a key silent for ttl past the
     // watermark drops its floor (a later probe answers null — itself
@@ -1335,6 +1384,100 @@ class StreamingSpec extends SparkSpec {
         (1L, 10000L, 0L), (2L, 20000L, 5000L), (3L, 22500L, 3750L)),
         s"recovered Holt state wrong: ${rows.toList}")
     } finally q2.stop()
+  }
+
+  test("transformWithState Holt (RocksDB): equals ts_holt_linear, day keys retire, state survives a kill/restart") {
+    // The streamHolt fold ported to Spark 4's arbitrary-state API
+    // (SURVEY §2.I), pinned to the SAME contracts as the fMGWS original:
+    // full-fixture bit-equality against the batch ts_holt_linear under
+    // shuffled chronological-chunk arrival, day-key retirement via the
+    // explicit timer registry, and a kill/restart whose recovered
+    // ValueState continues the fold exactly. transformWithState runs
+    // only on the RocksDB state store provider — also the 100 TB
+    // deployment default (heap providers cap state at executor memory),
+    // so this test IS the engine's RocksDB suite pass for the TWS path.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = graft.Tables.events(spark, sf)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .collect()
+        .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+          r.getLong(2), r.getDouble(3)))
+      val mem = MemoryStream[Ev]
+      val q = StreamOps.streamHoltTws(mem.toDF())
+        .writeStream.format("memory").queryName("holt_tws_equiv")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val sorted = ev.sortBy(r =>
+          (r._2.toEpochSecond(java.time.ZoneOffset.UTC), r._2.getNano, r._3))
+        val rnd = new scala.util.Random(17)
+        sorted.grouped((sorted.length + 2) / 3).foreach { chunk =>
+          mem.addData(rnd.shuffle(chunk.toSeq).map(r =>
+            Ev(r._3, Timestamp.valueOf(r._2), 0L, r._1, r._4)))
+          q.processAllAvailable()
+        }
+        mem.addData(Seq(Ev(0, t("2030-01-01 00:00:00"), 0, "zz_flush", 0.0)))
+        q.processAllAvailable()
+        val streamed = spark.table("holt_tws_equiv").collect()
+          .map(r => (r.getAs[String]("event_type"),
+            r.getAs[Timestamp]("dt").toLocalDateTime,
+            r.getAs[Timestamp]("ts").toLocalDateTime,
+            r.getAs[Long]("event_id"), r.getAs[Long]("iv"),
+            r.getAs[Long]("level_u"), r.getAs[Long]("trend_u"),
+            r.getAs[Double]("level")))
+          .toSet
+        val batch = graft.SparkEntry.queries("ts_holt_linear")(spark, sf)
+          .collect()
+          .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+            r.getAs[java.time.LocalDateTime](2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getDouble(7)))
+          .toSet
+        assert(batch.nonEmpty)
+        assert(streamed === batch,
+          s"TWS stream/batch diverged: only-stream=${(streamed -- batch).take(3)} " +
+            s"only-batch=${(batch -- streamed).take(3)}")
+        // retirement: only the flush sentinel's key may survive — a
+        // stale-timer bug (re-arming after clear) would leave more
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows === 1L,
+          s"TWS day keys failed to retire: $stateRows state rows after flush")
+      } finally q.stop()
+      // kill/restart: the recovered ValueState must continue the fold
+      // (same arithmetic checkpoints as the fMGWS durability test)
+      val dir = java.nio.file.Files.createTempDirectory("graft_holt_tws_ckpt").toString
+      val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+      val mem2 = MemoryStream[Ev]
+      def start() = StreamOps.streamHoltTws(mem2.toDF())
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      val q1 = start()
+      mem2.addData(Seq(
+        Ev(1, t("2024-01-01 00:00:00"), 0, "err", 1.0),
+        Ev(2, t("2024-01-01 00:01:00"), 0, "err", 3.0),
+        Ev(3, t("2024-01-01 00:02:00"), 0, "err", 2.0)))
+      q1.processAllAvailable()
+      mem2.addData(Seq(Ev(8, t("2024-01-01 00:11:30"), 0, "err", 1.0)))
+      q1.processAllAvailable() // wm 00:01:30: folds rows 1-2; row 3 buffered
+      q1.stop() // kill: summary + buffered row exist ONLY in RocksDB state
+      val q2 = start()
+      try {
+        mem2.addData(Seq(Ev(9, t("2024-01-01 06:00:00"), 0, "err", 1.0)))
+        q2.processAllAvailable()
+        val rows = spark.read.parquet(out).collect()
+          .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("level_u"),
+            r.getAs[Long]("trend_u"))).sortBy(_._1)
+        assert(rows.take(3).toList === List(
+          (1L, 10000L, 0L), (2L, 20000L, 5000L), (3L, 22500L, 3750L)),
+          s"recovered TWS Holt state wrong: ${rows.toList}")
+      } finally q2.stop()
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
 
   test("streaming drawdown state survives a kill/restart: the peak persists across runs") {
