@@ -49,10 +49,49 @@ object FlowLogQueries {
   }
 
   /** One flow-log line per event row, all fields integer arithmetic on
-    * event_id. Kind precedence (must match the oracles' CASE order):
+    * event_id — plus a REVERSE-direction mirror line (the 5-tuple
+    * swapped, bytes + 7, always ACCEPT, same capture window and ENI) for
+    * every normal row with event_id % 11 = 0, so the bidirectional
+    * session reconstruction has planted ground truth: src and dst
+    * address spaces are disjoint (10.0.0.* vs 10.1.*.*), so the planted
+    * mirrors are exactly the pairs the 5-tuple mirror join can find.
+    * Kind precedence (must match the oracles' CASE order):
     * malformed (%103) > NODATA (%97) > SKIPDATA (%101) > normal; normal
-    * lines are v5 (15 extras) for even ids, v2 for odd. */
-  private[flowlog] def syntheticLines(events: DataFrame): DataFrame =
+    * lines are v5 (15 extras) for even ids, v2 for odd. Output:
+    * (event_id, rid, start_s, message) — rid is the envelope logEvent id
+    * (the event_id string; mirrors append 'r'). */
+  private[flowlog] def syntheticLines(events: DataFrame): DataFrame = {
+    val base = syntheticForwardLines(events)
+    val mirrors = events.select(col("event_id"))
+      .filter(expr("""event_id % 103 <> 0 AND event_id % 97 <> 0
+                     |AND event_id % 101 <> 0 AND event_id % 11 = 0"""
+        .stripMargin.replace("\n", " ")))
+      .withColumn("start_s", expr("1704067200 + (event_id * 37) % 259200"))
+      .withColumn("message", expr(
+        """concat_ws(' ', '2', '123456789012',
+          |  concat('eni-', CAST(event_id % 40 AS STRING)),
+          |  concat('10.1.', CAST((event_id div 20) % 30 AS STRING),
+          |         '.', CAST(event_id % 25 AS STRING)),
+          |  concat('10.0.0.', CAST(event_id % 20 AS STRING)),
+          |  CAST(CASE WHEN event_id % 20 >= 12 THEN 1 + (event_id * 13) % 1024
+          |       ELSE element_at(array(80, 443, 22, 53),
+          |                       CAST((event_id div 20) % 4 AS INT) + 1)
+          |       END AS STRING),
+          |  CAST(1024 + event_id % 50000 AS STRING),
+          |  CAST(CASE WHEN event_id % 3 = 0 THEN 17 ELSE 6 END AS STRING),
+          |  CAST(1 + event_id % 97 AS STRING),
+          |  CAST(40 * (1 + event_id % 97) + (event_id * 7) % 997 + 7 AS STRING),
+          |  CAST(start_s AS STRING),
+          |  CAST(start_s + 1 + event_id % 59 AS STRING),
+          |  'ACCEPT', 'OK')""".stripMargin))
+      .select(col("event_id"),
+        expr("concat(CAST(event_id AS STRING), 'r')").as("rid"),
+        col("start_s"), col("message"))
+    base.unionByName(mirrors)
+  }
+
+  /** The one-line-per-event forward population (see [[syntheticLines]]). */
+  private def syntheticForwardLines(events: DataFrame): DataFrame =
     events.select(col("event_id"))
       .withColumn("start_s",
         expr("1704067200 + (event_id * 37) % 259200"))
@@ -104,7 +143,8 @@ object FlowLogQueries {
           |  WHEN event_id % 2 = 0 THEN concat_ws(' ', '5', core, extras)
           |  ELSE concat_ws(' ', '2', core)
           |END""".stripMargin))
-      .select(col("event_id"), col("start_s"), col("message"))
+      .select(col("event_id"), col("event_id").cast("string").as("rid"),
+        col("start_s"), col("message"))
 
   /** Assemble lines into gzip DATA_MESSAGE envelopes of ≤50 events
     * (grouped by event_id div 50, sorted within — deterministic JSON),
@@ -116,7 +156,8 @@ object FlowLogQueries {
       .withColumn("g", expr("event_id div 50"))
       .groupBy(col("g"))
       .agg(sort_array(collect_list(
-        struct(col("event_id"), col("start_s"), col("message")))).as("evs"))
+        struct(col("event_id"), col("rid"), col("start_s"),
+          col("message")))).as("evs"))
       .select(expr(
         """to_json(named_struct(
           |  'messageType', 'DATA_MESSAGE',
@@ -125,7 +166,7 @@ object FlowLogQueries {
           |  'logStream', concat('eni-stream-', CAST(g % 8 AS STRING)),
           |  'subscriptionFilters', array('graft-subscription'),
           |  'logEvents', transform(evs, ev -> named_struct(
-          |     'id', CAST(ev.event_id AS STRING),
+          |     'id', ev.rid,
           |     'timestamp', ev.start_s * 1000,
           |     'message', ev.message))))""".stripMargin).as("json"))
     val control = spark.range(1).select(expr(
@@ -151,8 +192,10 @@ object FlowLogQueries {
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
     val sig = files.filter(_.isFile)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
+    // v2: the %11 reverse-mirror lines joined the population — the
+    // version token invalidates any pre-mirror envelope cache
     val h = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$d|flowlog_env|$sig"))
+      scala.util.hashing.MurmurHash3.stringHash(s"$d|flowlog_env_v2|$sig"))
     s"${System.getProperty("java.io.tmpdir")}/graft_flowlog_env_$h"
   }
 
@@ -216,6 +259,23 @@ object FlowLogQueries {
         .orderBy(col("status").asc)
     },
 
+    // Bidirectional session reconstruction — pair each flow with its
+    // reverse direction (the 5-tuple mirror) inside the same capture
+    // window, the standard NetFlow session-stitching shape: one hash
+    // equi-join on the mirrored key, lexicographic guard keeps one row
+    // per session. The fixture plants a reverse line for every %11
+    // forward flow and the address spaces are otherwise disjoint, so the
+    // planted sessions are exactly what the join may find.
+    "flowlog_bidir_sessions" -> { (s, d) =>
+      FlowLog.pairBidirectional(parsedFlow(s, d))
+        .select(col("addr_fwd"), col("port_fwd").cast("long").as("port_fwd"),
+          col("addr_rev"), col("port_rev").cast("long").as("port_rev"),
+          col("bytes_fwd"), col("bytes_rev"),
+          col("action_fwd"), col("action_rev"))
+        .orderBy(col("addr_fwd").asc, col("port_fwd").asc,
+          col("addr_rev").asc, col("port_rev").asc)
+    },
+
     // Envelope-level stats straight off the decode (before parse): events
     // and event-time span per log stream — pins the gunzip + from_json +
     // explode layer itself (envelope grouping, stream naming, the
@@ -233,18 +293,20 @@ object FlowLogQueries {
     }
   )
 
-  // Shared oracle CTE: the normal (parsed-OK) lines recomputed from
-  // events with the SAME event_id arithmetic as syntheticLines. Floor
-  // divisions are DuckDB `//` ≡ Spark `div` (all operands non-negative).
+  // Shared oracle CTE: every parsed-OK line — the forward population
+  // UNION ALL the planted %11 reverse mirrors — recomputed from events
+  // with the SAME event_id arithmetic as syntheticLines. Floor divisions
+  // are DuckDB `//` ≡ Spark `div` (all operands non-negative).
   // NOTE: this string is interpolated into stripMargin oracle texts, so
   // no continuation line here may START with '|' (a leading || would
   // lose one pipe to the outer strip).
   private val okLines =
-    """SELECT
+    """SELECT event_id, 'f' AS dir,
       |  'eni-' || CAST(event_id % 40 AS VARCHAR) AS interface_id,
       |  '10.0.0.' || CAST(event_id % 20 AS VARCHAR) AS srcaddr,
       |  '10.1.' || CAST((event_id // 20) % 30 AS VARCHAR) || '.' ||
       |    CAST(event_id % 25 AS VARCHAR) AS dstaddr,
+      |  1024 + event_id % 50000 AS srcport,
       |  CASE WHEN event_id % 20 >= 12 THEN 1 + (event_id * 13) % 1024
       |       ELSE CASE (event_id // 20) % 4
       |            WHEN 0 THEN 80 WHEN 1 THEN 443 WHEN 2 THEN 22 ELSE 53 END
@@ -255,7 +317,25 @@ object FlowLogQueries {
       |  CASE WHEN event_id % 5 = 0 THEN 'REJECT' ELSE 'ACCEPT' END AS action
       |FROM events
       |WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
-      |  AND event_id % 101 <> 0""".stripMargin
+      |  AND event_id % 101 <> 0
+      |UNION ALL
+      |SELECT event_id, 'r' AS dir,
+      |  'eni-' || CAST(event_id % 40 AS VARCHAR) AS interface_id,
+      |  '10.1.' || CAST((event_id // 20) % 30 AS VARCHAR) || '.' ||
+      |    CAST(event_id % 25 AS VARCHAR) AS srcaddr,
+      |  '10.0.0.' || CAST(event_id % 20 AS VARCHAR) AS dstaddr,
+      |  CASE WHEN event_id % 20 >= 12 THEN 1 + (event_id * 13) % 1024
+      |       ELSE CASE (event_id // 20) % 4
+      |            WHEN 0 THEN 80 WHEN 1 THEN 443 WHEN 2 THEN 22 ELSE 53 END
+      |  END AS srcport,
+      |  1024 + event_id % 50000 AS dstport,
+      |  1 + event_id % 97 AS packets,
+      |  40 * (1 + event_id % 97) + (event_id * 7) % 997 + 7 AS bytes,
+      |  1704067200 + (event_id * 37) % 259200 AS start_s,
+      |  'ACCEPT' AS action
+      |FROM events
+      |WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+      |  AND event_id % 101 <> 0 AND event_id % 11 = 0""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
 
@@ -312,7 +392,13 @@ object FlowLogQueries {
         |                   AND event_id % 101 <> 0
         |              THEN 40 * (1 + event_id % 97) + (event_id * 7) % 997
         |              ELSE NULL END AS bytes
-        |  FROM events)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'OK' AS status,
+        |         40 * (1 + event_id % 97) + (event_id * 7) % 997 + 7 AS bytes
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 11 = 0)
         |SELECT status, count(*) AS n_lines,
         |       CAST(sum(bytes) AS BIGINT) AS total_bytes
         |FROM cls
@@ -320,7 +406,13 @@ object FlowLogQueries {
         |ORDER BY status ASC""".stripMargin,
 
     "flowlog_envelope_stats" ->
-      """SELECT '/vpc/flowlogs/graft' AS log_group,
+      """WITH ev AS (
+        |  SELECT event_id FROM events
+        |  UNION ALL
+        |  SELECT event_id FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 11 = 0)
+        |SELECT '/vpc/flowlogs/graft' AS log_group,
         |       'eni-stream-' || CAST((event_id // 50) % 8 AS VARCHAR)
         |         AS log_stream,
         |       count(*) AS n_events,
@@ -328,8 +420,24 @@ object FlowLogQueries {
         |         AS first_ts,
         |       max(epoch_ms((1704067200 + (event_id * 37) % 259200) * 1000))
         |         AS last_ts
-        |FROM events
+        |FROM ev
         |GROUP BY log_group, log_stream
-        |ORDER BY log_group ASC, log_stream ASC""".stripMargin
+        |ORDER BY log_group ASC, log_stream ASC""".stripMargin,
+
+    // Closed-form oracle: the planted mirrors are BY CONSTRUCTION the only
+    // 5-tuple-mirror pairs (src/dst address spaces are disjoint), so the
+    // oracle enumerates them straight from the forward %11 rows — equality
+    // pins that the Spark self-join reconstructs exactly the planted
+    // sessions, no more, no fewer.
+    "flowlog_bidir_sessions" ->
+      s"""WITH f AS ($okLines)
+         |SELECT srcaddr AS addr_fwd, CAST(srcport AS BIGINT) AS port_fwd,
+         |       dstaddr AS addr_rev, CAST(dstport AS BIGINT) AS port_rev,
+         |       CAST(bytes AS BIGINT) AS bytes_fwd,
+         |       CAST(bytes + 7 AS BIGINT) AS bytes_rev,
+         |       action AS action_fwd, 'ACCEPT' AS action_rev
+         |FROM f
+         |WHERE dir = 'f' AND event_id % 11 = 0
+         |ORDER BY addr_fwd ASC, port_fwd ASC, addr_rev ASC, port_rev ASC""".stripMargin
   )
 }

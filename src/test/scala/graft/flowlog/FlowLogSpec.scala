@@ -218,11 +218,18 @@ class FlowLogSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val events = graft.Tables.events(spark, sf)
     val n = events.count()
+    // one line per event + one reverse mirror per normal %11 row
+    val nMirror = events.filter(expr(
+      """event_id % 103 <> 0 AND event_id % 97 <> 0
+        |AND event_id % 101 <> 0 AND event_id % 11 = 0"""
+        .stripMargin.replace("\n", " "))).count()
     val parsed = FlowLog.parseFlowLogs(
       FlowLog.decodeEnvelopes(FlowLogQueries.syntheticEnvelopes(events)))
       .cache()
     try {
-      assert(parsed.count() === n, "envelope roundtrip lost or invented lines")
+      assert(parsed.count() === n + nMirror,
+        "envelope roundtrip lost or invented lines")
+      assert(nMirror > 0, "no mirror sessions planted (vacuous bidir fixture)")
       val byStatus = parsed
         .groupBy(when(col("parse_error").isNotNull, lit("QUARANTINED"))
           .otherwise(col("log_status")).as("st"))
