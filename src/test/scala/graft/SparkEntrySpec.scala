@@ -12,14 +12,15 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Sources.queries, ops.Basics.queries, ops.Joins.queries,
       ops.Aggregates.queries, ops.Windows.queries, ops.Scalars.queries,
       ops.LlmOps.queries, ops.Udfs.queries, ops.StreamBatch.queries,
-      ops.Reshape.queries, ops.EventAnalytics.queries, ops.Graph.queries)
+      ops.Reshape.queries, ops.EventAnalytics.queries, ops.Graph.queries,
+      flowlog.FlowLogQueries.queries)
       .flatten.map(_._1)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     assert(all.size === SparkEntry.queries.size)
   }
 
-  test("every oracle key has a query; rows-only queries are the known twelve") {
+  test("every oracle key has a query; rows-only queries are the known thirteen") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
@@ -49,12 +50,17 @@ class SparkEntrySpec extends AnyFunSuite {
     // nprobe-cell candidate set — same fixed-codebook status as its
     // siblings; recall monotonicity in nprobe, nprobe=1 ≡ single-cell,
     // and reshuffle determinism pinned in LlmOpsSpec.
+    // llm_sim_ann_ivfpq_multiprobe joined in round 14: PQ-approximated
+    // scores over the nprobe-cell candidate set (the composition of the
+    // two statuses above); nprobe=1 ≡ llm_sim_ann_ivfpq bit-identically,
+    // the subset chain with score stability, recall monotonicity, and
+    // reshuffle determinism pinned in LlmOpsSpec.
     assert(rowsOnly === Set("llm_dedup_simhash", "llm_sim_ann_lsh",
       "llm_sim_ann_ivf", "llm_sim_ann_pq", "llm_sim_ann_ivf_persisted",
       "llm_sim_ann_pq_persisted", "llm_sim_ann_ivf_upsert",
       "llm_sim_ann_ivf_compact", "llm_sim_ann_ivfpq",
       "llm_sim_ann_ivfpq_refined", "llm_sim_ann_ivfpq_upsert",
-      "llm_sim_ann_ivf_multiprobe"),
+      "llm_sim_ann_ivf_multiprobe", "llm_sim_ann_ivfpq_multiprobe"),
       s"unexpected oracle-less queries: ${rowsOnly.mkString(", ")}")
   }
 
