@@ -1,6 +1,7 @@
 package graft.flowlog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DECLARED, oracle-backed flow-log analytics (SURVEY.md §2.L) — the
@@ -184,20 +185,23 @@ object FlowLogQueries {
       .unionByName(junk)
   }
 
-  /** Signature-keyed envelope-fixture dir — the fmtDir/annIndexDir
+  /** Signature-keyed fixture dir — the fmtDir/annIndexDir
     * (name, size, mtime) discipline on events.parquet, so a regenerated
-    * fixture is never answered from stale envelopes. */
-  private def envDir(d: String): String = {
+    * fixture is never answered from stale derived data. */
+  private def sigDir(d: String, tag: String): String = {
     val src = new java.io.File(s"$d/events.parquet")
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
     val sig = files.filter(_.isFile)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
-    // v2: the %11 reverse-mirror lines joined the population — the
-    // version token invalidates any pre-mirror envelope cache
     val h = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$d|flowlog_env_v2|$sig"))
-    s"${System.getProperty("java.io.tmpdir")}/graft_flowlog_env_$h"
+      scala.util.hashing.MurmurHash3.stringHash(s"$d|$tag|$sig"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_$tag$h"
   }
+
+  /** Envelope-fixture dir. The v2 token: the %11 reverse-mirror lines
+    * joined the population — it invalidates any pre-mirror envelope
+    * cache. */
+  private def envDir(d: String): String = sigDir(d, "flowlog_env_v2_")
 
   /** The decoded event stream: envelope fixture (written once per source
     * signature) through the real gunzip + from_json + explode path. */
@@ -290,6 +294,66 @@ object FlowLogQueries {
           col("first_ts0").cast("timestamp_ntz").as("first_ts"),
           col("last_ts0").cast("timestamp_ntz").as("last_ts"))
         .orderBy(col("log_group").asc, col("log_stream").asc)
+    },
+
+    // Beaconing / C2-channel regularity: the 10 most-REGULAR
+    // (srcaddr, dstport) channels — rank by the exact integer dispersion
+    // m·Σg² − (Σg)² of the sorted inter-arrival gaps (0 ⇔ perfectly
+    // periodic; the n·Σx²−(Σx)² variance numerator over m = n−1 gaps), a
+    // standard beacon-detection statistic computed with NO floats at all.
+    // Gaps come from lag() over start_s within the channel: ties order
+    // arbitrarily but equal VALUES make the gap sequence invariant, so
+    // the per-channel (Σg, Σg²) pair is deterministic. Magnitudes: Σg ≤
+    // the 259200 s capture span (gaps telescope to max−min), so m·Σg² ≤
+    // m·span² < 2⁶³ for any fixture scale. One window + one groupBy on
+    // the SAME channel key — the aggregation reuses the window's
+    // exchange; the well-known-port channels (48 of them, ≥5 flows at
+    // every scale) make the n ≥ 5 floor non-vacuous everywhere.
+    "flowlog_beacon_regularity" -> { (s, d) =>
+      val f = parsedFlow(s, d)
+        .filter(col("log_status") === "OK")
+        .select(col("srcaddr"), col("dstport").cast("long").as("dstport"),
+          col("start_ts").cast("long").as("start_s"))
+      val w = Window.partitionBy(col("srcaddr"), col("dstport"))
+        .orderBy(col("start_s").asc)
+      f.withColumn("gap", col("start_s") - lag(col("start_s"), 1).over(w))
+        .groupBy(col("srcaddr"), col("dstport"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(col("gap")).as("span_s"),
+          sum(col("gap") * col("gap")).as("ss"))
+        .filter(col("n_flows") >= 5)
+        .select(col("srcaddr"), col("dstport"), col("n_flows"), col("span_s"),
+          ((col("n_flows") - lit(1L)) * col("ss") -
+            col("span_s") * col("span_s")).as("dispersion"))
+        .orderBy(col("dispersion").asc, col("n_flows").desc,
+          col("srcaddr").asc, col("dstport").asc)
+        .limit(10)
+    },
+
+    // The reference pipeline's OUTPUT surface as a declared query: the
+    // dt=YYYY-MM-DD/hr=HH partitioned parquet sink (FlowLog
+    // .writePartitioned — written once per source signature through the
+    // real withDatePartitions + partitionBy path, quarantine rows landing
+    // under the hive null partition), read back with partition-pruning
+    // predicates (dt = day 2, hr 06–17 — FlowLogSpec asserts the pruned
+    // scan) and aggregated per hour × action. Hive partition-type
+    // inference types dt as DATE and hr as INT on read — the layout's
+    // contract, pinned here cross-engine.
+    "flowlog_partitioned_sink_read" -> { (s, d) =>
+      val dir = sigDir(d, "flowlog_sink_")
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        FlowLog.writePartitioned(
+          FlowLog.withDatePartitions(parsedFlow(s, d)), dir)
+      s.read.parquet(dir)
+        // day 1 / hours 01–08: the only day every fixture scale populates
+        // (start offsets are (event_id·37) mod 259200 — sf0.001's 1000
+        // ids only reach offset 36963, all inside day 1)
+        .filter(col("dt") === lit(java.sql.Date.valueOf("2024-01-01")) &&
+          col("hr").between(1, 8) && col("log_status") === "OK")
+        .groupBy(col("hr"), col("action"))
+        .agg(count(lit(1)).as("n_flows"), sum(col("bytes")).as("total_bytes"),
+          sum(col("packets")).as("total_packets"))
+        .orderBy(col("hr").asc, col("action").asc)
     }
   )
 
@@ -438,6 +502,44 @@ object FlowLogQueries {
          |       action AS action_fwd, 'ACCEPT' AS action_rev
          |FROM f
          |WHERE dir = 'f' AND event_id % 11 = 0
-         |ORDER BY addr_fwd ASC, port_fwd ASC, addr_rev ASC, port_rev ASC""".stripMargin
+         |ORDER BY addr_fwd ASC, port_fwd ASC, addr_rev ASC, port_rev ASC""".stripMargin,
+
+    // Same lag-over-sorted-starts gap derivation: ties order arbitrarily
+    // in both engines, but equal values leave the gap multiset invariant,
+    // so the integer dispersion matches exactly.
+    "flowlog_beacon_regularity" ->
+      s"""WITH f AS ($okLines),
+         |g AS (SELECT srcaddr, dstport,
+         |        start_s - lag(start_s) OVER (
+         |          PARTITION BY srcaddr, dstport ORDER BY start_s) AS gap
+         |      FROM f),
+         |a AS (SELECT srcaddr, dstport, count(*) AS n_flows,
+         |        CAST(sum(gap) AS BIGINT) AS span_s,
+         |        CAST(sum(gap * gap) AS BIGINT) AS ss
+         |      FROM g GROUP BY srcaddr, dstport
+         |      HAVING count(*) >= 5)
+         |SELECT srcaddr, CAST(dstport AS BIGINT) AS dstport, n_flows, span_s,
+         |       CAST((n_flows - 1) * ss - span_s * span_s AS BIGINT)
+         |         AS dispersion
+         |FROM a
+         |ORDER BY dispersion ASC, n_flows DESC, srcaddr ASC, dstport ASC
+         |LIMIT 10""".stripMargin,
+
+    // Day 1 of the fixture span is epoch day 19723 (1704067200 // 86400);
+    // hr is the hour-of-day the dt/hr layout partitions on. The oracle
+    // recomputes the pruned readback straight from events — a sink row
+    // lost to a wrong partition value, a mis-derived dt/hr, or broken
+    // pruning all hash-mismatch.
+    "flowlog_partitioned_sink_read" ->
+      s"""WITH f AS ($okLines)
+         |SELECT CAST((start_s % 86400) // 3600 AS INT) AS hr, action,
+         |       count(*) AS n_flows,
+         |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         |       CAST(sum(packets) AS BIGINT) AS total_packets
+         |FROM f
+         |WHERE start_s // 86400 = 19723
+         |  AND (start_s % 86400) // 3600 BETWEEN 1 AND 8
+         |GROUP BY hr, action
+         |ORDER BY hr ASC, action ASC""".stripMargin
   )
 }

@@ -330,6 +330,102 @@ object EventAnalytics {
         .orderBy(col("event_type").asc)
     },
 
+    // Theil–Sen robust trend per event_type over each key's first 60
+    // observations: the median of all pairwise slopes (iv_j − iv_i) /
+    // (t_j − t_i), the outlier-resistant alternative to OLS regression
+    // (29% breakdown point). The WINDOW BOUND is the semantics — all-pairs
+    // over an unbounded key is quadratic, so the declared query estimates
+    // the trend of the fixed-width series head (rn ≤ 60, saturated at
+    // every fixture scale); at 100 TB the same shape runs per
+    // (key, calendar window) with the bound as the window row cap — the
+    // production Theil–Sen recipe (the full estimator would use
+    // repeated-median or pair sampling). Exactness: slopes are ratios of
+    // exact integers (iv ten-thousandths, dx microseconds via
+    // timestampdiff; Δt = 0 pairs excluded as in the standard estimator);
+    // the median is selected by row_number over the IEEE-divided double
+    // (identical in both engines) with the (dy, dx) integer tie-break, so
+    // the output (median pair + one double division, ×3.6e9 ≤ 2.1e16 —
+    // no overflow) is bit-deterministic. One windowed rank + a ≤60-row
+    // per-key self-join + one windowed median pick: three exchanges on
+    // the same key, each over ≤ keys·60 (or ·1770) rows.
+    "ts_theil_sen" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pts = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 60)
+      val pa = pts.select(col("event_type"), col("ts").as("ts_a"),
+        col("iv").as("iv_a"), col("rn").as("rn_a"))
+      val pb = pts.select(col("event_type"), col("ts").as("ts_b"),
+        col("iv").as("iv_b"), col("rn").as("rn_b"))
+      val pairs = pa.join(pb, Seq("event_type"))
+        .filter(col("rn_b") > col("rn_a") && col("ts_b") =!= col("ts_a"))
+        .select(col("event_type"), (col("iv_b") - col("iv_a")).as("dy"),
+          expr("timestampdiff(MICROSECOND, ts_a, ts_b)").as("dx"))
+      val order = Window.partitionBy(col("event_type"))
+        .orderBy((col("dy").cast("double") / col("dx").cast("double")).asc,
+          col("dy").asc, col("dx").asc)
+      pairs
+        .withColumn("sr", row_number().over(order))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("sr") === expr("(m + 1) div 2"))
+        .select(col("event_type"), col("m").as("n_pairs"),
+          col("dy").as("med_dy"), col("dx").as("med_dx"),
+          ((col("dy") * lit(3600000000L)).cast("double") /
+            col("dx").cast("double")).as("slope_per_hour"))
+        .orderBy(col("event_type").asc)
+    },
+
+    // Mann–Kendall trend test per event_type over the same first-60
+    // window as ts_theil_sen (the standard robust-trend PAIRING: MK for
+    // significance, Theil–Sen for magnitude). S = Σ_{i<j} sign(x_j − x_i)
+    // and the tie-corrected variance numerator
+    // n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) are EXACT BIGINTs (one pair
+    // aggregate + one tie-group aggregate, joined per key); only the
+    // z-score leaves integers — (S ∓ 1) / sqrt(var_num / 18), a chain of
+    // IEEE-correctly-rounded ops on exact integers (the ⌊√n⌋ round-7
+    // rule extended: determinism needs identical correctly-rounded ops,
+    // not exactness), rounded once at output.
+    "ts_mann_kendall" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pts = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 60)
+      val pa = pts.select(col("event_type"), col("iv").as("iv_a"),
+        col("rn").as("rn_a"))
+      val pb = pts.select(col("event_type"), col("iv").as("iv_b"),
+        col("rn").as("rn_b"))
+      val sAgg = pa.join(pb, Seq("event_type"))
+        .filter(col("rn_b") > col("rn_a"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("iv_b") > col("iv_a"), 1L)
+          .when(col("iv_b") < col("iv_a"), -1L).otherwise(0L)).as("s"))
+      val tieAgg = pts.groupBy(col("event_type"), col("iv"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t")).as("n"),
+          sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+            .as("tie_term"))
+      sAgg.join(tieAgg, Seq("event_type"))
+        .withColumn("var_num",
+          col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+            col("tie_term"))
+        .select(col("event_type"), col("n"), col("s"), col("var_num"),
+          round(
+            (col("s") - signum(col("s")).cast("long")).cast("double") /
+              sqrt(when(col("var_num") > 0, col("var_num")).cast("double") /
+                lit(18.0)), 6).as("z"))
+        .orderBy(col("event_type").asc)
+    },
+
     // Holt linear (double exponential) smoothing per (event_type, day) —
     // the level+trend recurrence ts_ewma_dyadic's single-state kernel
     // cannot express:
@@ -1234,6 +1330,74 @@ object EventAnalytics {
         |       count(prev) AS n_pairs
         |FROM p GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    // Same bounded all-pairs median: epoch_us deltas twin timestampdiff
+    // (MICROSECOND), the sort key is the identical IEEE double division,
+    // and `//` ≡ Spark `div` on the non-negative (m + 1).
+    "ts_theil_sen" ->
+      """WITH p AS (
+        |  SELECT event_type, epoch_us(ts) AS t,
+        |         CAST(round(value * 10000, 0) AS BIGINT) AS iv,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |),
+        |w AS (SELECT * FROM p WHERE rn <= 60),
+        |pr AS (
+        |  SELECT a.event_type, b.iv - a.iv AS dy, b.t - a.t AS dx
+        |  FROM w a JOIN w b ON a.event_type = b.event_type
+        |   AND b.rn > a.rn AND b.t <> a.t
+        |),
+        |r AS (
+        |  SELECT event_type, dy, dx,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC,
+        |                    dy ASC, dx ASC) AS sr,
+        |         count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM pr
+        |)
+        |SELECT event_type, m AS n_pairs, dy AS med_dy, dx AS med_dx,
+        |       CAST(dy * 3600000000 AS DOUBLE) / CAST(dx AS DOUBLE)
+        |         AS slope_per_hour
+        |FROM r WHERE sr = (m + 1) // 2
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    // Same first-60 window; S and the tie-corrected variance numerator
+    // stay exact BIGINT, the z chain is the identical sequence of
+    // correctly-rounded IEEE ops (CAST(18 AS DOUBLE): a bare 18.0 is
+    // DECIMAL in DuckDB, per the repo float-division rule).
+    "ts_mann_kendall" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 10000, 0) AS BIGINT) AS iv,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |),
+        |w AS (SELECT * FROM p WHERE rn <= 60),
+        |sa AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(CASE WHEN b.iv > a.iv THEN 1
+        |                       WHEN b.iv < a.iv THEN -1
+        |                       ELSE 0 END) AS BIGINT) AS s
+        |  FROM w a JOIN w b ON a.event_type = b.event_type AND b.rn > a.rn
+        |  GROUP BY a.event_type
+        |),
+        |tg AS (SELECT event_type, iv, count(*) AS t
+        |       FROM w GROUP BY event_type, iv),
+        |ta AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+        |              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |                AS tie_term
+        |       FROM tg GROUP BY event_type)
+        |SELECT sa.event_type, n, s,
+        |       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)
+        |         AS var_num,
+        |       round(CAST(s - sign(s) AS DOUBLE) /
+        |             sqrt(CAST(CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0
+        |                            THEN n * (n - 1) * (2 * n + 5) - tie_term
+        |                       END AS DOUBLE) / CAST(18 AS DOUBLE)), 6) AS z
+        |FROM sa JOIN ta ON sa.event_type = ta.event_type
+        |ORDER BY sa.event_type ASC NULLS FIRST""".stripMargin,
 
     "ts_ewma_dyadic" -> {
       // The identical 16-tap dyadic kernel, generated to keep the 16 lag

@@ -989,6 +989,23 @@ object Graph {
     // see kcorePeel.
     "graph_kcore" -> { (s, d) =>
       kcorePeel(coEdgesP(s, d), k = 80, rounds = 8)
+    },
+
+    // 4-round 4-truss peel of the pk < 1200 co-occurrence slice — the
+    // EDGE-level cohesion analogue of k-core (an edge survives iff it
+    // closes ≥ k−2 triangles among surviving edges), the standard
+    // community-kernel extractor. The deterministic part-id slice is the
+    // oracle-subset discipline (the dedup twins' doc_id < 500 precedent):
+    // the full graph's wedge join is quadratic for the DuckDB twin at
+    // sf0.1, and the slice pushes to the persisted edge parquet as a
+    // DataFilter on both endpoints. The peel + its cascade fire at
+    // sf0.01 AND sf0.1 (652+84 / 4116+28 edges removed); at sf0.001 the
+    // slice is already a 4-truss (min support 13 — the peel is the
+    // identity there, and GraphSpec pins the cascade on a hand-built
+    // graph instead, per the vacuity rule). See ktrussPeel.
+    "graph_ktruss" -> { (s, d) =>
+      ktrussPeel(coEdgesP(s, d).filter(col("a") < 1200 && col("b") < 1200),
+        k = 4, rounds = 4)
     }
   )
 
@@ -1069,6 +1086,69 @@ object Graph {
     deg.filter(col("dg") > 0)
       .select(col("v").as("part"), col("dg").as("core_deg"))
       .orderBy(col("part").asc)
+  }
+
+  /** Bounded-round k-truss peel over a canonical (a < b) edge list:
+    * `rounds` synchronous rounds of "drop every edge whose support —
+    * triangles it closes among SURVIVING edges — is < k−2", then the
+    * survivors with their final in-truss support. The round bound makes
+    * the semantics a constant of the QUERY (the kcorePeel precedent), so
+    * the oracle is the same rounds unrolled as MATERIALIZED chained CTEs
+    * (adjacency lists via list_sort(list(v)), support via
+    * len(list_intersect) — the same sorted-merge the Spark side runs);
+    * post-convergence rounds are the identity, so Spark's early stop on a
+    * driver-side SCALAR edge count ≡ the full unroll.
+    *
+    * Scale: support recompute per round is the triangleCensus shape — two
+    * vertex-keyed adjacency joins + the codegen'd
+    * `graft_sorted_intersect_long` merge kernel per edge; no wedge or
+    * triangle row is ever materialized or shuffled. The edge set shrinks
+    * monotonically, so each round shuffles the survivor subgraph, never
+    * the original corpus; at 100 TB the edge list is bucketed by vertex so
+    * the adjacency joins co-locate (k-core's deployment layout). Unlike
+    * kcorePeel's delta form, support recompute stays FULL per round:
+    * a removed edge changes the support of every edge in its triangles,
+    * so the delta probe is itself a triangle enumeration over the removed
+    * set — cheaper only when removals are rare; at fixture scale the full
+    * recompute over the shrinking survivor set wins (the kcore "recompute
+    * beat packing" measurement, same trade). Per-round eager checkpoints
+    * break the 3-references-per-round plan blow-up; each retires via
+    * releaseCheckpoint once its successor materializes. */
+  def ktrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(edges.sparkSession)
+    def support(e: DataFrame): DataFrame = {
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        .groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nb"))
+      e.join(adj.select(col("u").as("a"), col("nb").as("nb_a")), "a")
+        .join(adj.select(col("u").as("b"), col("nb").as("nb_b")), "b")
+        .select(col("a"), col("b"),
+          expr("graft_sorted_intersect_long(nb_a, nb_b)")
+            .cast("long").as("support"))
+    }
+    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    var nEdges = e.count()
+    var round = 0
+    var done = false
+    while (round < rounds && !done) {
+      val next = support(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      val nNext = next.count()
+      if (nNext == nEdges) {
+        // converged: support is a pure function of the surviving edge
+        // set, so every later round is the identity (≡ the full unroll)
+        LlmOps.releaseCheckpoint(next)
+        done = true
+      } else {
+        LlmOps.releaseCheckpoint(e)
+        e = next
+        nEdges = nNext
+      }
+      round += 1
+    }
+    // final support measured ON the converged set — matches the oracle's
+    // trailing support pass over e_rounds
+    support(e).orderBy(col("a").asc, col("b").asc)
   }
 
   private val edgeCte =
@@ -1498,6 +1578,39 @@ object Graph {
          |FROM (SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8)
          |GROUP BY v
          |ORDER BY part ASC NULLS FIRST""".stripMargin
+    },
+
+    // The identical 4-round truss peel UNROLLED (kcore discipline):
+    // adjacency lists + list_intersect is DuckDB's twin of the
+    // sorted-intersect kernel; every per-round CTE MATERIALIZED (each is
+    // referenced twice by its round and once downstream — default
+    // inlining would re-expand the chain). The trailing pass re-measures
+    // support on the converged set, matching ktrussPeel's output.
+    "graph_ktruss" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""adj$i AS MATERIALIZED (
+           |  SELECT u, list_sort(list(v)) AS nb
+           |  FROM (SELECT a AS u, b AS v FROM e${i - 1}
+           |        UNION ALL SELECT b, a FROM e${i - 1})
+           |  GROUP BY u),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.a, e.b
+           |  FROM e${i - 1} e JOIN adj$i na ON na.u = e.a
+           |                   JOIN adj$i nbb ON nbb.u = e.b
+           |  WHERE len(list_intersect(na.nb, nbb.nb)) >= 2)""".stripMargin
+      }
+      s"""$edgeCte,
+         |e0 AS MATERIALIZED (SELECT a, b FROM e
+         |      WHERE a < 1200 AND b < 1200),
+         |${rounds.mkString(",\n")},
+         |adjF AS MATERIALIZED (
+         |  SELECT u, list_sort(list(v)) AS nb
+         |  FROM (SELECT a AS u, b AS v FROM e4 UNION ALL SELECT b, a FROM e4)
+         |  GROUP BY u)
+         |SELECT e.a, e.b,
+         |       CAST(len(list_intersect(na.nb, nbb.nb)) AS BIGINT) AS support
+         |FROM e4 e JOIN adjF na ON na.u = e.a JOIN adjF nbb ON nbb.u = e.b
+         |ORDER BY e.a ASC, e.b ASC""".stripMargin
     }
   )
 }

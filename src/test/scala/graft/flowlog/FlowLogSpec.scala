@@ -248,4 +248,57 @@ class FlowLogSpec extends SparkSpec {
         col("parse_error").isNull && col("vpc_id").isNotNull).count() === 0)
     } finally parsed.unpersist()
   }
+
+  test("partitioned sink readback prunes dt/hr partitions at the scan") {
+    // flowlog_partitioned_sink_read declares the dt/hr parquet layout;
+    // the oracle pins VALUES, this pins the layout's point — the dt/hr
+    // predicates must land as PartitionFilters (directory pruning), not
+    // row-level data filters. Execute first (round-4 AQE rule), widen the
+    // metadata print limit (round-13 truncation rule).
+    val sf = "/root/testdata/sf0.001"
+    val prevMeta = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val q = graft.SparkEntry.queries("flowlog_partitioned_sink_read")(spark, sf)
+      assert(q.collect().nonEmpty, "pruned readback returned no rows")
+      val plan = q.queryExecution.executedPlan.toString
+      val scanLines = plan.linesIterator
+        .filter(_.contains("PartitionFilters")).toSeq
+      assert(scanLines.nonEmpty, s"no partition filters in:\n$plan")
+      assert(scanLines.exists(l => l.contains("dt") && l.contains("hr")),
+        s"dt/hr not pruned at the scan:\n${scanLines.mkString("\n")}")
+      // the partition predicates must NOT degrade to row-level filters
+      assert(!plan.replaceAll("(?s)PartitionFilters.*", "")
+        .contains("EqualTo(dt"), "dt filter applied row-level")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevMeta)
+  }
+
+  test("beacon regularity: a perfectly periodic channel scores dispersion 0 and ranks first") {
+    // Hand-built parse input: channel A fires every 60 s (dispersion 0),
+    // channel B fires with jitter (dispersion > 0), channel C has n < 5
+    // (filtered). Pins the gap fold m·Σg²−(Σg)² independently of the
+    // fixture arithmetic the oracle uses.
+    val a = (0 until 6).map(i => s"2 123456789012 eni-1 10.0.0.1 10.1.0.1 1024 443 6 1 40 ${1000 + 60 * i} ${1000 + 60 * i + 1} ACCEPT OK")
+    val b = Seq(0, 50, 130, 170, 260).map(t => s"2 123456789012 eni-1 10.0.0.2 10.1.0.2 1024 80 6 1 40 ${2000 + t} ${2000 + t + 1} ACCEPT OK")
+    val c = Seq(0, 60).map(t => s"2 123456789012 eni-1 10.0.0.3 10.1.0.3 1024 22 6 1 40 ${3000 + t} ${3000 + t + 1} ACCEPT OK")
+    import spark.implicits._
+    val parsed = FlowLog.parseFlowLogs((a ++ b ++ c).toDF("message"))
+      .select(col("srcaddr"), col("dstport").cast("long").as("dstport"),
+        col("start_ts").cast("long").as("start_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("srcaddr"), col("dstport")).orderBy(col("start_s").asc)
+    val got = parsed
+      .withColumn("gap", col("start_s") - lag(col("start_s"), 1).over(w))
+      .groupBy(col("srcaddr"), col("dstport"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("ss"))
+      .filter(col("n") >= 5)
+      .select(col("srcaddr"),
+        ((col("n") - lit(1L)) * col("ss") - col("sg") * col("sg")).as("disp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("10.0.0.1", "10.0.0.2"), s"wrong channels: $got")
+    assert(got("10.0.0.1") === 0L, "periodic channel must score 0")
+    // B: gaps 50,80,40,90 → m=4, Σg=260, Σg²=18600 → 4·18600−260²=6800
+    assert(got("10.0.0.2") === 6800L, s"jittered channel dispersion: $got")
+  }
 }

@@ -355,6 +355,71 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Naive synchronous truss peel: one round drops every edge with fewer
+    * than k−2 common neighbors among surviving edges. */
+  private def trussRounds(edges: Set[(Long, Long)], k: Int,
+      rounds: Int): Set[(Long, Long)] = {
+    def nbrs(es: Set[(Long, Long)]): Map[Long, Set[Long]] =
+      es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, l) => v -> l.map(_._2).toSet }
+    var es = edges
+    var r = 0
+    var changed = true
+    while (r < rounds && changed) {
+      val nb = nbrs(es)
+      val next = es.filter { case (a, b) => (nb(a) & nb(b)).size >= k - 2 }
+      changed = next != es
+      es = next
+      r += 1
+    }
+    es
+  }
+
+  private def trussSupports(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+    val nb = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, l) => v -> l.map(_._2).toSet }
+    es.map { case (a, b) => (a, b) -> (nb(a) & nb(b)).size.toLong }.toMap
+  }
+
+  test("k-truss peel matches a naive peel-to-convergence on seeded graphs") {
+    for (seed <- 21L to 23L; k <- Seq(3, 4, 5)) {
+      val edges = randomEdges(n = 40, m = 170, seed = seed)
+      val expect = trussSupports(trussRounds(edges, k, rounds = 1000))
+      val got = Graph.ktrussPeel(edgeDf(edges), k, rounds = 40).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+          r.getAs[Long]("support")).toMap
+      assert(got === expect, s"seed=$seed k=$k ktruss differs")
+      // the defining invariant: every surviving edge closes ≥ k−2
+      // triangles within the truss
+      assert(got.values.forall(_ >= k - 2), s"seed=$seed k=$k weak survivor")
+    }
+  }
+
+  test("k-truss cascade: removing weak edges starves the shared edge a round later") {
+    // Two triangles sharing edge (2,3) — the four outer edges have
+    // support 1, the shared edge support 2 — plus a disjoint 4-clique
+    // (every edge support 2, a stable 4-truss). Round 1 of the k=4 peel
+    // removes only the outer edges; (2,3) survives round 1 and dies in
+    // round 2 PURELY through the cascade (its triangles lost their other
+    // sides). The bounded-round semantics make that observable: rounds=1
+    // keeps (2,3) at in-truss support 0, rounds≥2 converge to the clique.
+    val gadget = Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val clique = Set((10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L))
+    val edges = gadget ++ clique
+    def run(rounds: Int): Map[(Long, Long), Long] =
+      Graph.ktrussPeel(edgeDf(edges), k = 4, rounds = rounds).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+          r.getAs[Long]("support")).toMap
+    val cliqueSup = clique.map(_ -> 2L).toMap
+    assert(run(1) === cliqueSup + ((2L, 3L) -> 0L),
+      "round 1 should keep the shared edge (support 2 before the peel)")
+    assert(run(2) === cliqueSup,
+      "round 2 should cascade the shared edge away")
+    // early stop ≡ the full unroll once converged (round 3 is identity)
+    assert(run(4) === cliqueSup, "converged peel changed after identity rounds")
+  }
+
   test("persisted edge table equals the inline derivation, and queries read only the edge parquet") {
     // The materialized co-occurrence table is a pure function of
     // lineitem: its rows must equal the inline groupBy+fan-out
