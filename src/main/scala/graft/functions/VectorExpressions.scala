@@ -271,6 +271,52 @@ object VectorKernels {
     * truncating division would diverge on negative trends). One O(n) pass
     * — replaces the aggregate()-HOF fold whose array append is O(n²)
     * (measured 2.3 s → see ts_holt_linear). */
+  /** Double → scale-12 unscaled long, exactly as Spark's Cast to
+    * DECIMAL(·,12) rounds: BigDecimal.valueOf (the Double.toString
+    * canonical form — what scala.math.BigDecimal.decimal and therefore
+    * Decimal.apply(Double) use) then setScale(12, HALF_UP)
+    * (Decimal.changePrecision's rounding mode). Applied ONCE per lookup
+    * table entry at build time — per-row BigDecimal.valueOf measured
+    * ~350 ns/term (Double.toString + parse), which dominated the scorer.
+    * longValueExact throws on magnitude ≥ ~9.2e6, far above any
+    * subvector dot here; [[ivfpqTerms]] sums ≤ pqM of these in a long —
+    * overflow-free by the same bound. */
+  def dec12Scaled(d: Double): Long =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** The three per-pair IVF-PQ reconstruction terms in one pass:
+    * [Σ_m sdc(m, ka_m, kb_m), Σ_m cd(cb, m, ka_m), Σ_m cd(ca, m, kb_m)]
+    * — SDC residual dot, and the two centroid-cross-residual dots — over
+    * lookup tables PRE-ROUNDED to scale-12 unscaled longs
+    * ([[dec12Scaled]]), so the accumulation is plain long addition: exact,
+    * order-independent, ≡ the shuffle-order sum(CAST(… AS DECIMAL(30,12)))
+    * of the join-based scorer bit-for-bit. Results return as doubles via
+    * BigDecimal.valueOf(acc, 12).doubleValue (≡ Decimal.toDouble). k
+    * codes are 1-based (PQ codebook row_number); cid is the 1-based cell
+    * id. This is the graft_holt discipline applied to the PQ scorer: the
+    * interpreted HOF equivalent measured ~650 ns per step at sf0.1. */
+  def ivfpqTerms(sdc12: Array[Long], cd12: Array[Long], pqM: Int, pqK: Int,
+      codesA: ArrayData, codesB: ArrayData, ca: Int, cb: Int): ArrayData = {
+    var sdcAcc = 0L
+    var cxaAcc = 0L
+    var cxbAcc = 0L
+    var m = 0
+    while (m < pqM) {
+      val ka = codesA.getInt(m)
+      val kb = codesB.getInt(m)
+      sdcAcc += sdc12((m * pqK + ka - 1) * pqK + kb - 1)
+      cxaAcc += cd12((cb * pqM + m) * pqK + ka - 1)
+      cxbAcc += cd12((ca * pqM + m) * pqK + kb - 1)
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(
+      java.math.BigDecimal.valueOf(sdcAcc, 12).doubleValue(),
+      java.math.BigDecimal.valueOf(cxaAcc, 12).doubleValue(),
+      java.math.BigDecimal.valueOf(cxbAcc, 12).doubleValue()))
+  }
+
   def holtStates(iv: ArrayData): ArrayData = {
     val n = iv.numElements()
     val out = new Array[Long](2 * n)
@@ -466,6 +512,44 @@ case class SortedIntersectMinWeightSum(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b, c, d) =>
       s"graft.functions.VectorKernels.sortedIntersectMinWeightSum($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** IVF-PQ per-pair decimal-exact term sums (see
+  * [[VectorKernels.ivfpqTerms]]): children are
+  * (codes_a array<int>, codes_b array<int>, ca int, cb int); the two
+  * lookup tables ride as CONSTRUCTOR payloads (driver-collected index
+  * metadata, bounded at pqM·pqK² + nlist·pqM·pqK doubles — shipped once
+  * per task via the codegen reference array, never per row). Built
+  * through PlanBridge.column because the string-keyed function registry
+  * cannot carry array payloads. */
+case class IvfPqTerms(sdc: Array[Long], cd: Array[Long], pqM: Int, pqK: Int,
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(first, second).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }) && Seq(third, fourth).forall(
+      _.dataType == org.apache.spark.sql.types.IntegerType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_ivfpq_terms expects (array<int>, array<int>, int, int)")
+  }
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    VectorKernels.ivfpqTerms(sdc, cd, pqM, pqK, a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[Int], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sdcRef = ctx.addReferenceObj("sdcLut", sdc, "long[]")
+    val cdRef = ctx.addReferenceObj("cdLut", cd, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.VectorKernels.ivfpqTerms(" +
+        s"$sdcRef, $cdRef, $pqM, $pqK, $a, $b, $c, $d);")
+  }
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
 
 /** SURVEY.md §2.J — LLM-training-data pipeline operators: deduplication
   * (exact / MinHash-LSH / SimHash / n-gram Jaccard / containment /
@@ -540,7 +541,7 @@ object LlmOps {
   /** SDC lookup from a PQ codebook: inner products between every pair of
     * codebook entries within a subspace — pqM·pqK² = 4096 skinny rows,
     * broadcast at the pair join. */
-  private def pqSdcTable(cb: DataFrame): DataFrame =
+  private[ops] def pqSdcTable(cb: DataFrame): DataFrame =
     cb.select(col("m"), col("k").as("ka"), col("csub").as("ca"))
       .join(cb.select(col("m"), col("k").as("kb"), col("csub").as("cbb")), Seq("m"))
       .withColumn("ip", expr("graft_dot(ca, cbb)"))
@@ -845,11 +846,68 @@ object LlmOps {
     * IDENTICAL scores for shared pairs (a pair's score never depends on
     * the probe set that surfaced it). The raw vectors never enter the
     * pair join — multi-probe widens candidates, PQ still pays the
-    * shuffle: codes + three doubles per vector. */
+    * shuffle: codes + three doubles per vector.
+    *
+    * Cost shape (round-14 rework, ~20 s → ~3 s at sf0.1): every lookup the
+    * scorer needs is BOUNDED — SDC (pqM·pqK² = 4096), the cross-dot
+    * kernel table <c_cid[m], csub_{m,k}> (nlist·pqM·pqK), centroid pair
+    * dots (nlist²) and norms (nlist) — so instead of routing |cands|·pqM
+    * exploded rows through broadcast joins and a re-grouping aggregate
+    * (the first cut: 5.8M wide rows, three joins, an 8-key hash agg),
+    * the tables are computed by the SAME Spark expressions, collected
+    * once (the llm_bpe_encode bounded-index-collect precedent), and the
+    * three per-pair m-sums run as in-row aggregate() HOF folds over
+    * array LITERALS — one narrow projection over the candidate list, no
+    * explode, no join, no shuffle. Exactness is unchanged term-for-term:
+    * each fold CASTs the looked-up double to DECIMAL(30,12) exactly like
+    * the old sum(cast(dec)) aggregate, and decimal addition is exact, so
+    * fold order ≡ shuffle order ≡ any order (the per-step
+    * CAST(acc + x AS DECIMAL(30,12)) only re-asserts the type — scale-12
+    * addition never rounds and 18 integer digits cannot overflow 16
+    * unit-magnitude terms). LlmOpsSpec's nprobe=1 ≡ single-cell
+    * bit-identity and score-stability pins verify the equivalence. At
+    * 100 TB the literals stay driver-bounded (they are index metadata,
+    * not data); only the candidate list scales. */
   private[ops] def ivfpqMultiProbePairs(codes: DataFrame, cb: DataFrame,
       centroids: DataFrame, flat: DataFrame, nprobe: Int): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
     val dims = 64 / pqM
+    // --- bounded lookup tables, computed by the same Spark expressions as
+    // the join-based scorer and collected to array literals ---
+    // pre-rounded to scale-12 unscaled longs (dec12Scaled — the same
+    // HALF_UP rounding the old per-row decimal cast applied), so the
+    // kernel's accumulation is plain long addition
+    val sdcArr = new Array[Long](pqM * pqK * pqK)
+    pqSdcTable(cb).collect().foreach { r =>
+      // 0-based: (m·pqK + (ka−1))·pqK + (kb−1); k codes are 1-based
+      sdcArr((r.getInt(0) * pqK + r.getInt(1) - 1) * pqK + r.getInt(2) - 1) =
+        graft.functions.VectorKernels.dec12Scaled(r.getDouble(3))
+    }
+    // (cid, m, k) -> <c_cid[m], csub_{m,k}> — the same per-m kernel the
+    // encoder sums into the stored cdot (encodeAgainstIvfPq)
+    val ccdotRows = centroids
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("csubc", expr(s"slice(cemb, m * $dims + 1, $dims)"))
+      .join(cb.select(col("m"), col("k"), col("csub")), Seq("m"))
+      .withColumn("cd", expr("graft_dot(csubc, csub)"))
+      .select(col("cid"), col("m"), col("k"), col("cd"))
+      .collect()
+    val nC = ccdotRows.iterator.map(_.getInt(0)).max + 1
+    val cdArr = new Array[Long](nC * pqM * pqK)
+    ccdotRows.foreach { r =>
+      cdArr((r.getInt(0) * pqM + r.getInt(1)) * pqK + r.getInt(2) - 1) =
+        graft.functions.VectorKernels.dec12Scaled(r.getDouble(3))
+    }
+    val cssqArr = new Array[Double](nC)
+    centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+      .select(col("cid"), col("cssq")).collect()
+      .foreach(r => cssqArr(r.getInt(0)) = r.getDouble(1))
+    val ccijArr = new Array[Double](nC * nC)
+    centroids.select(col("cid").as("ca"), col("cemb").as("cemb_ca"))
+      .crossJoin(centroids.select(col("cid").as("cb_"), col("cemb").as("cemb_cb")))
+      .withColumn("ccij", expr("graft_dot(cemb_ca, cemb_cb)"))
+      .select(col("ca"), col("cb_"), col("ccij")).collect()
+      .foreach(r => ccijArr(r.getInt(0) * nC + r.getInt(1)) = r.getDouble(2))
+    // --- candidate pairs from the multi-probe router ---
     val probes = multiProbeCells(
       flat.select(col("vec_id"), col("emb")), centroids, nprobe)
     val cands = probes.select(col("cid"), col("vec_id").as("va"))
@@ -864,48 +922,41 @@ object LlmOps {
     val b = codes.select(col("vec_id").as("vb"), col("cid").as("cb_"),
       col("codes").as("codes_b"), col("cdot").as("cdot_b"),
       col("rhsq").as("rhsq_b"))
-    val cgeo = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
-      .select(col("cid"), col("cssq"))
-    val cpair = centroids.select(col("cid").as("ca"), col("cemb").as("cemb_ca"))
-      .crossJoin(centroids.select(col("cid").as("cb_"), col("cemb").as("cemb_cb")))
-      .withColumn("ccij", expr("graft_dot(cemb_ca, cemb_cb)"))
-      .select(col("ca"), col("cb_"), col("ccij"))
-    // (cid, m, k) -> <c_cid[m], csub_{m,k}> — the same per-m kernel the
-    // encoder sums into the stored cdot (encodeAgainstIvfPq)
-    val ccdot = centroids
-      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
-      .withColumn("csubc", expr(s"slice(cemb, m * $dims + 1, $dims)"))
-      .join(cb.select(col("m"), col("k"), col("csub")), Seq("m"))
-      .withColumn("cd", expr("graft_dot(csubc, csub)"))
-      .select(col("cid"), col("m"), col("k"), col("cd"))
-    cands.join(a, Seq("va")).join(b, Seq("vb"))
-      // bounded explode: exactly pqM rows per pair (the ANSI [i] rule)
-      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
-      .withColumn("ka", element_at(col("codes_a"), col("m") + 1))
-      .withColumn("kb", element_at(col("codes_b"), col("m") + 1))
-      .join(broadcast(pqSdcTable(cb)), Seq("m", "ka", "kb"))
-      .join(broadcast(ccdot.select(col("cid").as("cb_"), col("m"),
-        col("k").as("ka"), col("cd").as("cxa_m"))), Seq("cb_", "m", "ka"))
-      .join(broadcast(ccdot.select(col("cid").as("ca"), col("m"),
-        col("k").as("kb"), col("cd").as("cxb_m"))), Seq("ca", "m", "kb"))
-      .groupBy(col("va"), col("vb"), col("ca"), col("cb_"),
-        col("cdot_a"), col("cdot_b"), col("rhsq_a"), col("rhsq_b"))
-      .agg(sum(col("ip").cast(dec)).cast("double").as("sdcsum"),
-        sum(col("cxa_m").cast(dec)).cast("double").as("cxa"),
-        sum(col("cxb_m").cast(dec)).cast("double").as("cxb"))
-      .join(broadcast(cgeo.select(col("cid").as("ca"),
-        col("cssq").as("cssq_a"))), Seq("ca"))
-      .join(broadcast(cgeo.select(col("cid").as("cb_"),
-        col("cssq").as("cssq_b"))), Seq("cb_"))
-      .join(broadcast(cpair), Seq("ca", "cb_"))
+    // the three per-pair m-sums run in ONE native kernel call per row
+    // (graft.functions.VectorKernels.ivfpqTerms — exact scale-12
+    // BigDecimal accumulation, bit-compatible with the old
+    // sum(CAST(… AS DECIMAL(30,12))) aggregate; an aggregate() HOF here
+    // measured interpreted-decimal-bound at ~650 ns/step, and an
+    // unrolled SQL cast-chain fell out of whole-stage codegen entirely)
+    cands.join(broadcast(a), Seq("va")).join(broadcast(b), Seq("vb"))
+      .withColumn("terms", graftshim.PlanBridge.column(
+        graft.functions.IvfPqTerms(sdcArr, cdArr, pqM, pqK,
+          graftshim.PlanBridge.expression(col("codes_a")),
+          graftshim.PlanBridge.expression(col("codes_b")),
+          graftshim.PlanBridge.expression(col("ca")),
+          graftshim.PlanBridge.expression(col("cb_")))))
+      .withColumn("sdcsum", element_at(col("terms"), 1))
+      .withColumn("cxa", element_at(col("terms"), 2))
+      .withColumn("cxb", element_at(col("terms"), 3))
+      .withColumn("ccij",
+        element_at(typedlit(ccijArr.toSeq), col("ca") * nC + col("cb_") + 1))
+      .withColumn("cssq_a", element_at(typedlit(cssqArr.toSeq), col("ca") + 1))
+      .withColumn("cssq_b", element_at(typedlit(cssqArr.toSeq), col("cb_") + 1))
       .withColumn("ipsum",
         col("ccij") + col("cxa") + col("cxb") + col("sdcsum"))
       .withColumn("rssq_a",
         col("cssq_a") + lit(2.0) * col("cdot_a") + col("rhsq_a"))
       .withColumn("rssq_b",
         col("cssq_b") + lit(2.0) * col("cdot_b") + col("rhsq_b"))
-      .withColumn("approx_cos",
-        round(col("ipsum") / (sqrt(col("rssq_a")) * sqrt(col("rssq_b"))), 6))
+      // coalesce makes the derived column NON-NULLABLE: without it the
+      // filter's inferred isnotnull(approx_cos) constraint re-runs the
+      // whole inlined kernel+join pipeline (the round-1 rule — measured
+      // here as the full query sitting at ~20 s regardless of how fast
+      // the term arithmetic got); inputs are non-null, so the fallback
+      // never fires
+      .withColumn("approx_cos", coalesce(
+        round(col("ipsum") / (sqrt(col("rssq_a")) * sqrt(col("rssq_b"))), 6),
+        lit(0.0)))
       .filter(col("approx_cos") >= 0.3)
       .select(col("va"), col("vb"), col("approx_cos"))
       .orderBy(col("va").asc, col("vb").asc)

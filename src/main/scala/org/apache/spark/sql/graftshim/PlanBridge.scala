@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graftshim
 
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Statistics}
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.LogicalRDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Minimal bridge to the `private[sql]` seams a whole-operator Catalyst
   * extension needs: turning a custom LogicalPlan into a DataFrame,
@@ -20,6 +21,13 @@ object PlanBridge {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Column ⇄ Expression bridges for custom expressions that carry
+    * non-Expression payloads (e.g. driver-collected lookup arrays) and so
+    * cannot go through the string-keyed function registry. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** Eager localCheckpoint that replaces the carried origin statistics
     * with the checkpointed blocks' TRUE storage size.
