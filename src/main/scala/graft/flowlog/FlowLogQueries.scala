@@ -338,6 +338,36 @@ object FlowLogQueries {
         .limit(10)
     },
 
+    // Exfiltration heuristic over the v5 flow_direction extension: per
+    // destination /24 subnet, egress vs ingress byte totals and their
+    // ratio — the asymmetry view a hunt team scans for data pull-out.
+    // Only v5 lines carry flow_direction (the fixture's even ids; mirrors
+    // are v2 and drop out via the version filter), and within every
+    // subnet class both directions occur structurally at every scale
+    // ((event_id div 2) alternates parity inside each 20-id window, and
+    // 25 ∤ 4 keeps the subnet classes direction-mixed), so the both-sides
+    // HAVING guard is non-vacuous everywhere. One map-side-combinable
+    // groupBy; the ratio is one double division of exact BIGINTs.
+    "flowlog_exfil_ratio" -> { (s, d) =>
+      val v5 = parsedFlow(s, d)
+        .filter(col("version") === 5 && col("flow_direction").isNotNull)
+        .select(concat(lit("10.1."),
+          element_at(split(col("dstaddr"), "\\."), 3)).as("subnet"),
+          col("bytes"), col("flow_direction"))
+      v5.groupBy(col("subnet"))
+        .agg(sum(when(col("flow_direction") === "ingress", col("bytes"))
+          .otherwise(0L)).as("ingress_bytes"),
+          sum(when(col("flow_direction") === "egress", col("bytes"))
+            .otherwise(0L)).as("egress_bytes"),
+          count(lit(1)).as("n_flows"))
+        .filter(col("ingress_bytes") > 0 && col("egress_bytes") > 0)
+        .select(col("subnet"), col("ingress_bytes"), col("egress_bytes"),
+          col("n_flows"),
+          (col("egress_bytes").cast("double") /
+            col("ingress_bytes").cast("double")).as("exfil_ratio"))
+        .orderBy(col("exfil_ratio").desc, col("subnet").asc)
+    },
+
     // The reference pipeline's OUTPUT surface as a declared query: the
     // dt=YYYY-MM-DD/hr=HH partitioned parquet sink (FlowLog
     // .writePartitioned — written once per source signature through the
@@ -532,6 +562,32 @@ object FlowLogQueries {
          |FROM a
          |ORDER BY dispersion ASC, n_flows DESC, srcaddr ASC, dstport ASC
          |LIMIT 10""".stripMargin,
+
+    // v5 population only (even ids, forward lines — mirrors are v2);
+    // the direction is the extras' own (event_id // 2) % 2 arithmetic.
+    "flowlog_exfil_ratio" ->
+      """WITH v5 AS (
+        |  SELECT '10.1.' || CAST((event_id // 20) % 30 AS VARCHAR) AS subnet,
+        |         40 * (1 + event_id % 97) + (event_id * 7) % 997 AS bytes,
+        |         CASE WHEN (event_id // 2) % 2 = 0 THEN 'ingress'
+        |              ELSE 'egress' END AS fdir
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 2 = 0),
+        |g AS (
+        |  SELECT subnet,
+        |         CAST(sum(CASE WHEN fdir = 'ingress' THEN bytes ELSE 0 END)
+        |              AS BIGINT) AS ingress_bytes,
+        |         CAST(sum(CASE WHEN fdir = 'egress' THEN bytes ELSE 0 END)
+        |              AS BIGINT) AS egress_bytes,
+        |         count(*) AS n_flows
+        |  FROM v5 GROUP BY subnet
+        |  HAVING ingress_bytes > 0 AND egress_bytes > 0)
+        |SELECT subnet, ingress_bytes, egress_bytes, n_flows,
+        |       CAST(egress_bytes AS DOUBLE) / CAST(ingress_bytes AS DOUBLE)
+        |         AS exfil_ratio
+        |FROM g
+        |ORDER BY exfil_ratio DESC, subnet ASC""".stripMargin,
 
     // Day 1 of the fixture span is epoch day 19723 (1704067200 // 86400);
     // hr is the hour-of-day the dt/hr layout partitions on. The oracle
