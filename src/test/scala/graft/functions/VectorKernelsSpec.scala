@@ -218,4 +218,30 @@ class VectorKernelsSpec extends SparkSpec {
     val expect = (1 to 4).map(h => l(T - 1) + h * b(T - 1) + s(T - 4 + h - 1))
     assert(fc === expect)
   }
+
+  test("dec12Scaled long sums match Spark's sum(CAST(x AS DECIMAL(30,12))) bit-for-bit") {
+    // the IvfPqTerms contract: pre-rounding doubles to scale-12 unscaled
+    // longs and summing with plain long addition must equal the decimal
+    // aggregate the kernel replaced — including the HALF_UP rounding edge
+    // (5e-13 rounds UP to 1e-12) and negatives. Differential against
+    // Spark itself on adversarial + seeded-random values.
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val edge = Seq(5e-13, -5e-13, 1.5e-12, 0.0, 1.0000000000005,
+      -2.3456789012345, 123.456789012345678, 1e-15)
+    val vals = edge ++ Seq.fill(500)((rnd.nextDouble() - 0.5) * 20.0)
+    val sparkSum = vals.toDF("x")
+      .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+        .cast("double")).head().getDouble(0)
+    val longAcc = vals.map(VectorKernels.dec12Scaled).sum
+    val kernelSum = java.math.BigDecimal.valueOf(longAcc, 12).doubleValue()
+    assert(kernelSum === sparkSum, "scaled-long fold diverged from the decimal aggregate")
+    // and the per-element rounding matches Spark's Cast exactly
+    val sparkEach = vals.toDF("x")
+      .select(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 12))
+        .cast("double")).collect().map(_.getDouble(0))
+    val kernelEach = vals.map(v =>
+      java.math.BigDecimal.valueOf(VectorKernels.dec12Scaled(v), 12).doubleValue())
+    assert(kernelEach === sparkEach.toSeq, "per-element dec12 rounding diverged")
+  }
 }
