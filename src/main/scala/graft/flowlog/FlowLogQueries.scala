@@ -373,7 +373,7 @@ object FlowLogQueries {
     // .writePartitioned — written once per source signature through the
     // real withDatePartitions + partitionBy path, quarantine rows landing
     // under the hive null partition), read back with partition-pruning
-    // predicates (dt = day 2, hr 06–17 — FlowLogSpec asserts the pruned
+    // predicates (dt = day 1, hr 01–08 — FlowLogSpec asserts the pruned
     // scan) and aggregated per hour × action. Hive partition-type
     // inference types dt as DATE and hr as INT on read — the layout's
     // contract, pinned here cross-engine.

@@ -286,18 +286,26 @@ object VectorKernels {
       .setScale(12, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 
-  /** The three per-pair IVF-PQ reconstruction terms in one pass:
-    * [Σ_m sdc(m, ka_m, kb_m), Σ_m cd(cb, m, ka_m), Σ_m cd(ca, m, kb_m)]
-    * — SDC residual dot, and the two centroid-cross-residual dots — over
-    * lookup tables PRE-ROUNDED to scale-12 unscaled longs
+  /** The six per-pair IVF-PQ reconstruction terms in one pass:
+    * [Σ_m sdc(m, ka_m, kb_m), Σ_m cd(cb, m, ka_m), Σ_m cd(ca, m, kb_m),
+    *  ccij(ca, cb), cssq(ca), cssq(cb)]
+    * — SDC residual dot, the two centroid-cross-residual dots, the
+    * centroid-pair dot and the two centroid self-dots. The decimal sums
+    * run over lookup tables PRE-ROUNDED to scale-12 unscaled longs
     * ([[dec12Scaled]]), so the accumulation is plain long addition: exact,
     * order-independent, ≡ the shuffle-order sum(CAST(… AS DECIMAL(30,12)))
     * of the join-based scorer bit-for-bit. Results return as doubles via
-    * BigDecimal.valueOf(acc, 12).doubleValue (≡ Decimal.toDouble). k
-    * codes are 1-based (PQ codebook row_number); cid is the 1-based cell
-    * id. This is the graft_holt discipline applied to the PQ scorer: the
-    * interpreted HOF equivalent measured ~650 ns per step at sf0.1. */
-  def ivfpqTerms(sdc12: Array[Long], cd12: Array[Long], pqM: Int, pqK: Int,
+    * BigDecimal.valueOf(acc, 12).doubleValue (≡ Decimal.toDouble); the
+    * ccij/cssq terms are PURE double lookups (no rounding — bit-identical
+    * to the element_at(typedlit(...)) columns they replaced, which at the
+    * 4096-list cap would have serialized ~134 MB of nlist² literals into
+    * the plan; here they ride the codegen reference array like the other
+    * LUTs). k codes are 1-based (PQ codebook row_number); cid is the
+    * 0-based array index of the 1-based cell id minus one as built by the
+    * caller. This is the graft_holt discipline applied to the PQ scorer:
+    * the interpreted HOF equivalent measured ~650 ns per step at sf0.1. */
+  def ivfpqTerms(sdc12: Array[Long], cd12: Array[Long], ccij: Array[Double],
+      cssq: Array[Double], nC: Int, pqM: Int, pqK: Int,
       codesA: ArrayData, codesB: ArrayData, ca: Int, cb: Int): ArrayData = {
     var sdcAcc = 0L
     var cxaAcc = 0L
@@ -314,7 +322,8 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(
       java.math.BigDecimal.valueOf(sdcAcc, 12).doubleValue(),
       java.math.BigDecimal.valueOf(cxaAcc, 12).doubleValue(),
-      java.math.BigDecimal.valueOf(cxbAcc, 12).doubleValue()))
+      java.math.BigDecimal.valueOf(cxbAcc, 12).doubleValue(),
+      ccij(ca * nC + cb), cssq(ca), cssq(cb)))
   }
 
   def holtStates(iv: ArrayData): ArrayData = {
@@ -517,15 +526,18 @@ case class SortedIntersectMinWeightSum(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
-/** IVF-PQ per-pair decimal-exact term sums (see
+/** IVF-PQ per-pair decimal-exact term sums plus centroid-dot lookups (see
   * [[VectorKernels.ivfpqTerms]]): children are
-  * (codes_a array<int>, codes_b array<int>, ca int, cb int); the two
+  * (codes_a array<int>, codes_b array<int>, ca int, cb int); ALL four
   * lookup tables ride as CONSTRUCTOR payloads (driver-collected index
-  * metadata, bounded at pqM·pqK² + nlist·pqM·pqK doubles — shipped once
-  * per task via the codegen reference array, never per row). Built
-  * through PlanBridge.column because the string-keyed function registry
-  * cannot carry array payloads. */
-case class IvfPqTerms(sdc: Array[Long], cd: Array[Long], pqM: Int, pqK: Int,
+  * metadata, bounded at pqM·pqK² + nlist·pqM·pqK + nlist² + nlist
+  * entries — shipped once per task via the codegen reference array, never
+  * per row and never as plan literals, which at the 4096-list cap would
+  * canonicalize ~134 MB of nlist² typedlit doubles into every task
+  * binary). Built through PlanBridge.column because the string-keyed
+  * function registry cannot carry array payloads. */
+case class IvfPqTerms(sdc: Array[Long], cd: Array[Long], ccij: Array[Double],
+    cssq: Array[Double], nC: Int, pqM: Int, pqK: Int,
     first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
   override def dataType: DataType = ArrayType(DoubleType)
@@ -541,14 +553,17 @@ case class IvfPqTerms(sdc: Array[Long], cd: Array[Long], pqM: Int, pqK: Int,
       "graft_ivfpq_terms expects (array<int>, array<int>, int, int)")
   }
   override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
-    VectorKernels.ivfpqTerms(sdc, cd, pqM, pqK, a.asInstanceOf[ArrayData],
+    VectorKernels.ivfpqTerms(sdc, cd, ccij, cssq, nC, pqM, pqK,
+      a.asInstanceOf[ArrayData],
       b.asInstanceOf[ArrayData], c.asInstanceOf[Int], d.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sdcRef = ctx.addReferenceObj("sdcLut", sdc, "long[]")
     val cdRef = ctx.addReferenceObj("cdLut", cd, "long[]")
+    val ccijRef = ctx.addReferenceObj("ccijLut", ccij, "double[]")
+    val cssqRef = ctx.addReferenceObj("cssqLut", cssq, "double[]")
     nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
       s"${ev.value} = graft.functions.VectorKernels.ivfpqTerms(" +
-        s"$sdcRef, $cdRef, $pqM, $pqK, $a, $b, $c, $d);")
+        s"$sdcRef, $cdRef, $ccijRef, $cssqRef, $nC, $pqM, $pqK, $a, $b, $c, $d);")
   }
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =

@@ -1113,7 +1113,20 @@ object Graph {
     * recompute over the shrinking survivor set wins (the kcore "recompute
     * beat packing" measurement, same trade). Per-round eager checkpoints
     * break the 3-references-per-round plan blow-up; each retires via
-    * releaseCheckpoint once its successor materializes. */
+    * releaseCheckpoint once its successor materializes. The FINAL
+    * surviving checkpoint cannot retire in-method (the returned lazy
+    * frame reads it), so it parks in a one-slot-per-session memo and is
+    * released by the NEXT ktrussPeel call on the same session — retained
+    * checkpoints are bounded at one per live session instead of one per
+    * invocation, with the documented contract that a returned k-truss
+    * frame is consumed before the next peel on that session (every
+    * declared-query / spec caller collects immediately). */
+  // Final-checkpoint parking slot: SparkSession identity → the last
+  // invocation's surviving edge checkpoint (reference-keyed like
+  // overCapCorpusMemo; stopped sessions are swept on each call).
+  private val ktrussFinalMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
   def ktrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     graft.functions.VectorFunctions.register(edges.sparkSession)
     def support(e: DataFrame): DataFrame = {
@@ -1146,6 +1159,15 @@ object Graph {
       }
       round += 1
     }
+    // retire the PREVIOUS invocation's parked checkpoint and park this
+    // one; sweep slots whose session has stopped (their blocks died with
+    // the context — removing the entry just drops the dead plan)
+    val sess = edges.sparkSession
+    val it = ktrussFinalMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getKey.sparkContext.isStopped) it.remove()
+    val prev = ktrussFinalMemo.put(sess, e)
+    if (prev != null) LlmOps.releaseCheckpoint(prev)
     // final support measured ON the converged set — matches the oracle's
     // trailing support pass over e_rounds
     support(e).orderBy(col("a").asc, col("b").asc)

@@ -866,10 +866,18 @@ object LlmOps {
     * addition never rounds and 18 integer digits cannot overflow 16
     * unit-magnitude terms). LlmOpsSpec's nprobe=1 ≡ single-cell
     * bit-identity and score-stability pins verify the equivalence. At
-    * 100 TB the literals stay driver-bounded (they are index metadata,
-    * not data); only the candidate list scales. */
+    * 100 TB the LUTs stay driver-bounded (they are index metadata, not
+    * data — all four ride as IvfPqTerms constructor payloads through the
+    * codegen reference array, never per-plan typedlit literals); only the
+    * candidate list and the codes table scale. The codes sides of the
+    * pair join therefore broadcast ONLY when the caller attests the
+    * corpus is small (`broadcastCodes` — the declared query gates it on
+    * the memoized corpus row count, [[corpusRows]]); past the cap they
+    * shuffle on va/vb like any corpus-sized join — codes + three doubles
+    * per vector is the shuffle payload either way. */
   private[ops] def ivfpqMultiProbePairs(codes: DataFrame, cb: DataFrame,
-      centroids: DataFrame, flat: DataFrame, nprobe: Int): DataFrame = {
+      centroids: DataFrame, flat: DataFrame, nprobe: Int,
+      broadcastCodes: Boolean = false): DataFrame = {
     val dims = 64 / pqM
     // --- bounded lookup tables, computed by the same Spark expressions as
     // the join-based scorer and collected to array literals ---
@@ -928,9 +936,17 @@ object LlmOps {
     // sum(CAST(… AS DECIMAL(30,12))) aggregate; an aggregate() HOF here
     // measured interpreted-decimal-bound at ~650 ns/step, and an
     // unrolled SQL cast-chain fell out of whole-stage codegen entirely)
-    cands.join(broadcast(a), Seq("va")).join(broadcast(b), Seq("vb"))
+    // broadcast is an opt-in attestation from the caller (the corpus-size
+    // memo) — the a/b sides derive from the corpus-scaling codes table,
+    // so an unconditional hint would hit the 8 GB broadcast hard limit at
+    // the 100 TB shape; un-hinted, Spark shuffles both sides on the pair
+    // keys (and AQE may still auto-broadcast under its own threshold)
+    val hint: DataFrame => DataFrame =
+      if (broadcastCodes) broadcast else identity
+    cands.join(hint(a), Seq("va")).join(hint(b), Seq("vb"))
       .withColumn("terms", graftshim.PlanBridge.column(
-        graft.functions.IvfPqTerms(sdcArr, cdArr, pqM, pqK,
+        graft.functions.IvfPqTerms(sdcArr, cdArr, ccijArr, cssqArr, nC,
+          pqM, pqK,
           graftshim.PlanBridge.expression(col("codes_a")),
           graftshim.PlanBridge.expression(col("codes_b")),
           graftshim.PlanBridge.expression(col("ca")),
@@ -938,10 +954,9 @@ object LlmOps {
       .withColumn("sdcsum", element_at(col("terms"), 1))
       .withColumn("cxa", element_at(col("terms"), 2))
       .withColumn("cxb", element_at(col("terms"), 3))
-      .withColumn("ccij",
-        element_at(typedlit(ccijArr.toSeq), col("ca") * nC + col("cb_") + 1))
-      .withColumn("cssq_a", element_at(typedlit(cssqArr.toSeq), col("ca") + 1))
-      .withColumn("cssq_b", element_at(typedlit(cssqArr.toSeq), col("cb_") + 1))
+      .withColumn("ccij", element_at(col("terms"), 4))
+      .withColumn("cssq_a", element_at(col("terms"), 5))
+      .withColumn("cssq_b", element_at(col("terms"), 6))
       .withColumn("ipsum",
         col("ccij") + col("cxa") + col("cxb") + col("sdcsum"))
       .withColumn("rssq_a",
@@ -1358,10 +1373,25 @@ object LlmOps {
   private val overCapCorpusMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Memoized embeddings-corpus row count (the regime-test count job,
+    * keyed on the source signature like every other persisted artifact).
+    * Shared by the exact-path regime switch and by callers that must
+    * decide whether a corpus-derived frame is small enough to broadcast
+    * (ivfpqMultiProbePairs' codes sides). */
+  private[ops] def corpusRows(s: SparkSession, d: String): Long =
+    corpusSizeMemo.computeIfAbsent(
+      annIndexDir(d, "nrows"), _ => Tables.embeddings(s, d).count())
+
+  /** Above this row count the multiprobe scorer stops broadcast-hinting
+    * its codes-derived join sides: ~80 B/row (pqM ints + 3 numerics) puts
+    * 4M rows ≈ 0.3 GB per side — comfortably under Spark's 8 GB broadcast
+    * hard limit with headroom for row overhead, while still covering any
+    * single-node-scale corpus. */
+  private val MultiProbeBroadcastRowCap = 4000000L
+
   private[ops] def exactCellsOrCorpus(s: SparkSession, d: String,
       flatCap: Int = 4096): ExactCells = {
-    val n: Long = corpusSizeMemo.computeIfAbsent(
-      annIndexDir(d, "nrows"), _ => Tables.embeddings(s, d).count())
+    val n: Long = corpusRows(s, d)
     if (ivfNlistExact(n) >= flatCap) {
       val it = overCapCorpusMemo.entrySet().iterator()
       while (it.hasNext)
@@ -3002,7 +3032,8 @@ object LlmOps {
         releaseCheckpoint(e)
       }
       val (cent, cb, codes) = readIvfPqIndex(s, idx)
-      ivfpqMultiProbePairs(codes, cb, cent, readIvfPqFlat(s, idx), nprobe = 2)
+      ivfpqMultiProbePairs(codes, cb, cent, readIvfPqFlat(s, idx), nprobe = 2,
+        broadcastCodes = corpusRows(s, d) <= MultiProbeBroadcastRowCap)
     },
 
     // INCREMENTAL IVF-PQ maintenance — llm_sim_ann_ivf_upsert's discipline
