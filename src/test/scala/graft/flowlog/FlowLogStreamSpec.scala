@@ -63,6 +63,165 @@ class FlowLogStreamSpec extends SparkSpec {
     assert(back.select("dt").distinct().head.get(0).toString === "2023-12-31")
   }
 
+  // ---- streaming security detectors (VERDICT r14 #1) ----
+
+  /** Chronological line chunks of the whole sf fixture (forward + mirror
+    * population), each wrapped as one gzip DATA_MESSAGE envelope. At
+    * sf0.001 start_s = 1704067200 + id·37 is monotone in event_id (no mod
+    * wrap below id 7006), so sorting by (start_s, rid) gives in-contract
+    * arrival for a 30-minute watermark when fed chunk by chunk; WITHIN a
+    * chunk the order is shuffled (arrival order inside a batch is not a
+    * contract — the buffered event-time sort is). */
+  private def fixtureEnvelopeChunks(nChunks: Int): Seq[Array[Byte]] = {
+    val lines = FlowLogQueries.syntheticLines(
+        graft.Tables.events(spark, sf))
+      .select("start_s", "message", "rid").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(r => (r._1, r._3))
+    val rnd = new scala.util.Random(42)
+    lines.grouped((lines.length + nChunks - 1) / nChunks).map { chunk =>
+      val evs = rnd.shuffle(chunk.toSeq).map { case (s, msg, rid) =>
+        s"""{"id":"$rid","timestamp":${s * 1000},"message":"$msg"}"""
+      }.mkString(",")
+      gzip(s"""{"messageType":"DATA_MESSAGE","owner":"1","logGroup":"g",""" +
+        s""""logStream":"s","subscriptionFilters":[],"logEvents":[$evs]}""")
+    }.toSeq
+  }
+
+  /** A far-future valid v2 line that drives the watermark past every
+    * fixture day end (flush); its own key stays un-retired in state. */
+  private def flushEnvelope(): Array[Byte] = {
+    val s = 1704067200L + 30L * 86400L
+    envelope(999999,
+      s"2 123456789012 eni-zz 10.9.9.9 10.9.9.8 1 2 6 1 1 $s ${s + 1} ACCEPT OK")
+  }
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("streaming port-scan detector (RocksDB): FINAL reports equal the batch query, one onset per suspect, state retires, survives kill/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    withRocksDb {
+      val dir = java.nio.file.Files.createTempDirectory("flowlog_psstream").toString
+      val mem = MemoryStream[Array[Byte]]
+      def start() = FlowLogStream.streamPortScan(mem.toDF(), minPorts = 10,
+          watermark = "30 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val chunks = fixtureEnvelopeChunks(4)
+      // first two chunks, then KILL: folded summaries + pending rows and
+      // the alerted flags exist ONLY in RocksDB state at this point
+      val q1 = start()
+      mem.addData(chunks(0)); q1.processAllAvailable()
+      mem.addData(chunks(1)); q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      try {
+        chunks.drop(2).foreach { c => mem.addData(c); q2.processAllAvailable() }
+        mem.addData(flushEnvelope()); q2.processAllAvailable()
+        val out = spark.read.parquet(s"$dir/out").collect()
+          .map(r => (r.getAs[String]("kind"), r.getAs[String]("srcaddr"),
+            r.getAs[Long]("n_ports"), r.getAs[Long]("n_rejects")))
+        // FINAL reports ≡ the declared batch query (all sf0.001 flows are
+        // day 1, so the day scope is the whole fixture)
+        val fin = out.filter(_._1 == "FINAL")
+          .map(r => (r._2, r._3, r._4)).toSet
+        val batch = FlowLog.portScanSuspects(
+            FlowLogQueries.parsedFlow(spark, sf), minPorts = 10).collect()
+          .map(r => (r.getAs[String]("srcaddr"), r.getAs[Long]("n_ports"),
+            r.getAs[Long]("n_rejects"))).toSet
+        assert(batch.nonEmpty, "vacuous: batch query found no suspects")
+        assert(fin === batch,
+          s"stream/batch diverged: only-stream=${fin -- batch} only-batch=${batch -- fin}")
+        // exactly one ONSET per suspect, fired at the exact crossing
+        val onsets = out.filter(_._1 == "ONSET")
+        assert(onsets.map(_._2).sorted.toSeq ===
+          fin.map(_._1).toSeq.sorted, "onset set != suspect set")
+        assert(onsets.forall(_._3 == 10L),
+          s"onset must fire at the exact threshold crossing: $onsets")
+        // day-key retirement: only the flush sentinel's own key survives
+        val stateRows = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows === 1L,
+          s"day keys failed to retire: $stateRows state rows after flush")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming beacon-regularity detector (RocksDB): day-close reports equal the batch dispersion aggregation, state retires, survives kill/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.OutputMode
+    withRocksDb {
+      val dir = java.nio.file.Files.createTempDirectory("flowlog_bcstream").toString
+      val mem = MemoryStream[Array[Byte]]
+      def start() = FlowLogStream.streamBeaconRegularity(mem.toDF(),
+          minFlows = 5, watermark = "30 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val chunks = fixtureEnvelopeChunks(4)
+      val q1 = start()
+      mem.addData(chunks(0)); q1.processAllAvailable()
+      mem.addData(chunks(1)); q1.processAllAvailable()
+      q1.stop() // kill: (last_s, n, Σg, Σg²) summaries live only in state
+      val q2 = start()
+      try {
+        chunks.drop(2).foreach { c => mem.addData(c); q2.processAllAvailable() }
+        mem.addData(flushEnvelope()); q2.processAllAvailable()
+        val fin = spark.read.parquet(s"$dir/out").collect()
+          .map(r => (r.getAs[String]("srcaddr"), r.getAs[Long]("dstport"),
+            r.getAs[Long]("n_flows"), r.getAs[Long]("span_s"),
+            r.getAs[Long]("dispersion"))).toSet
+        // batch twin: the declared flowlog_beacon_regularity aggregation
+        // WITHOUT its final top-10 limit (ranking is the reading query's
+        // job in the streaming shape)
+        val f = FlowLogQueries.parsedFlow(spark, sf)
+          .filter(col("log_status") === "OK")
+          .select(col("srcaddr"), col("dstport").cast("long").as("dstport"),
+            col("start_ts").cast("long").as("start_s"))
+        val w = Window.partitionBy(col("srcaddr"), col("dstport"))
+          .orderBy(col("start_s").asc)
+        val batch = f
+          .withColumn("gap", col("start_s") - lag(col("start_s"), 1).over(w))
+          .groupBy(col("srcaddr"), col("dstport"))
+          .agg(count(lit(1)).as("n_flows"), sum(col("gap")).as("span_s"),
+            sum(col("gap") * col("gap")).as("ss"))
+          .filter(col("n_flows") >= 5)
+          .select(col("srcaddr"), col("dstport"), col("n_flows"), col("span_s"),
+            ((col("n_flows") - lit(1L)) * col("ss") -
+              col("span_s") * col("span_s")).as("dispersion"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        assert(batch.nonEmpty, "vacuous: no qualifying channels in batch")
+        assert(fin === batch,
+          s"stream/batch diverged: only-stream=${(fin -- batch).take(3)} " +
+            s"only-batch=${(batch -- fin).take(3)}")
+        // the declared query's top-10 is a rank-and-limit over exactly
+        // these rows — pin the containment so the twin claim is honest
+        val declared = graft.SparkEntry.queries("flowlog_beacon_regularity")(
+            spark, sf).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        assert(declared.subsetOf(fin),
+          s"declared top-10 not contained in stream reports: ${declared -- fin}")
+        val stateRows = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows === 1L,
+          s"day keys failed to retire: $stateRows state rows after flush")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming rejected-traffic report over decoded envelopes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
