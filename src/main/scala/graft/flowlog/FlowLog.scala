@@ -92,6 +92,17 @@ object FlowLog {
     "pkt_src_aws_service", "pkt_dst_aws_service",
     "flow_direction", "traffic_path")
 
+  /** v7 ECS extension field names (public AWS custom-format fields for
+    * Amazon ECS workloads), appended after the v5 extras in this
+    * library's canonical custom-format field order — the same
+    * append-in-version-order convention the v3–v5 extras follow. */
+  val v7EcsFields: Seq[String] = Seq(
+    "ecs_cluster_arn", "ecs_cluster_name",
+    "ecs_container_instance_arn", "ecs_container_instance_id",
+    "ecs_container_id", "ecs_second_container_id",
+    "ecs_service_name", "ecs_task_definition_arn",
+    "ecs_task_arn", "ecs_task_id")
+
   private def field(i: Int): Column = {
     // '-' means "no value" in every flow-log field (NODATA/SKIPDATA rows).
     val f = element_at(col("_toks"), i + 1)
@@ -102,14 +113,17 @@ object FlowLog {
     *
     * Lines with fewer than 14 tokens quarantine: typed columns null and
     * `parse_error` holds the raw line (PERMISSIVE-mode idiom). v3–v5 lines
-    * (more than 14 tokens) parse the v2 core plus the named extras.
+    * (more than 14 tokens) parse the v2 core plus the named extras; v7
+    * ECS lines additionally fill the ten `ecs_*` columns. Shorter lines
+    * leave every unprovided extension column null — no token bleed.
     */
   def parseFlowLogs(events: DataFrame, messageCol: String = "message"): DataFrame = {
+    val extraFields = v5ExtraFields ++ v7EcsFields
     val toked = events
       .withColumn("_alltoks", split(trim(col(messageCol)), "\\s+"))
       .withColumn("_ok", size(col("_alltoks")) >= 14)
       .withColumn("_toks", when(col("_ok"), col("_alltoks"))
-        .otherwise(array_repeat(lit("-"), 14 + v5ExtraFields.size)))
+        .otherwise(array_repeat(lit("-"), 14 + extraFields.size)))
 
     val typed = toked
       .withColumn("version", field(0).cast(IntegerType))
@@ -127,7 +141,7 @@ object FlowLog {
       .withColumn("action", field(12))
       .withColumn("log_status", field(13))
 
-    val withExtras = v5ExtraFields.zipWithIndex.foldLeft(typed) {
+    val withExtras = extraFields.zipWithIndex.foldLeft(typed) {
       case (df, (name, i)) =>
         df.withColumn(name,
           when(size(col("_alltoks")) > 14 + i, field(14 + i))

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   * The line population exercises every parse branch at every fixture
   * scale (the round-8 vacuity rule; moduli 97/101/103 all fire at the
   * 1000-row sf0.001): v2 lines (odd ids), v5 lines with all 15 extras
-  * (even ids), NODATA / SKIPDATA lines with '-' fields, and malformed
+  * (even ids), v7 ECS lines with the 10 ecs_* fields on top (ids with
+  * event_id % 10 = 4), NODATA / SKIPDATA lines with '-' fields, and malformed
   * lines that must quarantine rather than kill the batch, plus a
   * CONTROL_MESSAGE envelope and a non-gzip payload that the decoder must
   * drop.
@@ -58,7 +59,8 @@ object FlowLogQueries {
     * mirrors are exactly the pairs the 5-tuple mirror join can find.
     * Kind precedence (must match the oracles' CASE order):
     * malformed (%103) > NODATA (%97) > SKIPDATA (%101) > normal; normal
-    * lines are v5 (15 extras) for even ids, v2 for odd. Output:
+    * lines are v7 (15 v5 extras + 10 ECS fields) for event_id % 10 = 4,
+    * v5 (15 extras) for other even ids, v2 for odd. Output:
     * (event_id, rid, start_s, message) — rid is the envelope logEvent id
     * (the event_id string; mirrors append 'r'). */
   private[flowlog] def syntheticLines(events: DataFrame): DataFrame = {
@@ -129,6 +131,30 @@ object FlowLogQueries {
           |  '-', '-', '-', '-',
           |  CASE WHEN (event_id div 2) % 2 = 0 THEN 'ingress' ELSE 'egress' END,
           |  CAST(1 + event_id % 8 AS STRING))""".stripMargin))
+      // v7 ECS extension tokens (appended after the v5 extras): every
+      // field is event_id arithmetic, the ARNs carry the public AWS
+      // shapes, the task id nests service × task-slot so per-service
+      // distinct-task counts are meaningful, and ecs_second_container_id
+      // is '-' — the NODATA-null branch fires on an ECS field too.
+      .withColumn("ecs", expr(
+        """concat_ws(' ',
+          |  concat('arn:aws:ecs:us-east-1:123456789012:cluster/graft-',
+          |         CAST(event_id % 3 AS STRING)),
+          |  concat('graft-', CAST(event_id % 3 AS STRING)),
+          |  concat('arn:aws:ecs:us-east-1:123456789012:container-instance/ci-',
+          |         CAST(event_id % 40 AS STRING)),
+          |  concat('ci-', CAST(event_id % 40 AS STRING)),
+          |  concat('cont-', CAST(event_id % 500 AS STRING)),
+          |  '-',
+          |  concat('svc-', CAST(event_id % 7 AS STRING)),
+          |  concat('arn:aws:ecs:us-east-1:123456789012:task-definition/graft-',
+          |         CAST(event_id % 7 AS STRING), ':1'),
+          |  concat('arn:aws:ecs:us-east-1:123456789012:task/graft-',
+          |         CAST(event_id % 3 AS STRING), '/task-',
+          |         CAST(event_id % 7 AS STRING), '-',
+          |         CAST((event_id div 7) % 50 AS STRING)),
+          |  concat('task-', CAST(event_id % 7 AS STRING), '-',
+          |         CAST((event_id div 7) % 50 AS STRING)))""".stripMargin))
       .withColumn("message", expr(
         """CASE
           |  WHEN event_id % 103 = 0 THEN
@@ -141,6 +167,7 @@ object FlowLogQueries {
           |    concat_ws(' ', '2', '123456789012', eni, '- - - - - - -',
           |              CAST(start_s AS STRING), CAST(end_s AS STRING),
           |              '-', 'SKIPDATA')
+          |  WHEN event_id % 10 = 4 THEN concat_ws(' ', '7', core, extras, ecs)
           |  WHEN event_id % 2 = 0 THEN concat_ws(' ', '5', core, extras)
           |  ELSE concat_ws(' ', '2', core)
           |END""".stripMargin))
@@ -198,10 +225,11 @@ object FlowLogQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_$tag$h"
   }
 
-  /** Envelope-fixture dir. The v2 token: the %11 reverse-mirror lines
-    * joined the population — it invalidates any pre-mirror envelope
-    * cache. */
-  private def envDir(d: String): String = sigDir(d, "flowlog_env_v2_")
+  /** Envelope-fixture dir. The version token bumps whenever the LINE
+    * POPULATION changes (v2: the %11 reverse mirrors joined; v3: the
+    * %10=4 ids became v7 ECS lines) — a stale cached fixture must never
+    * answer for a changed population. */
+  private def envDir(d: String): String = sigDir(d, "flowlog_env_v3_")
 
   /** The decoded event stream: envelope fixture (written once per source
     * signature) through the real gunzip + from_json + explode path. */
@@ -338,11 +366,11 @@ object FlowLogQueries {
         .limit(10)
     },
 
-    // Exfiltration heuristic over the v5 flow_direction extension: per
+    // Exfiltration heuristic over the flow_direction extension (v5+): per
     // destination /24 subnet, egress vs ingress byte totals and their
     // ratio — the asymmetry view a hunt team scans for data pull-out.
-    // Only v5 lines carry flow_direction (the fixture's even ids; mirrors
-    // are v2 and drop out via the version filter), and within every
+    // Only v5/v7 lines carry flow_direction (the fixture's even ids;
+    // mirrors are v2 and fall out via the null check), and within every
     // subnet class both directions occur structurally at every scale
     // ((event_id div 2) alternates parity inside each 20-id window, and
     // 25 ∤ 4 keeps the subnet classes direction-mixed), so the both-sides
@@ -350,7 +378,7 @@ object FlowLogQueries {
     // groupBy; the ratio is one double division of exact BIGINTs.
     "flowlog_exfil_ratio" -> { (s, d) =>
       val v5 = parsedFlow(s, d)
-        .filter(col("version") === 5 && col("flow_direction").isNotNull)
+        .filter(col("flow_direction").isNotNull)
         .select(concat(lit("10.1."),
           element_at(split(col("dstaddr"), "\\."), 3)).as("subnet"),
           col("bytes"), col("flow_direction"))
@@ -368,6 +396,25 @@ object FlowLogQueries {
         .orderBy(col("exfil_ratio").desc, col("subnet").asc)
     },
 
+    // ECS service traffic over the v7 extension (VERDICT r14 #3): per
+    // (cluster, service), flow count, byte total, and the EXACT distinct
+    // task count — the workload attribution view the ECS fields exist
+    // for. Only v7 lines (ids %10=4) carry the fields; the version
+    // filter pins the parse branch. countDistinct over the task id is a
+    // two-phase hash agg (partial distinct map-side); at every fixture
+    // scale all 21 (cluster, service) cells populate (3 and 7 are
+    // coprime to the %10=4 stride because ids step by 10 and
+    // gcd(10,21)=1 walks every residue pair — the vacuity rule).
+    "flowlog_ecs_service_traffic" -> { (s, d) =>
+      parsedFlow(s, d)
+        .filter(col("version") === 7 && col("ecs_service_name").isNotNull)
+        .groupBy(col("ecs_cluster_name"), col("ecs_service_name"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("total_bytes"),
+          countDistinct(col("ecs_task_id")).as("n_tasks"))
+        .orderBy(col("ecs_cluster_name").asc, col("ecs_service_name").asc)
+    },
+
     // The reference pipeline's OUTPUT surface as a declared query: the
     // dt=YYYY-MM-DD/hr=HH partitioned parquet sink (FlowLog
     // .writePartitioned — written once per source signature through the
@@ -378,7 +425,10 @@ object FlowLogQueries {
     // inference types dt as DATE and hr as INT on read — the layout's
     // contract, pinned here cross-engine.
     "flowlog_partitioned_sink_read" -> { (s, d) =>
-      val dir = sigDir(d, "flowlog_sink_")
+      // _v2: the sink is DERIVED from the line population (envDir v3), so
+      // its cache tag bumps with it even though the readback aggregate is
+      // version-independent — a stale sink must not contradict parsedFlow
+      val dir = sigDir(d, "flowlog_sink_v2_")
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         FlowLog.writePartitioned(
           FlowLog.withDatePartitions(parsedFlow(s, d)), dir)
@@ -563,8 +613,9 @@ object FlowLogQueries {
          |ORDER BY dispersion ASC, n_flows DESC, srcaddr ASC, dstport ASC
          |LIMIT 10""".stripMargin,
 
-    // v5 population only (even ids, forward lines — mirrors are v2);
-    // the direction is the extras' own (event_id // 2) % 2 arithmetic.
+    // Extension-carrying population (even ids — v5 and v7 alike; forward
+    // lines only, mirrors are v2); direction is the extras' own
+    // (event_id // 2) % 2 arithmetic.
     "flowlog_exfil_ratio" ->
       """WITH v5 AS (
         |  SELECT '10.1.' || CAST((event_id // 20) % 30 AS VARCHAR) AS subnet,
@@ -588,6 +639,28 @@ object FlowLogQueries {
         |         AS exfil_ratio
         |FROM g
         |ORDER BY exfil_ratio DESC, subnet ASC""".stripMargin,
+
+    // v7 population = %10=4 ids minus the NODATA/SKIPDATA/malformed
+    // precedence classes; the ECS names are the fixture's own event_id
+    // arithmetic, so a wrong token index or a broken 25-token parse
+    // hash-mismatches here.
+    "flowlog_ecs_service_traffic" ->
+      """WITH v7 AS (
+        |  SELECT 'graft-' || CAST(event_id % 3 AS VARCHAR) AS ecs_cluster_name,
+        |         'svc-' || CAST(event_id % 7 AS VARCHAR) AS ecs_service_name,
+        |         'task-' || CAST(event_id % 7 AS VARCHAR) || '-' ||
+        |           CAST((event_id // 7) % 50 AS VARCHAR) AS ecs_task_id,
+        |         40 * (1 + event_id % 97) + (event_id * 7) % 997 AS bytes
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 10 = 4)
+        |SELECT ecs_cluster_name, ecs_service_name,
+        |       count(*) AS n_flows,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT ecs_task_id) AS n_tasks
+        |FROM v7
+        |GROUP BY ecs_cluster_name, ecs_service_name
+        |ORDER BY ecs_cluster_name ASC, ecs_service_name ASC""".stripMargin,
 
     // Day 1 of the fixture span is epoch day 19723 (1704067200 // 86400);
     // hr is the hour-of-day the dt/hr layout partitions on. The oracle

@@ -114,6 +114,44 @@ class FlowLogSpec extends SparkSpec {
     assert(v5.getAs[String]("sublocation_type") === null) // '-' → null
   }
 
+  test("v7 ECS line: v2 core + v5 extras + the ten ecs_* fields; shorter versions leave them null") {
+    import spark.implicits._
+    val v7line = "7 123456789012 eni-0abc1234 10.0.1.5 10.0.2.9 443 49152 " +
+      "6 10 8400 1704067140 1704067200 ACCEPT OK " +
+      "vpc-0a sub-0b i-0c 19 IPv4 10.0.1.5 10.0.2.9 us-east-1 use1-az1 " +
+      "- - - - egress 2 " +
+      "arn:aws:ecs:us-east-1:123456789012:cluster/prod prod " +
+      "arn:aws:ecs:us-east-1:123456789012:container-instance/ci-9 ci-9 " +
+      "cont-42 - svc-api " +
+      "arn:aws:ecs:us-east-1:123456789012:task-definition/api:3 " +
+      "arn:aws:ecs:us-east-1:123456789012:task/prod/task-1 task-1"
+    val v7 = FlowLog.parseFlowLogs(Seq(v7line).toDF("message")).head()
+    assert(v7.getAs[String]("parse_error") === null)
+    assert(v7.getAs[Int]("version") === 7)
+    // core and v5 extras parse unchanged through the longer line
+    assert(v7.getAs[Long]("bytes") === 8400L)
+    assert(v7.getAs[String]("flow_direction") === "egress")
+    assert(v7.getAs[String]("traffic_path") === "2")
+    // the ten ECS fields land in their named columns
+    assert(v7.getAs[String]("ecs_cluster_arn") ===
+      "arn:aws:ecs:us-east-1:123456789012:cluster/prod")
+    assert(v7.getAs[String]("ecs_cluster_name") === "prod")
+    assert(v7.getAs[String]("ecs_container_instance_id") === "ci-9")
+    assert(v7.getAs[String]("ecs_container_id") === "cont-42")
+    assert(v7.getAs[String]("ecs_second_container_id") === null) // '-' → null
+    assert(v7.getAs[String]("ecs_service_name") === "svc-api")
+    assert(v7.getAs[String]("ecs_task_definition_arn") ===
+      "arn:aws:ecs:us-east-1:123456789012:task-definition/api:3")
+    assert(v7.getAs[String]("ecs_task_arn") ===
+      "arn:aws:ecs:us-east-1:123456789012:task/prod/task-1")
+    assert(v7.getAs[String]("ecs_task_id") === "task-1")
+    // v5 and v2 lines must leave every ECS column null (no token bleed)
+    val parsed = FlowLog.parseFlowLogs(decoded()).collect()
+      .map(r => r.getAs[String]("event_id") -> r).toMap
+    assert(parsed("366").getAs[String]("ecs_cluster_arn") === null)
+    assert(parsed("361").getAs[String]("ecs_task_id") === null)
+  }
+
   test("partitioned sink round-trip preserves rows and layout") {
     val out = java.nio.file.Files.createTempDirectory("flowlog_sink").toString
     val parsed = FlowLog.withDatePartitions(
@@ -237,15 +275,24 @@ class FlowLogSpec extends SparkSpec {
       assert(byStatus.keySet === Set("OK", "NODATA", "SKIPDATA", "QUARANTINED"),
         s"missing parse branches: $byStatus")
       assert(byStatus.values.forall(_ > 0))
-      // v2 and v5 both occur, and v5 rows carry parsed extras
+      // v2, v5 and v7 all occur, and extension rows carry parsed extras
       val v5 = parsed.filter(col("version") === 5)
-      assert(v5.count() > 0 && parsed.filter(col("version") === 2).count() > 0)
+      val v7 = parsed.filter(col("version") === 7)
+      assert(v5.count() > 0 && v7.count() > 0 &&
+        parsed.filter(col("version") === 2).count() > 0)
       assert(v5.filter(col("vpc_id") =!= "vpc-graft" ||
         col("flow_direction").isNull).count() === 0,
         "v5 extras failed to parse into named columns")
-      // v2 rows must leave every extra null (no token bleed)
+      // v7 rows carry BOTH extension layers, with the planted '-' null
+      assert(v7.filter(col("flow_direction").isNull ||
+        col("ecs_service_name").isNull || col("ecs_task_id").isNull ||
+        col("ecs_second_container_id").isNotNull).count() === 0,
+        "v7 ECS fields failed to parse into named columns")
+      // v2/v5 rows must leave every unprovided extra null (no token bleed)
       assert(parsed.filter(col("version") === 2 &&
         col("parse_error").isNull && col("vpc_id").isNotNull).count() === 0)
+      assert(parsed.filter(col("version") === 5 &&
+        col("ecs_cluster_arn").isNotNull).count() === 0)
     } finally parsed.unpersist()
   }
 
