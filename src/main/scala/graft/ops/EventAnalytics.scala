@@ -380,6 +380,53 @@ object EventAnalytics {
         .orderBy(col("event_type").asc)
     },
 
+    // The CALENDAR-WINDOWED Theil–Sen — the production shape the
+    // first-60 comment above promises (VERDICT r14 #4): the same
+    // all-pairs median slope computed per (event_type, UTC day), with
+    // the same row cap now applied PER WINDOW (rn ≤ 60 within each
+    // (key, day) cell — the cap is what keeps the pair join quadratic
+    // only in a constant). At 100 TB the day key joins the shuffle key,
+    // so every exchange stays (key, window)-partitioned and cells peel
+    // independently; a cell with one distinct timestamp yields no pairs
+    // and drops out identically in both engines. Same exact (dy, dx)
+    // integer arithmetic, IEEE-double sort key, and median tie-break as
+    // the unwindowed query; dt follows the repo date_trunc rule
+    // (cast straight back to TIMESTAMP_NTZ).
+    "ts_theil_sen_windowed" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"), col("dt"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pts = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ)").as("dt"),
+          col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 60)
+      val pa = pts.select(col("event_type"), col("dt"), col("ts").as("ts_a"),
+        col("iv").as("iv_a"), col("rn").as("rn_a"))
+      val pb = pts.select(col("event_type"), col("dt"), col("ts").as("ts_b"),
+        col("iv").as("iv_b"), col("rn").as("rn_b"))
+      val pairs = pa.join(pb, Seq("event_type", "dt"))
+        .filter(col("rn_b") > col("rn_a") && col("ts_b") =!= col("ts_a"))
+        .select(col("event_type"), col("dt"),
+          (col("iv_b") - col("iv_a")).as("dy"),
+          expr("timestampdiff(MICROSECOND, ts_a, ts_b)").as("dx"))
+      val order = Window.partitionBy(col("event_type"), col("dt"))
+        .orderBy((col("dy").cast("double") / col("dx").cast("double")).asc,
+          col("dy").asc, col("dx").asc)
+      pairs
+        .withColumn("sr", row_number().over(order))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy(col("event_type"), col("dt"))))
+        .filter(col("sr") === expr("(m + 1) div 2"))
+        .select(col("event_type"), col("dt"), col("m").as("n_pairs"),
+          col("dy").as("med_dy"), col("dx").as("med_dx"),
+          ((col("dy") * lit(3600000000L)).cast("double") /
+            col("dx").cast("double")).as("slope_per_hour"))
+        .orderBy(col("event_type").asc, col("dt").asc)
+    },
+
     // Mann–Kendall trend test per event_type over the same first-60
     // window as ts_theil_sen (the standard robust-trend PAIRING: MK for
     // significance, Theil–Sen for magnitude). S = Σ_{i<j} sign(x_j − x_i)
@@ -1361,6 +1408,36 @@ object EventAnalytics {
         |         AS slope_per_hour
         |FROM r WHERE sr = (m + 1) // 2
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    // The per-(event_type, day) twin: identical arithmetic with the day
+    // key threaded through every stage and the row cap applied per cell.
+    "ts_theil_sen_windowed" ->
+      """WITH p AS (
+        |  SELECT event_type, date_trunc('day', ts) AS dt, epoch_us(ts) AS t,
+        |         CAST(round(value * 10000, 0) AS BIGINT) AS iv,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |),
+        |w AS (SELECT * FROM p WHERE rn <= 60),
+        |pr AS (
+        |  SELECT a.event_type, a.dt, b.iv - a.iv AS dy, b.t - a.t AS dx
+        |  FROM w a JOIN w b ON a.event_type = b.event_type AND a.dt = b.dt
+        |   AND b.rn > a.rn AND b.t <> a.t
+        |),
+        |r AS (
+        |  SELECT event_type, dt, dy, dx,
+        |         row_number() OVER (PARTITION BY event_type, dt
+        |           ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC,
+        |                    dy ASC, dx ASC) AS sr,
+        |         count(*) OVER (PARTITION BY event_type, dt) AS m
+        |  FROM pr
+        |)
+        |SELECT event_type, dt, m AS n_pairs, dy AS med_dy, dx AS med_dx,
+        |       CAST(dy * 3600000000 AS DOUBLE) / CAST(dx AS DOUBLE)
+        |         AS slope_per_hour
+        |FROM r WHERE sr = (m + 1) // 2
+        |ORDER BY event_type ASC NULLS FIRST, dt ASC NULLS FIRST""".stripMargin,
 
     // Same first-60 window; S and the tie-corrected variance numerator
     // stay exact BIGINT, the z chain is the identical sequence of

@@ -13,8 +13,14 @@ class SqlEntrySpec extends SparkSpec {
     Tables.customer(spark, sf).createOrReplaceTempView("customer")
     Tables.events(spark, sf).createOrReplaceTempView("events")
     Tables.documents(spark, sf).createOrReplaceTempView("documents")
+    Tables.part(spark, sf).createOrReplaceTempView("part")
+    Tables.supplier(spark, sf).createOrReplaceTempView("supplier")
+    Tables.nation(spark, sf).createOrReplaceTempView("nation")
+    Tables.region(spark, sf).createOrReplaceTempView("region")
+    Tables.embeddings(spark, sf).createOrReplaceTempView("embeddings")
     try f finally {
-      Seq("lineitem", "orders", "customer", "events", "documents")
+      Seq("lineitem", "orders", "customer", "events", "documents",
+        "part", "supplier", "nation", "region", "embeddings")
         .foreach(spark.catalog.dropTempView(_))
     }
   }
@@ -66,19 +72,69 @@ class SqlEntrySpec extends SparkSpec {
     }
   }
 
-  test("ten representative declared queries run as SQL text and match the DataFrame form") {
+  test("115 declared queries run as VERBATIM SQL text and match the DataFrame form") {
     // These oracle texts live in the Spark ∩ DuckDB common dialect, so
     // the SAME string the DuckDB gate executes runs through spark.sql
     // over registered views — pinning entry point 2 (SURVEY §3.3) across
-    // projection/filter, aggregation (global, grouped+having, distinct),
-    // anti-join, set ops, sort/limit, and a running window. Queries whose
-    // oracles use DuckDB-only functions (sha256, //, list ops) are
-    // exercised via hand-adapted texts below instead.
+    // every family with a common-dialect oracle: projection/filter,
+    // aggregation (global, grouped+having, distinct, sketch-merge,
+    // grouping sets/rollup/cube), every join family incl. the 21
+    // multiway TPC-H-shaped queries, set ops, sort/limit, windows,
+    // sources, graph (degree/triangle/jaccard/khop/clustering),
+    // time-series (autocorr, bollinger, ewma, mann_kendall, drawdown,
+    // seasonal_profile), stream-batch twins, scd2/cdc-diff, and the
+    // flow-log quarantine report. The list is the round-15 enumeration of
+    // every oracle that both PARSES in Spark and matches row-for-row; a
+    // name dropping out of it is a dialect regression. Queries whose
+    // oracles use DuckDB-only spellings stay out: sha256/`//`/epoch_us/
+    // list fns/VARCHAR casts/recursive CTEs, plus 7 that parse but
+    // diverge semantically (the four join_asof oracles — DuckDB's ASOF
+    // JOIN sugar reads differently in Spark's plain-join emulation —
+    // cdc_scd2_merge, date_extract_trunc, ts_ohlc_resample); one
+    // representative (llm_dedup_exact) is exercised via a hand-adapted
+    // text below instead.
     val verbatim = Seq(
-      "agg_having", "agg_global", "agg_count_distinct",
-      "filter_conjunctive", "join_left_anti",
-      "sort_multi_col", "limit_topk_global", "distinct_rows",
-      "set_union_all", "set_intersect", "win_running_sum_rows")
+      "agg_approx_distinct", "agg_corr_covar", "agg_count_distinct",
+      "agg_cube", "agg_entropy", "agg_filtered_revenue_q6",
+      "agg_first_last_minmax_by", "agg_gini", "agg_global",
+      "agg_groupby_pricing", "agg_grouping_sets", "agg_having",
+      "agg_histogram", "agg_hll_sketch_merge", "agg_incremental_merge",
+      "agg_mode", "agg_mode_bool", "agg_profile_stats", "agg_regression",
+      "agg_rollup", "agg_stddev_var", "agg_theta_sketch_setops",
+      "agg_weighted_median", "cdc_snapshot_diff", "cond_case_coalesce",
+      "distinct_rows", "filter_conjunctive", "filter_correlated_subquery",
+      "filter_in_between_null", "filter_scalar_subquery",
+      "flowlog_quarantine_report", "graph_assortativity",
+      "graph_clustering_coeff", "graph_common_neighbors",
+      "graph_degree_hist", "graph_jaccard_link", "graph_khop_reach",
+      "graph_triangle_count", "graph_triangle_strength", "join_broadcast",
+      "join_bucketed_colocated", "join_cross", "join_full_outer",
+      "join_inner_equi", "join_interval", "join_left_anti",
+      "join_left_outer", "join_left_semi", "join_multiway_q10",
+      "join_multiway_q12", "join_multiway_q13", "join_multiway_q14",
+      "join_multiway_q15", "join_multiway_q16", "join_multiway_q17",
+      "join_multiway_q18", "join_multiway_q19", "join_multiway_q2",
+      "join_multiway_q20", "join_multiway_q21", "join_multiway_q22",
+      "join_multiway_q3", "join_multiway_q4", "join_multiway_q5",
+      "join_multiway_q7", "join_multiway_q8", "join_multiway_q9",
+      "join_range_banded", "join_right_outer", "join_self",
+      "join_skew_salted", "join_sortmerge", "join_theta_range",
+      "limit_topk_global", "llm_dedup_fuzzy_lev", "llm_shard_assign",
+      "math_basic", "proj_select_rename_compute", "reshape_unpivot",
+      "scale_zorder_skipping", "scd2_status_history", "set_except",
+      "set_intersect", "set_intersect_all", "set_union_all",
+      "set_union_distinct", "sort_multi_col", "src_scan_csv_roundtrip",
+      "src_scan_jsonl_roundtrip", "src_scan_orc_roundtrip",
+      "src_scan_parquet", "src_scan_partition_filter", "src_scan_pruned",
+      "src_scan_schema_evolution", "str_basic", "stream_dedup_batch",
+      "stream_session_agg_batch", "stream_silence_batch",
+      "ts_autocorr_lag1", "ts_bollinger_breakout", "ts_ewma_dyadic",
+      "ts_mann_kendall", "ts_max_drawdown", "ts_seasonal_profile",
+      "udaf_weighted_avg", "win_first_last_value", "win_funnel_steps",
+      "win_moving_avg_rows", "win_nth_value", "win_ntile_percent",
+      "win_path_transitions", "win_rank_dense", "win_row_number_topk",
+      "win_running_distinct", "win_running_sum_rows")
+    assert(verbatim.size === 115)
     viewed {
       for (name <- verbatim) {
         val sqlRows = rows(spark.sql(SparkEntry.oracleSql(name)))
