@@ -72,6 +72,13 @@ object FlowLogStream {
       watermark: String = "30 minutes"): Dataset[PortScanAlert] = {
     val spark = envelopes.sparkSession
     import spark.implicits._
+    // NOTE on the event-time clock: the watermark tracks the DETECTOR'S
+    // OWN population — Spark pushes non-event-time filters below the
+    // EventTimeWatermark node, so placing withWatermark "before" the
+    // filter changes nothing (measured: a filtered-out far-future row
+    // does not advance the watermark). Day-close therefore requires
+    // in-population traffic; an operator needing wall-clock closure on a
+    // silent population would use a processing-time policy instead.
     FlowLog.parseFlowLogs(FlowLog.decodeEnvelopes(envelopes))
       .filter(col("parse_error").isNull && col("dstport").isNotNull &&
         col("srcaddr").isNotNull)
@@ -156,6 +163,8 @@ object FlowLogStream {
       watermark: String = "30 minutes"): Dataset[BeaconReport] = {
     val spark = envelopes.sparkSession
     import spark.implicits._
+    // same event-time-clock note as streamPortScan: the watermark tracks
+    // the filtered population (filter pushdown through the watermark node)
     FlowLog.parseFlowLogs(FlowLog.decodeEnvelopes(envelopes))
       .filter(col("log_status") === "OK" && col("parse_error").isNull &&
         col("dstport").isNotNull)
@@ -169,6 +178,82 @@ object FlowLogStream {
             state: GroupState[BcBuf]) =>
           beaconHandle(key._1, key._2, key._3, rows, state, minFlows)
       }
+  }
+
+  // ------------------------------------------------------- exfil ratio
+
+  case class ExIn(subnet: String, ts: java.sql.Timestamp, bytes: Long,
+      egress: Boolean)
+  case class ExPend(ts_ms: Long, bytes: Long, egress: Boolean)
+  case class ExBuf(ingress_bytes: Long, egress_bytes: Long, n_flows: Long,
+      pending: List[ExPend])
+  case class ExfilReport(subnet: String, day: java.sql.Timestamp,
+      ingress_bytes: Long, egress_bytes: Long, n_flows: Long,
+      exfil_ratio: Double)
+
+  /** Streaming exfiltration monitor — the streaming twin of
+    * `flowlog_exfil_ratio`, day-scoped: per destination /24 subnet,
+    * ingress/egress byte totals over the extension-carrying lines, with
+    * one FINAL report per (subnet, day) at day close when BOTH directions
+    * occurred (the batch HAVING guard). The fold is ORDER-INSENSITIVE
+    * (two long sums), so unlike the port-scan/beacon folds there is no
+    * need to sort — but rows still buffer until strictly below the
+    * watermark so a killed-and-restarted query never double-counts a row
+    * that was read but not yet committed (the sums live in state, the
+    * uncommitted rows replay). Day-end timer retirement as in
+    * [[portScanHandle]]; the ratio is one double division of exact
+    * BIGINTs at emission. */
+  def streamExfilRatio(envelopes: DataFrame,
+      watermark: String = "30 minutes"): Dataset[ExfilReport] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    // same event-time-clock note as streamPortScan: the watermark tracks
+    // the extension-carrying population (filter pushdown through the
+    // watermark node means v2-only traffic cannot advance the clock)
+    FlowLog.parseFlowLogs(FlowLog.decodeEnvelopes(envelopes))
+      .filter(col("flow_direction").isNotNull)
+      .select(concat(lit("10.1."),
+          element_at(split(col("dstaddr"), "\\."), 3)).as("subnet"),
+        col("start_ts").as("ts"), col("bytes"),
+        (col("flow_direction") === "egress").as("egress"))
+      .withWatermark("ts", watermark)
+      .as[ExIn]
+      .groupByKey(r => (r.subnet, dayTs(r.ts)))
+      .flatMapGroupsWithState[ExBuf, ExfilReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, java.sql.Timestamp), rows: Iterator[ExIn],
+            state: GroupState[ExBuf]) =>
+          exfilHandle(key._1, key._2, rows, state)
+      }
+  }
+
+  private[flowlog] def exfilHandle(subnet: String, day: java.sql.Timestamp,
+      rows: Iterator[ExIn], state: GroupState[ExBuf]): Iterator[ExfilReport] = {
+    val wm = state.getCurrentWatermarkMs()
+    val dayEndMs = day.getTime + 86400000L
+    val prev = state.getOption.getOrElse(ExBuf(0L, 0L, 0L, Nil))
+    val all = prev.pending ++
+      rows.map(r => ExPend(r.ts.getTime, r.bytes, r.egress))
+    val (ready, pending) = all.partition(_.ts_ms < wm)
+    var in = prev.ingress_bytes
+    var eg = prev.egress_bytes
+    var n = prev.n_flows
+    ready.foreach { p =>
+      if (p.egress) eg += p.bytes else in += p.bytes
+      n += 1
+    }
+    val out = List.newBuilder[ExfilReport]
+    if (pending.isEmpty && wm >= dayEndMs) {
+      if (in > 0L && eg > 0L)
+        out += ExfilReport(subnet, day, in, eg, n,
+          eg.toDouble / in.toDouble)
+      state.remove()
+    } else {
+      state.update(ExBuf(in, eg, n, pending))
+      state.setTimeoutTimestamp(
+        if (pending.nonEmpty) wm + 1 else math.max(dayEndMs, wm + 1))
+    }
+    out.result().iterator
   }
 
   private[flowlog] def beaconHandle(src: String, dstport: Int,

@@ -222,6 +222,60 @@ class FlowLogStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming exfil-ratio monitor (RocksDB): day-close reports equal the declared batch query, state retires, survives kill/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    withRocksDb {
+      val dir = java.nio.file.Files.createTempDirectory("flowlog_exstream").toString
+      val mem = MemoryStream[Array[Byte]]
+      def start() = FlowLogStream.streamExfilRatio(mem.toDF(),
+          watermark = "30 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val chunks = fixtureEnvelopeChunks(4)
+      val q1 = start()
+      mem.addData(chunks(0)); q1.processAllAvailable()
+      mem.addData(chunks(1)); q1.processAllAvailable()
+      q1.stop() // kill: the byte sums live only in RocksDB state
+      val q2 = start()
+      try {
+        chunks.drop(2).foreach { c => mem.addData(c); q2.processAllAvailable() }
+        // exfil's watermark tracks the extension-carrying population
+        // (filters push below the watermark node), so the flush sentinel
+        // must itself be a v5 line — its own (subnet, day-31) key stays
+        // pending in state afterwards
+        val fs = 1704067200L + 30L * 86400L
+        mem.addData(envelope(999999,
+          s"5 123456789012 eni-zz 10.9.9.9 10.9.9.8 1 2 6 1 1 $fs ${fs + 1} " +
+            "ACCEPT OK vpc-z subnet-z i-z 0 IPv4 10.9.9.9 10.9.9.8 " +
+            "us-east-1 use1-az1 - - - - egress 1"))
+        q2.processAllAvailable()
+        val fin = spark.read.parquet(s"$dir/out").collect()
+          .map(r => (r.getAs[String]("subnet"), r.getAs[Long]("ingress_bytes"),
+            r.getAs[Long]("egress_bytes"), r.getAs[Long]("n_flows"),
+            r.getAs[Double]("exfil_ratio"))).toSet
+        // all sf0.001 flows are day 1, so the day-scoped FINAL reports are
+        // exactly the declared batch query's rows (the v5 flush sentinel
+        // lives on day 31 and stays pending, so it never reports)
+        val batch = graft.SparkEntry.queries("flowlog_exfil_ratio")(spark, sf)
+          .collect()
+          .map(r => (r.getAs[String]("subnet"), r.getAs[Long]("ingress_bytes"),
+            r.getAs[Long]("egress_bytes"), r.getAs[Long]("n_flows"),
+            r.getAs[Double]("exfil_ratio"))).toSet
+        assert(batch.nonEmpty, "vacuous: batch exfil query found no subnets")
+        assert(fin === batch,
+          s"stream/batch diverged: only-stream=${(fin -- batch).take(3)} " +
+            s"only-batch=${(batch -- fin).take(3)}")
+        // day-1 keys retire; only the sentinel's own day-31 key survives
+        val stateRows = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows === 1L,
+          s"day keys failed to retire: $stateRows state rows after flush")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming rejected-traffic report over decoded envelopes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
