@@ -473,6 +473,58 @@ object EventAnalytics {
         .orderBy(col("event_type").asc)
     },
 
+    // SEASONAL Mann–Kendall (the Hirsch–Slack test) per event_type with
+    // hour-of-day seasons: the MK statistic computed WITHIN each season
+    // (only like-season observations are compared, so a diurnal cycle
+    // cannot masquerade as trend) and summed — S = Σ_s S_s, and the
+    // variance numerators add because seasons are disjoint:
+    // var_num = Σ_s [n_s(n_s−1)(2n_s+5) − Σ_g t(t−1)(2t+5)]. Same
+    // first-60-per-cell bound, exact-BIGINT S and variance, and
+    // correctly-rounded z chain as ts_mann_kendall; one extra season key
+    // threaded through the shuffles (at 100 TB the (key, season) pair is
+    // the shuffle key and cells peel independently — the windowed
+    // theil_sen partition discipline).
+    "ts_mann_kendall_seasonal" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"), col("season"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pts = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("season"),
+          col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000, 0) AS BIGINT)").as("iv"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 60)
+      val pa = pts.select(col("event_type"), col("season"),
+        col("iv").as("iv_a"), col("rn").as("rn_a"))
+      val pb = pts.select(col("event_type"), col("season"),
+        col("iv").as("iv_b"), col("rn").as("rn_b"))
+      val sAgg = pa.join(pb, Seq("event_type", "season"))
+        .filter(col("rn_b") > col("rn_a"))
+        .groupBy(col("event_type"), col("season"))
+        .agg(sum(when(col("iv_b") > col("iv_a"), 1L)
+          .when(col("iv_b") < col("iv_a"), -1L).otherwise(0L)).as("s_s"))
+      val tieAgg = pts.groupBy(col("event_type"), col("season"), col("iv"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"), col("season"))
+        .agg(sum(col("t")).as("n_s"),
+          sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+            .as("tie_s"))
+      sAgg.join(tieAgg, Seq("event_type", "season"))
+        .withColumn("var_s",
+          col("n_s") * (col("n_s") - 1) * (lit(2L) * col("n_s") + 5) -
+            col("tie_s"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_seasons"), sum(col("n_s")).as("n"),
+          sum(col("s_s")).as("s"), sum(col("var_s")).as("var_num"))
+        .select(col("event_type"), col("n_seasons"), col("n"), col("s"),
+          col("var_num"),
+          round(
+            (col("s") - signum(col("s")).cast("long")).cast("double") /
+              sqrt(when(col("var_num") > 0, col("var_num")).cast("double") /
+                lit(18.0)), 6).as("z"))
+        .orderBy(col("event_type").asc)
+    },
+
     // Holt linear (double exponential) smoothing per (event_type, day) —
     // the level+trend recurrence ts_ewma_dyadic's single-state kernel
     // cannot express:
@@ -1475,6 +1527,50 @@ object EventAnalytics {
         |                       END AS DOUBLE) / CAST(18 AS DOUBLE)), 6) AS z
         |FROM sa JOIN ta ON sa.event_type = ta.event_type
         |ORDER BY sa.event_type ASC NULLS FIRST""".stripMargin,
+
+    // Hirsch–Slack seasonal MK: per-(type, hour) cells with the same
+    // first-60 cap, summed per type; DuckDB hour() ≡ Spark hour() on the
+    // fixture's timestamps, and every arithmetic step stays exact BIGINT
+    // until the one z-chain division.
+    "ts_mann_kendall_seasonal" ->
+      """WITH p AS (
+        |  SELECT event_type, hour(ts) AS season,
+        |         CAST(round(value * 10000, 0) AS BIGINT) AS iv,
+        |         row_number() OVER (PARTITION BY event_type, hour(ts)
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |),
+        |w AS (SELECT * FROM p WHERE rn <= 60),
+        |sa AS (
+        |  SELECT a.event_type, a.season,
+        |         CAST(sum(CASE WHEN b.iv > a.iv THEN 1
+        |                       WHEN b.iv < a.iv THEN -1
+        |                       ELSE 0 END) AS BIGINT) AS s_s
+        |  FROM w a JOIN w b ON a.event_type = b.event_type
+        |   AND a.season = b.season AND b.rn > a.rn
+        |  GROUP BY a.event_type, a.season
+        |),
+        |tg AS (SELECT event_type, season, iv, count(*) AS t
+        |       FROM w GROUP BY event_type, season, iv),
+        |ta AS (SELECT event_type, season, CAST(sum(t) AS BIGINT) AS n_s,
+        |              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |                AS tie_s
+        |       FROM tg GROUP BY event_type, season),
+        |cell AS (
+        |  SELECT sa.event_type, sa.season, s_s, n_s,
+        |         n_s * (n_s - 1) * (2 * n_s + 5) - tie_s AS var_s
+        |  FROM sa JOIN ta ON sa.event_type = ta.event_type
+        |   AND sa.season = ta.season)
+        |SELECT event_type, count(*) AS n_seasons,
+        |       CAST(sum(n_s) AS BIGINT) AS n,
+        |       CAST(sum(s_s) AS BIGINT) AS s,
+        |       CAST(sum(var_s) AS BIGINT) AS var_num,
+        |       round(CAST(sum(s_s) - sign(sum(s_s)) AS DOUBLE) /
+        |             sqrt(CAST(CASE WHEN sum(var_s) > 0 THEN sum(var_s)
+        |                       END AS DOUBLE) / CAST(18 AS DOUBLE)), 6) AS z
+        |FROM cell
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
 
     "ts_ewma_dyadic" -> {
       // The identical 16-tap dyadic kernel, generated to keep the 16 lag
