@@ -276,6 +276,40 @@ class FlowLogStreamSpec extends SparkSpec {
     }
   }
 
+  test("port-scan detector output is invariant to micro-batch chunking (event-time determinism)") {
+    // The detector's contract: output — including every ONSET's timestamp
+    // and counts — is a pure function of the event-time CONTENT of the
+    // stream, never of how arrival happened to batch (in-contract
+    // arrival, the cusum rule). Two runs over the same fixture with
+    // different chunk counts and different within-chunk shuffles must be
+    // row-identical.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def runWith(nChunks: Int): Set[List[Any]] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"flowlog_pschunk$nChunks").toString
+      val mem = MemoryStream[Array[Byte]]
+      val q = FlowLogStream.streamPortScan(mem.toDF(), minPorts = 10,
+          watermark = "30 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        fixtureEnvelopeChunks(nChunks).foreach { c =>
+          mem.addData(c); q.processAllAvailable()
+        }
+        mem.addData(flushEnvelope()); q.processAllAvailable()
+        spark.read.parquet(s"$dir/out").collect()
+          .map(_.toSeq.toList).toSet
+      } finally q.stop()
+    }
+    val a = runWith(3)
+    val b = runWith(7)
+    assert(a.nonEmpty, "vacuous: no detector output")
+    assert(a === b,
+      s"chunking changed the output: only-3=${(a -- b).take(3)} only-7=${(b -- a).take(3)}")
+  }
+
   test("streaming rejected-traffic report over decoded envelopes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
