@@ -301,6 +301,26 @@ class PlanSpec extends SparkSpec {
       s"no unbounded global-ordering window allowed in the cooccur plan:\n$plan")
   }
 
+  test("ts_theil_sen_windowed: every exchange carries the (event_type, dt) cell key — no global shuffle") {
+    // The calendar-windowed Theil–Sen's scale contract: the day key joins
+    // every shuffle key, so cells peel independently on a cluster. A
+    // hashpartitioning on event_type ALONE (or an empty partitioning /
+    // global singlePartition window) would funnel a whole key's history
+    // through one task at 100 TB. The final ORDER BY's rangepartitioning
+    // is the one allowed non-hash exchange (round-10 rule: count it, not
+    // forbid it).
+    val df = SparkEntry.queries("ts_theil_sen_windowed")(spark, sf)
+    df.collect() // AQE-finalize before inspecting (round-4 rule)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashEx = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty, s"expected hash exchanges in:\n$plan")
+    assert(hashEx.forall(l => l.contains("event_type") && l.contains("dt")),
+      s"an exchange dropped the day key (single-key funnel at scale):\n" +
+        hashEx.mkString("\n"))
+    assert(!plan.contains("SinglePartition"),
+      s"no global single-partition stage allowed:\n$plan")
+  }
+
   test("win_row_number_topk gets a WindowGroupLimit (per-group top-k prune before the sort)") {
     // Spark 4's InferWindowGroupLimit turns `row_number() <= k` into a
     // WindowGroupLimit, so each partition keeps only k candidate rows per
