@@ -307,6 +307,8 @@ object FlowLogQueries {
         col("srcaddr"), col("dstaddr"), col("srcport"), col("dstport"),
         col("protocol"), col("start_ts"), col("bytes"), col("action"),
         col("parse_error")).localCheckpoint(true)
+      // the narrow checkpoint parks (one retained copy per session)
+      graft.ops.CheckpointPark.park("flowlog_bidir", narrow)
       FlowLog.pairBidirectional(narrow)
         .select(col("addr_fwd"), col("port_fwd").cast("long").as("port_fwd"),
           col("addr_rev"), col("port_rev").cast("long").as("port_rev"),

@@ -239,6 +239,8 @@ object Basics {
         .crossJoin(broadcast(total))
         .withColumn("target_rn",
           greatest(lit(1L), expr(s"(split_id * n_total) div $k")))
+      // the pid-pinning checkpoint parks (one retained copy per session)
+      CheckpointPark.park("range_bounds", base)
       ranked.join(broadcast(targets), col("rn") === col("target_rn"))
         .select(col("split_id"), col("c").as("split_cents"))
         .orderBy(col("split_id").asc)

@@ -156,6 +156,7 @@ object Graph {
         .groupBy(col("v"))
         .agg((lit(150000000000L) + expr("85 * sum(c) div 100")).as("r"))
     }
+    CheckpointPark.park("pagerank", und, deg)
     r.select(col("v").as("part"), col("r").as("pr_fixed"))
       .orderBy(col("part").asc)
   }
@@ -189,6 +190,7 @@ object Graph {
         .groupBy(col("v"))
         .agg((lit(150000000000L) + expr("85 * sum(q * w) div 100")).as("r"))
     }
+    CheckpointPark.park("pagerank_w", und, wdeg)
     r.select(col("v").as("part"), col("r").as("pr_fixed"))
       .orderBy(col("part").asc)
   }
@@ -754,10 +756,10 @@ object Graph {
     // Seeds are a filtered dimension slice — broadcast; the frontier
     // joins key on the edge source vertex. h1 feeds BOTH the hop union
     // and the h2 expansion — checkpoint it so the und join + distinct
-    // run once. The und/h1 checkpoint blocks live until session end by
-    // design: a declared query returns a LAZY frame, so releasing before
-    // the caller executes it would drop blocks the plan still needs
-    // (Bench's post-query clearCache + GC is the retirement path).
+    // run once. A declared query returns a LAZY frame, so the und/h1
+    // blocks cannot release in-method; they park below (round-15:
+    // CheckpointPark retires the previous invocation's copies instead of
+    // leaning on post-query GC).
     val h1 = broadcast(seeds).join(und, col("seed") === col("u"))
       .select(col("seed"), col("v")).distinct()
       .localCheckpoint(true)
@@ -776,6 +778,7 @@ object Graph {
       .groupBy(col("seed"))
       .agg(expr("array_distinct(flatten(collect_list(nbrs)))").as("n2"))
     val h1sets = h1.groupBy(col("seed")).agg(collect_set(col("v")).as("n1"))
+    CheckpointPark.park("khop", und, h1)
     h1sets.join(h2sets, Seq("seed"))
       .select(col("seed").as("seed_part"),
         expr("CAST(size(filter(n1, x -> x != seed)) AS BIGINT)").as("reach1"),
@@ -1027,8 +1030,8 @@ object Graph {
     * so the semi joins co-locate). Per-round eager checkpoints break the
     * 3-references-per-round plan blow-up (e feeds deg and both join
     * sides); each retires via releaseCheckpoint as soon as the next
-    * round's checkpoint job has consumed it, the final one stays alive
-    * for the caller's execution (khopReach precedent). */
+    * round's checkpoint job has consumed it; the final one parks in
+    * [[CheckpointPark]] (round-15: one retained copy per session). */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     // DELTA form: the naive peel recomputes degrees from the full edge
     // list every round (~4 full-edge shuffles × rounds — 10.2 s at
@@ -1078,11 +1081,12 @@ object Graph {
       }
       round += 1
     }
-    // the final deg/e checkpoints stay alive for the caller's execution
-    // (khopReach precedent). dg > 0: a TRUNCATED run may carry vertices
+    // the final deg checkpoint parks (previous invocation retires);
+    // dg > 0: a TRUNCATED run may carry vertices
     // whose last neighbor died this round — the recompute form (and the
     // oracle, which reads degrees off the final edge set) never lists
     // them; at convergence every row has dg ≥ k so the filter is a no-op.
+    CheckpointPark.park("kcore", deg)
     deg.filter(col("dg") > 0)
       .select(col("v").as("part"), col("dg").as("core_deg"))
       .orderBy(col("part").asc)
@@ -1115,18 +1119,12 @@ object Graph {
     * break the 3-references-per-round plan blow-up; each retires via
     * releaseCheckpoint once its successor materializes. The FINAL
     * surviving checkpoint cannot retire in-method (the returned lazy
-    * frame reads it), so it parks in a one-slot-per-session memo and is
+    * frame reads it), so it parks in [[CheckpointPark]] and is
     * released by the NEXT ktrussPeel call on the same session — retained
     * checkpoints are bounded at one per live session instead of one per
     * invocation, with the documented contract that a returned k-truss
     * frame is consumed before the next peel on that session (every
     * declared-query / spec caller collects immediately). */
-  // Final-checkpoint parking slot: SparkSession identity → the last
-  // invocation's surviving edge checkpoint (reference-keyed like
-  // overCapCorpusMemo; stopped sessions are swept on each call).
-  private val ktrussFinalMemo =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
-
   def ktrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     graft.functions.VectorFunctions.register(edges.sparkSession)
     def support(e: DataFrame): DataFrame = {
@@ -1159,15 +1157,9 @@ object Graph {
       }
       round += 1
     }
-    // retire the PREVIOUS invocation's parked checkpoint and park this
-    // one; sweep slots whose session has stopped (their blocks died with
-    // the context — removing the entry just drops the dead plan)
-    val sess = edges.sparkSession
-    val it = ktrussFinalMemo.entrySet().iterator()
-    while (it.hasNext)
-      if (it.next().getKey.sparkContext.isStopped) it.remove()
-    val prev = ktrussFinalMemo.put(sess, e)
-    if (prev != null) LlmOps.releaseCheckpoint(prev)
+    // park the surviving checkpoint: the previous invocation's occupant
+    // retires (CheckpointPark — one retained copy per session)
+    CheckpointPark.park("ktruss", e)
     // final support measured ON the converged set — matches the oracle's
     // trailing support pass over e_rounds
     support(e).orderBy(col("a").asc, col("b").asc)
