@@ -99,6 +99,26 @@ object Bench {
         sys.exit(2)
       }
     }
+    // Environment-drift calibration probe (VERDICT r15 #5): a fixed
+    // CPU-bound synthetic plan — pure codegen hash+sum over a range, no
+    // I/O, no shuffle variance — timed (median of 3) at the START and END
+    // of the run and recorded in the JSON. Three rounds running have
+    // re-proven machine-level drift with ad-hoc A/Bs; with these fields
+    // every recording self-documents its window's inflation factor
+    // (ratio vs the BASELINE.md calibration constant), so per-query
+    // ratios can be normalized without re-benching old commits.
+    def calibrate(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        // bit_xor, not sum: ANSI sum over 100M arbitrary hash longs
+        // overflows; xor is closed on long and keeps the loop CPU-bound
+        spark.range(0L, 500000000L, 1L, cpus.toInt)
+          .selectExpr("xxhash64(id) AS h").selectExpr("bit_xor(h)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.round(ts.sorted.apply(1) * 1000.0) / 1000.0
+    }
+    val calStart = calibrate()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
@@ -135,11 +155,12 @@ object Bench {
     }
     // total = sum of the per-query values AS PRINTED (rounded to 3 dp), so
     // the "total" and "queries" lines agree exactly.
+    val calEnd = calibrate()
     val rounded = results.map { case (k, v) => k -> math.round(v * 1000.0) / 1000.0 }
     val total = math.round(rounded.map(_._2).sum * 1000.0) / 1000.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_ok":${results.size},"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_ok":${results.size},"cal_start_s":$calStart,"cal_end_s":$calEnd,"failed":$failedJson}"""
     val qs = rounded
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -159,8 +180,14 @@ object Bench {
     // in the repo itself (the judge can diff any query without BASELINE.md);
     // subset runs (local iteration) skip the write — only the driver-shaped
     // full run is the artifact of record.
+    // anchored path: a bare relative filename lands in whatever the JVM
+    // CWD happens to be (or fails on a read-only one) when Bench is
+    // launched outside the repo root — resolve against an explicit env
+    // anchor, falling back to the absolute form of the CWD default.
     if (only.isEmpty) {
-      val w = new java.io.PrintWriter("BENCH_full.json", "UTF-8")
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+        new java.io.File("BENCH_full.json").getAbsolutePath)
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
       try { w.println(totalLine); w.println(queriesLine) } finally w.close()
     }
     spark.stop()

@@ -44,7 +44,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object FlowLogStream {
 
-  private def usToTs(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
+  private def msToTs(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
 
   /** UTC midnight of the timestamp's day, as the key's day handle. */
   private def dayTs(t: java.sql.Timestamp): java.sql.Timestamp =
@@ -119,7 +119,7 @@ object FlowLogStream {
       portSet += p.dstport
       if (!alerted && portSet.size >= minPorts) {
         alerted = true
-        out += PortScanAlert("ONSET", src, day, usToTs(p.ts_ms),
+        out += PortScanAlert("ONSET", src, day, msToTs(p.ts_ms),
           portSet.size.toLong, nRejects, nFlows)
       }
     }
@@ -127,7 +127,7 @@ object FlowLogStream {
       // day closed: every remaining day row would be late (< dayEnd ≤ wm)
       // and watermark-dropped, so the report is final — emit and retire
       if (portSet.size >= minPorts)
-        out += PortScanAlert("FINAL", src, day, usToTs(dayEndMs),
+        out += PortScanAlert("FINAL", src, day, msToTs(dayEndMs),
           portSet.size.toLong, nRejects, nFlows)
       state.remove()
     } else {
@@ -182,9 +182,14 @@ object FlowLogStream {
 
   // ------------------------------------------------------- exfil ratio
 
+  /** `direction` carries the raw flow_direction string — NOT a Boolean —
+    * so the fold can mirror the batch query's shape exactly: bytes add
+    * only when the value is exactly 'ingress' or 'egress', any other
+    * value counts in n_flows alone (an egress-test Boolean would silently
+    * fold a third direction value into ingress — stream ≠ batch). */
   case class ExIn(subnet: String, ts: java.sql.Timestamp, bytes: Long,
-      egress: Boolean)
-  case class ExPend(ts_ms: Long, bytes: Long, egress: Boolean)
+      direction: String)
+  case class ExPend(ts_ms: Long, bytes: Long, direction: String)
   case class ExBuf(ingress_bytes: Long, egress_bytes: Long, n_flows: Long,
       pending: List[ExPend])
   case class ExfilReport(subnet: String, day: java.sql.Timestamp,
@@ -215,7 +220,7 @@ object FlowLogStream {
       .select(concat(lit("10.1."),
           element_at(split(col("dstaddr"), "\\."), 3)).as("subnet"),
         col("start_ts").as("ts"), col("bytes"),
-        (col("flow_direction") === "egress").as("egress"))
+        col("flow_direction").as("direction"))
       .withWatermark("ts", watermark)
       .as[ExIn]
       .groupByKey(r => (r.subnet, dayTs(r.ts)))
@@ -233,13 +238,16 @@ object FlowLogStream {
     val dayEndMs = day.getTime + 86400000L
     val prev = state.getOption.getOrElse(ExBuf(0L, 0L, 0L, Nil))
     val all = prev.pending ++
-      rows.map(r => ExPend(r.ts.getTime, r.bytes, r.egress))
+      rows.map(r => ExPend(r.ts.getTime, r.bytes, r.direction))
     val (ready, pending) = all.partition(_.ts_ms < wm)
     var in = prev.ingress_bytes
     var eg = prev.egress_bytes
     var n = prev.n_flows
     ready.foreach { p =>
-      if (p.egress) eg += p.bytes else in += p.bytes
+      // exact-match adds mirror the batch sum(when(=== 'ingress'/'egress'))
+      // shape: a third direction value contributes to n_flows only
+      if (p.direction == "egress") eg += p.bytes
+      else if (p.direction == "ingress") in += p.bytes
       n += 1
     }
     val out = List.newBuilder[ExfilReport]

