@@ -117,13 +117,22 @@ object FlowLogQueries {
           |  CAST(start_s AS STRING), CAST(end_s AS STRING),
           |  CASE WHEN event_id % 5 = 0 THEN 'REJECT' ELSE 'ACCEPT' END,
           |  'OK')""".stripMargin))
+      // pkt_srcaddr: NAT-unwrapped true origin for event_id % 8 = 6 rows
+      // (srcaddr is then the NAT/ELB interface address, pkt-srcaddr the
+      // pre-translation endpoint — the public v5 packet-path semantics);
+      // all other extension rows carry pkt_srcaddr = srcaddr, so the
+      // NAT-unwrap queries see both branches at every scale (%8=6 fires
+      // 125× per 1000 ids — the vacuity rule).
       .withColumn("extras", expr(
         """concat_ws(' ',
           |  'vpc-graft',
           |  concat('subnet-', CAST(event_id % 12 AS STRING)),
           |  concat('i-', CAST(event_id % 500 AS STRING)),
           |  CAST(event_id % 32 AS STRING), 'IPv4',
-          |  concat('10.0.0.', CAST(event_id % 20 AS STRING)),
+          |  CASE WHEN event_id % 8 = 6
+          |       THEN concat('192.168.', CAST((event_id div 16) % 10 AS STRING),
+          |                   '.', CAST(event_id % 14 AS STRING))
+          |       ELSE concat('10.0.0.', CAST(event_id % 20 AS STRING)) END,
           |  concat('10.1.', CAST((event_id div 20) % 30 AS STRING),
           |         '.', CAST(event_id % 25 AS STRING)),
           |  'us-east-1',
@@ -227,9 +236,10 @@ object FlowLogQueries {
 
   /** Envelope-fixture dir. The version token bumps whenever the LINE
     * POPULATION changes (v2: the %11 reverse mirrors joined; v3: the
-    * %10=4 ids became v7 ECS lines) — a stale cached fixture must never
-    * answer for a changed population. */
-  private def envDir(d: String): String = sigDir(d, "flowlog_env_v3_")
+    * %10=4 ids became v7 ECS lines; v4: %8=6 rows carry a NAT-unwrapped
+    * pkt_srcaddr) — a stale cached fixture must never answer for a
+    * changed population. */
+  private def envDir(d: String): String = sigDir(d, "flowlog_env_v4_")
 
   /** The decoded event stream: envelope fixture (written once per source
     * signature) through the real gunzip + from_json + explode path. */
@@ -417,6 +427,74 @@ object FlowLogQueries {
         .orderBy(col("ecs_cluster_name").asc, col("ecs_service_name").asc)
     },
 
+    // NAT-unwrap top talkers over the v5 packet-path dimension (VERDICT
+    // r15 #3): attribute traffic to the PRE-TRANSLATION endpoint —
+    // pkt-srcaddr is the original packet source where srcaddr is the
+    // NAT/ELB interface (public v5 semantics), so grouping on it unmasks
+    // the real top talkers a srcaddr report hides behind the NAT. Only
+    // extension-carrying lines have the field (v2 mirrors fall out via
+    // the null check); n_nat_flows counts the rows where the two
+    // addresses actually diverge and n_nat_addrs the NAT interfaces the
+    // endpoint was seen behind. One map-side-combinable groupBy + a
+    // 15-row TakeOrdered.
+    "flowlog_nat_unwrap_talkers" -> { (s, d) =>
+      parsedFlow(s, d)
+        .filter(col("pkt_srcaddr").isNotNull)
+        .groupBy(col("pkt_srcaddr").as("orig_src"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("total_bytes"),
+          sum(when(col("pkt_srcaddr") =!= col("srcaddr"), 1L).otherwise(0L))
+            .as("n_nat_flows"),
+          countDistinct(col("srcaddr")).as("n_nat_addrs"))
+        .orderBy(col("total_bytes").desc, col("orig_src").asc)
+        .limit(15)
+    },
+
+    // SYN-scan refinement of the port-scan heuristic over the v3+
+    // tcp_flags bitmask (VERDICT r15 #3): a scanner's probes show SYN
+    // without ACK (flags & 2 set, & 16 clear — AWS ORs the flags seen
+    // over the capture window), so counting distinct dst ports over ONLY
+    // those flows separates scanners from busy-but-handshaking sources.
+    // The fixture's flags arithmetic (event_id % 32) interacts with the
+    // srcaddr octet mod 4, so exactly the ≡2 (mod 4) sources carry
+    // SYN-no-ACK rows: benign ones (octet < 12, ≤4 well-known ports)
+    // stay under the ≥5 floor while scanner octets 14/18 clear it at
+    // every scale — both branches of the HAVING fire (the vacuity rule).
+    "flowlog_syn_scan_refined" -> { (s, d) =>
+      val syn = (col("tcp_flags").cast("int").bitwiseAND(lit(2)) =!= 0) &&
+        (col("tcp_flags").cast("int").bitwiseAND(lit(16)) === 0)
+      parsedFlow(s, d)
+        .filter(col("tcp_flags").isNotNull)
+        .withColumn("syn_no_ack", syn)
+        .groupBy(col("srcaddr"))
+        .agg(countDistinct(when(col("syn_no_ack"), col("dstport")))
+            .as("n_syn_ports"),
+          sum(when(col("syn_no_ack"), 1L).otherwise(0L)).as("n_syn_flows"),
+          sum(when(col("syn_no_ack") && col("action") === "REJECT", 1L)
+            .otherwise(0L)).as("n_syn_rejects"),
+          count(lit(1)).as("n_flows"))
+        .filter(col("n_syn_ports") >= 5)
+        .orderBy(col("n_syn_ports").desc, col("srcaddr").asc)
+    },
+
+    // Traffic-path × action mix over the v5 traffic_path code (1–8: the
+    // public enum of egress routes — in-VPC, IGW, VGW, …): flow count,
+    // byte share and distinct ENIs per (path, action) cell — the routing
+    // posture report. traffic_path comes back a string token; the cast
+    // pins the integer parse. The extension rows are the even ids, so
+    // the populated cells are paths {1,3,5,7} × both actions — all 8
+    // fire at every scale (id%5=0 hits even ids every 10).
+    "flowlog_traffic_path_mix" -> { (s, d) =>
+      parsedFlow(s, d)
+        .filter(col("traffic_path").isNotNull)
+        .groupBy(col("traffic_path").cast("int").as("traffic_path"),
+          col("action"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("total_bytes"),
+          countDistinct(col("interface_id")).as("n_enis"))
+        .orderBy(col("traffic_path").asc, col("action").asc)
+    },
+
     // The reference pipeline's OUTPUT surface as a declared query: the
     // dt=YYYY-MM-DD/hr=HH partitioned parquet sink (FlowLog
     // .writePartitioned — written once per source signature through the
@@ -427,10 +505,10 @@ object FlowLogQueries {
     // inference types dt as DATE and hr as INT on read — the layout's
     // contract, pinned here cross-engine.
     "flowlog_partitioned_sink_read" -> { (s, d) =>
-      // _v2: the sink is DERIVED from the line population (envDir v3), so
+      // _v3: the sink is DERIVED from the line population (envDir v4), so
       // its cache tag bumps with it even though the readback aggregate is
       // version-independent — a stale sink must not contradict parsedFlow
-      val dir = sigDir(d, "flowlog_sink_v2_")
+      val dir = sigDir(d, "flowlog_sink_v3_")
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         FlowLog.writePartitioned(
           FlowLog.withDatePartitions(parsedFlow(s, d)), dir)
@@ -663,6 +741,81 @@ object FlowLogQueries {
         |FROM v7
         |GROUP BY ecs_cluster_name, ecs_service_name
         |ORDER BY ecs_cluster_name ASC, ecs_service_name ASC""".stripMargin,
+
+    // Extension rows = even non-quarantine ids; orig_src replays the
+    // extras' own %8=6 NAT branch, so a wrong pkt_srcaddr token index or
+    // a broken NAT population hash-mismatches here.
+    "flowlog_nat_unwrap_talkers" ->
+      """WITH v5 AS (
+        |  SELECT CASE WHEN event_id % 8 = 6
+        |              THEN '192.168.' || CAST((event_id // 16) % 10 AS VARCHAR)
+        |                   || '.' || CAST(event_id % 14 AS VARCHAR)
+        |              ELSE '10.0.0.' || CAST(event_id % 20 AS VARCHAR)
+        |         END AS orig_src,
+        |         '10.0.0.' || CAST(event_id % 20 AS VARCHAR) AS srcaddr,
+        |         40 * (1 + event_id % 97) + (event_id * 7) % 997 AS bytes
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 2 = 0)
+        |SELECT orig_src, count(*) AS n_flows,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(CASE WHEN orig_src <> srcaddr THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_nat_flows,
+        |       count(DISTINCT srcaddr) AS n_nat_addrs
+        |FROM v5
+        |GROUP BY orig_src
+        |ORDER BY total_bytes DESC, orig_src ASC
+        |LIMIT 15""".stripMargin,
+
+    // flags = event_id % 32 on extension rows; SYN-no-ACK = bit 2 set,
+    // bit 16 clear. The bitmask interacts with the srcaddr octet mod 4
+    // (both derive from event_id), so exactly the ≡2 (mod 4) octets
+    // carry SYN-no-ACK rows — benign ones stay under the ≥5 distinct-
+    // port floor, scanner octets 14/18 clear it, at every scale.
+    "flowlog_syn_scan_refined" ->
+      """WITH v5 AS (
+        |  SELECT '10.0.0.' || CAST(event_id % 20 AS VARCHAR) AS srcaddr,
+        |         CASE WHEN event_id % 20 >= 12 THEN 1 + (event_id * 13) % 1024
+        |              ELSE CASE (event_id // 20) % 4
+        |                   WHEN 0 THEN 80 WHEN 1 THEN 443
+        |                   WHEN 2 THEN 22 ELSE 53 END
+        |         END AS dstport,
+        |         CASE WHEN event_id % 5 = 0 THEN 'REJECT' ELSE 'ACCEPT' END
+        |           AS action,
+        |         ((event_id % 32) & 2) <> 0 AND ((event_id % 32) & 16) = 0
+        |           AS syn_no_ack
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 2 = 0)
+        |SELECT srcaddr,
+        |       count(DISTINCT CASE WHEN syn_no_ack THEN dstport END)
+        |         AS n_syn_ports,
+        |       CAST(sum(CASE WHEN syn_no_ack THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_syn_flows,
+        |       CAST(sum(CASE WHEN syn_no_ack AND action = 'REJECT'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_syn_rejects,
+        |       count(*) AS n_flows
+        |FROM v5
+        |GROUP BY srcaddr
+        |HAVING count(DISTINCT CASE WHEN syn_no_ack THEN dstport END) >= 5
+        |ORDER BY n_syn_ports DESC, srcaddr ASC""".stripMargin,
+
+    "flowlog_traffic_path_mix" ->
+      """WITH v5 AS (
+        |  SELECT CAST(1 + event_id % 8 AS INT) AS traffic_path,
+        |         CASE WHEN event_id % 5 = 0 THEN 'REJECT' ELSE 'ACCEPT' END
+        |           AS action,
+        |         40 * (1 + event_id % 97) + (event_id * 7) % 997 AS bytes,
+        |         'eni-' || CAST(event_id % 40 AS VARCHAR) AS interface_id
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 2 = 0)
+        |SELECT traffic_path, action, count(*) AS n_flows,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT interface_id) AS n_enis
+        |FROM v5
+        |GROUP BY traffic_path, action
+        |ORDER BY traffic_path ASC, action ASC""".stripMargin,
 
     // Day 1 of the fixture span is epoch day 19723 (1704067200 // 86400);
     // hr is the hour-of-day the dt/hr layout partitions on. The oracle

@@ -264,6 +264,101 @@ object FlowLogStream {
     out.result().iterator
   }
 
+  // ------------------------------------------------ ECS service traffic
+
+  case class EsIn(cluster: String, service: String, ts: java.sql.Timestamp,
+      bytes: Long, task: String)
+  case class EsPend(ts_ms: Long, bytes: Long, task: String)
+  case class EsBuf(tasks: List[String], n_flows: Long, total_bytes: Long,
+      alerted: Boolean, pending: List[EsPend])
+  /** kind = ONSET (the service's day bytes crossed minBytes — the budget/
+    * anomaly alert moment, ts = the crossing flow's start, counts as of
+    * the crossing) or FINAL (day-close report, ts = day end; the full
+    * day's n_flows / total_bytes / exact distinct-task count — the batch
+    * `flowlog_ecs_service_traffic` row for that (cluster, service, day)). */
+  case class EcsServiceAlert(kind: String, ecs_cluster_name: String,
+      ecs_service_name: String, day: java.sql.Timestamp,
+      ts: java.sql.Timestamp, n_flows: Long, total_bytes: Long, n_tasks: Long)
+
+  /** Streaming ECS service-traffic monitor — the streaming twin of the v7
+    * declared query `flowlog_ecs_service_traffic` (VERDICT r15 #4), so
+    * the ECS surface has a deployment-shaped operator beside its batch
+    * report: per (cluster, service, UTC day), byte/flow totals plus the
+    * EXACT distinct-task attribution, with an ONSET alert the moment a
+    * service's day traffic crosses `minBytes`. Filter matches the batch
+    * query exactly (version 7 lines carrying a service name), so FINAL ≡
+    * batch is structural on a one-day fixture (FlowLogStreamSpec pins it,
+    * plus kill/restart durability and retirement).
+    *
+    * State: the byte/flow sums are O(1); the distinct-task set is bounded
+    * by the SERVICE'S live task count (an ECS deployment parameter —
+    * tens-to-hundreds, never corpus-scaled), exactly like the port-scan
+    * detector's 65536-port domain; the pending buffer is watermark-
+    * horizon-bounded. The ONSET timestamp is order-sensitive, so rows
+    * buffer and fold strictly below the watermark in deterministic
+    * (ts, task, bytes) order — fully identical rows are interchangeable,
+    * so the crossing row is unique (the streamCusum rule). */
+  def streamEcsServiceTraffic(envelopes: DataFrame, minBytes: Long,
+      watermark: String = "30 minutes"): Dataset[EcsServiceAlert] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    // same event-time-clock note as streamPortScan: the watermark tracks
+    // the v7 service-carrying population (filters push below the
+    // watermark node — v2/v5 traffic cannot advance this detector's clock)
+    FlowLog.parseFlowLogs(FlowLog.decodeEnvelopes(envelopes))
+      .filter(col("version") === 7 && col("ecs_service_name").isNotNull)
+      .select(col("ecs_cluster_name").as("cluster"),
+        col("ecs_service_name").as("service"),
+        col("start_ts").as("ts"), col("bytes"),
+        col("ecs_task_id").as("task"))
+      .withWatermark("ts", watermark)
+      .as[EsIn]
+      .groupByKey(r => (r.cluster, r.service, dayTs(r.ts)))
+      .flatMapGroupsWithState[EsBuf, EcsServiceAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, String, java.sql.Timestamp), rows: Iterator[EsIn],
+            state: GroupState[EsBuf]) =>
+          ecsServiceHandle(key._1, key._2, key._3, rows, state, minBytes)
+      }
+  }
+
+  private[flowlog] def ecsServiceHandle(cluster: String, service: String,
+      day: java.sql.Timestamp, rows: Iterator[EsIn], state: GroupState[EsBuf],
+      minBytes: Long): Iterator[EcsServiceAlert] = {
+    val wm = state.getCurrentWatermarkMs()
+    val dayEndMs = day.getTime + 86400000L
+    val prev = state.getOption.getOrElse(
+      EsBuf(Nil, 0L, 0L, alerted = false, Nil))
+    val all = prev.pending ++
+      rows.map(r => EsPend(r.ts.getTime, r.bytes, r.task))
+    val (ready, pending) = all.partition(_.ts_ms < wm)
+    var taskSet = prev.tasks.toSet
+    var nFlows = prev.n_flows
+    var total = prev.total_bytes
+    var alerted = prev.alerted
+    val out = List.newBuilder[EcsServiceAlert]
+    ready.sortBy(p => (p.ts_ms, p.task, p.bytes)).foreach { p =>
+      nFlows += 1
+      total += p.bytes
+      taskSet += p.task
+      if (!alerted && total >= minBytes) {
+        alerted = true
+        out += EcsServiceAlert("ONSET", cluster, service, day,
+          msToTs(p.ts_ms), nFlows, total, taskSet.size.toLong)
+      }
+    }
+    if (pending.isEmpty && wm >= dayEndMs) {
+      out += EcsServiceAlert("FINAL", cluster, service, day,
+        msToTs(dayEndMs), nFlows, total, taskSet.size.toLong)
+      state.remove()
+    } else {
+      state.update(EsBuf(taskSet.toList, nFlows, total, alerted, pending))
+      state.setTimeoutTimestamp(
+        if (pending.nonEmpty) wm + 1 else math.max(dayEndMs, wm + 1))
+    }
+    out.result().iterator
+  }
+
   private[flowlog] def beaconHandle(src: String, dstport: Int,
       day: java.sql.Timestamp, rows: Iterator[BcIn],
       state: GroupState[BcBuf], minFlows: Int): Iterator[BeaconReport] = {

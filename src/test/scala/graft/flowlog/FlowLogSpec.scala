@@ -293,6 +293,22 @@ class FlowLogSpec extends SparkSpec {
         col("parse_error").isNull && col("vpc_id").isNotNull).count() === 0)
       assert(parsed.filter(col("version") === 5 &&
         col("ecs_cluster_arn").isNotNull).count() === 0)
+      // NAT branch (round 16): %8=6 extension rows carry a pkt_srcaddr
+      // that DIVERGES from srcaddr (the unwrap population), all others
+      // carry pkt_srcaddr = srcaddr — both branches must fire (vacuity)
+      val ext = parsed.filter(col("pkt_srcaddr").isNotNull)
+      val natRows = ext.filter(col("pkt_srcaddr") =!= col("srcaddr"))
+      assert(natRows.count() > 0, "no NAT-unwrapped rows (vacuous fixture)")
+      assert(ext.filter(col("pkt_srcaddr") === col("srcaddr")).count() > 0,
+        "every extension row diverged — the non-NAT branch is vacuous")
+      assert(natRows.filter(!col("pkt_srcaddr").startsWith("192.168.")).count() === 0,
+        "NAT-unwrapped pkt_srcaddr escaped its address space")
+      // SYN-no-ACK branch: both sides of the tcp_flags mask occur
+      val flagsI = col("tcp_flags").cast("int")
+      val synNoAck = (flagsI.bitwiseAND(lit(2)) =!= 0) &&
+        (flagsI.bitwiseAND(lit(16)) === 0)
+      assert(ext.filter(synNoAck).count() > 0, "no SYN-no-ACK rows")
+      assert(ext.filter(!synNoAck).count() > 0, "all rows SYN-no-ACK")
     } finally parsed.unpersist()
   }
 

@@ -276,6 +276,92 @@ class FlowLogStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming ECS service-traffic monitor (RocksDB): FINAL equals the v7 batch query, one byte-budget onset per crossing service, state retires, survives kill/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    // ~half the 21 (cluster, service) day cells sit above this at
+    // sf0.001 (≈4.8 v7 rows ≈ 12k bytes per cell) — both onset branches
+    // fire (the vacuity rule)
+    val minBytes = 12000L
+    withRocksDb {
+      val dir = java.nio.file.Files.createTempDirectory("flowlog_ecsstream").toString
+      val mem = MemoryStream[Array[Byte]]
+      def start() = FlowLogStream.streamEcsServiceTraffic(mem.toDF(),
+          minBytes = minBytes, watermark = "30 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val chunks = fixtureEnvelopeChunks(4)
+      val q1 = start()
+      mem.addData(chunks(0)); q1.processAllAvailable()
+      mem.addData(chunks(1)); q1.processAllAvailable()
+      q1.stop() // kill: totals + the task set live only in RocksDB state
+      val q2 = start()
+      try {
+        chunks.drop(2).foreach { c => mem.addData(c); q2.processAllAvailable() }
+        // the detector's watermark tracks the v7 service population
+        // (filter pushdown below the watermark node), so the flush
+        // sentinel must itself be a 39-token v7 service line — its own
+        // (cluster, service, day-31) key stays pending afterwards
+        val fs = 1704067200L + 30L * 86400L
+        mem.addData(envelope(999999,
+          s"7 123456789012 eni-zz 10.9.9.9 10.9.9.8 1 2 6 1 1 $fs ${fs + 1} " +
+            "ACCEPT OK vpc-z subnet-z i-z 0 IPv4 10.9.9.9 10.9.9.8 " +
+            "us-east-1 use1-az1 - - - - egress 1 " +
+            "arn:aws:ecs:us-east-1:1:cluster/z graft-z " +
+            "arn:aws:ecs:us-east-1:1:container-instance/ci-z ci-z cont-z - " +
+            "svc-zz arn:aws:ecs:us-east-1:1:task-definition/z:1 " +
+            "arn:aws:ecs:us-east-1:1:task/z/task-zz task-zz"))
+        q2.processAllAvailable()
+        val outRows = spark.read.parquet(s"$dir/out").collect()
+        val fin = outRows.filter(_.getAs[String]("kind") == "FINAL")
+          .map(r => (r.getAs[String]("ecs_cluster_name"),
+            r.getAs[String]("ecs_service_name"), r.getAs[Long]("n_flows"),
+            r.getAs[Long]("total_bytes"), r.getAs[Long]("n_tasks"))).toSet
+        // all sf0.001 flows are day 1, so the day-scoped FINAL reports
+        // are exactly the declared batch query's rows
+        val batch = graft.SparkEntry
+          .queries("flowlog_ecs_service_traffic")(spark, sf).collect()
+          .map(r => (r.getAs[String]("ecs_cluster_name"),
+            r.getAs[String]("ecs_service_name"), r.getAs[Long]("n_flows"),
+            r.getAs[Long]("total_bytes"), r.getAs[Long]("n_tasks"))).toSet
+        assert(batch.nonEmpty, "vacuous: batch ECS query found no services")
+        assert(fin === batch,
+          s"stream/batch diverged: only-stream=${(fin -- batch).take(3)} " +
+            s"only-batch=${(batch -- fin).take(3)}")
+        // exactly one ONSET per cell whose day total crossed minBytes —
+        // the day closed, so crossing ⇔ final total ≥ minBytes
+        val onsets = outRows.filter(_.getAs[String]("kind") == "ONSET")
+        val onsetKeys = onsets.map(r => (r.getAs[String]("ecs_cluster_name"),
+          r.getAs[String]("ecs_service_name"))).toSet
+        assert(onsets.length === onsetKeys.size, "duplicate ONSET for a key")
+        val crossed = batch.filter(_._4 >= minBytes).map(b => (b._1, b._2))
+        assert(crossed.nonEmpty && crossed.size < batch.size,
+          s"minBytes=$minBytes is vacuous: ${crossed.size}/${batch.size} cells crossed")
+        assert(onsetKeys === crossed,
+          s"onset keys diverged from crossing cells: only-onset=" +
+            s"${(onsetKeys -- crossed).take(3)} missed=${(crossed -- onsetKeys).take(3)}")
+        // an onset reports the state AS OF the crossing row — within the
+        // day's final bounds and at-or-above the threshold
+        val finByKey = batch.map(b => (b._1, b._2) -> b).toMap
+        onsets.foreach { r =>
+          val k = (r.getAs[String]("ecs_cluster_name"),
+            r.getAs[String]("ecs_service_name"))
+          val f = finByKey(k)
+          assert(r.getAs[Long]("total_bytes") >= minBytes)
+          assert(r.getAs[Long]("total_bytes") <= f._4)
+          assert(r.getAs[Long]("n_flows") <= f._3)
+          assert(r.getAs[Long]("n_tasks") <= f._5)
+        }
+        // day-1 keys retire; only the sentinel's own day-31 key survives
+        val stateRows = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows === 1L,
+          s"day keys failed to retire: $stateRows state rows after flush")
+      } finally q2.stop()
+    }
+  }
+
   test("port-scan detector output is invariant to micro-batch chunking (event-time determinism)") {
     // The detector's contract: output — including every ONSET's timestamp
     // and counts — is a pure function of the event-time CONTENT of the
