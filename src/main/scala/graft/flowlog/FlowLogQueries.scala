@@ -137,7 +137,9 @@ object FlowLogQueries {
           |         '.', CAST(event_id % 25 AS STRING)),
           |  'us-east-1',
           |  concat('use1-az', CAST(1 + event_id % 3 AS STRING)),
-          |  '-', '-', '-', '-',
+          |  '-', '-', '-',
+          |  CASE WHEN event_id % 16 = 0 THEN 'S3'
+          |       WHEN event_id % 16 = 8 THEN 'DYNAMODB' ELSE '-' END,
           |  CASE WHEN (event_id div 2) % 2 = 0 THEN 'ingress' ELSE 'egress' END,
           |  CAST(1 + event_id % 8 AS STRING))""".stripMargin))
       // v7 ECS extension tokens (appended after the v5 extras): every
@@ -237,9 +239,9 @@ object FlowLogQueries {
   /** Envelope-fixture dir. The version token bumps whenever the LINE
     * POPULATION changes (v2: the %11 reverse mirrors joined; v3: the
     * %10=4 ids became v7 ECS lines; v4: %8=6 rows carry a NAT-unwrapped
-    * pkt_srcaddr) — a stale cached fixture must never answer for a
-    * changed population. */
-  private def envDir(d: String): String = sigDir(d, "flowlog_env_v4_")
+    * pkt_srcaddr; v5: %16∈{0,8} rows carry a pkt_dst_aws_service) — a
+    * stale cached fixture must never answer for a changed population. */
+  private def envDir(d: String): String = sigDir(d, "flowlog_env_v5_")
 
   /** The decoded event stream: envelope fixture (written once per source
     * signature) through the real gunzip + from_json + explode path. */
@@ -495,6 +497,26 @@ object FlowLogQueries {
         .orderBy(col("traffic_path").asc, col("action").asc)
     },
 
+    // Managed-service endpoint attribution over the v5
+    // pkt-dst-aws-service field (the last packet-path dimension the
+    // parser carried unqueried): traffic whose destination resolved to
+    // an AWS service endpoint, per service — flow/byte totals, distinct
+    // client sources and the REJECT share, the egress-cost and
+    // data-access posture view. The fixture tags %16∈{0,8} extension
+    // rows S3/DYNAMODB (both classes fire at every scale); untagged rows
+    // carry '-' → null and fall out via the null check.
+    "flowlog_service_endpoint_traffic" -> { (s, d) =>
+      parsedFlow(s, d)
+        .filter(col("pkt_dst_aws_service").isNotNull)
+        .groupBy(col("pkt_dst_aws_service").as("aws_service"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("total_bytes"),
+          countDistinct(col("srcaddr")).as("n_sources"),
+          sum(when(col("action") === "REJECT", 1L).otherwise(0L))
+            .as("n_rejects"))
+        .orderBy(col("aws_service").asc)
+    },
+
     // The reference pipeline's OUTPUT surface as a declared query: the
     // dt=YYYY-MM-DD/hr=HH partitioned parquet sink (FlowLog
     // .writePartitioned — written once per source signature through the
@@ -505,10 +527,10 @@ object FlowLogQueries {
     // inference types dt as DATE and hr as INT on read — the layout's
     // contract, pinned here cross-engine.
     "flowlog_partitioned_sink_read" -> { (s, d) =>
-      // _v3: the sink is DERIVED from the line population (envDir v4), so
+      // _v4: the sink is DERIVED from the line population (envDir v5), so
       // its cache tag bumps with it even though the readback aggregate is
       // version-independent — a stale sink must not contradict parsedFlow
-      val dir = sigDir(d, "flowlog_sink_v3_")
+      val dir = sigDir(d, "flowlog_sink_v4_")
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         FlowLog.writePartitioned(
           FlowLog.withDatePartitions(parsedFlow(s, d)), dir)
@@ -816,6 +838,28 @@ object FlowLogQueries {
         |FROM v5
         |GROUP BY traffic_path, action
         |ORDER BY traffic_path ASC, action ASC""".stripMargin,
+
+    "flowlog_service_endpoint_traffic" ->
+      """WITH v5 AS (
+        |  SELECT CASE WHEN event_id % 16 = 0 THEN 'S3'
+        |              WHEN event_id % 16 = 8 THEN 'DYNAMODB' END
+        |           AS aws_service,
+        |         '10.0.0.' || CAST(event_id % 20 AS VARCHAR) AS srcaddr,
+        |         40 * (1 + event_id % 97) + (event_id * 7) % 997 AS bytes,
+        |         CASE WHEN event_id % 5 = 0 THEN 'REJECT' ELSE 'ACCEPT' END
+        |           AS action
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 2 = 0
+        |    AND event_id % 16 IN (0, 8))
+        |SELECT aws_service, count(*) AS n_flows,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT srcaddr) AS n_sources,
+        |       CAST(sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_rejects
+        |FROM v5
+        |GROUP BY aws_service
+        |ORDER BY aws_service ASC""".stripMargin,
 
     // Day 1 of the fixture span is epoch day 19723 (1704067200 // 86400);
     // hr is the hour-of-day the dt/hr layout partitions on. The oracle

@@ -309,6 +309,14 @@ class FlowLogSpec extends SparkSpec {
         (flagsI.bitwiseAND(lit(16)) === 0)
       assert(ext.filter(synNoAck).count() > 0, "no SYN-no-ACK rows")
       assert(ext.filter(!synNoAck).count() > 0, "all rows SYN-no-ACK")
+      // pkt_dst_aws_service: both tagged classes and the untagged null
+      // branch occur (round-16 service-endpoint population)
+      val svc = ext.filter(col("pkt_dst_aws_service").isNotNull)
+      assert(svc.select("pkt_dst_aws_service").distinct().collect()
+        .map(_.getString(0)).toSet === Set("S3", "DYNAMODB"),
+        "service-endpoint tags missing a class")
+      assert(ext.filter(col("pkt_dst_aws_service").isNull).count() > 0,
+        "every extension row got a service tag — the null branch is vacuous")
     } finally parsed.unpersist()
   }
 
