@@ -396,6 +396,36 @@ class FlowLogStreamSpec extends SparkSpec {
       s"chunking changed the output: only-3=${(a -- b).take(3)} only-7=${(b -- a).take(3)}")
   }
 
+  test("ECS service monitor output is invariant to micro-batch chunking (event-time determinism)") {
+    // Same contract as the port-scan chunking test: ONSET timestamps and
+    // as-of-crossing counts are a pure function of event-time content —
+    // the strictly-below-watermark (ts, task, bytes)-sorted fold makes
+    // arrival batching invisible (the streamCusum rule on the new handler).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def runWith(nChunks: Int): Set[List[Any]] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"flowlog_ecschunk$nChunks").toString
+      val mem = MemoryStream[Array[Byte]]
+      val q = FlowLogStream.streamEcsServiceTraffic(mem.toDF(),
+          minBytes = 12000L, watermark = "30 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        fixtureEnvelopeChunks(nChunks).foreach { c =>
+          mem.addData(c); q.processAllAvailable()
+        }
+        spark.read.parquet(s"$dir/out").collect().map(_.toSeq.toList).toSet
+      } finally q.stop()
+    }
+    val a = runWith(3)
+    val b = runWith(7)
+    assert(a.nonEmpty, "vacuous: no detector output")
+    assert(a === b,
+      s"chunking changed the output: only-3=${(a -- b).take(3)} only-7=${(b -- a).take(3)}")
+  }
+
   test("streaming rejected-traffic report over decoded envelopes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
