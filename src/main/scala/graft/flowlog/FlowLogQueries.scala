@@ -117,12 +117,20 @@ object FlowLogQueries {
           |  CAST(start_s AS STRING), CAST(end_s AS STRING),
           |  CASE WHEN event_id % 5 = 0 THEN 'REJECT' ELSE 'ACCEPT' END,
           |  'OK')""".stripMargin))
-      // pkt_srcaddr: NAT-unwrapped true origin for event_id % 8 = 6 rows
-      // (srcaddr is then the NAT/ELB interface address, pkt-srcaddr the
-      // pre-translation endpoint — the public v5 packet-path semantics);
-      // all other extension rows carry pkt_srcaddr = srcaddr, so the
-      // NAT-unwrap queries see both branches at every scale (%8=6 fires
-      // 125× per 1000 ids — the vacuity rule).
+      // Packet-path population (every branch dual — populated AND default
+      // — at every scale; classes are disjoint by residue, the vacuity
+      // rule's number-theory leg):
+      //  - pkt_srcaddr: NAT-unwrapped true origin for %8=6 rows (srcaddr
+      //    is then the NAT/ELB interface, pkt-srcaddr the pre-translation
+      //    endpoint — the public v5 semantics); = srcaddr otherwise.
+      //  - pkt_dstaddr: dst-side translation (gateway LB / dst-NAT) for
+      //    %8=2 rows; = dstaddr otherwise.
+      //  - pkt_src_aws_service: %16∈{4,12} rows originate from a managed
+      //    service (S3 response / CLOUDFRONT origin-fetch traffic).
+      //  - pkt_dst_aws_service: %16∈{0,8} rows terminate at one.
+      //  - sublocation: %24=18 rows sit in an edge sublocation
+      //    (wavelength/outpost/localzone by (id div 48) % 3 — all three
+      //    types fire at sf0.001's 1000 ids).
       .withColumn("extras", expr(
         """concat_ws(' ',
           |  'vpc-graft',
@@ -133,11 +141,22 @@ object FlowLogQueries {
           |       THEN concat('192.168.', CAST((event_id div 16) % 10 AS STRING),
           |                   '.', CAST(event_id % 14 AS STRING))
           |       ELSE concat('10.0.0.', CAST(event_id % 20 AS STRING)) END,
-          |  concat('10.1.', CAST((event_id div 20) % 30 AS STRING),
-          |         '.', CAST(event_id % 25 AS STRING)),
+          |  CASE WHEN event_id % 8 = 2
+          |       THEN concat('172.16.', CAST((event_id div 32) % 8 AS STRING),
+          |                   '.', CAST(event_id % 12 AS STRING))
+          |       ELSE concat('10.1.', CAST((event_id div 20) % 30 AS STRING),
+          |                   '.', CAST(event_id % 25 AS STRING)) END,
           |  'us-east-1',
           |  concat('use1-az', CAST(1 + event_id % 3 AS STRING)),
-          |  '-', '-', '-',
+          |  CASE WHEN event_id % 24 = 18 THEN
+          |    element_at(array('wavelength', 'outpost', 'localzone'),
+          |               CAST((event_id div 48) % 3 AS INT) + 1)
+          |  ELSE '-' END,
+          |  CASE WHEN event_id % 24 = 18
+          |       THEN concat('subloc-', CAST((event_id div 24) % 6 AS STRING))
+          |       ELSE '-' END,
+          |  CASE WHEN event_id % 16 = 4 THEN 'S3'
+          |       WHEN event_id % 16 = 12 THEN 'CLOUDFRONT' ELSE '-' END,
           |  CASE WHEN event_id % 16 = 0 THEN 'S3'
           |       WHEN event_id % 16 = 8 THEN 'DYNAMODB' ELSE '-' END,
           |  CASE WHEN (event_id div 2) % 2 = 0 THEN 'ingress' ELSE 'egress' END,
@@ -239,9 +258,11 @@ object FlowLogQueries {
   /** Envelope-fixture dir. The version token bumps whenever the LINE
     * POPULATION changes (v2: the %11 reverse mirrors joined; v3: the
     * %10=4 ids became v7 ECS lines; v4: %8=6 rows carry a NAT-unwrapped
-    * pkt_srcaddr; v5: %16∈{0,8} rows carry a pkt_dst_aws_service) — a
-    * stale cached fixture must never answer for a changed population. */
-  private def envDir(d: String): String = sigDir(d, "flowlog_env_v5_")
+    * pkt_srcaddr; v5: %16∈{0,8} rows carry a pkt_dst_aws_service; v6:
+    * %8=2 rows carry a translated pkt_dstaddr, %16∈{4,12} a
+    * pkt_src_aws_service, %24=18 a sublocation) — a stale cached fixture
+    * must never answer for a changed population. */
+  private def envDir(d: String): String = sigDir(d, "flowlog_env_v6_")
 
   /** The decoded event stream: envelope fixture (written once per source
     * signature) through the real gunzip + from_json + explode path. */
@@ -497,6 +518,60 @@ object FlowLogQueries {
         .orderBy(col("traffic_path").asc, col("action").asc)
     },
 
+    // Translation posture over BOTH packet-path address fields: every
+    // extension row classifies as src-translated (pkt-srcaddr diverges —
+    // ingress through NAT/ELB), dst-translated (pkt-dstaddr diverges —
+    // gateway LB / dst-NAT) or untranslated, with flow/byte totals and
+    // ENI spread per class — the unwrap-coverage report that tells an
+    // operator how much of the flow table needs address unwrapping at
+    // all. The fixture's %8=6 / %8=2 classes are disjoint by residue, so
+    // the CASE precedence never decides a row and all three classes fire
+    // at every scale.
+    "flowlog_nat_translation_report" -> { (s, d) =>
+      parsedFlow(s, d)
+        .filter(col("pkt_srcaddr").isNotNull && col("pkt_dstaddr").isNotNull)
+        .groupBy(when(col("pkt_srcaddr") =!= col("srcaddr"), lit("src_translated"))
+          .when(col("pkt_dstaddr") =!= col("dstaddr"), lit("dst_translated"))
+          .otherwise(lit("untranslated")).as("translation"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("total_bytes"),
+          countDistinct(col("interface_id")).as("n_enis"))
+        .orderBy(col("translation").asc)
+    },
+
+    // Managed-service ORIGIN attribution — the pkt-src-aws-service mirror
+    // of the endpoint report below: traffic whose packet source resolved
+    // to an AWS service (S3 responses, CloudFront origin fetches), per
+    // service with distinct destination spread and REJECT share. The
+    // fixture tags %16∈{4,12} extension rows (disjoint from the NAT and
+    // dst-service classes by residue).
+    "flowlog_service_origin_traffic" -> { (s, d) =>
+      parsedFlow(s, d)
+        .filter(col("pkt_src_aws_service").isNotNull)
+        .groupBy(col("pkt_src_aws_service").as("aws_service"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("total_bytes"),
+          countDistinct(col("dstaddr")).as("n_dests"),
+          sum(when(col("action") === "REJECT", 1L).otherwise(0L))
+            .as("n_rejects"))
+        .orderBy(col("aws_service").asc)
+    },
+
+    // Edge-sublocation traffic over the v5 sublocation pair (Wavelength /
+    // Outposts / Local Zones — the public sublocation-type domain): per
+    // (type, id), flow/byte totals and ENI spread — the edge-capacity
+    // view. The fixture places %24=18 extension rows in a sublocation,
+    // all three types and six ids firing at every scale.
+    "flowlog_sublocation_traffic" -> { (s, d) =>
+      parsedFlow(s, d)
+        .filter(col("sublocation_type").isNotNull)
+        .groupBy(col("sublocation_type"), col("sublocation_id"))
+        .agg(count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("total_bytes"),
+          countDistinct(col("interface_id")).as("n_enis"))
+        .orderBy(col("sublocation_type").asc, col("sublocation_id").asc)
+    },
+
     // Managed-service endpoint attribution over the v5
     // pkt-dst-aws-service field (the last packet-path dimension the
     // parser carried unqueried): traffic whose destination resolved to
@@ -527,10 +602,10 @@ object FlowLogQueries {
     // inference types dt as DATE and hr as INT on read — the layout's
     // contract, pinned here cross-engine.
     "flowlog_partitioned_sink_read" -> { (s, d) =>
-      // _v4: the sink is DERIVED from the line population (envDir v5), so
+      // _v5: the sink is DERIVED from the line population (envDir v6), so
       // its cache tag bumps with it even though the readback aggregate is
       // version-independent — a stale sink must not contradict parsedFlow
-      val dir = sigDir(d, "flowlog_sink_v4_")
+      val dir = sigDir(d, "flowlog_sink_v5_")
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         FlowLog.writePartitioned(
           FlowLog.withDatePartitions(parsedFlow(s, d)), dir)
@@ -838,6 +913,65 @@ object FlowLogQueries {
         |FROM v5
         |GROUP BY traffic_path, action
         |ORDER BY traffic_path ASC, action ASC""".stripMargin,
+
+    "flowlog_nat_translation_report" ->
+      """WITH v5 AS (
+        |  SELECT CASE WHEN event_id % 8 = 6 THEN 'src_translated'
+        |              WHEN event_id % 8 = 2 THEN 'dst_translated'
+        |              ELSE 'untranslated' END AS translation,
+        |         40 * (1 + event_id % 97) + (event_id * 7) % 997 AS bytes,
+        |         'eni-' || CAST(event_id % 40 AS VARCHAR) AS interface_id
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 2 = 0)
+        |SELECT translation, count(*) AS n_flows,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT interface_id) AS n_enis
+        |FROM v5
+        |GROUP BY translation
+        |ORDER BY translation ASC""".stripMargin,
+
+    "flowlog_service_origin_traffic" ->
+      """WITH v5 AS (
+        |  SELECT CASE WHEN event_id % 16 = 4 THEN 'S3'
+        |              WHEN event_id % 16 = 12 THEN 'CLOUDFRONT' END
+        |           AS aws_service,
+        |         '10.1.' || CAST((event_id // 20) % 30 AS VARCHAR) || '.' ||
+        |           CAST(event_id % 25 AS VARCHAR) AS dstaddr,
+        |         40 * (1 + event_id % 97) + (event_id * 7) % 997 AS bytes,
+        |         CASE WHEN event_id % 5 = 0 THEN 'REJECT' ELSE 'ACCEPT' END
+        |           AS action
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 2 = 0
+        |    AND event_id % 16 IN (4, 12))
+        |SELECT aws_service, count(*) AS n_flows,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT dstaddr) AS n_dests,
+        |       CAST(sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_rejects
+        |FROM v5
+        |GROUP BY aws_service
+        |ORDER BY aws_service ASC""".stripMargin,
+
+    "flowlog_sublocation_traffic" ->
+      """WITH v5 AS (
+        |  SELECT CASE (event_id // 48) % 3
+        |         WHEN 0 THEN 'wavelength' WHEN 1 THEN 'outpost'
+        |         ELSE 'localzone' END AS sublocation_type,
+        |         'subloc-' || CAST((event_id // 24) % 6 AS VARCHAR)
+        |           AS sublocation_id,
+        |         40 * (1 + event_id % 97) + (event_id * 7) % 997 AS bytes,
+        |         'eni-' || CAST(event_id % 40 AS VARCHAR) AS interface_id
+        |  FROM events
+        |  WHERE event_id % 103 <> 0 AND event_id % 97 <> 0
+        |    AND event_id % 101 <> 0 AND event_id % 24 = 18)
+        |SELECT sublocation_type, sublocation_id, count(*) AS n_flows,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT interface_id) AS n_enis
+        |FROM v5
+        |GROUP BY sublocation_type, sublocation_id
+        |ORDER BY sublocation_type ASC, sublocation_id ASC""".stripMargin,
 
     "flowlog_service_endpoint_traffic" ->
       """WITH v5 AS (

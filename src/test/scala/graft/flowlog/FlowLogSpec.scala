@@ -317,6 +317,31 @@ class FlowLogSpec extends SparkSpec {
         "service-endpoint tags missing a class")
       assert(ext.filter(col("pkt_dst_aws_service").isNull).count() > 0,
         "every extension row got a service tag — the null branch is vacuous")
+      // pkt_src_aws_service: the origin-side mirror population
+      assert(ext.filter(col("pkt_src_aws_service").isNotNull)
+        .select("pkt_src_aws_service").distinct().collect()
+        .map(_.getString(0)).toSet === Set("S3", "CLOUDFRONT"),
+        "service-origin tags missing a class")
+      // dst-side translation: both branches, translated space 172.16.*
+      val dstNat = ext.filter(col("pkt_dstaddr") =!= col("dstaddr"))
+      assert(dstNat.count() > 0, "no dst-translated rows (vacuous fixture)")
+      assert(ext.filter(col("pkt_dstaddr") === col("dstaddr")).count() > 0,
+        "every extension row dst-diverged — the untranslated branch is vacuous")
+      assert(dstNat.filter(!col("pkt_dstaddr").startsWith("172.16.")).count() === 0,
+        "dst-translated pkt_dstaddr escaped its address space")
+      // src/dst translation classes are disjoint by residue
+      assert(dstNat.filter(col("pkt_srcaddr") =!= col("srcaddr")).count() === 0,
+        "a row is both src- and dst-translated — residue classes overlap")
+      // sublocation: all three public types, id paired with type
+      val subl = ext.filter(col("sublocation_type").isNotNull)
+      assert(subl.select("sublocation_type").distinct().collect()
+        .map(_.getString(0)).toSet === Set("wavelength", "outpost", "localzone"),
+        "sublocation types incomplete")
+      assert(subl.filter(col("sublocation_id").isNull).count() === 0,
+        "sublocation id missing where type present")
+      assert(ext.filter(col("sublocation_type").isNull &&
+        col("sublocation_id").isNotNull).count() === 0,
+        "sublocation id present without a type")
     } finally parsed.unpersist()
   }
 
