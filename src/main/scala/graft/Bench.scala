@@ -108,7 +108,7 @@ object Bench {
     // (ratio vs the BASELINE.md calibration constant), so per-query
     // ratios can be normalized without re-benching old commits.
     def calibrate(): Double = {
-      val ts = (1 to 3).map { _ =>
+      def probe(): Double = {
         val t0 = System.nanoTime()
         // bit_xor, not sum: ANSI sum over 100M arbitrary hash longs
         // overflows; xor is closed on long and keeps the loop CPU-bound
@@ -116,6 +116,13 @@ object Bench {
           .selectExpr("xxhash64(id) AS h").selectExpr("bit_xor(h)").collect()
         (System.nanoTime() - t0) / 1e9
       }
+      // one DISCARDED iteration first: the probe's own plan family
+      // (range→xxhash64→bit_xor) isn't compiled by the query warmups, so
+      // without it cal_start pays janino compilation that cal_end doesn't
+      // (BENCH_full r16: 0.291 vs 0.156 in one run) and drift ratios
+      // computed against cal_start overstate environment inflation.
+      probe()
+      val ts = (1 to 3).map(_ => probe())
       math.round(ts.sorted.apply(1) * 1000.0) / 1000.0
     }
     val calStart = calibrate()

@@ -140,6 +140,109 @@ object FlowLogStream {
     out.result().iterator
   }
 
+  // ------------------------------------------------- refined SYN scan
+
+  case class SsIn(srcaddr: String, ts: java.sql.Timestamp,
+      dstport: Option[Int], syn: Boolean, reject: Boolean)
+  case class SsPend(ts_ms: Long, dstport: Option[Int], syn: Boolean,
+      reject: Boolean)
+  case class SsBuf(ports: List[Int], n_syn_flows: Long, n_syn_rejects: Long,
+      n_flows: Long, alerted: Boolean, pending: List[SsPend])
+  /** kind = ONSET (the source's distinct SYN-no-ACK port count crossed
+    * minPorts — ts = the crossing flow's start, counts as of the crossing)
+    * or FINAL (day-close report, ts = day end; the full day's counts —
+    * the batch `flowlog_syn_scan_refined` row for that (srcaddr, day)). */
+  case class SynScanAlert(kind: String, srcaddr: String,
+      day: java.sql.Timestamp, ts: java.sql.Timestamp, n_syn_ports: Long,
+      n_syn_flows: Long, n_syn_rejects: Long, n_flows: Long)
+
+  /** Streaming twin of the refined SYN-scan detector
+    * (`flowlog_syn_scan_refined`, VERDICT r16 #1-missing): the tcp_flags
+    * bitmask form a security team would run live — SYN set (flags & 2)
+    * with ACK clear (flags & 16 == 0) marks an unanswered connection
+    * attempt, and a source probing ≥ minPorts DISTINCT ports with such
+    * flows inside one UTC day is a scanner. Day-scoped like
+    * [[streamPortScan]] (yesterday's scanner is a new incident today);
+    * the population filter matches the batch query exactly — every
+    * tcp_flags-carrying line counts in n_flows, only SYN-no-ACK flows
+    * feed the port set and the syn counters.
+    *
+    * State: the distinct-port set is bounded by the 65536-port domain;
+    * counters are O(1); the pending buffer is watermark-horizon-bounded.
+    * The ONSET timestamp is order-sensitive, so rows buffer and fold
+    * strictly below the watermark in deterministic (ts, port, syn,
+    * reject) order — fully identical rows are interchangeable, so the
+    * crossing row is unique (the streamCusum rule). */
+  def streamSynScanRefined(envelopes: DataFrame, minPorts: Int = 5,
+      watermark: String = "30 minutes"): Dataset[SynScanAlert] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    // same event-time-clock note as streamPortScan: the watermark tracks
+    // the tcp_flags-carrying population (filters push below the watermark
+    // node — v2 traffic cannot advance this detector's clock)
+    FlowLog.parseFlowLogs(FlowLog.decodeEnvelopes(envelopes))
+      .filter(col("tcp_flags").isNotNull)
+      .select(col("srcaddr"), col("start_ts").as("ts"), col("dstport"),
+        ((col("tcp_flags").cast("int").bitwiseAND(lit(2)) =!= 0) &&
+          (col("tcp_flags").cast("int").bitwiseAND(lit(16)) === 0)).as("syn"),
+        coalesce(col("action") === "REJECT", lit(false)).as("reject"))
+      .withWatermark("ts", watermark)
+      .as[SsIn]
+      .groupByKey(r => (r.srcaddr, dayTs(r.ts)))
+      .flatMapGroupsWithState[SsBuf, SynScanAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, java.sql.Timestamp), rows: Iterator[SsIn],
+            state: GroupState[SsBuf]) =>
+          synScanHandle(key._1, key._2, rows, state, minPorts)
+      }
+  }
+
+  private[flowlog] def synScanHandle(src: String, day: java.sql.Timestamp,
+      rows: Iterator[SsIn], state: GroupState[SsBuf],
+      minPorts: Int): Iterator[SynScanAlert] = {
+    val wm = state.getCurrentWatermarkMs()
+    val dayEndMs = day.getTime + 86400000L
+    val prev = state.getOption.getOrElse(
+      SsBuf(Nil, 0L, 0L, 0L, alerted = false, Nil))
+    val all = prev.pending ++
+      rows.map(r => SsPend(r.ts.getTime, r.dstport, r.syn, r.reject))
+    val (ready, pending) = all.partition(_.ts_ms < wm)
+    var portSet = prev.ports.toSet
+    var nSynFlows = prev.n_syn_flows
+    var nSynRejects = prev.n_syn_rejects
+    var nFlows = prev.n_flows
+    var alerted = prev.alerted
+    val out = List.newBuilder[SynScanAlert]
+    // deterministic fold order; rows equal on all four fields are
+    // interchangeable (same set/count effect), so the onset row is unique
+    ready.sortBy(p => (p.ts_ms, p.dstport.getOrElse(-1), p.syn, p.reject))
+      .foreach { p =>
+        nFlows += 1
+        if (p.syn) {
+          nSynFlows += 1
+          if (p.reject) nSynRejects += 1
+          p.dstport.foreach(portSet += _)
+          if (!alerted && portSet.size >= minPorts) {
+            alerted = true
+            out += SynScanAlert("ONSET", src, day, msToTs(p.ts_ms),
+              portSet.size.toLong, nSynFlows, nSynRejects, nFlows)
+          }
+        }
+      }
+    if (pending.isEmpty && wm >= dayEndMs) {
+      if (portSet.size >= minPorts)
+        out += SynScanAlert("FINAL", src, day, msToTs(dayEndMs),
+          portSet.size.toLong, nSynFlows, nSynRejects, nFlows)
+      state.remove()
+    } else {
+      state.update(SsBuf(portSet.toList, nSynFlows, nSynRejects, nFlows,
+        alerted, pending))
+      state.setTimeoutTimestamp(
+        if (pending.nonEmpty) wm + 1 else math.max(dayEndMs, wm + 1))
+    }
+    out.result().iterator
+  }
+
   // ---------------------------------------------------- beacon regularity
 
   case class BcIn(srcaddr: String, dstport: Int, ts: java.sql.Timestamp)

@@ -526,6 +526,36 @@ case class SortedIntersectMinWeightSum(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** Immutable LUT payload for [[IvfPqTerms]]: the four driver-collected
+  * lookup tables plus their dimensions, with CONTENT equality and the
+  * hash computed ONCE here at construction. The holder is what makes
+  * content equality cheap on the expression side — Catalyst re-hashes
+  * expressions repeatedly during canonicalization and every
+  * withNewChildren copy is a fresh IvfPqTerms instance, but all copies
+  * share this one instance, so no copy ever re-scans the arrays. */
+final class IvfPqLut(val sdc: Array[Long], val cd: Array[Long],
+    val ccij: Array[Double], val cssq: Array[Double],
+    val nC: Int, val pqM: Int, val pqK: Int) extends Serializable {
+  private val lutHash: Int =
+    java.util.Objects.hash(
+      Integer.valueOf(java.util.Arrays.hashCode(sdc)),
+      Integer.valueOf(java.util.Arrays.hashCode(cd)),
+      Integer.valueOf(java.util.Arrays.hashCode(ccij)),
+      Integer.valueOf(java.util.Arrays.hashCode(cssq)),
+      Integer.valueOf(nC), Integer.valueOf(pqM), Integer.valueOf(pqK))
+  override def hashCode(): Int = lutHash
+  override def equals(other: Any): Boolean = other match {
+    case o: IvfPqLut =>
+      (this eq o) || (lutHash == o.lutHash &&
+        nC == o.nC && pqM == o.pqM && pqK == o.pqK &&
+        java.util.Arrays.equals(sdc, o.sdc) &&
+        java.util.Arrays.equals(cd, o.cd) &&
+        java.util.Arrays.equals(ccij, o.ccij) &&
+        java.util.Arrays.equals(cssq, o.cssq))
+    case _ => false
+  }
+}
+
 /** IVF-PQ per-pair decimal-exact term sums plus centroid-dot lookups (see
   * [[VectorKernels.ivfpqTerms]]): children are
   * (codes_a array<int>, codes_b array<int>, ca int, cb int); ALL four
@@ -536,39 +566,26 @@ case class SortedIntersectMinWeightSum(first: Expression, second: Expression,
   * canonicalize ~134 MB of nlist² typedlit doubles into every task
   * binary). Built through PlanBridge.column because the string-keyed
   * function registry cannot carry array payloads. */
-case class IvfPqTerms(sdc: Array[Long], cd: Array[Long], ccij: Array[Double],
-    cssq: Array[Double], nC: Int, pqM: Int, pqK: Int,
+case class IvfPqTerms(lut: IvfPqLut,
     first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
-  // Case-class equality on Array fields is REFERENCE equality, which
-  // would make two semantically identical instances never compare equal
-  // in Catalyst — blocking subexpression elimination and plan-fragment
-  // reuse. The payloads are immutable after construction, so CONTENT
-  // equality is sound (equal LUTs + equal children ⟹ interchangeable);
-  // the LUT hash is computed once (the arrays can reach 16M entries at
-  // the nlist cap — Catalyst hashes expressions repeatedly during
-  // canonicalization, so a per-call array scan would be a plan-time tax).
-  private lazy val lutHash: Int =
-    java.util.Objects.hash(
-      Integer.valueOf(java.util.Arrays.hashCode(sdc)),
-      Integer.valueOf(java.util.Arrays.hashCode(cd)),
-      Integer.valueOf(java.util.Arrays.hashCode(ccij)),
-      Integer.valueOf(java.util.Arrays.hashCode(cssq)),
-      Integer.valueOf(nC), Integer.valueOf(pqM), Integer.valueOf(pqK))
-  override def equals(other: Any): Boolean = other match {
-    case o: IvfPqTerms =>
-      (this eq o) || (lutHash == o.lutHash &&
-        nC == o.nC && pqM == o.pqM && pqK == o.pqK &&
-        java.util.Arrays.equals(sdc, o.sdc) &&
-        java.util.Arrays.equals(cd, o.cd) &&
-        java.util.Arrays.equals(ccij, o.ccij) &&
-        java.util.Arrays.equals(cssq, o.cssq) &&
-        first == o.first && second == o.second &&
-        third == o.third && fourth == o.fourth)
-    case _ => false
-  }
-  override def hashCode(): Int =
-    java.util.Objects.hash(Integer.valueOf(lutHash), first, second, third, fourth)
+  // Case-class equality on bare Array fields would be REFERENCE equality,
+  // which would make two semantically identical instances never compare
+  // equal in Catalyst — blocking subexpression elimination and
+  // plan-fragment reuse. The LUTs therefore ride in an [[IvfPqLut]]
+  // HOLDER with content equality and a hash precomputed at call-site
+  // construction: every Catalyst copy (canonicalized, withNewChildren
+  // during rule application) shares the SAME holder instance, so the
+  // up-to-~4.5M-entry hash scan runs once per built index, not once per
+  // plan-rule copy (ADVICE r16). The synthesized case-class
+  // equals/hashCode are then correct as-is (holder content + children).
+  private def sdc: Array[Long] = lut.sdc
+  private def cd: Array[Long] = lut.cd
+  private def ccij: Array[Double] = lut.ccij
+  private def cssq: Array[Double] = lut.cssq
+  private def nC: Int = lut.nC
+  private def pqM: Int = lut.pqM
+  private def pqK: Int = lut.pqK
   override def dataType: DataType = ArrayType(DoubleType)
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = {

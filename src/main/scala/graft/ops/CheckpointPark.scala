@@ -110,6 +110,14 @@ object CheckpointPark {
   /** Spec probe: retired-but-unreleased occupants currently deferred. */
   private[ops] def deferredCount: Int = deferred.size()
 
+  // serializes the retire sequence below: two concurrent parks on one tag
+  // must not both read the same prev (the loser's slot would be
+  // overwritten in `slots` without ever entering `deferred` — leaked
+  // until the session sweep). Contention is nil (one park per query
+  // invocation), so a plain lock beats weaving the deferred-before-remove
+  // ordering through a compute() remapping.
+  private val parkLock = new Object
+
   /** Park this invocation's retained checkpoints under `tag`, retiring
     * the previous occupants of (frames.head.sparkSession, tag). */
   def park(tag: String, frames: DataFrame*): Unit = {
@@ -119,17 +127,19 @@ object CheckpointPark {
     ensureListener(s)
     val slot = new Slot(frames.toSeq, frames.flatMap(checkpointRddIds).toSet)
     val key = (s, tag)
-    val prev = slots.get(key)
     // ordering note: the retiring slot enters `deferred` BEFORE it leaves
     // `slots`, so an asynchronous observe() can never land in the window
     // where the slot is in neither map (which would orphan it until the
     // session sweep). Slot.release() is idempotent, so observe() and the
     // consumed-check below can both fire without double-unpersisting.
-    if (prev != null) deferred.put(prev, s)
-    slots.put(key, slot)
-    if (prev != null && prev.consumed) {
-      deferred.remove(prev)
-      prev.release()
+    parkLock.synchronized {
+      val prev = slots.get(key)
+      if (prev != null) deferred.put(prev, s)
+      slots.put(key, slot)
+      if (prev != null && prev.consumed) {
+        deferred.remove(prev)
+        prev.release()
+      }
     }
   }
 }

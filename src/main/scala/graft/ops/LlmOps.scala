@@ -991,8 +991,9 @@ object LlmOps {
       .foreach(r => ccijArr(r.getInt(0) * nC + r.getInt(1)) = r.getDouble(2))
     paired
       .withColumn("terms", graftshim.PlanBridge.column(
-        graft.functions.IvfPqTerms(sdcArr, cdArr, ccijArr, cssqArr, nC,
-          pqM, pqK,
+        graft.functions.IvfPqTerms(
+          new graft.functions.IvfPqLut(sdcArr, cdArr, ccijArr, cssqArr, nC,
+            pqM, pqK),
           graftshim.PlanBridge.expression(col("codes_a")),
           graftshim.PlanBridge.expression(col("codes_b")),
           graftshim.PlanBridge.expression(col("ca")),

@@ -362,6 +362,106 @@ class FlowLogStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming refined SYN-scan detector (RocksDB): FINAL equals the tcp_flags batch query, one onset per scanner at the exact crossing, state retires, survives kill/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    withRocksDb {
+      val dir = java.nio.file.Files.createTempDirectory("flowlog_ssstream").toString
+      val mem = MemoryStream[Array[Byte]]
+      def start() = FlowLogStream.streamSynScanRefined(mem.toDF(),
+          minPorts = 5, watermark = "30 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val chunks = fixtureEnvelopeChunks(4)
+      val q1 = start()
+      mem.addData(chunks(0)); q1.processAllAvailable()
+      mem.addData(chunks(1)); q1.processAllAvailable()
+      q1.stop() // kill: port sets + counters + alerted flags live only in state
+      val q2 = start()
+      try {
+        chunks.drop(2).foreach { c => mem.addData(c); q2.processAllAvailable() }
+        // the detector's watermark tracks the tcp_flags-carrying population
+        // (filter pushdown below the watermark node), so the flush sentinel
+        // must itself be a v5 line; tcp_flags=0 keeps it out of the SYN
+        // population while still advancing the clock — its own
+        // (srcaddr, day-31) key stays pending in state afterwards
+        val fs = 1704067200L + 30L * 86400L
+        mem.addData(envelope(999999,
+          s"5 123456789012 eni-zz 10.9.9.9 10.9.9.8 1 2 6 1 1 $fs ${fs + 1} " +
+            "ACCEPT OK vpc-z subnet-z i-z 0 IPv4 10.9.9.9 10.9.9.8 " +
+            "us-east-1 use1-az1 - - - - egress 1"))
+        q2.processAllAvailable()
+        val outRows = spark.read.parquet(s"$dir/out").collect()
+        val fin = outRows.filter(_.getAs[String]("kind") == "FINAL")
+          .map(r => (r.getAs[String]("srcaddr"), r.getAs[Long]("n_syn_ports"),
+            r.getAs[Long]("n_syn_flows"), r.getAs[Long]("n_syn_rejects"),
+            r.getAs[Long]("n_flows"))).toSet
+        // all sf0.001 flows are day 1, so the day-scoped FINAL reports are
+        // exactly the declared batch query's rows
+        val batch = graft.SparkEntry
+          .queries("flowlog_syn_scan_refined")(spark, sf).collect()
+          .map(r => (r.getAs[String]("srcaddr"), r.getAs[Long]("n_syn_ports"),
+            r.getAs[Long]("n_syn_flows"), r.getAs[Long]("n_syn_rejects"),
+            r.getAs[Long]("n_flows"))).toSet
+        assert(batch.nonEmpty, "vacuous: batch SYN-scan query found no scanners")
+        assert(fin === batch,
+          s"stream/batch diverged: only-stream=${(fin -- batch).take(3)} " +
+            s"only-batch=${(batch -- fin).take(3)}")
+        // exactly one ONSET per scanner, fired at the exact port-count
+        // crossing (each SYN row adds at most one new port)
+        val onsets = outRows.filter(_.getAs[String]("kind") == "ONSET")
+        assert(onsets.map(_.getAs[String]("srcaddr")).sorted.toSeq ===
+          fin.map(_._1).toSeq.sorted, "onset set != scanner set")
+        assert(onsets.forall(_.getAs[Long]("n_syn_ports") == 5L),
+          s"onset must fire at the exact threshold crossing")
+        // an onset reports the state AS OF the crossing row
+        val finByKey = batch.map(b => b._1 -> b).toMap
+        onsets.foreach { r =>
+          val f = finByKey(r.getAs[String]("srcaddr"))
+          assert(r.getAs[Long]("n_syn_flows") <= f._3)
+          assert(r.getAs[Long]("n_syn_rejects") <= f._4)
+          assert(r.getAs[Long]("n_flows") <= f._5)
+        }
+        // day-1 keys retire; only the sentinel's own day-31 key survives
+        val stateRows = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows === 1L,
+          s"day keys failed to retire: $stateRows state rows after flush")
+      } finally q2.stop()
+    }
+  }
+
+  test("refined SYN-scan detector output is invariant to micro-batch chunking (event-time determinism)") {
+    // Same contract as the port-scan chunking test: ONSET timestamps and
+    // as-of-crossing counts are a pure function of event-time content —
+    // the strictly-below-watermark sorted fold makes arrival batching
+    // invisible (the streamCusum rule on the new handler).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def runWith(nChunks: Int): Set[List[Any]] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"flowlog_sschunk$nChunks").toString
+      val mem = MemoryStream[Array[Byte]]
+      val q = FlowLogStream.streamSynScanRefined(mem.toDF(), minPorts = 5,
+          watermark = "30 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        fixtureEnvelopeChunks(nChunks).foreach { c =>
+          mem.addData(c); q.processAllAvailable()
+        }
+        spark.read.parquet(s"$dir/out").collect().map(_.toSeq.toList).toSet
+      } finally q.stop()
+    }
+    val a = runWith(3)
+    val b = runWith(7)
+    assert(a.nonEmpty, "vacuous: no detector output")
+    assert(a === b,
+      s"chunking changed the output: only-3=${(a -- b).take(3)} only-7=${(b -- a).take(3)}")
+  }
+
   test("port-scan detector output is invariant to micro-batch chunking (event-time determinism)") {
     // The detector's contract: output — including every ONSET's timestamp
     // and counts — is a pure function of the event-time CONTENT of the
