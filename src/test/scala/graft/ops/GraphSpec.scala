@@ -570,5 +570,13 @@ class GraphSpec extends SparkSpec {
     info(s"weighted Q = ${qW.toDouble / (4 * bigW * bigW).toDouble}, " +
       s"communities: ${wl.values.toSet.size}")
     assert(qW > 0, "weighted louvain scored non-positive weighted modularity")
+    // purity pin for the persisted weighted sweep table the declared query
+    // rides (the louvainL1P discipline): it must equal a FRESH 4-round
+    // weighted sweep, or the persistence would be a semantic fork
+    val wFresh = Graph.louvainMoveRoundsWeighted(
+        Graph.coEdgesWeightedP(spark, sf).filter(col("w") >= 2), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wl === wFresh,
+      "persisted weighted sweep labels diverged from the fresh sweep")
   }
 }
