@@ -189,6 +189,32 @@ object VectorKernels {
     c
   }
 
+  /** A ∩ B as an ASC-sorted long array for two ASC-sorted long arrays —
+    * the element-yielding sibling of [[sortedIntersectCountLong]] for
+    * consumers that must ATTRIBUTE the common elements (clustering
+    * coefficient credits the third triangle corner), not just count them.
+    * One merge walk into a right-sized copy: builtin array_intersect
+    * builds a hash set per row, which at Σ|E| ~60-element adjacency
+    * intersections dominated the whole clustering-coefficient stage
+    * (measured 1.04 s of a 2.7 s query at sf0.1). Inputs are sorted and
+    * distinct (sort_array over per-vertex neighbor lists), so output
+    * order equals array_intersect's first-argument order — identical
+    * results either way, and every consumer is order-independent
+    * (size / explode→groupBy). */
+  def sortedIntersectArrLong(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val buf = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { buf(c) = x; c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(buf, c))
+  }
+
   /** Σ min(wa[i], wb[j]) over the merge-intersection of two ASC-sorted
     * long-id arrays with PARALLEL weight arrays (wa aligns with ida, wb
     * with idb). The weighted-triangle workhorse: at the oriented root edge
@@ -497,6 +523,27 @@ case class SortedIntersectCountLong(left: Expression, right: Expression) extends
     copy(left = newLeft, right = newRight)
 }
 
+/** Merge-intersection ELEMENTS of two sorted long arrays (see
+  * [[VectorKernels.sortedIntersectArrLong]]). */
+case class SortedIntersectArrLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_sorted_intersect_arr expects two array<bigint>")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sortedIntersectArrLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.sortedIntersectArrLong($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Weighted merge-intersection sum (see
   * [[VectorKernels.sortedIntersectMinWeightSum]]): arguments are
   * (ids_a, weights_a, ids_b, weights_b), all array<bigint>, the id arrays
@@ -677,6 +724,9 @@ object VectorFunctions {
       "graft_sorted_intersect_minw",
       exprs => SortedIntersectMinWeightSum(exprs.head, exprs(1), exprs(2), exprs(3)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect_arr",
+      exprs => SortedIntersectArrLong(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_holt", exprs => HoltStates(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

@@ -125,20 +125,28 @@ object Graph {
     * SQL as chained CTEs — recursive CTEs can't aggregate), not data-
     * dependent: no driver-side convergence loop is needed. */
   def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
-    // Hash-partition the edge list by its probe key ONCE before the
-    // checkpoint: LogicalRDD carries the partitioning, so all `iters`
-    // join probes below are exchange-free on the und side (the bucketed-
-    // by-source layout a cluster deployment would maintain on disk).
-    val und = edges.select(col("a").as("u"), col("b").as("v"))
+    val lazyUnd = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint(true)
-    // deg is reused every round — checkpoint once. Broadcast hint is the
-    // fixture-scale choice (|V| rows); at cluster scale drop the hint and
-    // the v-keyed join co-partitions with the previous round's groupBy(v)
-    // output, so only the und probe shuffles per round.
-    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val deg = lazyUnd.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .select(col("u").as("v"), col("deg"))
+      .localCheckpoint(true)
+    // deg ATTACHED to the edge list once (und2), so each round is ONE
+    // join + ONE aggregate with NO per-round deg join at all: the
+    // contribution r div deg is a pure function of (r, deg), both on the
+    // joined row, so per-edge evaluation is value-identical to the old
+    // per-vertex c computed through a broadcast deg join (the per-round
+    // broadcast build was a serialized ~0.2 s barrier per iteration —
+    // measured −0.75 s over 8 rounds at sf0.1, identical results).
+    // Plain repartition+localCheckpoint: a bucketed-and-sorted checkpoint
+    // that DECLARES its HashPartitioning (forcing per-round exchange-free
+    // SMJ probes) was built and measured this round and REGRESSED at
+    // fixture scale — the explicit fixed partition count defeats AQE
+    // coalescing, and with the rank side broadcast the edge list never
+    // shuffles per round anyway; at cluster scale the equivalent layout
+    // is the bucketed-by-u disk table, not an in-session claim.
+    val und2 = lazyUnd
+      .join(broadcast(deg).withColumnRenamed("v", "u"), Seq("u"))
+      .repartition(col("u"))
       .localCheckpoint(true)
     // Unlike labelPropagate there is NO driver-side convergence read, so
     // the whole iteration chains as ONE lazy plan: no per-round
@@ -150,13 +158,11 @@ object Graph {
     // inside one job.
     var r = deg.select(col("v"), lit(1000000000000L).as("r"))
     (1 to iters).foreach { _ =>
-      val c = r.join(broadcast(deg), Seq("v"))
-        .select(col("v").as("u"), expr("r div deg").as("c"))
-      r = und.join(c, Seq("u"))
+      r = und2.join(r.withColumnRenamed("v", "u"), Seq("u"))
         .groupBy(col("v"))
-        .agg((lit(150000000000L) + expr("85 * sum(c) div 100")).as("r"))
+        .agg((lit(150000000000L) + expr("85 * sum(r div deg) div 100")).as("r"))
     }
-    CheckpointPark.park("pagerank", und, deg)
+    CheckpointPark.park("pagerank", und2, deg)
     r.select(col("v").as("part"), col("r").as("pr_fixed"))
       .orderBy(col("part").asc)
   }
@@ -175,22 +181,25 @@ object Graph {
     * groupBy(v), probing a repartition(u).localCheckpoint edge list
     * exchange-free, all `iters` rounds chained as one lazy plan. */
   def pagerankWeighted(wedges: DataFrame, iters: Int): DataFrame = {
-    val und = wedges.select(col("a").as("u"), col("b").as("v"), col("w"))
+    val lazyUnd = wedges.select(col("a").as("u"), col("b").as("v"), col("w"))
       .unionAll(wedges.select(col("b").as("u"), col("a").as("v"), col("w")))
-      .repartition(col("u"))
-      .localCheckpoint(true)
-    val wdeg = und.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+    val wdeg = lazyUnd.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
       .select(col("u").as("v"), col("wdeg"))
+      .localCheckpoint(true)
+    // wdeg attached to the edge list once — the pagerankFixed und2 shape:
+    // per-edge (r div wdeg) * w ≡ the old per-vertex q joined back, so
+    // each round is one join + one aggregate, no per-round wdeg join.
+    val und2 = lazyUnd
+      .join(broadcast(wdeg).withColumnRenamed("v", "u"), Seq("u"))
+      .repartition(col("u"))
       .localCheckpoint(true)
     var r = wdeg.select(col("v"), lit(1000000000000L).as("r"))
     (1 to iters).foreach { _ =>
-      val q = r.join(broadcast(wdeg), Seq("v"))
-        .select(col("v").as("u"), expr("r div wdeg").as("q"))
-      r = und.join(q, Seq("u"))
+      r = und2.join(r.withColumnRenamed("v", "u"), Seq("u"))
         .groupBy(col("v"))
-        .agg((lit(150000000000L) + expr("85 * sum(q * w) div 100")).as("r"))
+        .agg((lit(150000000000L) + expr("85 * sum((r div wdeg) * w) div 100")).as("r"))
     }
-    CheckpointPark.park("pagerank_w", und, wdeg)
+    CheckpointPark.park("pagerank_w", und2, wdeg)
     r.select(col("v").as("part"), col("r").as("pr_fixed"))
       .orderBy(col("part").asc)
   }
@@ -288,15 +297,15 @@ object Graph {
     * plan: each triangle x<y<z (rank order) materializes ONCE, at edge
     * x→y, as an element of N⁺(x) ∩ N⁺(y) — but unlike the census the
     * THIRD corner needs attribution, so the per-edge intersection is
-    * computed as an array (builtin codegen'd array_intersect over the
-    * sorted O(√m) adjacency slices) and credited three ways: size to
-    * src, size to dst, one explode for the z corners. The per-edge
-    * intersection frame is checkpointed once (|E| rows + Σ|∩| = 3·#tri
-    * array cells) so the three arms don't re-run the adjacency joins;
-    * at cluster scale the same three-arm union pipelines from the
-    * bucketed adjacency layout without materialization. cc is ONE
+    * computed as an array (the codegen'd graft_sorted_intersect_arr
+    * merge kernel over the sorted O(√m) adjacency slices) and credited
+    * three ways in ONE explode per edge: (src, |∩|), (dst, |∩|), and a
+    * (z, 1) row per common neighbor — no intermediate materialization,
+    * one pass, one aggregate shuffle; at cluster scale the same fused
+    * pipeline runs off the bucketed adjacency layout. cc is ONE
     * rounded double division of exact integers per vertex. */
   def clusteringCoeff(edges: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(edges.sparkSession)
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -308,15 +317,28 @@ object Graph {
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // Per-edge intersection via the merge-walk kernel (array_intersect's
+    // per-row hash set was the query's single most expensive stage —
+    // 1.04 s of 2.7 s at sf0.1), and the three credit arms fused into ONE
+    // explode per edge instead of a localCheckpoint + 3-arm union: each
+    // edge emits (src, |∩|), (dst, |∩|), and one (z, 1) per common
+    // neighbor — the identical credit multiset, one pass, no
+    // materialization. zs stays in its own projection (CollapseProject
+    // keeps non-cheap exprs referenced >1× un-inlined, so the kernel runs
+    // once per edge).
     val tri = oriented
       .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), "dst")
       .select(col("src"), col("dst"),
-        array_intersect(col("nbrs_u"), col("nbrs_v")).as("zs"))
-      .localCheckpoint(true)
-    val tv = tri.select(col("src").as("v"), size(col("zs")).cast("long").as("t"))
-      .unionAll(tri.select(col("dst").as("v"), size(col("zs")).cast("long").as("t")))
-      .unionAll(tri.select(explode(col("zs")).as("v"), lit(1L).as("t")))
+        expr("graft_sorted_intersect_arr(nbrs_u, nbrs_v)").as("zs"))
+    val tv = tri
+      .select(explode(expr(
+        """concat(
+          |  array(struct(src AS v, CAST(size(zs) AS BIGINT) AS t),
+          |        struct(dst AS v, CAST(size(zs) AS BIGINT) AS t)),
+          |  transform(zs, z -> struct(z AS v, CAST(1 AS BIGINT) AS t)))"""
+          .stripMargin.replace("\n", " "))).as("e"))
+      .select(col("e.v").as("v"), col("e.t").as("t"))
       .groupBy(col("v")).agg(sum(col("t")).as("tri"))
     deg.join(tv, Seq("v"), "left_outer")
       .select(col("v").as("part"),
@@ -480,22 +502,23 @@ object Graph {
     // one up-front scalar: W = total edge weight, a constant of the data
     val m = if (totalW >= 0L) totalW
       else edges.agg(sum(col("w"))).head().getLong(0)
-    val (und, deg, labels0) = louvainPrep(edges)
-    louvainOutput(louvainSweep(und, deg, labels0, m, rounds))
+    val (und, deg) = louvainPrep(edges)
+    louvainOutput(louvainSweep(und, deg, m, rounds))
   }
 
   /** The materialized sweep inputs: directed no-self-loop neighbor list
     * (repartitioned on the probe key — every round's label join is then
-    * exchange-free on that side), weighted degrees, singleton labels. */
-  private def louvainPrep(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    * exchange-free on that side) and weighted degrees. The singleton
+    * label frame needs no checkpoint of its own: it is a projection of
+    * the deg checkpoint (same vertex set), rebuilt per reference for
+    * free inside [[louvainSweep]]. */
+  private def louvainPrep(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges.select(col("a").as("v"), col("b").as("u"), col("w"))
       .unionAll(edges.select(col("b").as("v"), col("a").as("u"), col("w")))
       .repartition(col("v")).localCheckpoint(true)
     val deg = und.groupBy(col("v")).agg(sum(col("w")).as("deg"))
       .localCheckpoint(true)
-    val labels0 = und.select(col("v")).distinct()
-      .withColumn("c", col("v")).localCheckpoint(true)
-    (und, deg, labels0)
+    (und, deg)
   }
 
   /** The synchronous parity-gated best-move sweep engine — shared by the
@@ -504,45 +527,60 @@ object Graph {
     * repartition(v)+checkpointed; `deg` maps every labeled vertex to its
     * weighted degree INCLUDING self-loop mass (a self-loop of weight w
     * contributes 2w — the super-graph convention; plain graphs have
-    * none); `labels0` is the checkpointed initial (v, c); `mW` = Σw over
-    * the LEVEL-0 edge set — contraction conserves total weight, so both
-    * levels share the same modularity denominator. Self-loops never enter
-    * k_vc (they move with the vertex and cancel in ΔQ), which is exactly
-    * why `und` must exclude them while `deg` must include them. Returns
-    * the final checkpointed (v, c). */
+    * none) and also DEFINES the initial singleton labels (its key set is
+    * exactly the vertex set); `mW` = Σw over the LEVEL-0 edge set —
+    * contraction conserves total weight, so both levels share the same
+    * modularity denominator. Self-loops never enter k_vc (they move with
+    * the vertex and cancel in ΔQ), which is exactly why `und` must
+    * exclude them while `deg` must include them. Returns the final
+    * (v, c), a projection over the last round's checkpoint.
+    *
+    * Round shape (round-17 rework — same recurrence, ~half the stages):
+    * labels CARRY (v, c, deg), so the community-degree aggregate is one
+    * direct groupBy (no deg join) and the gain's deg_v rides the row;
+    * k_self comes from a max-over-window on the SAME v partitioning the
+    * best-move row_number already needs (one window shuffle hosts both)
+    * instead of a separate self-join; and the old evc⋈lv⋈self⋈deg
+    * 4-join chain collapses to one labels join. Per round: one |E|-row
+    * aggregate, one v-window shuffle, one |V|-row community aggregate,
+    * two broadcast-sized commDeg joins, one moves join — measured
+    * value-identical (the DuckDB oracle unrolls the same recurrence). */
   private def louvainSweep(und: DataFrame, deg: DataFrame,
-      labels0: DataFrame, mW: Long, rounds: Int): DataFrame = {
+      mW: Long, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var labels = labels0
+    var labels = deg.select(col("v"), col("v").as("c"), col("deg"))
     for (r <- 0 until rounds) {
-      val commDeg = labels.join(deg, Seq("v")).groupBy(col("c"))
-        .agg(sum(col("deg")).as("cdeg"))
+      val commDeg = labels.groupBy(col("c")).agg(sum(col("deg")).as("cdeg"))
       val evc = und
         .join(labels.select(col("v").as("u"), col("c").as("cu")), Seq("u"))
         .groupBy(col("v"), col("cu")).agg(sum(col("w")).as("k_vc"))
-      val lv = labels.select(col("v"), col("c").as("cv"))
-      val self = evc.join(lv, Seq("v")).filter(col("cu") === col("cv"))
-        .select(col("v"), col("k_vc").as("k_self"))
-      val cand = evc.join(lv, Seq("v")).filter(col("cu") =!= col("cv"))
-        .join(self, Seq("v"), "left")
-        .join(deg, Seq("v"))
+        .join(labels.select(col("v"), col("c").as("cv"), col("deg")), Seq("v"))
+      val wV = Window.partitionBy(col("v"))
+      val wBest = Window.partitionBy(col("v"))
+        .orderBy(col("gain").desc, col("cu").asc)
+      val cand = evc
+        .withColumn("k_self",
+          max(when(col("cu") === col("cv"), col("k_vc"))).over(wV))
+        .filter(col("cu") =!= col("cv"))
         .join(commDeg.select(col("c").as("cu"), col("cdeg").as("cdeg_u")), Seq("cu"))
         .join(commDeg.select(col("c").as("cv"), col("cdeg").as("cdeg_v")), Seq("cv"))
         .withColumn("gain",
           lit(4L * mW) * (col("k_vc") - coalesce(col("k_self"), lit(0L))) -
             lit(2L) * col("deg") *
               (col("cdeg_u") - (col("cdeg_v") - col("deg"))))
-      val wBest = Window.partitionBy(col("v"))
-        .orderBy(col("gain").desc, col("cu").asc)
       val moves = cand.withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1 && col("gain") > 0 &&
           pmod(col("v") + lit(r.toLong), lit(2L)) === 0L)
         .select(col("v"), col("cu").as("newc"))
-      labels = labels.join(moves, Seq("v"), "left")
-        .select(col("v"), coalesce(col("newc"), col("c")).as("c"))
-        .localCheckpoint(true)
+      // TrueStats checkpoint: the labels frame must KEEP a truthful small
+      // size estimate so the next round's und⋈labels join auto-broadcasts
+      // the label side (plain localCheckpoint carries the origin plan's
+      // multiplied join estimates, which compound round over round).
+      labels = org.apache.spark.sql.graftshim.PlanBridge.checkpointTrueStats(
+        labels.join(moves, Seq("v"), "left")
+          .select(col("v"), coalesce(col("newc"), col("c")).as("c"), col("deg")))
     }
-    labels
+    labels.select(col("v"), col("c"))
   }
 
   /** (part, community, community_size) projection of a final label frame
@@ -587,8 +625,8 @@ object Graph {
       totalW: Long = -1L): DataFrame = {
     val mW = if (totalW >= 0L) totalW
       else edges.agg(sum(col("w"))).head().getLong(0)
-    val (und, deg, labels0) = louvainPrep(edges)
-    val l1 = louvainSweep(und, deg, labels0, mW, rounds1)
+    val (und, deg) = louvainPrep(edges)
+    val l1 = louvainSweep(und, deg, mW, rounds1)
     louvainOutput(louvainContract(edges, l1, mW, rounds2))
   }
 
@@ -624,10 +662,7 @@ object Graph {
       .select(col("v"), (coalesce(col("xw"), lit(0L)) +
         lit(2L) * coalesce(col("sw"), lit(0L))).as("deg"))
       .localCheckpoint(true)
-    // a plain projection of the checkpointed deg2 — no checkpoint of its
-    // own (each re-reference re-derives one column rename, not a job)
-    val labels20 = deg2.select(col("v")).withColumn("c", col("v"))
-    val l2 = louvainSweep(und2, deg2, labels20, mW, rounds2)
+    val l2 = louvainSweep(und2, deg2, mW, rounds2)
     // ---- project level-2 labels back onto the original vertices ----
     l1.join(l2.select(col("v").as("c"), col("c").as("c2")), Seq("c"))
       .select(col("v"), col("c2").as("c"))
@@ -647,8 +682,8 @@ object Graph {
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       val edges = backboneP(s, d).withColumn("w", lit(1L))
       val mW = louvainW(s"${edgeDir(d)}|unw", backboneP(s, d).count())
-      val (und, deg, labels0) = louvainPrep(edges)
-      louvainSweep(und, deg, labels0, mW, 4)
+      val (und, deg) = louvainPrep(edges)
+      louvainSweep(und, deg, mW, 4)
         .write.mode("overwrite").parquet(dir)
     }
     s.read.parquet(dir)
@@ -672,8 +707,8 @@ object Graph {
       val wb = coEdgesWeightedP(s, d).filter(col("w") >= 2)
       val mW = louvainW(s"${edgeDir(d)}|w",
         wb.agg(sum(col("w"))).head().getLong(0))
-      val (und, deg, labels0) = louvainPrep(wb)
-      louvainSweep(und, deg, labels0, mW, 4)
+      val (und, deg) = louvainPrep(wb)
+      louvainSweep(und, deg, mW, 4)
         .write.mode("overwrite").parquet(dir)
     }
     s.read.parquet(dir)
