@@ -175,6 +175,27 @@ object Multimodal {
     out
   }
 
+  /** (doc_id, text) source rows for every synthetic media builder, with
+    * scale-adaptive parallelism restoration (guide §2, round-17,
+    * measured): a fixture-scale documents.parquet is ONE file → ONE
+    * partition, so each builder's codec work — real JPEG/PNG/WAV
+    * encode+decode per row, the dominant CPU of the mm family — ran
+    * serially on one core (profiled: mm_dedup_video spent 1.8 s of its
+    * 2.0 s in a single-task stage). Repartition only when the source is
+    * under-parallel and never beyond the session's core count: at
+    * cluster scale the parquet layout already exceeds it and this is a
+    * no-op. Results are unchanged — every consumer is a per-row
+    * map/flatMap feeding order-independent aggregates, and every
+    * declared mm query ends in a total ORDER BY (oracle-pinned). */
+  private def docPairs(docs: DataFrame): Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("text"))
+    val p = spark.sparkContext.defaultParallelism
+    (if (base.rdd.getNumPartitions < p) base.repartition(p) else base)
+      .as[(Long, String)]
+  }
+
   /** Documents → synthetic media table: "image" rows are REAL minimal PNGs
     * ([[pngWrap]] — parseable by any header-level tool) whose dimensions
     * derive from doc_id by a SQL-expressible formula, so the decode path is
@@ -184,7 +205,7 @@ object Multimodal {
   def syntheticMediaTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    docPairs(docs).map { case (id, text) =>
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       math.floorMod(id, 3) match {
         case 0 =>
@@ -213,7 +234,7 @@ object Multimodal {
   def syntheticPixelTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    docPairs(docs).map { case (id, text) =>
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val w = math.floorMod(id, 64).toInt + 8
       val h = math.floorMod(id, 48).toInt + 8
@@ -563,7 +584,7 @@ object Multimodal {
   def renditionTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+    docPairs(docs).flatMap { case (id, text) =>
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val w = math.floorMod(id, 64).toInt + 8
       val h = math.floorMod(id, 48).toInt + 8
@@ -601,7 +622,7 @@ object Multimodal {
   def crossResTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+    docPairs(docs).flatMap { case (id, text) =>
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val bl = bytes.length
       val w = 16 * (math.floorMod(id, 4).toInt + 1)
@@ -668,7 +689,7 @@ object Multimodal {
   def crossFormatTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+    docPairs(docs).flatMap { case (id, text) =>
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val bl = bytes.length
       val px = new Array[Byte](64 * 64)
@@ -822,7 +843,7 @@ object Multimodal {
   def syntheticVideoTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    docPairs(docs).map { case (id, text) =>
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val bl = bytes.length
       val nFrames = 2 + math.floorMod(id, 3).toInt
@@ -968,7 +989,7 @@ object Multimodal {
   def syntheticAudioTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    docPairs(docs).map { case (id, text) =>
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val samples = new Array[Short](bytes.length)
       var i = 0
@@ -1056,7 +1077,7 @@ object Multimodal {
   def crossRateAudioTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+    docPairs(docs).flatMap { case (id, text) =>
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val bl = bytes.length
       val samples = new Array[Short](64 * 16)
@@ -1138,7 +1159,7 @@ object Multimodal {
   def crossFpsVideoTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+    docPairs(docs).flatMap { case (id, text) =>
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val bl = bytes.length
       val nFrames = 2 + math.floorMod(id, 3).toInt

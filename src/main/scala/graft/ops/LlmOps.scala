@@ -746,8 +746,8 @@ object LlmOps {
     * decimal per-pair sums keep every double partition-order-independent
     * (the dsumD rule). */
   private[ops] def ivfpqPairScores(codes: DataFrame, cb: DataFrame,
-      centroids: DataFrame): DataFrame =
-    ivfpqCandidateScores(codes, cb, centroids)
+      centroids: DataFrame, broadcastCodes: Boolean = false): DataFrame =
+    ivfpqCandidateScores(codes, cb, centroids, broadcastCodes)
       .filter(col("approx_cos") >= 0.3)
       .select(col("va"), col("vb"), col("approx_cos"))
       .orderBy(col("va").asc, col("vb").asc)
@@ -757,7 +757,7 @@ object LlmOps {
     * per-same-cell-pair PQ scores with the pair's cid kept, so a refine
     * consumer can partition-prune its vector fetches. */
   private def ivfpqCandidateScores(codes: DataFrame, cb: DataFrame,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, broadcastCodes: Boolean = false): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(30, 12)
     val cgeo = centroids.withColumn("cssq", expr("graft_dot(cemb, cemb)"))
       .select(col("cid"), col("cssq"))
@@ -765,7 +765,16 @@ object LlmOps {
       col("codes").as("codes_a"), col("cdot").as("cdot_a"), col("rhsq").as("rhsq_a"))
     val b = codes.select(col("cid"), col("vec_id").as("vb"),
       col("codes").as("codes_b"), col("cdot").as("cdot_b"), col("rhsq").as("rhsq_b"))
-    a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+    // broadcast is an opt-in attestation from the caller (the multiprobe
+    // broadcastCodes rule): the sides derive from the corpus-scaling
+    // codes table, so only a caller that has checked the memoized corpus
+    // row count may hint — needed when one side is a LAZY encode pipeline
+    // (the upsert union) whose inflated join estimates otherwise force a
+    // sort-merge join that AQE coalesces to ONE task, serializing the
+    // whole pqM-explode scorer (profiled: a single 2.9 s stage at sf0.1).
+    val hint: DataFrame => DataFrame =
+      if (broadcastCodes) broadcast else identity
+    a.join(hint(b), Seq("cid")).filter(col("va") < col("vb"))
       // bounded explode: exactly pqM rows per pair (the ANSI [i] rule)
       .withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
       .withColumn("ka", element_at(col("codes_a"), col("m") + 1))
@@ -2037,6 +2046,10 @@ object LlmOps {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
+    // (A fused two-steps-per-checkpoint variant was measured in round 17:
+    // it halves the round count (13 → 7 on the sf0.1 dup graph) but the
+    // deeper per-round plan costs what the saved round did — net flat —
+    // so the simpler one-step loop stays.)
     while (changed > 0) {
       val viaEdges = edges.join(labels, col("doc_b") === col("doc_id"))
         .select(col("doc_a").as("doc_id"), col("cluster_id"))
@@ -3191,7 +3204,8 @@ object LlmOps {
         codes.select(cols: _*).withColumn("cid", col("cid").cast("int"))
           .unionByName(encodeAgainstIvfPq(batch, cent, cb).select(cols: _*)
             .withColumn("cid", col("cid").cast("int"))),
-        cb, cent)
+        cb, cent,
+        broadcastCodes = corpusRows(s, d) <= MultiProbeBroadcastRowCap)
     },
 
     // Deterministic per-stratum hash sampling: membership is a pure
@@ -3585,9 +3599,24 @@ object LlmOps {
       val top = dfc.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
         .orderBy(col("dfc").desc, col("term").asc).limit(50)
         .select(col("term"), col("dfc"))
+      // The repartitionByRange is a PARALLELISM restore (the
+      // llm_dedup_semantic precedent): the per-doc term-set aggregate is
+      // a few hundred KB at fixture scale, so AQE coalesces it to ONE
+      // partition — and the O(|ws|²) pair fan-out below (~1.2k structs
+      // per doc) then ran single-task (profiled: 1.26 s of the query's
+      // 2.2 s), because AQE's byte-based advisory cannot see the
+      // quadratic fan-out each row feeds. It must be (a) RANGE
+      // partitioning — a hash repartition on doc_id collapses into the
+      // aggregate's own hashpartitioning exchange and inherits its
+      // coalescible ENSURE_REQUIREMENTS origin (measured: the explicit
+      // count vanished from the final plan) — and (b) an EXPLICIT
+      // session-derived count, which AQE never coalesces. At cluster
+      // scale the core count is the executor total and this is one
+      // narrow exchange before a much larger map stage.
       val present = dfc.join(broadcast(top.select(col("term"))), Seq("term"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("term"))).as("ws"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
       val pairs = present.select(explode(expr(
           "flatten(transform(ws, (x, i) -> " +
             "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS a, y AS b))))"))
