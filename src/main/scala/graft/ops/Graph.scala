@@ -1112,6 +1112,10 @@ object Graph {
     // array-column checkpoint — the round-5 "array persists are slower
     // than recompute" trap — and re-benched ~2x slower than probing the
     // flat edge checkpoint twice per round).
+    // (A round-17 one-shot edge-list checkpoint before the loop measured
+    // FLAT — the per-round parquet re-scans the delta probes pay are not
+    // the cost at fixture scale, and the parked copy is block-store
+    // residency for nothing — so the plain pass-through stays.)
     val e = edges
     var deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))

@@ -908,12 +908,27 @@ object LlmOps {
     // --- candidate pairs from the multi-probe router (regime-shared) ---
     val probes = multiProbeCells(
       flat.select(col("vec_id"), col("emb")), centroids, nprobe)
-    val cands = probes.select(col("cid"), col("vec_id").as("va"))
+    // The repartitionByRange after distinct is a PARALLELISM restore (the
+    // llm_word_cooccur_lift rule), applied ONLY in the broadcast regime:
+    // there the deduped candidate list is a few MB, AQE coalesces the
+    // distinct's exchange to 1-2 tasks, and the LUT-kernel scoring
+    // projection — the expensive per-pair decimal folds, which with
+    // broadcast code sides pipelines directly on cands' partitioning —
+    // ran there (profiled: a 624 ms 2-task stage). Range partitioning
+    // with an explicit session-derived count survives exchange-collapse
+    // and AQE coalescing. In the shuffled (100 TB) regime the pair join
+    // re-exchanges cands on va anyway, so the extra exchange would be
+    // pure overhead — skipped.
+    val candsRaw = probes.select(col("cid"), col("vec_id").as("va"))
       .join(codes.select(col("cid"), col("vec_id").as("vb")), Seq("cid"))
       .filter(col("va") =!= col("vb"))
       .select(least(col("va"), col("vb")).as("va"),
         greatest(col("va"), col("vb")).as("vb"))
       .distinct()
+    val cands =
+      if (broadcastCodes) candsRaw.repartitionByRange(
+        codes.sparkSession.sparkContext.defaultParallelism, col("va"))
+      else candsRaw
     val a = codes.select(col("vec_id").as("va"), col("cid").as("ca"),
       col("codes").as("codes_a"), col("cdot").as("cdot_a"),
       col("rhsq").as("rhsq_a"))

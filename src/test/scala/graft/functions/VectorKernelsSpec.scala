@@ -21,6 +21,36 @@ class VectorKernelsSpec extends SparkSpec {
     assert(VectorKernels.sortedIntersectCountLong(longs(1, 2), longs(1, 2)) === 2)
   }
 
+  test("sortedIntersectArrLong: elements match array_intersect on sorted distinct inputs") {
+    // direct-call edge cases: disjoint, empty, identical, partial
+    assert(VectorKernels.sortedIntersectArrLong(longs(1, 3, 5), longs(2, 4, 6))
+      .toLongArray().toSeq === Seq.empty)
+    assert(VectorKernels.sortedIntersectArrLong(longs(), longs(1, 2))
+      .toLongArray().toSeq === Seq.empty)
+    assert(VectorKernels.sortedIntersectArrLong(longs(1, 2), longs(1, 2))
+      .toLongArray().toSeq === Seq(1L, 2L))
+    assert(VectorKernels.sortedIntersectArrLong(longs(1, 3, 5), longs(2, 3, 5, 9))
+      .toLongArray().toSeq === Seq(3L, 5L))
+    // seeded differential vs builtin array_intersect through SQL (codegen
+    // parity for the registered form — the clusteringCoeff consumer path)
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 50).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(30).toLong)
+        .distinct.sorted
+      (arr(), arr())
+    }
+    val got = rows.toDF("a", "b")
+      .selectExpr("graft_sorted_intersect_arr(a, b) AS k",
+        "array_intersect(a, b) AS r")
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        "merge kernel diverged from array_intersect")
+    }
+  }
+
   test("sortedIntersectMinWeightSum: weighted merge semantics") {
     // ids {1,3,5} ∩ {2,3,5,9} = {3,5}: min(10,1) + min(30,2) = 3
     assert(VectorKernels.sortedIntersectMinWeightSum(
